@@ -1,0 +1,7 @@
+from async_pipes_spark.functions.money import dec2, money_sum  # noqa: F401
+from async_pipes_spark.functions.vectors import (  # noqa: F401
+    cosine_sim_f32,
+    dot_f32,
+    micro_units,
+    norm_f32,
+)

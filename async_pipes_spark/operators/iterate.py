@@ -1,0 +1,85 @@
+"""Driver-side fixpoint iteration — the engine's cyclic-dataflow verb.
+
+The reference supports cyclic stage graphs and terminates them by
+quiescence detection (a global in-flight-record counter; reference
+src/pipeline/sync.rs:10-52, wait-phase src/pipeline/mod.rs:357-396, and
+the cyclic test tests/pipeline_tests.rs:145-208). Spark plans are DAGs,
+so cycles live *above* Catalyst: a driver loop re-applies the cycle body
+to a shrinking frontier DataFrame and stops when the frontier is empty —
+the exact analogue of "zero records in flight".
+
+Scale notes (100 TB):
+- ``localCheckpoint`` each iteration truncates lineage so plans don't
+  grow unboundedly; on a real cluster prefer ``checkpoint()`` with a
+  reliable checkpoint dir (localCheckpoint dies with an executor).
+- The frontier stays distributed; nothing is collected to the driver.
+  ``isEmpty`` is a cheap limit-1 job.
+- ``max_iterations`` is a guard against non-contracting bodies, like the
+  reference's users must guarantee termination themselves.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from functools import reduce
+
+from pyspark.sql import DataFrame
+
+DEFAULT_MAX_ITERATIONS = 200
+
+
+def _materialize(df: DataFrame, eager: bool) -> DataFrame:
+    # localCheckpoint(eager=True) both truncates lineage and caches the
+    # iteration result so isEmpty + the next step don't recompute.
+    return df.localCheckpoint(eager=eager)
+
+
+def iterate(
+    initial: DataFrame,
+    body: Callable[[DataFrame], DataFrame],
+    max_iterations: int = DEFAULT_MAX_ITERATIONS,
+) -> DataFrame:
+    """Repeatedly apply ``body`` until it yields an empty frontier.
+
+    Returns the union of every frontier (initial + all produced),
+    mirroring a recursive CTE's result set.
+    """
+    frontier = _materialize(initial, eager=True)
+    levels = [frontier]
+    for _ in range(max_iterations):
+        if frontier.isEmpty():
+            break
+        frontier = _materialize(body(frontier), eager=True)
+        levels.append(frontier)
+    else:
+        raise RuntimeError(f"iterate did not converge in {max_iterations} iterations")
+    return reduce(DataFrame.unionByName, levels)
+
+
+def iterate_accumulate(
+    initial: DataFrame,
+    step: Callable[[DataFrame], DataFrame],
+    emit: Callable[[DataFrame], DataFrame],
+    max_iterations: int = DEFAULT_MAX_ITERATIONS,
+) -> DataFrame:
+    """Fixpoint loop that separates rows *leaving* the cycle from rows
+    continuing around it — the shape of the reference's cyclic test
+    (route-on-flag back upstream or out to the sink).
+
+    Each iteration: ``emit(frontier)`` rows exit and are accumulated;
+    ``step(frontier)`` rows continue. Terminates when the continuing
+    frontier is empty; returns the union of all emitted rows.
+    """
+    frontier = _materialize(initial, eager=True)
+    emitted = []
+    for _ in range(max_iterations):
+        emitted.append(emit(frontier))
+        nxt = step(frontier)
+        if nxt is None:
+            break
+        frontier = _materialize(nxt, eager=True)
+        if frontier.isEmpty():
+            break
+    else:
+        raise RuntimeError(f"iterate_accumulate did not converge in {max_iterations} iterations")
+    return reduce(DataFrame.unionByName, emitted)

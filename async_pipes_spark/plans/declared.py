@@ -1,0 +1,272 @@
+"""The declared query set (SURVEY.md §2.4): P1-P9 dataflow shapes from
+the reference's operator inventory, X1-X6 north-star extensions.
+
+Each function takes ``(spark, sf_dir)`` and returns a lazy DataFrame.
+Every computed column is aliased to match the DuckDB oracle exactly
+(driver hash-compares values after sorting columns by name).
+
+Scale design notes appear per-query; the common rules:
+- no ``collect`` inside a query; terminal ordering only where semantics
+  require it (top-k) — the driver compares order-insensitively;
+- filters/projections written directly against the scan so Catalyst
+  pushes them into parquet;
+- pre-aggregate before joins; broadcast dimension sides explicitly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from async_pipes_spark.functions.money import dec2, money_sum
+from async_pipes_spark.functions.vectors import cosine_sim_f32, micro_units, norm_f32
+from async_pipes_spark.operators.iterate import iterate_accumulate
+from async_pipes_spark.sources.tables import load_table
+
+
+def p1_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row revenue map (reference `with_stage` pure map,
+    src/pipeline/builder.rs:202-224). Narrow, no shuffle at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(dec2("l_extendedprice") * (1 - dec2("l_discount")), 2)
+        .cast("decimal(18,2)")
+        .alias("revenue"),
+    )
+
+
+def p2_filter_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-drop + fold (reference stage returning None to drop,
+    builder.rs:194-196; shared-state fold lib.rs:140-187). The predicate
+    is pushed into the parquet scan; agg is a partial+final 1-row fold."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp")) & (F.col("l_quantity") > 30))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            money_sum(dec2("l_quantity"), "qty"),
+        )
+    )
+
+
+def p3_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flattener (reference `with_flattener`, builder.rs:336-364) →
+    posexplode. pos+1 matches DuckDB's 1-based generate_subscripts."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.filter(F.col("vec_id") < 10)
+        .select("vec_id", F.posexplode("embedding").alias("p", "v"))
+        .select(
+            "vec_id",
+            (F.col("p") + 1).alias("pos"),
+            micro_units("v").alias("val_micro"),
+        )
+    )
+
+
+def p4_route_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch/route by order status + per-branch fold (reference
+    `with_branching_stage`, builder.rs:251-282). Routing N ways + folding
+    each branch ≡ one hash aggregation — Spark's partial aggregation
+    does the per-branch fold map-side, one shuffle of 3 groups."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        money_sum(dec2("o_totalprice"), "total"),
+    )
+
+
+def p5_fan_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fan-in union (many writers, one pipe — reference
+    tests/pipeline_tests.rs:220-273) + fold. unionByName is a no-shuffle
+    concatenation of scans."""
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_suppkey").cast("bigint").alias("k"))
+    return cust.unionByName(supp).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("s"),
+    )
+
+
+def p6_map_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference README's map-reduce shape (README.md:21-54):
+    map each record, fold into one total."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.round(dec2("l_extendedprice") * (1 - dec2("l_discount")), 2)
+    return li.agg(money_sum(rev, "total_revenue"))
+
+
+def p7_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful stage / running fold (reference shared-state pattern,
+    lib.rs:152-187) as a window frame. One shuffle on o_custkey; at
+    100 TB the per-customer partitions are small (no skew: keys are
+    near-uniform), so the sort-based window is safe."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec2("o_totalprice")).over(w).cast("decimal(18,2)").alias("running"),
+    )
+
+
+def p8_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cyclic pipeline (reference tests/pipeline_tests.rs:145-208):
+    halve o_totalprice until < 100, report halving steps per order.
+    Runs the engine's driver-side fixpoint loop (operators.iterate),
+    the Spark analogue of the reference's quiescence detection
+    (src/pipeline/sync.rs). ≙ DuckDB WITH RECURSIVE."""
+    orders = load_table(spark, sf_dir, "orders")
+    initial = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("v"),
+        F.lit(0).cast("int").alias("n"),
+    )
+    out = iterate_accumulate(
+        initial,
+        step=lambda df: df.filter(F.col("v") >= 100).select(
+            "o_orderkey", (F.col("v") / 2).alias("v"), (F.col("n") + 1).alias("n")
+        ),
+        emit=lambda df: df.filter(F.col("v") < 100).select("o_orderkey", "n"),
+    )
+    # every order exits exactly once with its final step count
+    return out.select("o_orderkey", F.col("n").cast("bigint").alias("steps"))
+
+
+def p9_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window (batch form; the streaming
+    twin in streaming/ uses window() + watermark and must agree)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("w"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            money_sum(dec2("value"), "total"),
+        )
+    )
+
+
+def x1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash — the baseline dedup operator.
+    One shuffle on the hash; at 100 TB use this shape verbatim
+    (hash keys distribute uniformly by construction)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("dups"),
+    )
+
+
+def x2_cosine_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-1 cosine neighbor for a bounded query set.
+
+    The query side (20 vectors) is broadcast; the candidate scan streams
+    past it — no shuffle of the big side. Norms are precomputed per side
+    so each pair costs one float32 fold. The unbounded-scale path is
+    functions.similarity (LSH/IVF); this exact form is the oracle-checked
+    baseline and re-ranker."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = emb.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("ce"),
+        norm_f32("embedding").alias("cn"),
+    )
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        norm_f32("embedding").alias("qn"),
+    )
+    pairs = cand.crossJoin(F.broadcast(q)).filter(F.col("q_id") != F.col("c_id"))
+    sims = pairs.select(
+        "q_id",
+        "c_id",
+        micro_units(cosine_sim_f32("qe", "ce", F.col("qn"), F.col("cn"))).alias("sim_micro"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim_micro").desc(), F.col("c_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("q_id", F.col("c_id").alias("best_id"), F.col("sim_micro").alias("best_sim_micro"))
+    )
+
+
+def x3_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language text analysis fold: counts, chars, whitespace
+    tokens, keyword hits — all JVM-side string functions."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("chars"),
+        F.sum(F.size(F.split("text", " ", -1))).cast("bigint").alias("tokens"),
+        F.count_if(F.col("text").like("%spark%")).alias("with_kw"),
+    )
+
+
+def x4_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute gap rule via lag() — the batch
+    twin of streaming session_window. One shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_s = F.when(
+        F.lag("ts").over(w).isNull() | (gap_us > 1800 * 1_000_000),
+        1,
+    ).otherwise(0)
+    return (
+        ev.select("user_id", new_s.alias("new_s"))
+        .groupBy("user_id")
+        .agg(F.sum("new_s").alias("n_sessions"))
+    )
+
+
+def x5_json_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction + bucketing (semi-structured props column)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select((F.get_json_object("props", "$.k").cast("int") % 10).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def x6_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + top-k. Pre-aggregate orders by custkey BEFORE the join
+    (shrinks the join's left side to #customers), then broadcast-join
+    the customer dimension; orderBy+limit compiles to TakeOrderedAndProject
+    (no full sort). At 100 TB: same plan; the pre-agg is the key move."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    spend = orders.groupBy("o_custkey").agg(money_sum(dec2("o_totalprice"), "spend"))
+    return (
+        spend.join(F.broadcast(cust), spend.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "spend")
+        .orderBy(F.col("spend").desc(), F.col("c_custkey"))
+        .limit(10)
+    )
+
+
+DECLARED_QUERIES = {
+    "p1_projection": p1_projection,
+    "p2_filter_fold": p2_filter_fold,
+    "p3_flatten": p3_flatten,
+    "p4_route_fold": p4_route_fold,
+    "p5_fan_in": p5_fan_in,
+    "p6_map_reduce": p6_map_reduce,
+    "p7_running_total": p7_running_total,
+    "p8_cycle": p8_cycle,
+    "p9_tumbling_window": p9_tumbling_window,
+    "x1_exact_dedup": x1_exact_dedup,
+    "x2_cosine_top1": x2_cosine_top1,
+    "x3_text_stats": x3_text_stats,
+    "x4_sessionize": x4_sessionize,
+    "x5_json_buckets": x5_json_buckets,
+    "x6_top_customers": x6_top_customers,
+}

@@ -1,0 +1,57 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode defaults mirror the test/bench environment (local[N] on one
+host); the same settings are the right starting point on a real cluster
+(AQE on, partition coalescing, Arrow for the pandas-UDF boundary).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: SQL conf required to read the driver-generated ``events`` table: its
+#: parquet ``ts`` column is INT64 TIMESTAMP(NANOS), which Spark refuses
+#: by default. With this flag Spark reads it as LongType (nanoseconds);
+#: sources.tables converts to a microsecond TimestampType column.
+NANOS_AS_LONG = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def _cpus() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "async-pipes-spark", cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    At 100 TB the same declarative plans run unchanged; only the
+    cluster-manager configs (executors, memory, shuffle service) differ.
+    ``spark.sql.shuffle.partitions`` here matches local cores; on a real
+    cluster it should be ~2-3x total executor cores, or left to AQE
+    coalescing with a high initial value.
+    """
+    n = cpus or _cpus()
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config(NANOS_AS_LONG, "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def ensure_engine_confs(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs this engine depends on to an
+    externally-created session (e.g. the verification driver's)."""
+    spark.conf.set(NANOS_AS_LONG, "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark

@@ -1,0 +1,50 @@
+"""Parquet table sources for the driver-generated test data.
+
+Plays the role of the reference's producers (``with_inputs`` /
+``with_producer``, reference src/pipeline/builder.rs:41-119) for
+file-backed data: a declarative ``spark.read`` whose scan Catalyst can
+push filters/projection into. At 100 TB these would be partitioned
+directories; the reader code is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from async_pipes_spark.session import ensure_engine_confs
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic table.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS) which Spark
+    cannot represent; we read it as a nanosecond Long (legacy conf) and
+    floor-convert to a microsecond TimestampType — the same truncation
+    DuckDB's ``CAST(ts AS TIMESTAMP)`` performs, so oracle comparisons
+    line up.
+    """
+    ensure_engine_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
+    """Register each table as a temp view (SQL entry point)."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

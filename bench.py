@@ -1,0 +1,68 @@
+"""Benchmark harness: runs the declared headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Timing is per-query wall-clock of plan construction + full result
+materialization to the driver via Arrow (``toPandas`` — the analogue of
+the DuckDB baseline's ``fetchall``), with a warm session — Spark
+startup is excluded, matching BASELINE.md's methodology.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from async_pipes_spark.session import get_spark
+    from async_pipes_spark.plans.declared import DECLARED_QUERIES
+    from async_pipes_spark.plans.extensions import EXTENSION_QUERIES
+
+    spark = get_spark("async-pipes-spark-bench", cpus=cpus)
+
+    queries = {}
+    queries.update(DECLARED_QUERIES)
+    queries.update(EXTENSION_QUERIES)
+
+    # warm the JVM + file listing once (excluded from timings)
+    queries["p6_map_reduce"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name, fn in queries.items():
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        rows = df.toPandas()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        del rows
+
+    total = round(sum(timings.values()), 4)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf_dir
+    print(
+        json.dumps(
+            {
+                "metric": "declared_query_suite_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
