@@ -1,0 +1,172 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers, as a 100 TB design demands:
+
+- **Brute force** (:func:`cosine_topk`): broadcast the bounded query
+  set; the candidate corpus streams past it with no shuffle of the big
+  side. Correct baseline + re-ranker. All JVM-side float folds.
+- **IVF** (:func:`ivf_assign` / :func:`ivf_topk`): coarse quantization
+  — assign every vector to its nearest centroid, search only the
+  query's cell. At scale, centroids come from a sampled KMeans and the
+  corpus is written bucketed by cell id so a probe touches one bucket;
+  here centroids are a deterministic prefix of the corpus so the DuckDB
+  oracle can replicate the exact assignment.
+
+Determinism: similarity ordering and outputs use integer micro-units
+(ties broken by id), so rankings are engine-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from async_pipes_spark.functions.vectors import cosine_sim_f32, micro_units, norm_f32
+
+
+def _sides(emb: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
+    return emb.select(
+        F.col(id_col).alias(f"{prefix}_id"),
+        F.col(vec_col).alias(f"{prefix}e"),
+        norm_f32(vec_col).alias(f"{prefix}n"),
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of each query against the corpus:
+    (q_id, rank, c_id, sim_micro). Queries are broadcast."""
+    cand = _sides(corpus, id_col, vec_col, "c")
+    q = _sides(queries, id_col, vec_col, "q")
+    sims = (
+        cand.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            micro_units(cosine_sim_f32("qe", "ce", F.col("qn"), F.col("cn"))).alias("sim_micro"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim_micro").desc(), F.col("c_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", F.col("rank").cast("bigint").alias("rank"), "c_id", "sim_micro")
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid by cosine:
+    (vec_id, embedding, cell). Centroids are broadcast; one window per
+    vector over #centroids candidates."""
+    cents = centroids.select(
+        F.col(id_col).alias("cent_id"),
+        F.col(vec_col).alias("ce"),
+        norm_f32(vec_col).alias("cn"),
+    )
+    vecs = _sides(corpus, id_col, vec_col, "v")
+    w = Window.partitionBy("v_id").orderBy(F.col("_sim").desc(), F.col("cent_id"))
+    return (
+        vecs.crossJoin(F.broadcast(cents))
+        .select(
+            "v_id",
+            "ve",
+            "cent_id",
+            micro_units(cosine_sim_f32("ve", "ce", F.col("vn"), F.col("cn"))).alias("_sim"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("v_id").alias("vec_id"),
+            F.col("ve").alias("embedding"),
+            F.col("cent_id").alias("cell"),
+        )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    num_centroids: int,
+    queries_filter,
+    k: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: search only the query's IVF cell.
+
+    Centroids = the ``num_centroids`` lowest-id vectors (deterministic;
+    swap for KMeans centers in production). ``queries_filter`` is a
+    Column predicate selecting query vectors."""
+    centroids = corpus.filter(F.col(id_col) < num_centroids)
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    cand = assigned.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("ce"),
+        norm_f32("embedding").alias("cn"),
+        "cell",
+    )
+    q = assigned.filter(queries_filter(F.col("vec_id"))).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        norm_f32("embedding").alias("qn"),
+        "cell",
+    )
+    sims = (
+        cand.join(F.broadcast(q), "cell")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            micro_units(cosine_sim_f32("qe", "ce", F.col("qn"), F.col("cn"))).alias("sim_micro"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim_micro").desc(), F.col("c_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", F.col("rank").cast("bigint").alias("rank"), "c_id", "sim_micro")
+    )
+
+
+def embedding_near_dups(
+    corpus: DataFrame,
+    threshold_micro: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above a similarity
+    threshold (micro-units): (id_a, id_b, sim_micro).
+
+    Written as cell-bucketed candidate generation (IVF cells) so only
+    same-cell pairs are compared — the scalable analogue of
+    all-pairs; near-dups land in the same cell with high probability."""
+    centroids = corpus.filter(F.col(id_col) < 8)
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ae"),
+        norm_f32("embedding").alias("an"), "cell",
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("be"),
+        norm_f32("embedding").alias("bn"), "cell",
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            micro_units(cosine_sim_f32("ae", "be", F.col("an"), F.col("bn"))).alias("sim_micro"),
+        )
+        .filter(F.col("sim_micro") >= threshold_micro)
+    )

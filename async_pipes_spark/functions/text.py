@@ -1,0 +1,107 @@
+"""Text-analysis operators for large-scale document pipelines.
+
+All hot-path computation is JVM-side (split/regexp/array functions
+inside whole-stage codegen) — no Python UDFs — so these run at scan
+speed on a 1000-executor cluster.
+
+Canonicalization: ratio outputs use integer micro-units
+(functions.vectors.micro_units) so DuckDB oracles hash-match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from async_pipes_spark.functions.vectors import micro_units
+
+#: BPE-ish word/punctuation token pattern: runs of word chars OR single
+#: non-word non-space chars (an approximation of byte-pair pre-tokenizers).
+BPE_ISH_PATTERN = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+#: Tiny per-language stopword profiles for the n-gram/stopword
+#: language-ID heuristic. Deliberately small and public-knowledge.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is", "to", "in", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "zu", "den", "nicht", "ein", "mit"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"),
+    "es": ("el", "la", "los", "las", "y", "es", "un", "una", "que", "por"),
+}
+
+
+def ws_tokens(text: Column | str) -> Column:
+    """Whitespace (single-space) tokenization as an array column."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ", -1)
+
+
+def token_count_ws(text: Column | str) -> Column:
+    return F.size(ws_tokens(text))
+
+
+def token_count_bpe_ish(text: Column | str) -> Column:
+    """Token count under the BPE-ish regex pre-tokenizer."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(BPE_ISH_PATTERN))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Canonical document fingerprint: md5 of the sorted distinct token
+    set — detects reorderings/duplications of the same vocabulary
+    (the classic "word sort" near-dup canonicalization)."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(ws_tokens(text))), " "))
+
+
+def quality_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality scores: token counts, type/token ratio,
+    mean token length, stopword ratio, non-alphanumeric ratio.
+
+    One narrow projection — no shuffle; scales linearly with the scan.
+    """
+    toks = ws_tokens(text_col)
+    n_tok = F.size(toks).cast("bigint")
+    n_types = F.size(F.array_distinct(toks)).cast("bigint")
+    text = F.col(text_col)
+    n_chars = F.length(text).cast("bigint")
+    n_alnum = F.length(F.regexp_replace(text, r"[^A-Za-z0-9]", "")).cast("bigint")
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "is"))
+    ).cast("bigint")
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        n_types.alias("n_types"),
+        micro_units(n_types / n_tok).alias("ttr_micro"),
+        micro_units((n_chars - (n_tok - 1)) / n_tok).alias("mean_tok_len_micro"),
+        micro_units(stop_hits / n_tok).alias("stop_ratio_micro"),
+        micro_units((n_chars - n_alnum) / n_chars).alias("nonalnum_ratio_micro"),
+    )
+
+
+def langid_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-profile language ID: per language, the number of token
+    occurrences hitting that language's profile; prediction = argmax
+    (ties broken by language code order). Pure array intrinsics."""
+    toks = ws_tokens(F.lower(F.col(text_col)))
+    cols = [F.col(id_col)]
+    hit_cols = []
+
+    def _hit_filter(profile):
+        # nested so Spark sees a one-arg lambda (a default arg would
+        # make it look like the (element, index) two-arg form)
+        return lambda t: t.isin(*profile)
+
+    for lang, profile in sorted(LANG_PROFILES.items()):
+        hits = F.size(F.filter(toks, _hit_filter(profile))).cast("bigint")
+        cols.append(hits.alias(f"hits_{lang}"))
+        hit_cols.append((lang, f"hits_{lang}"))
+    out = df.select(*cols)
+    # argmax with deterministic tie-break on language code
+    pred = None
+    for lang, c in hit_cols:
+        if pred is None:
+            pred = F.struct(F.col(c).alias("h"), F.lit(lang).alias("l"))
+        else:
+            cand = F.struct(F.col(c).alias("h"), F.lit(lang).alias("l"))
+            pred = F.when(F.col(c) > pred.getField("h"), cand).otherwise(pred)
+    return out.withColumn("pred_lang", pred.getField("l"))

@@ -1,0 +1,58 @@
+"""Bounded-concurrency async I/O stage — the engine's analogue of the
+reference's per-stage ``max_task_count`` admission control (reference
+src/pipeline/workers.rs:124-164: spawn into a JoinSet only while
+``tasks.len() < max_task_count``), which exists for I/O-bound stage
+closures like the README's web crawler (reference README.md:56-108).
+
+Spark has no per-record concurrency primitive inside a task, so this
+helper runs an asyncio event loop + semaphore inside each
+``mapInPandas`` Arrow batch: up to ``max_task_count`` coroutine calls
+in flight per task, times however many tasks the cluster runs — the
+same two-level concurrency model as the reference (workers × tasks).
+"""
+
+from __future__ import annotations
+
+import asyncio
+from collections.abc import Awaitable, Callable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from async_pipes_spark.pipeline.options import DEFAULT_MAX_TASK_COUNT
+
+
+def async_map_in_pandas(
+    df: DataFrame,
+    fn: Callable[[dict[str, Any]], Awaitable[dict[str, Any] | None]],
+    schema: str,
+    max_task_count: int = DEFAULT_MAX_TASK_COUNT,
+) -> DataFrame:
+    """Apply an async per-record function with bounded concurrency.
+
+    ``fn`` receives one record as a dict and returns an output dict, or
+    ``None`` to drop the record (the reference's map+filter fusion,
+    builder.rs:194-196). Output columns must match ``schema``.
+    """
+    if max_task_count <= 0:
+        raise ValueError("max task count must be greater than zero")
+
+    def run_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        async def run_batch(records: list[dict]) -> list[dict]:
+            sem = asyncio.Semaphore(max_task_count)
+
+            async def guarded(rec: dict):
+                async with sem:
+                    return await fn(rec)
+
+            results = await asyncio.gather(*(guarded(r) for r in records))
+            return [r for r in results if r is not None]
+
+        for pdf in it:
+            out = asyncio.run(run_batch(pdf.to_dict("records")))
+            yield pd.DataFrame(out) if out else pd.DataFrame(
+                {f.split()[0]: [] for f in schema.split(",")}
+            )
+
+    return df.mapInPandas(run_batches, schema)

@@ -1,10 +1,318 @@
-"""Extension query set: the large-scale training-data-pipeline
-operators (dedup, similarity search, text analysis, multimodal) beyond
-the declared P/X queries. Populated incrementally; every entry ships
-with a DuckDB oracle unless genuinely non-SQL-expressible.
+"""Extension query set: large-scale training-data-pipeline operators
+(dedup, similarity search, text analysis, multimodal) beyond the
+reference's own surface — first-class, oracle-checked.
+
+Names are grouped: d* dedup, a* similarity/ANN, t* text analysis,
+mm* multimodal. Shared canonicalization contract with plans.oracles
+(micro-units for ratios/similarities, md5-string hashing, BIGINT
+casts).
 """
 
 from __future__ import annotations
 
-EXTENSION_QUERIES: dict = {}
-EXTENSION_ORACLES: dict = {}
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from async_pipes_spark.functions.dedup import (
+    fingerprint_dup_groups,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from async_pipes_spark.functions.similarity import cosine_topk, ivf_topk
+from async_pipes_spark.functions.text import (
+    BPE_ISH_PATTERN,
+    langid_scores,
+    quality_metrics,
+    token_count_bpe_ish,
+    token_count_ws,
+)
+from async_pipes_spark.multimodal.binary import extract_features, to_media
+from async_pipes_spark.sources.tables import load_table
+
+
+# ---- dedup ----------------------------------------------------------
+
+
+def d1_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_signatures(docs)
+
+
+def d2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(minhash_signatures(docs))
+
+
+def d3_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs)
+
+
+def d4_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return ngram_jaccard_pairs(docs)
+
+
+def d5_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return fingerprint_dup_groups(docs)
+
+
+# ---- similarity / ANN ----------------------------------------------
+
+
+def a1_ann_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
+
+
+def a2_ivf_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, num_centroids=8, queries_filter=lambda vid: vid < 10, k=1)
+
+
+# ---- text analysis --------------------------------------------------
+
+
+def t1_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_metrics(docs)
+
+
+def t2_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return langid_scores(docs)
+
+
+def t3_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.sum(token_count_ws("text")).cast("bigint").alias("ws_tokens"),
+        F.sum(token_count_bpe_ish("text")).cast("bigint").alias("bpe_tokens"),
+    )
+
+
+# ---- multimodal -----------------------------------------------------
+
+
+def mm1_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real Arrow/mapInPandas plumbing over an opaque binary payload
+    (text bytes stand in for image bytes; decode is the deterministic
+    'raw' stub — see multimodal.binary)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = to_media(
+        docs.withColumn("payload", F.encode("text", "utf-8")), "payload", "raw", "source"
+    )
+    return extract_features(media, id_col="doc_id")
+
+
+EXTENSION_QUERIES = {
+    "d1_minhash_signatures": d1_minhash_signatures,
+    "d2_minhash_lsh_pairs": d2_minhash_lsh_pairs,
+    "d3_simhash": d3_simhash,
+    "d4_ngram_jaccard_pairs": d4_ngram_jaccard_pairs,
+    "d5_fingerprint_dedup": d5_fingerprint_dedup,
+    "a1_ann_top3": a1_ann_top3,
+    "a2_ivf_top1": a2_ivf_top1,
+    "t1_quality_metrics": t1_quality_metrics,
+    "t2_langid": t2_langid,
+    "t3_token_counts": t3_token_counts,
+    "mm1_media_features": mm1_media_features,
+}
+
+
+_SHINGLES = """
+    toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents{doc_filter}
+    ),
+    sh AS (
+        SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+        FROM toks a
+        JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+    )
+"""
+
+_MINHASH_BANDS = (
+    "WITH "
+    + _SHINGLES.format(doc_filter="")
+    + """,
+    hashes AS (
+        SELECT doc_id, t.i,
+               min(md5(CAST(t.i AS VARCHAR) || '|' || shingle)) AS mh
+        FROM sh CROSS JOIN generate_series(0, 7) t(i)
+        GROUP BY doc_id, t.i
+    ),
+    bands AS (
+        SELECT doc_id, i // 2 AS band,
+               string_agg(mh, '|' ORDER BY i) AS sig
+        FROM hashes GROUP BY doc_id, i // 2
+    )
+"""
+)
+
+_IVF_ORACLE = """
+    WITH norms AS (
+        SELECT vec_id, embedding,
+               sqrt(list_inner_product(embedding, embedding)) AS nrm
+        FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn FROM norms WHERE vec_id < 8),
+    assigned AS (
+        SELECT vec_id, embedding, nrm, cent_id AS cell FROM (
+            SELECT n.vec_id, n.embedding, n.nrm, c.cent_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY CAST(FLOOR(list_inner_product(n.embedding, c.ce)
+                                           / (n.nrm * c.cn) * 1000000 + 0.5) AS BIGINT) DESC,
+                                c.cent_id) AS rn
+            FROM norms n CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS q_id, embedding AS qe, nrm AS qn, cell FROM assigned WHERE vec_id < 10),
+    sims AS (
+        SELECT q.q_id, a.vec_id AS c_id,
+               CAST(FLOOR(list_inner_product(q.qe, a.embedding)
+                          / (q.qn * a.nrm) * 1000000 + 0.5) AS BIGINT) AS sim_micro
+        FROM q JOIN assigned a ON q.cell = a.cell AND q.q_id != a.vec_id
+    ),
+    ranked AS (
+        SELECT q_id, c_id, sim_micro,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim_micro DESC, c_id) AS rn
+        FROM sims
+    )
+    SELECT q_id, CAST(rn AS BIGINT) AS rank, c_id, sim_micro
+    FROM ranked WHERE rn <= 1 ORDER BY q_id
+"""
+
+EXTENSION_ORACLES = {
+    "d1_minhash_signatures": _MINHASH_BANDS
+    + """
+    SELECT doc_id, CAST(band AS BIGINT) AS band, sig
+    FROM bands ORDER BY doc_id, band
+    """,
+    "d2_minhash_lsh_pairs": _MINHASH_BANDS
+    + """
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ORDER BY doc_a, doc_b
+    """,
+    "d3_simhash": """
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ),
+        votes AS (
+            SELECT doc_id, t.b,
+                   SUM(CASE WHEN strpos('89abcdef', substring(md5(tok), t.b + 1, 1)) > 0
+                            THEN 1 ELSE -1 END) AS score
+            FROM toks CROSS JOIN generate_series(0, 15) t(b)
+            GROUP BY doc_id, t.b
+        )
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN score > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS simhash
+        FROM votes GROUP BY doc_id ORDER BY doc_id
+    """,
+    "d4_ngram_jaccard_pairs": "WITH "
+    + _SHINGLES.format(doc_filter=" WHERE doc_id < 50")
+    + """,
+    dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+        FROM dsh a JOIN dsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(FLOOR(CAST(c AS DOUBLE) / (sa.n + sb.n - c) * 1000000 + 0.5) AS BIGINT) AS jac_micro
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    ORDER BY doc_a, doc_b
+    """,
+    "d5_fingerprint_dedup": """
+        SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+               MIN(doc_id) AS keep_id, COUNT(*) AS dups
+        FROM documents GROUP BY 1 ORDER BY 1
+    """,
+    "a1_ann_top3": """
+        WITH norms AS (
+            SELECT vec_id, embedding,
+                   sqrt(list_inner_product(embedding, embedding)) AS nrm
+            FROM embeddings
+        ),
+        q AS (SELECT vec_id AS q_id, embedding AS qe, nrm AS qn FROM norms WHERE vec_id < 10),
+        sims AS (
+            SELECT q.q_id, c.vec_id AS c_id,
+                   CAST(FLOOR(list_inner_product(q.qe, c.embedding)
+                              / (q.qn * c.nrm) * 1000000 + 0.5) AS BIGINT) AS sim_micro
+            FROM q JOIN norms c ON q.q_id != c.vec_id
+        ),
+        ranked AS (
+            SELECT q_id, c_id, sim_micro,
+                   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim_micro DESC, c_id) AS rn
+            FROM sims
+        )
+        SELECT q_id, CAST(rn AS BIGINT) AS rank, c_id, sim_micro
+        FROM ranked WHERE rn <= 3 ORDER BY q_id, rank
+    """,
+    "a2_ivf_top1": _IVF_ORACLE,
+    "t1_quality_metrics": """
+        WITH m AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types,
+                   CAST(strlen(text) AS BIGINT) AS n_chars,
+                   CAST(strlen(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS BIGINT) AS n_alnum,
+                   CAST(len(list_filter(string_split(text, ' '),
+                            t -> t IN ('the', 'a', 'of', 'and', 'is'))) AS BIGINT) AS stop_hits
+            FROM documents
+        )
+        SELECT doc_id, n_tokens, n_types,
+               CAST(FLOOR(CAST(n_types AS DOUBLE) / n_tokens * 1000000 + 0.5) AS BIGINT) AS ttr_micro,
+               CAST(FLOOR(CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens * 1000000 + 0.5) AS BIGINT) AS mean_tok_len_micro,
+               CAST(FLOOR(CAST(stop_hits AS DOUBLE) / n_tokens * 1000000 + 0.5) AS BIGINT) AS stop_ratio_micro,
+               CAST(FLOOR(CAST(n_chars - n_alnum AS DOUBLE) / n_chars * 1000000 + 0.5) AS BIGINT) AS nonalnum_ratio_micro
+        FROM m ORDER BY doc_id
+    """,
+    "t2_langid": """
+        WITH h AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split(lower(text), ' '),
+                        t -> t IN ('der','die','das','und','ist','zu','den','nicht','ein','mit'))) AS BIGINT) AS hits_de,
+                   CAST(len(list_filter(string_split(lower(text), ' '),
+                        t -> t IN ('the','a','of','and','is','to','in','that','it','for'))) AS BIGINT) AS hits_en,
+                   CAST(len(list_filter(string_split(lower(text), ' '),
+                        t -> t IN ('el','la','los','las','y','es','un','una','que','por'))) AS BIGINT) AS hits_es,
+                   CAST(len(list_filter(string_split(lower(text), ' '),
+                        t -> t IN ('le','la','les','et','est','un','une','des','que','pour'))) AS BIGINT) AS hits_fr
+            FROM documents
+        )
+        SELECT doc_id, hits_de, hits_en, hits_es, hits_fr,
+               CASE
+                   WHEN hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+                   WHEN hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+                   WHEN hits_es >= hits_fr THEN 'es'
+                   ELSE 'fr'
+               END AS pred_lang
+        FROM h ORDER BY doc_id
+    """,
+    "t3_token_counts": f"""
+        SELECT lang,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+               CAST(SUM(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}'))) AS BIGINT) AS bpe_tokens
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
+    "mm1_media_features": """
+        SELECT doc_id,
+               CAST(strlen(text) AS BIGINT) AS n_bytes,
+               md5(text) AS content_hash,
+               CAST(strlen(text) % 640 AS BIGINT) AS width,
+               CAST(ascii(substring(text, 1, 1)) % 480 AS BIGINT) AS height
+        FROM documents ORDER BY doc_id
+    """,
+}

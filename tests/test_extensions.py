@@ -1,0 +1,102 @@
+"""Oracle tests for the extension query set (dedup / similarity /
+text analysis / multimodal) plus unit tests for the operators that
+aren't SQL-expressible (async map, langid discrimination, media
+error paths)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from async_pipes_spark.plans.extensions import EXTENSION_ORACLES, EXTENSION_QUERIES
+
+from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+
+def test_every_extension_query_has_an_oracle():
+    assert set(EXTENSION_QUERIES) == set(EXTENSION_ORACLES)
+
+
+@pytest.mark.parametrize("name", sorted(EXTENSION_QUERIES))
+def test_extension_query_matches_oracle(spark, duck, name):
+    df = EXTENSION_QUERIES[name](spark, SF_SMOKE)
+    assert_matches_oracle(df, duck, EXTENSION_ORACLES[name], name=name)
+
+
+def test_langid_discriminates_real_text(spark):
+    """The stopword-profile heuristic must actually identify language
+    on natural snippets (synthetic corpus shares one vocabulary, so
+    this is where discrimination is proven)."""
+    from async_pipes_spark.functions.text import langid_scores
+
+    rows = [
+        (1, "the cat sat on the mat and it was happy to be in the sun"),
+        (2, "der hund ist nicht zu haus und die katze ist mit den kindern"),
+        (3, "le chat est dans la maison et les enfants sont pour une promenade"),
+        (4, "el perro es un animal y los gatos son una compania que por siempre"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+    got = {r.doc_id: r.pred_lang for r in langid_scores(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es"}
+
+
+def test_async_map_bounded_concurrency(spark):
+    """async_map_in_pandas: transform + drop semantics, and in-flight
+    concurrency never exceeds max_task_count (the reference's
+    admission-control contract, workers.rs:139)."""
+    import asyncio
+
+    from async_pipes_spark.operators.async_map import async_map_in_pandas
+
+    df = spark.range(0, 40, 1, 1).select(F.col("id").cast("bigint").alias("id"))
+
+    def make_work():
+        # state lives in the Python worker process; surfaced per-row
+        state = {"in_flight": 0, "max_seen": 0}
+
+        async def work(rec):
+            state["in_flight"] += 1
+            state["max_seen"] = max(state["max_seen"], state["in_flight"])
+            await asyncio.sleep(0.005)
+            state["in_flight"] -= 1
+            if rec["id"] % 4 == 0:
+                return None  # drop (reference map+filter fusion)
+            return {"id": rec["id"], "doubled": rec["id"] * 2, "peak": state["max_seen"]}
+
+        return work
+
+    out = async_map_in_pandas(
+        df, make_work(), "id bigint, doubled bigint, peak bigint", max_task_count=5
+    )
+    rows = sorted((r.id, r.doubled, r.peak) for r in out.collect())
+    assert len(rows) == 30
+    assert all(d == i * 2 for i, d, _ in rows)
+    peak = max(p for _, _, p in rows)
+    assert 2 <= peak <= 5, peak  # actually concurrent, never above the bound
+
+    # max_task_count=1 must serialize completely
+    out1 = async_map_in_pandas(
+        df, make_work(), "id bigint, doubled bigint, peak bigint", max_task_count=1
+    )
+    assert max(r.peak for r in out1.collect()) == 1
+
+
+def test_async_map_rejects_zero_concurrency(spark):
+    from async_pipes_spark.operators.async_map import async_map_in_pandas
+
+    async def noop(rec):
+        return rec
+
+    with pytest.raises(ValueError, match="max task count"):
+        async_map_in_pandas(spark.range(1), noop, "id bigint", max_task_count=0)
+
+
+def test_media_codec_stub_raises_for_real_codecs(spark):
+    """Non-'raw' media types are explicitly unimplemented here; the
+    plumbing must surface that, not fake it."""
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from async_pipes_spark.multimodal.binary import extract_features, to_media
+
+    df = spark.createDataFrame([(1, b"\x89PNG", "s")], "doc_id: bigint, payload: binary, source: string")
+    media = to_media(df, "payload", "image/png", "source")
+    with pytest.raises(PythonException, match="codec for media_type"):
+        extract_features(media).collect()
