@@ -108,6 +108,40 @@ def mm1_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media, id_col="doc_id")
 
 
+# ---- streaming ------------------------------------------------------
+
+
+def s9_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9's streaming twin: readStream → window(1h) + watermark →
+    availableNow memory sink. Must hash-match the batch oracle."""
+    from async_pipes_spark.streaming.run import run_available_now, stream_table
+    from async_pipes_spark.streaming.windows import tumbling_counts_stream
+
+    ev = stream_table(spark, sf_dir, "events")
+    return run_available_now(tumbling_counts_stream(ev))
+
+
+def s4_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4's streaming twin: session_window(30 min) sessions, then a
+    batch per-user count over the sunk sessions."""
+    from async_pipes_spark.streaming.run import run_available_now, stream_table
+    from async_pipes_spark.streaming.windows import session_windows_stream
+
+    ev = stream_table(spark, sf_dir, "events")
+    sessions = run_available_now(session_windows_stream(ev))
+    return sessions.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_sessions"))
+
+
+def s5_stateful_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming stage (applyInPandasWithState): per-
+    user running fold; final state equals the batch fold."""
+    from async_pipes_spark.streaming.run import run_available_now, stream_table
+    from async_pipes_spark.streaming.stateful import stateful_fold_per_user
+
+    ev = stream_table(spark, sf_dir, "events")
+    return run_available_now(stateful_fold_per_user(ev), output_mode="update")
+
+
 EXTENSION_QUERIES = {
     "d1_minhash_signatures": d1_minhash_signatures,
     "d2_minhash_lsh_pairs": d2_minhash_lsh_pairs,
@@ -120,6 +154,9 @@ EXTENSION_QUERIES = {
     "t2_langid": t2_langid,
     "t3_token_counts": t3_token_counts,
     "mm1_media_features": mm1_media_features,
+    "s9_tumbling_stream": s9_tumbling_stream,
+    "s4_session_stream": s4_session_stream,
+    "s5_stateful_fold": s5_stateful_fold,
 }
 
 
@@ -314,5 +351,31 @@ EXTENSION_ORACLES = {
                CAST(strlen(text) % 640 AS BIGINT) AS width,
                CAST(ascii(substring(text, 1, 1)) % 480 AS BIGINT) AS height
         FROM documents ORDER BY doc_id
+    """,
+    # streaming twins share the batch oracles: availableNow quiescence
+    # must reproduce batch semantics exactly
+    "s9_tumbling_stream": """
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w, event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "s4_session_stream": """
+        WITH g AS (
+            SELECT user_id,
+                   CASE WHEN LAG(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                         OR CAST(ts AS TIMESTAMP) - LAG(CAST(ts AS TIMESTAMP)) OVER w
+                            > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions
+        FROM g GROUP BY user_id ORDER BY user_id
+    """,
+    "s5_stateful_fold": """
+        SELECT user_id, COUNT(*) AS n,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY user_id ORDER BY user_id
     """,
 }

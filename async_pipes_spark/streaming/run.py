@@ -1,0 +1,65 @@
+"""Structured Streaming execution helpers.
+
+The reference's unbounded producers (``with_producer`` with an
+infinite closure, reference src/pipeline/builder.rs:96-98) map to
+``readStream`` sources; its run-to-quiescence ``wait()``
+(src/pipeline/mod.rs:357-396) maps to ``trigger(availableNow=True)`` +
+``awaitTermination`` — process everything available, then stop; and
+its out-of-band ``Terminate`` signal (mod.rs:205-212) is
+``query.stop()``.
+
+At scale the sink is a real table/queue (``format('parquet')``,
+Kafka); the memory sink here keeps oracle comparisons in-process.
+Backpressure (the reference's bounded pipe buffers, mod.rs:25) maps to
+``maxFilesPerTrigger`` / ``maxOffsetsPerTrigger`` source options.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from async_pipes_spark.session import ensure_engine_confs
+
+EVENTS_STREAM_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """File-source streaming read of one synthetic table (the file
+    stream source needs a directory, so we glob-filter inside sf_dir).
+    ``events.ts`` gets the same ns→µs conversion as the batch reader."""
+    ensure_engine_confs(spark)
+    if name != "events":
+        raise NotImplementedError("streaming reads are defined for the events table")
+    df = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", f"{name}.parquet")
+        .parquet(sf_dir)
+    )
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def run_available_now(
+    df: DataFrame,
+    output_mode: str = "complete",
+    query_name: str | None = None,
+) -> DataFrame:
+    """Run a streaming DataFrame to quiescence (availableNow) into a
+    memory sink; return the materialized result as a batch DataFrame.
+
+    ≙ reference ``wait()``: drain all producers, then terminate."""
+    name = query_name or f"q_{uuid.uuid4().hex[:12]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)

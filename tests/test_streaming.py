@@ -1,0 +1,64 @@
+"""Streaming-surface tests: availableNow quiescence ≙ batch semantics
+(SURVEY.md §5.2 item 5), plus a streaming pipeline through the
+builder API (with_producer accepting a streaming DataFrame)."""
+
+from pyspark.sql import functions as F
+
+from async_pipes_spark.plans.declared import p9_tumbling_window
+from async_pipes_spark.streaming.run import run_available_now, stream_table
+from async_pipes_spark.streaming.windows import tumbling_counts_stream
+
+from tests.conftest import SF_SMOKE, value_hash
+
+
+def test_stream_equals_batch_tumbling(spark):
+    """P9 batch and its streaming twin must produce identical results."""
+    batch = p9_tumbling_window(spark, SF_SMOKE)
+    stream = run_available_now(tumbling_counts_stream(stream_table(spark, SF_SMOKE, "events")))
+    bh = value_hash(batch.columns, [tuple(r) for r in batch.collect()])
+    sh = value_hash(stream.columns, [tuple(r) for r in stream.collect()])
+    assert bh == sh
+
+
+def test_streaming_pipeline_through_builder(spark):
+    """A streaming producer flows through with_stage into a consumer
+    that runs the stream to quiescence — the builder's unbounded-source
+    path (reference with_producer's infinite closures)."""
+    from async_pipes_spark import Pipeline
+
+    ev = stream_table(spark, SF_SMOKE, "events")
+
+    def to_hourly(df):
+        return (
+            df.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("window.start").alias("w"), "n")
+        )
+
+    res = (
+        Pipeline.builder(spark)
+        .with_producer("events", ev)
+        .with_stage("events", "hourly", to_hourly)
+        .with_consumer("hourly", lambda df: run_available_now(df).count())
+        .build()
+        .wait()
+    )
+    batch_n = p9_tumbling_window(spark, SF_SMOKE).select("w").distinct().count()
+    assert res["hourly"] == batch_n
+
+
+def test_query_stop_is_terminate(spark):
+    """query.stop() ≙ the reference's Terminate signal (mod.rs:205-212):
+    a started streaming query can be stopped out-of-band."""
+    ev = stream_table(spark, SF_SMOKE, "events")
+    q = (
+        ev.writeStream.format("memory")
+        .queryName("stop_probe")
+        .outputMode("append")
+        .start()
+    )
+    assert q.isActive
+    q.stop()
+    q.awaitTermination()
+    assert not q.isActive
