@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from async_pipes_spark.functions.text import fingerprint, ws_tokens
 from async_pipes_spark.functions.vectors import micro_units
+from async_pipes_spark.operators.partitioning import fan_out
 
 DEFAULT_NUM_HASHES = 8
 DEFAULT_BAND_SIZE = 2
@@ -59,7 +60,7 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: i
         lambda j: F.array_join(F.slice(toks, j + 1, n), " "),
     )
     return (
-        df.filter(F.size(toks) >= n)
+        fan_out(df.filter(F.size(toks) >= n))
         .select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
     )
 
@@ -79,30 +80,32 @@ def minhash_signatures(
     aggregation keeps the shuffle at one (doc, i, current-min) row per
     map partition, so the k× hash fan-out never hits the network.
     """
+    # Wide-column form: the k hashes are k columns, not k exploded
+    # rows — partial aggregation reduces each map partition to one row
+    # per doc BEFORE the shuffle (k× less shuffle input than the
+    # explode formulation), and the md5 of the shingle feeds all k
+    # hash variants from one projection.
     sh = shingles(df, text_col, id_col, shingle_n)
-    ids = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("i")
-    hashed = sh.select("doc_id", ids, "shingle").select(
-        "doc_id",
-        "i",
-        F.md5(F.concat(F.col("i").cast("string"), F.lit("|"), F.col("shingle"))).alias("h"),
+    hash_cols = [
+        F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    mins = sh.select("doc_id", *hash_cols).groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)]
     )
-    mins = hashed.groupBy("doc_id", "i").agg(F.min("h").alias("mh"))
-    return (
-        mins.groupBy("doc_id", (F.col("i") - F.col("i") % band_size).alias("_b"))
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "mh"))), lambda s: s.getField("mh")
-                ),
-                "|",
-            ).alias("sig")
-        )
-        .select(
-            "doc_id",
-            (F.col("_b") / band_size).cast("bigint").alias("band"),
-            "sig",
-        )
+    num_bands = num_hashes // band_size
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("bigint").alias("band"),
+                F.concat_ws(
+                    "|", *[F.col(f"m{b * band_size + j}") for j in range(band_size)]
+                ).alias("sig"),
+            )
+            for b in range(num_bands)
+        ]
     )
+    return mins.select("doc_id", F.inline(band_structs))
 
 
 def minhash_lsh_pairs(signatures: DataFrame) -> DataFrame:
@@ -128,27 +131,27 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     the document bit is the sign of the ±1 vote sum over token
     occurrences. ``bits`` ≤ 32 (one nibble per bit position).
     """
-    toks = df.select(
+    # Wide-column form: one row per token occurrence carrying all
+    # ``bits`` vote columns; partial aggregation collapses to one row
+    # per doc map-side (vs. bits× row blowup with posexplode).
+    toks = fan_out(df).select(
         F.col(id_col).alias("doc_id"), F.explode(ws_tokens(text_col)).alias("tok")
+    ).select("doc_id", F.md5("tok").alias("hx"))
+    vote_cols = [
+        F.when(F.substring("hx", b + 1, 1).isin(*"89abcdef"), 1).otherwise(-1).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    scores = toks.select("doc_id", *vote_cols).groupBy("doc_id").agg(
+        *[F.sum(f"v{b}").alias(f"s{b}") for b in range(bits)]
     )
-    votes = toks.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {bits - 1}), b -> "
-                "CASE WHEN instr('89abcdef', substring(md5(tok), b + 1, 1)) > 0 "
-                "THEN 1 ELSE -1 END)"
-            )
-        ).alias("b", "v"),
-    )
-    scores = votes.groupBy("doc_id", "b").agg(F.sum("v").alias("score"))
-    return scores.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("score") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))")).otherwise(F.lit(0))
-        )
-        .cast("bigint")
-        .alias("simhash")
-    )
+    bit_terms = [
+        F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        for b in range(bits)
+    ]
+    total = bit_terms[0]
+    for t in bit_terms[1:]:
+        total = total + t
+    return scores.select("doc_id", total.cast("bigint").alias("simhash"))
 
 
 def ngram_jaccard_pairs(

@@ -22,10 +22,12 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from async_pipes_spark.functions.vectors import cosine_sim_f32, micro_units, norm_f32
+from async_pipes_spark.operators.partitioning import fan_out
 
 
-def _sides(emb: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
-    return emb.select(
+def _sides(emb: DataFrame, id_col: str, vec_col: str, prefix: str, parallel: bool = False) -> DataFrame:
+    src = fan_out(emb) if parallel else emb
+    return src.select(
         F.col(id_col).alias(f"{prefix}_id"),
         F.col(vec_col).alias(f"{prefix}e"),
         norm_f32(vec_col).alias(f"{prefix}n"),
@@ -41,7 +43,7 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact cosine top-k of each query against the corpus:
     (q_id, rank, c_id, sim_micro). Queries are broadcast."""
-    cand = _sides(corpus, id_col, vec_col, "c")
+    cand = _sides(corpus, id_col, vec_col, "c", parallel=True)
     q = _sides(queries, id_col, vec_col, "q")
     sims = (
         cand.crossJoin(F.broadcast(q))
@@ -74,7 +76,7 @@ def ivf_assign(
         F.col(vec_col).alias("ce"),
         norm_f32(vec_col).alias("cn"),
     )
-    vecs = _sides(corpus, id_col, vec_col, "v")
+    vecs = _sides(corpus, id_col, vec_col, "v", parallel=True)
     w = Window.partitionBy("v_id").orderBy(F.col("_sim").desc(), F.col("cent_id"))
     return (
         vecs.crossJoin(F.broadcast(cents))

@@ -82,6 +82,9 @@ def langid_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     """Stopword-profile language ID: per language, the number of token
     occurrences hitting that language's profile; prediction = argmax
     (ties broken by language code order). Pure array intrinsics."""
+    from async_pipes_spark.operators.partitioning import fan_out
+
+    df = fan_out(df)
     toks = ws_tokens(F.lower(F.col(text_col)))
     cols = [F.col(id_col)]
     hit_cols = []

@@ -66,6 +66,8 @@ def _decode_stub(payload: bytes, media_type: str) -> dict:
 def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Per-item media features via Arrow-batched mapInPandas:
     (id, n_bytes, content_hash, width, height)."""
+    from async_pipes_spark.operators.partitioning import fan_out
+
     out_schema = f"{id_col} BIGINT, {FEATURE_FIELDS}"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -77,4 +79,6 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             fdf.insert(0, id_col, pdf[id_col].values)
             yield fdf
 
-    return df.select(id_col, "media").mapInPandas(batches, out_schema)
+    # media decode is per-item CPU/IO: make sure a small/few-row-group
+    # source still uses every python worker
+    return fan_out(df.select(id_col, "media")).mapInPandas(batches, out_schema)

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from async_pipes_spark.functions.money import dec2, money_sum
+from async_pipes_spark.functions.money import cents, cents_to_dec, revenue_cents
 from async_pipes_spark.functions.vectors import cosine_sim_f32, micro_units, norm_f32
 from async_pipes_spark.operators.iterate import iterate_accumulate
 from async_pipes_spark.sources.tables import load_table
@@ -31,9 +31,7 @@ def p1_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(dec2("l_extendedprice") * (1 - dec2("l_discount")), 2)
-        .cast("decimal(18,2)")
-        .alias("revenue"),
+        cents_to_dec(revenue_cents("l_extendedprice", "l_discount"), "revenue"),
     )
 
 
@@ -46,7 +44,7 @@ def p2_filter_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter((F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp")) & (F.col("l_quantity") > 30))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            money_sum(dec2("l_quantity"), "qty"),
+            cents_to_dec(F.sum(cents("l_quantity")), "qty"),
         )
     )
 
@@ -74,7 +72,7 @@ def p4_route_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return orders.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
-        money_sum(dec2("o_totalprice"), "total"),
+        cents_to_dec(F.sum(cents("o_totalprice")), "total"),
     )
 
 
@@ -94,8 +92,9 @@ def p6_map_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference README's map-reduce shape (README.md:21-54):
     map each record, fold into one total."""
     li = load_table(spark, sf_dir, "lineitem")
-    rev = F.round(dec2("l_extendedprice") * (1 - dec2("l_discount")), 2)
-    return li.agg(money_sum(rev, "total_revenue"))
+    return li.agg(
+        cents_to_dec(F.sum(revenue_cents("l_extendedprice", "l_discount")), "total_revenue")
+    )
 
 
 def p7_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -112,7 +111,7 @@ def p7_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(dec2("o_totalprice")).over(w).cast("decimal(18,2)").alias("running"),
+        cents_to_dec(F.sum(cents("o_totalprice")).over(w), "running"),
     )
 
 
@@ -134,6 +133,7 @@ def p8_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey", (F.col("v") / 2).alias("v"), (F.col("n") + 1).alias("n")
         ),
         emit=lambda df: df.filter(F.col("v") < 100).select("o_orderkey", "n"),
+        checkpoint_every=16,
     )
     # every order exits exactly once with its final step count
     return out.select("o_orderkey", F.col("n").cast("bigint").alias("steps"))
@@ -149,7 +149,7 @@ def p9_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
         ).agg(
             F.count(F.lit(1)).alias("n"),
-            money_sum(dec2("value"), "total"),
+            cents_to_dec(F.sum(cents("value")), "total"),
         )
     )
 
@@ -244,7 +244,9 @@ def x6_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no full sort). At 100 TB: same plan; the pre-agg is the key move."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
-    spend = orders.groupBy("o_custkey").agg(money_sum(dec2("o_totalprice"), "spend"))
+    spend = orders.groupBy("o_custkey").agg(
+        cents_to_dec(F.sum(cents("o_totalprice")), "spend")
+    )
     return (
         spend.join(F.broadcast(cust), spend.o_custkey == cust.c_custkey)
         .select("c_custkey", "c_name", "spend")

@@ -28,8 +28,16 @@ TABLES = (
 )
 
 
+#: (applicationId, sf_dir, name) → DataFrame plan. A DataFrame is an
+#: immutable lazy plan; caching it reuses the resolved file index and
+#: schema across queries — the analogue of the oracle's pre-registered
+#: DuckDB views (per-query relisting would bill fixed setup cost to
+#: every query at any scale).
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one synthetic table.
+    """Load one synthetic table (cached plan per session).
 
     ``events.ts`` is stored as parquet TIMESTAMP(NANOS) which Spark
     cannot represent; we read it as a nanosecond Long (legacy conf) and
@@ -37,10 +45,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     DuckDB's ``CAST(ts AS TIMESTAMP)`` performs, so oracle comparisons
     line up.
     """
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     ensure_engine_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    _TABLE_CACHE[key] = df
     return df
 
 

@@ -54,12 +54,23 @@ def run_available_now(
 
     ≙ reference ``wait()``: drain all producers, then terminate."""
     name = query_name or f"q_{uuid.uuid4().hex[:12]}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return df.sparkSession.table(name)
+    spark = df.sparkSession
+    # State-store partition count is fixed at query start from
+    # spark.sql.shuffle.partitions; a finite availableNow drain doesn't
+    # need wide state, and each state partition costs provider setup +
+    # commit I/O per trigger. Real long-lived deployments should size
+    # this to key cardinality instead.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)

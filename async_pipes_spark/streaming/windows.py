@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from async_pipes_spark.functions.money import dec2, money_sum
+from async_pipes_spark.functions.money import cents, cents_to_dec
 
 
 def tumbling_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
@@ -24,7 +24,7 @@ def tumbling_counts_stream(events: DataFrame, watermark: str = "1 hour") -> Data
         .groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            money_sum(dec2("value"), "total"),
+            cents_to_dec(F.sum(cents("value")), "total"),
         )
     )
     return w.select(F.col("window.start").alias("w"), "event_type", "n", "total")
