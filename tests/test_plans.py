@@ -1,0 +1,51 @@
+"""Physical-plan regression tests: the scale-critical plan properties
+(predicate pushdown, column pruning, broadcast joins, top-k without a
+full sort) must survive refactors — these are what make the same code
+viable at 100 TB."""
+
+import contextlib
+import io
+
+from async_pipes_spark.plans.declared import (
+    p1_projection,
+    p2_filter_fold,
+    x2_cosine_top1,
+    x6_top_customers,
+)
+
+from tests.conftest import SF_SMOKE
+
+
+def plan_text(df, mode="formatted"):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_p2_filter_pushdown_and_pruning(spark):
+    txt = plan_text(p2_filter_fold(spark, SF_SMOKE))
+    assert "GreaterThan(l_quantity,30.0)" in txt, txt
+    assert "GreaterThanOrEqual(l_shipdate" in txt, txt
+    # scan reads only the two needed columns of lineitem's 11
+    assert "struct<l_quantity:double,l_shipdate:timestamp_ntz>" in txt, txt
+
+
+def test_p1_column_pruning(spark):
+    txt = plan_text(p1_projection(spark, SF_SMOKE))
+    read = [l for l in txt.splitlines() if "ReadSchema" in l][0]
+    assert "l_extendedprice" in read and "l_discount" in read
+    assert "l_comment" not in read and "l_shipdate" not in read
+
+
+def test_x6_broadcast_join_and_topk(spark):
+    txt = plan_text(x6_top_customers(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in txt, txt
+    # top-10 compiles to TakeOrderedAndProject, not a global sort
+    assert "TakeOrderedAndProject" in txt, txt
+    assert "partial_sum" not in txt or "Sort " not in txt.split("TakeOrdered")[0]
+
+
+def test_x2_broadcasts_query_side(spark):
+    txt = plan_text(x2_cosine_top1(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in txt or "BroadcastHashJoin" in txt, txt
