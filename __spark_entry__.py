@@ -25,6 +25,10 @@ from async_pipes_spark.plans.extensions import (  # noqa: E402
     EXTENSION_QUERIES,
 )
 from async_pipes_spark.plans.oracles import DECLARED_ORACLES  # noqa: E402
+from async_pipes_spark.plans.relational import (  # noqa: E402
+    RELATIONAL_ORACLES,
+    RELATIONAL_QUERIES,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -36,6 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(DECLARED_QUERIES)
+    out.update(RELATIONAL_QUERIES)
     out.update(EXTENSION_QUERIES)
     return out
 
@@ -43,5 +48,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(DECLARED_ORACLES)
+    out.update(RELATIONAL_ORACLES)
     out.update(EXTENSION_ORACLES)
     return out

@@ -62,6 +62,7 @@ def iterate_accumulate(
     emit: Callable[[DataFrame], DataFrame],
     max_iterations: int = DEFAULT_MAX_ITERATIONS,
     checkpoint_every: int = 4,
+    materialize_initial: bool = True,
 ) -> DataFrame:
     """Fixpoint loop that separates rows *leaving* the cycle from rows
     continuing around it — the shape of the reference's cyclic test
@@ -80,7 +81,10 @@ def iterate_accumulate(
     """
     if checkpoint_every < 1:
         raise ValueError("checkpoint_every must be >= 1")
-    frontier = _materialize(initial, eager=True)
+    # a cheap-to-recompute initial frontier (e.g. a bare scan
+    # projection) can skip its own checkpoint job — the first block's
+    # materialization bounds lineage anyway
+    frontier = _materialize(initial, eager=True) if materialize_initial else initial
     emitted = []
     steps_done = 0
     while True:

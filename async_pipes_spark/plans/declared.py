@@ -134,6 +134,7 @@ def p8_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         emit=lambda df: df.filter(F.col("v") < 100).select("o_orderkey", "n"),
         checkpoint_every=16,
+        materialize_initial=False,  # bare scan projection: recompute beats a checkpoint job
     )
     # every order exits exactly once with its final step count
     return out.select("o_orderkey", F.col("n").cast("bigint").alias("steps"))

@@ -1,0 +1,150 @@
+"""Relational-layer query set (r*): the capability surface the engine
+commits to beyond the reference's raw dataflow (SURVEY.md §2.3-2.4 —
+the reference has no joins/aggs/set-ops at all; users built them inside
+stage closures, the engine exposes Spark built-ins directly).
+
+Each query exercises one relational family end-to-end with a DuckDB
+oracle: rollup hierarchies, set operations, pivot, semi/anti joins,
+post-aggregation filtering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from async_pipes_spark.functions.money import cents, cents_to_dec
+from async_pipes_spark.sources.tables import load_table
+
+
+def r1_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy: (status, priority) → (status) → () subtotals.
+    One shuffle; Spark expands grouping sets map-side."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        cents_to_dec(F.sum(cents("o_totalprice")), "total"),
+    )
+
+
+def r2_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations on key domains: |customer \\ supplier| and
+    |customer ∩ supplier| (distinct semantics, like SQL EXCEPT/
+    INTERSECT)."""
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_suppkey").cast("bigint").alias("k"))
+    n_except = cust.subtract(supp).count()
+    n_intersect = cust.intersect(supp).count()
+    return spark.createDataFrame(
+        [(n_except, n_intersect)], "n_except: bigint, n_intersect: bigint"
+    )
+
+
+def r3_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order counts: one row per priority, one column per status.
+    Explicit pivot values keep the plan a single pass (no distinct-scan
+    to discover columns — the 100 TB-safe form)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+    )
+
+
+def r5_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as left_semi: customers having ≥1 URGENT order, counted
+    per market segment. Semi joins ship only the join key — no
+    payload duplication at scale."""
+    cust = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def r6_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as left_anti: customers with no orders at all."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_customers_without_orders"))
+    )
+
+
+def r8_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING): parts appearing on more than
+    40 lineitems. The filter runs after the agg — Catalyst keeps the
+    pre-agg scan pruned to two columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 40)
+    )
+
+
+RELATIONAL_QUERIES = {
+    "r1_rollup": r1_rollup,
+    "r2_set_ops": r2_set_ops,
+    "r3_pivot": r3_pivot,
+    "r5_semi_join": r5_semi_join,
+    "r6_anti_join": r6_anti_join,
+    "r8_having": r8_having,
+}
+
+RELATIONAL_ORACLES = {
+    "r1_rollup": """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus, o_orderpriority
+    """,
+    "r2_set_ops": """
+        SELECT (SELECT COUNT(*) FROM
+                  (SELECT c_custkey AS k FROM customer
+                   EXCEPT
+                   SELECT CAST(s_suppkey AS BIGINT) FROM supplier)) AS n_except,
+               (SELECT COUNT(*) FROM
+                  (SELECT c_custkey AS k FROM customer
+                   INTERSECT
+                   SELECT CAST(s_suppkey AS BIGINT) FROM supplier)) AS n_intersect
+    """,
+    "r3_pivot": """
+        SELECT o_orderpriority,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "r5_semi_join": """
+        SELECT c_mktsegment, COUNT(*) AS n
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    "r6_anti_join": """
+        SELECT COUNT(*) AS n_customers_without_orders
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "r8_having": """
+        SELECT l_partkey, COUNT(*) AS n
+        FROM lineitem GROUP BY l_partkey HAVING COUNT(*) > 40
+        ORDER BY l_partkey
+    """,
+}

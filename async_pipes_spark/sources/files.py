@@ -1,0 +1,47 @@
+"""Generic file connectors (read side) — the engine's file-backed
+producers. The reference has no storage layer at all (data enters via
+in-memory closures, reference src/pipeline/builder.rs:41-119); an
+analytics engine needs real connectors, so these wrap Spark's readers
+with the engine's conventions:
+
+- schemas are explicit by default (no inference job; inference on
+  100 TB of JSON/CSV is a full extra scan);
+- every reader returns a lazy DataFrame usable as a pipe source
+  (``with_producer(pipe, df)``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from async_pipes_spark.session import ensure_engine_confs
+
+
+def read_parquet(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    ensure_engine_confs(spark)
+    reader = spark.read
+    if schema:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    header: bool = True,
+    delimiter: str = ",",
+) -> DataFrame:
+    reader = spark.read.option("header", str(header).lower()).option("delimiter", delimiter)
+    if schema:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")  # small/dev data only
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    reader = spark.read
+    if schema:
+        reader = reader.schema(schema)
+    return reader.json(path)

@@ -1,0 +1,59 @@
+"""Connector tests: file readers/writers round-trip, bucketed tables,
+and the executor-side Python DataSource producer."""
+
+from pyspark.sql import functions as F
+
+from async_pipes_spark.sources.files import read_csv, read_json, read_parquet
+from async_pipes_spark.sources.pyproducer import producer_source
+from async_pipes_spark.sources.sinks import write_files
+
+
+def test_parquet_csv_json_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, "c", None)],
+        "id: bigint, s: string, x: double",
+    )
+    for fmt, reader in [
+        ("parquet", read_parquet),
+        ("csv", read_csv),
+        ("json", read_json),
+    ]:
+        path = str(tmp_path / fmt)
+        write_files(df, path, fmt=fmt)
+        back = reader(spark, path, schema="id bigint, s string, x double")
+        assert sorted((r.id, r.s, r.x) for r in back.collect()) == sorted(
+            (r.id, r.s, r.x) for r in df.collect()
+        ), fmt
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, "even" if i % 2 == 0 else "odd") for i in range(100)],
+        "id: bigint, parity: string",
+    )
+    path = str(tmp_path / "parts")
+    write_files(df, path, partition_by=["parity"])
+    back = read_parquet(spark, path).filter(F.col("parity") == "even")
+    assert back.count() == 50
+    # partition pruning reaches the scan
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain("formatted")
+    txt = buf.getvalue()
+    assert "PartitionFilters" in txt and "parity" in txt.split("PartitionFilters", 1)[1].splitlines()[0]
+
+
+def test_executor_side_producer(spark):
+    """The reference's dynamic producer (pull-until-None closures) at
+    scale: generators run per-partition on executors via the Python
+    DataSource API."""
+
+    def gen(part, n_parts):
+        return iter((part * 100 + i,) for i in range(100))
+
+    df = producer_source(spark, "gen", gen, "value bigint", num_partitions=4).load()
+    assert df.count() == 400
+    assert df.agg(F.sum("value")).head()[0] == 79800
