@@ -170,7 +170,14 @@ class Pipeline:
             from pyspark.sql import functions as F
 
             col = stage.task
-            out[stage.outputs[0]] = in_df.withColumn(col, F.explode(col))
+            if dict(in_df.dtypes).get(col, "").startswith("map"):
+                # map iterables explode to (key, value) rows
+                others = [c for c in in_df.columns if c != col]
+                out[stage.outputs[0]] = in_df.select(
+                    *others, F.explode(col).alias("key", "value")
+                )
+            else:
+                out[stage.outputs[0]] = in_df.withColumn(col, F.explode(col))
         elif stage.kind == "consumer":
             self._results[stage.inputs[0]] = stage.task(in_df)
         else:  # pragma: no cover

@@ -1,0 +1,131 @@
+"""Scale-feature tests: salted aggregation equivalence, bucketed
+co-located joins (no shuffle), map-column flattener, per-stage
+partitions option, SQL entry point."""
+
+import contextlib
+import io
+import uuid
+
+from pyspark.sql import functions as F
+
+from async_pipes_spark.operators.skew import salted_aggregate
+from async_pipes_spark.sources.sinks import write_bucketed_table
+from async_pipes_spark.sources.tables import load_table, register_views
+
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_salted_aggregate_equals_direct(spark):
+    orders = load_table(spark, SF_SMOKE, "orders")
+    direct = {
+        (r.o_orderstatus): (r.n, r.mx)
+        for r in orders.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("o_totalprice").alias("mx"))
+        .collect()
+    }
+    salted = {
+        (r.o_orderstatus): (r.n, r.mx)
+        for r in salted_aggregate(
+            orders,
+            ["o_orderstatus"],
+            [("count", "*", "n"), ("max", "o_totalprice", "mx")],
+            num_salts=8,
+        ).collect()
+    }
+    assert salted == direct
+
+
+def test_salted_aggregate_rejects_non_algebraic(spark):
+    import pytest
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    with pytest.raises(ValueError, match="non-algebraic"):
+        salted_aggregate(orders, ["o_orderstatus"], [("avg", "o_totalprice", "a")])
+
+
+def test_bucketed_join_skips_shuffle(spark):
+    """Two tables bucketed on the join key: the sort-merge join reads
+    bucket-aligned files with NO Exchange — the 100 TB co-located-join
+    layout."""
+    suffix = uuid.uuid4().hex[:8]
+    ta, tb = f"bj_a_{suffix}", f"bj_b_{suffix}"
+    orders = load_table(spark, SF_SMOKE, "orders")
+    cust = load_table(spark, SF_SMOKE, "customer")
+    try:
+        write_bucketed_table(
+            orders.select("o_custkey", "o_totalprice"), ta, ["o_custkey"], 8, ["o_custkey"]
+        )
+        write_bucketed_table(
+            cust.select("c_custkey", "c_name"), tb, ["c_custkey"], 8, ["c_custkey"]
+        )
+        joined = (
+            spark.table(ta)
+            .hint("merge")  # force SMJ so the bucket layout, not a broadcast, is exercised
+            .join(spark.table(tb), F.col("o_custkey") == F.col("c_custkey"))
+        )
+        txt = _plan(joined)
+        assert "SortMergeJoin" in txt, txt
+        assert "Exchange hashpartitioning" not in txt, txt
+        assert joined.count() > 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+
+def test_flattener_map_column(spark):
+    from async_pipes_spark import Pipeline
+
+    res = (
+        Pipeline.builder(spark)
+        .with_inputs(
+            "maps",
+            [({"a": 1, "b": 2},), ({"c": 3},)],
+            "value: map<string,bigint>",
+        )
+        .with_flattener("maps", "kv")
+        .with_consumer("kv", lambda df: sorted((r.key, r.value) for r in df.collect()))
+        .build()
+        .wait()
+    )
+    assert res["kv"] == [("a", 1), ("b", 2), ("c", 3)]
+
+
+def test_stage_partitions_option(spark):
+    from async_pipes_spark import Pipeline, WorkerOptions
+
+    res = (
+        Pipeline.builder(spark)
+        .with_inputs("in", list(range(100)))
+        .with_stage(
+            "in",
+            "out",
+            lambda df: df.select((F.col("value") * 2).alias("value")),
+            options=WorkerOptions(partitions=4),
+        )
+        .with_consumer("out", lambda df: (df.rdd.getNumPartitions(), df.count()))
+        .build()
+        .wait()
+    )
+    assert res["out"] == (4, 100)
+
+
+def test_sql_entry_point(spark):
+    register_views(spark, SF_SMOKE)
+    got = spark.sql(
+        "SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY 1 ORDER BY 1"
+    ).collect()
+    direct = (
+        load_table(spark, SF_SMOKE, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderstatus")
+        .collect()
+    )
+    assert got == direct
