@@ -94,6 +94,51 @@ def t3_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t4_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language z-score of document length via applyInPandas — the
+    grouped-map UDF idiom (SURVEY §2.4's fourth idiom).
+
+    Determinism: mean/std derive from exact integer sums
+    (z = (n·x − Σx) / sqrt(n·Σx² − (Σx)²), one IEEE expression), so
+    the pandas and DuckDB computations agree bit-for-bit."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["n_chars"].to_numpy()
+        n = len(x)
+        sx = int(x.sum())
+        sxx = int((x.astype("int64") ** 2).sum())
+        denom = math.sqrt(float(n * sxx - sx * sx))
+        z = (n * x.astype("float64") - sx) / denom
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "lang": pdf["lang"],
+                "z_micro": np.floor(z * 1_000_000 + 0.5).astype("int64"),
+            }
+        )
+
+    return (
+        docs.select("doc_id", "lang", "n_chars")
+        .groupBy("lang")
+        .applyInPandas(zscore, "doc_id bigint, lang string, z_micro bigint")
+    )
+
+
+def a3_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via IVF cell bucketing
+    (same-cell candidates only — the all-pairs-free scale shape)."""
+    from async_pipes_spark.functions.similarity import embedding_near_dups
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dups(emb, threshold_micro=350_000)
+
+
 # ---- multimodal -----------------------------------------------------
 
 
@@ -153,6 +198,8 @@ EXTENSION_QUERIES = {
     "t1_quality_metrics": t1_quality_metrics,
     "t2_langid": t2_langid,
     "t3_token_counts": t3_token_counts,
+    "t4_zscore": t4_zscore,
+    "a3_near_dup_pairs": a3_near_dup_pairs,
     "mm1_media_features": mm1_media_features,
     "s9_tumbling_stream": s9_tumbling_stream,
     "s4_session_stream": s4_session_stream,
@@ -298,6 +345,46 @@ EXTENSION_ORACLES = {
         FROM ranked WHERE rn <= 3 ORDER BY q_id, rank
     """,
     "a2_ivf_top1": _IVF_ORACLE,
+    "t4_zscore": """
+        WITH stats AS (
+            SELECT lang, COUNT(*) AS n, SUM(n_chars) AS sx,
+                   SUM(n_chars * n_chars) AS sxx
+            FROM documents GROUP BY lang
+        )
+        SELECT d.doc_id, d.lang,
+               CAST(FLOOR((d.n_chars * s.n - s.sx)
+                          / sqrt(CAST(s.n * s.sxx - s.sx * s.sx AS DOUBLE))
+                          * 1000000 + 0.5) AS BIGINT) AS z_micro
+        FROM documents d JOIN stats s USING (lang)
+        ORDER BY d.doc_id
+    """,
+    "a3_near_dup_pairs": """
+        WITH norms AS (
+            SELECT vec_id, embedding,
+                   sqrt(list_inner_product(embedding, embedding)) AS nrm
+            FROM embeddings
+        ),
+        cents AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn FROM norms WHERE vec_id < 8),
+        assigned AS (
+            SELECT vec_id, embedding, nrm, cent_id AS cell FROM (
+                SELECT n.vec_id, n.embedding, n.nrm, c.cent_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY n.vec_id
+                           ORDER BY CAST(FLOOR(list_inner_product(n.embedding, c.ce)
+                                               / (n.nrm * c.cn) * 1000000 + 0.5) AS BIGINT) DESC,
+                                    c.cent_id) AS rn
+                FROM norms n CROSS JOIN cents c
+            ) WHERE rn = 1
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               CAST(FLOOR(list_inner_product(a.embedding, b.embedding)
+                          / (a.nrm * b.nrm) * 1000000 + 0.5) AS BIGINT) AS sim_micro
+        FROM assigned a JOIN assigned b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE CAST(FLOOR(list_inner_product(a.embedding, b.embedding)
+                         / (a.nrm * b.nrm) * 1000000 + 0.5) AS BIGINT) >= 350000
+        ORDER BY id_a, id_b
+    """,
     "t1_quality_metrics": """
         WITH m AS (
             SELECT doc_id,

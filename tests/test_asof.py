@@ -1,0 +1,106 @@
+"""asof_join tests: semantics against DuckDB's native ASOF JOIN on
+shared fixtures, plus direction/tolerance edges."""
+
+import datetime as dt
+
+import duckdb
+import pandas as pd
+import pytest
+
+QUOTES = pd.DataFrame(
+    {
+        "sym": ["A", "A", "A", "B", "B"],
+        "ts": [
+            dt.datetime(2024, 1, 1, 10, 0, 0),
+            dt.datetime(2024, 1, 1, 10, 0, 5),
+            dt.datetime(2024, 1, 1, 10, 0, 9),
+            dt.datetime(2024, 1, 1, 10, 0, 2),
+            dt.datetime(2024, 1, 1, 10, 0, 8),
+        ],
+        "px": [10.0, 10.5, 10.2, 99.0, 98.5],
+    }
+)
+TRADES = pd.DataFrame(
+    {
+        "sym": ["A", "A", "A", "B", "B", "C"],
+        "ts": [
+            dt.datetime(2024, 1, 1, 10, 0, 1),
+            dt.datetime(2024, 1, 1, 10, 0, 5),
+            dt.datetime(2024, 1, 1, 10, 0, 20),
+            dt.datetime(2024, 1, 1, 10, 0, 1),
+            dt.datetime(2024, 1, 1, 10, 0, 30),
+            dt.datetime(2024, 1, 1, 10, 0, 3),
+        ],
+        "qty": [1, 2, 3, 4, 5, 6],
+    }
+)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    trades = spark.createDataFrame(TRADES)
+    quotes = spark.createDataFrame(QUOTES)
+    return trades, quotes
+
+
+def test_asof_backward_matches_duckdb(spark, frames):
+    from async_pipes_spark.operators.asof import asof_join
+
+    trades, quotes = frames
+    got = {
+        (r.sym, r.ts, r.qty): r.px
+        for r in asof_join(trades, quotes, on="ts", by="sym").collect()
+    }
+
+    con = duckdb.connect()
+    con.register("trades", TRADES)
+    con.register("quotes", QUOTES)
+    want = {
+        (sym, ts, qty): px
+        for sym, ts, qty, px in con.execute(
+            """
+            SELECT t.sym, t.ts, t.qty, q.px
+            FROM trades t ASOF LEFT JOIN quotes q
+              ON t.sym = q.sym AND t.ts >= q.ts
+            """
+        ).fetchall()
+    }
+    assert got == want
+    # sanity on the semantics themselves
+    assert got[("A", dt.datetime(2024, 1, 1, 10, 0, 5), 2)] == 10.5  # exact ts matches
+    assert got[("C", dt.datetime(2024, 1, 1, 10, 0, 3), 6)] is None  # no right key
+
+
+def test_asof_forward(spark, frames):
+    from async_pipes_spark.operators.asof import asof_join
+
+    trades, quotes = frames
+    got = {
+        (r.sym, r.qty): r.px
+        for r in asof_join(trades, quotes, on="ts", by="sym", direction="forward").collect()
+    }
+    assert got[("A", 1)] == 10.5  # next quote at/after 10:00:01 is 10:00:05
+    assert got[("A", 3)] is None  # nothing after 10:00:20
+
+
+def test_asof_tolerance(spark, frames):
+    from async_pipes_spark.operators.asof import asof_join
+
+    trades, quotes = frames
+    got = {
+        (r.sym, r.qty): r.px
+        for r in asof_join(
+            trades, quotes, on="ts", by="sym", tolerance_seconds=5
+        ).collect()
+    }
+    assert got[("B", 4)] is None  # B@10:00:01: latest quote 10:00:... none before
+    assert got[("B", 5)] is None  # B@10:00:30 vs quote 10:00:08 → gap 22s > 5s
+    assert got[("A", 2)] == 10.5
+
+
+def test_asof_rejects_column_collision(spark, frames):
+    from async_pipes_spark.operators.asof import asof_join
+
+    trades, quotes = frames
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(trades, quotes.withColumnRenamed("px", "qty"), on="ts", by="sym")

@@ -1,0 +1,88 @@
+"""Property-based checks of the determinism contract: the money-cents
+and micro-unit kernels must agree between Spark and DuckDB for ANY
+input in their stated domains, not just the test tables' values."""
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from async_pipes_spark.functions.money import cents, cents_to_dec, revenue_cents
+from async_pipes_spark.functions.vectors import micro_units
+
+SLOW = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# exact-2-decimal doubles: integer cents / 100
+cents_ints = st.lists(
+    st.integers(min_value=-(10**12), max_value=10**12), min_size=1, max_size=40
+)
+# 2-decimal fractions in [0, 0.99]
+pct_ints = st.lists(st.integers(min_value=0, max_value=99), min_size=1, max_size=40)
+floats = st.lists(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False),
+    min_size=1,
+    max_size=40,
+)
+
+
+@SLOW
+@given(cents_ints)
+def test_cents_matches_duckdb_decimal_cast(spark, vals):
+    xs = [c / 100 for c in vals]
+    df = spark.createDataFrame([(x,) for x in xs], "x: double")
+    got = [r[0] for r in df.select(cents("x")).collect()]
+    want = [
+        int(v * 100)
+        for (v,) in duckdb.sql(
+            "SELECT CAST(x AS DECIMAL(18,2)) FROM (SELECT unnest(?) AS x)", params=[xs]
+        ).fetchall()
+    ]
+    assert got == want == vals
+
+
+@SLOW
+@given(floats)
+def test_micro_units_match_duckdb(spark, xs):
+    df = spark.createDataFrame([(x,) for x in xs], "x: double")
+    got = [r[0] for r in df.select(micro_units("x")).collect()]
+    want = [
+        v
+        for (v,) in duckdb.sql(
+            "SELECT CAST(FLOOR(x*1000000 + 0.5) AS BIGINT) FROM (SELECT unnest(?) AS x)",
+            params=[xs],
+        ).fetchall()
+    ]
+    assert got == want
+
+
+@SLOW
+@given(st.lists(st.tuples(st.integers(0, 10**9), st.integers(0, 99)), min_size=1, max_size=40))
+def test_revenue_kernel_matches_duckdb_decimal_round(spark, pairs):
+    rows = [(a / 100, b / 100) for a, b in pairs]
+    df = spark.createDataFrame(rows, "price: double, disc: double")
+    got = [r[0] for r in df.select(cents_to_dec(revenue_cents("price", "disc"), "rev")).collect()]
+    want = [
+        v
+        for (v,) in duckdb.sql(
+            """
+            SELECT CAST(ROUND(CAST(price AS DECIMAL(18,2))
+                              * (1 - CAST(disc AS DECIMAL(18,2))), 2) AS DECIMAL(18,2))
+            FROM (SELECT unnest(?) AS price, unnest(?) AS disc)
+            """,
+            params=[[r[0] for r in rows], [r[1] for r in rows]],
+        ).fetchall()
+    ]
+    assert got == want
+
+
+def test_revenue_kernel_rejects_nothing_but_matches_reference_case(spark):
+    """The canonical double-rounding trap: 2.675*100 is 267.49999…;
+    the cents kernel must still recover exact decimals."""
+    df = spark.createDataFrame([(2.67, 0.05), (123.45, 0.10)], "price: double, disc: double")
+    got = [str(r[0]) for r in df.select(cents_to_dec(revenue_cents("price", "disc"), "rev")).collect()]
+    # 2.67*0.95 = 2.5365 → 2.54 (half-up); 123.45*0.90 = 111.105 → 111.11
+    assert got == ["2.54", "111.11"]
