@@ -1,0 +1,91 @@
+"""range_join tests vs a DuckDB range-predicate join on shared
+fixtures, covering bucket-boundary straddling and left semantics."""
+
+import datetime as dt
+
+import duckdb
+import pandas as pd
+
+BASE = dt.datetime(2024, 1, 1)
+
+
+def ts(minutes):
+    return BASE + dt.timedelta(minutes=minutes)
+
+
+POINTS = pd.DataFrame(
+    {
+        "user": [1, 1, 1, 2, 2, 3],
+        "ts": [ts(5), ts(65), ts(119), ts(30), ts(200), ts(10)],
+        "pid": [10, 11, 12, 20, 21, 30],
+    }
+)
+# intervals deliberately straddle hour buckets (bucket_seconds=3600)
+INTERVALS = pd.DataFrame(
+    {
+        "user": [1, 1, 2, 3],
+        "start": [ts(0), ts(50), ts(25), ts(100)],
+        "end": [ts(60), ts(130), ts(35), ts(110)],
+        "iid": [100, 101, 200, 300],
+    }
+)
+
+
+def _want(how="inner"):
+    con = duckdb.connect()
+    con.register("p", POINTS)
+    con.register("i", INTERVALS)
+    join = "JOIN" if how == "inner" else "LEFT JOIN"
+    return sorted(
+        con.execute(
+            f"""
+            SELECT p.pid, i.iid FROM p {join} i
+              ON p.user = i.user AND p.ts BETWEEN i.start AND i.end
+            """
+        ).fetchall()
+    )
+
+
+def test_range_join_inner_matches_duckdb(spark):
+    from async_pipes_spark.operators.range_join import range_join
+
+    p = spark.createDataFrame(POINTS)
+    i = spark.createDataFrame(INTERVALS)
+    got = sorted(
+        (r.pid, r.iid)
+        for r in range_join(p, i, "ts", "start", "end", by="user").collect()
+    )
+    assert got == _want("inner")
+    # sanity: point at minute 5 matches interval 0-60 only; minute 65
+    # matches the straddling 50-130 interval
+    assert (10, 100) in got and (11, 101) in got
+
+
+def test_range_join_left_keeps_unmatched(spark):
+    from async_pipes_spark.operators.range_join import range_join
+
+    p = spark.createDataFrame(POINTS)
+    i = spark.createDataFrame(INTERVALS)
+    got = sorted(
+        (r.pid, r.iid)
+        for r in range_join(p, i, "ts", "start", "end", by="user", how="left").collect()
+    )
+    assert got == _want("left")
+    assert (21, None) in got  # user 2 @ minute 200: no interval
+    assert (30, None) in got  # user 3 @ minute 10: interval is 100-110
+
+
+def test_range_join_small_buckets_same_result(spark):
+    """Bucket size must not change semantics, only the explosion
+    factor."""
+    from async_pipes_spark.operators.range_join import range_join
+
+    p = spark.createDataFrame(POINTS)
+    i = spark.createDataFrame(INTERVALS)
+    got = sorted(
+        (r.pid, r.iid)
+        for r in range_join(
+            p, i, "ts", "start", "end", by="user", bucket_seconds=300
+        ).collect()
+    )
+    assert got == _want("inner")
