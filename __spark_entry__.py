@@ -24,6 +24,7 @@ from async_pipes_spark.plans.extensions import (  # noqa: E402
     EXTENSION_ORACLES,
     EXTENSION_QUERIES,
 )
+from async_pipes_spark.plans.joins import JOIN_ORACLES, JOIN_QUERIES  # noqa: E402
 from async_pipes_spark.plans.oracles import DECLARED_ORACLES  # noqa: E402
 from async_pipes_spark.plans.relational import (  # noqa: E402
     RELATIONAL_ORACLES,
@@ -42,6 +43,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(DECLARED_QUERIES)
     out.update(RELATIONAL_QUERIES)
     out.update(EXTENSION_QUERIES)
+    out.update(JOIN_QUERIES)
     return out
 
 
@@ -50,4 +52,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(DECLARED_ORACLES)
     out.update(RELATIONAL_ORACLES)
     out.update(EXTENSION_ORACLES)
+    out.update(JOIN_ORACLES)
     return out

@@ -1,0 +1,105 @@
+"""Temporal-join query set: the custom operators Spark lacks natively
+(as-of join, interval/range join) exposed through the driver contract
+with DuckDB oracles (DuckDB's native ASOF JOIN / range predicates).
+
+The reference has no joins at all (SURVEY.md §2.3) — users would build
+them inside stage closures; here they are first-class operators
+(`operators/asof.py`, `operators/range_join.py`) with oracle-checked
+semantics on the `events` table.
+
+j1 — click→purchase as-of attribution: each click carries the most
+recent at-or-before purchase total of the same user (backward as-of).
+j2 — click→purchase-window range attribution: every (click, purchase)
+pair where the click lands inside the purchase's 2-hour window; left
+semantics keep unmatched clicks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from async_pipes_spark.operators.asof import asof_join
+from async_pipes_spark.operators.range_join import range_join
+from async_pipes_spark.sources.tables import load_table
+
+
+def _cents(col: str):
+    # shared money canonicalization (per-row round to integer cents)
+    return F.floor(F.col(col) * 100 + F.lit(0.5)).cast("bigint")
+
+
+def j1_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join, exact-match-allowed, null when no prior
+    purchase. Purchases are pre-aggregated per (user, ts) so the match
+    is deterministic under timestamp ties."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.sum(_cents("value")).alias("purch_cents"))
+    )
+    return asof_join(clicks, purchases, on="ts", by="user_id").select(
+        "event_id", "user_id", "purch_cents"
+    )
+
+
+def j2_range_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized interval join (no cross product): clicks × 2-hour
+    purchase windows per user, left semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    windows = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("w_end"),
+    )
+    return range_join(
+        clicks, windows, "ts", "w_start", "w_end", by="user_id", how="left"
+    ).select("click_id", "purchase_id")
+
+
+JOIN_QUERIES = {
+    "j1_asof_attribution": j1_asof_attribution,
+    "j2_range_attribution": j2_range_attribution,
+}
+
+JOIN_ORACLES = {
+    "j1_asof_attribution": """
+        WITH clicks AS (
+            SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE event_type = 'click'
+        ),
+        p AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                   SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS purch_cents
+            FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        )
+        SELECT c.event_id, c.user_id, p.purch_cents
+        FROM clicks c ASOF LEFT JOIN p
+          ON c.user_id = p.user_id AND c.ts >= p.ts
+        ORDER BY c.event_id
+    """,
+    "j2_range_attribution": """
+        WITH clicks AS (
+            SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE event_type = 'click'
+        ),
+        w AS (
+            SELECT event_id AS purchase_id, user_id,
+                   CAST(ts AS TIMESTAMP) AS w_start,
+                   CAST(ts AS TIMESTAMP) + INTERVAL 2 HOUR AS w_end
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT c.click_id, w.purchase_id
+        FROM clicks c LEFT JOIN w
+          ON c.user_id = w.user_id AND c.ts BETWEEN w.w_start AND w.w_end
+        ORDER BY click_id, purchase_id
+    """,
+}

@@ -26,6 +26,7 @@ def main() -> None:
     from async_pipes_spark.session import get_spark
     from async_pipes_spark.plans.declared import DECLARED_QUERIES
     from async_pipes_spark.plans.extensions import EXTENSION_QUERIES
+    from async_pipes_spark.plans.joins import JOIN_QUERIES
     from async_pipes_spark.plans.relational import RELATIONAL_QUERIES
 
     spark = get_spark("async-pipes-spark-bench", cpus=cpus)
@@ -34,6 +35,7 @@ def main() -> None:
     queries.update(DECLARED_QUERIES)
     queries.update(RELATIONAL_QUERIES)
     queries.update(EXTENSION_QUERIES)
+    queries.update(JOIN_QUERIES)
 
     # warm the JVM + file listing once (excluded from timings)
     queries["p6_map_reduce"](spark, sf_dir).collect()
