@@ -34,6 +34,60 @@ def _sides(emb: DataFrame, id_col: str, vec_col: str, prefix: str, parallel: boo
     )
 
 
+def cosine_pairs(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All (query, candidate) cosine similarities, Arrow-vectorized:
+    (q_id, c_id, sim_micro), self-pairs excluded.
+
+    The bounded query block is collected once and closed over by a
+    ``mapInPandas`` kernel; the corpus scan stays distributed with no
+    shuffle and no per-pair interpreted lambdas — each Arrow batch is
+    one numpy all-pairs computation. Accumulation replicates the
+    engine's sequential-float32 contract (vectors_np) so results are
+    bit-identical to the JVM fold and the DuckDB oracle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from async_pipes_spark.functions.vectors_np import (
+        micro_units_np,
+        seq_f32_dots,
+        seq_f32_self_dots,
+    )
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Qm = np.array([np.asarray(r[1], dtype=np.float32) for r in q_rows])
+    qn = np.sqrt(seq_f32_self_dots(Qm).astype(np.float64))
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.stack(pdf[vec_col].to_numpy()).astype(np.float32, copy=False)
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            cn = np.sqrt(seq_f32_self_dots(C).astype(np.float64))
+            sim = seq_f32_dots(C, Qm).astype(np.float64) / (cn[:, None] * qn[None, :])
+            micro = micro_units_np(sim)
+            n, m = micro.shape
+            out = pd.DataFrame(
+                {
+                    "q_id": np.tile(q_ids, n),
+                    "c_id": np.repeat(c_ids, m),
+                    "sim_micro": micro.ravel(),
+                }
+            )
+            yield out[out.q_id != out.c_id]
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        kernel, "q_id bigint, c_id bigint, sim_micro bigint"
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -42,18 +96,10 @@ def cosine_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact cosine top-k of each query against the corpus:
-    (q_id, rank, c_id, sim_micro). Queries are broadcast."""
-    cand = _sides(corpus, id_col, vec_col, "c", parallel=True)
-    q = _sides(queries, id_col, vec_col, "q")
-    sims = (
-        cand.crossJoin(F.broadcast(q))
-        .filter(F.col("q_id") != F.col("c_id"))
-        .select(
-            "q_id",
-            "c_id",
-            micro_units(cosine_sim_f32("qe", "ce", F.col("qn"), F.col("cn"))).alias("sim_micro"),
-        )
-    )
+    (q_id, rank, c_id, sim_micro). Queries are broadcast (closed over
+    by the Arrow kernel); only the tiny (id, id, sim) pair set is
+    shuffled for the per-query ranking window."""
+    sims = cosine_pairs(corpus, queries, id_col, vec_col)
     w = Window.partitionBy("q_id").orderBy(F.col("sim_micro").desc(), F.col("c_id"))
     return (
         sims.withColumn("rank", F.row_number().over(w))

@@ -101,3 +101,39 @@ def iterate_accumulate(
                 f"iterate_accumulate did not converge in {max_iterations} iterations"
             )
     return reduce(DataFrame.unionByName, emitted)
+
+
+def iterate_inplace(
+    initial: DataFrame,
+    body: Callable[[DataFrame], DataFrame],
+    active: Callable[[DataFrame], "object"],
+    max_iterations: int = DEFAULT_MAX_ITERATIONS,
+    unroll: int = 16,
+) -> DataFrame:
+    """Fixpoint loop where every record stays in the frame and carries
+    its own state to convergence — for cycle bodies that are elementwise
+    (the reference's halving test shape, tests/pipeline_tests.rs:145-208).
+
+    ``body`` must be a no-op on rows where ``active(df)`` is false
+    (guard its expressions with ``F.when(active, ...)``). Terminates
+    when no active rows remain; returns the converged frame.
+
+    Compared to ``iterate_accumulate`` this emits ONE plan branch
+    instead of one per level: ``unroll`` steps fuse into a single
+    whole-stage-codegen chain, so a k-step fixpoint costs
+    ceil(k/unroll) checkpoint jobs + as many emptiness probes + one
+    final job — no per-level union, no per-level codegen compile.
+    """
+    cur = initial
+    steps = 0
+    while True:
+        for _ in range(unroll):
+            cur = body(cur)
+        steps += unroll
+        cur = _materialize(cur, eager=True)
+        if cur.filter(active(cur)).isEmpty():
+            return cur
+        if steps >= max_iterations:
+            raise RuntimeError(
+                f"iterate_inplace did not converge in {max_iterations} iterations"
+            )

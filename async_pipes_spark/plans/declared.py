@@ -19,8 +19,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from async_pipes_spark.functions.money import cents, cents_to_dec, revenue_cents
-from async_pipes_spark.functions.vectors import cosine_sim_f32, micro_units, norm_f32
-from async_pipes_spark.operators.iterate import iterate_accumulate
+from async_pipes_spark.functions.vectors import micro_units
+from async_pipes_spark.operators.iterate import iterate_inplace
 from async_pipes_spark.sources.tables import load_table
 
 
@@ -127,16 +127,19 @@ def p8_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").alias("v"),
         F.lit(0).cast("int").alias("n"),
     )
-    out = iterate_accumulate(
+    # elementwise body → records carry their own state around the cycle
+    # (one plan branch, unroll-fused); every order exits exactly once
+    # with its final step count. selectExpr: one py4j round-trip per
+    # step instead of ~10 Column-API calls.
+    out = iterate_inplace(
         initial,
-        step=lambda df: df.filter(F.col("v") >= 100).select(
-            "o_orderkey", (F.col("v") / 2).alias("v"), (F.col("n") + 1).alias("n")
+        body=lambda df: df.selectExpr(
+            "o_orderkey",
+            "IF(v >= 100, v / 2, v) AS v",
+            "IF(v >= 100, n + 1, n) AS n",
         ),
-        emit=lambda df: df.filter(F.col("v") < 100).select("o_orderkey", "n"),
-        checkpoint_every=16,
-        materialize_initial=False,  # bare scan projection: recompute beats a checkpoint job
+        active=lambda df: F.col("v") >= 100,
     )
-    # every order exits exactly once with its final step count
     return out.select("o_orderkey", F.col("n").cast("bigint").alias("steps"))
 
 
@@ -169,28 +172,16 @@ def x1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x2_cosine_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-1 cosine neighbor for a bounded query set.
 
-    The query side (20 vectors) is broadcast; the candidate scan streams
-    past it — no shuffle of the big side. Norms are precomputed per side
-    so each pair costs one float32 fold. The unbounded-scale path is
-    functions.similarity (LSH/IVF); this exact form is the oracle-checked
-    baseline and re-ranker."""
+    The query side (20 vectors) is closed over by an Arrow-vectorized
+    kernel (similarity.cosine_pairs); the candidate scan streams past it
+    — no shuffle of the big side, numpy batch math instead of per-pair
+    folds, bit-identical to the sequential-f32 contract. The
+    unbounded-scale path is functions.similarity (LSH/IVF); this exact
+    form is the oracle-checked baseline and re-ranker."""
+    from async_pipes_spark.functions.similarity import cosine_pairs
+
     emb = load_table(spark, sf_dir, "embeddings")
-    cand = emb.select(
-        F.col("vec_id").alias("c_id"),
-        F.col("embedding").alias("ce"),
-        norm_f32("embedding").alias("cn"),
-    )
-    q = emb.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("qe"),
-        norm_f32("embedding").alias("qn"),
-    )
-    pairs = cand.crossJoin(F.broadcast(q)).filter(F.col("q_id") != F.col("c_id"))
-    sims = pairs.select(
-        "q_id",
-        "c_id",
-        micro_units(cosine_sim_f32("qe", "ce", F.col("qn"), F.col("cn"))).alias("sim_micro"),
-    )
+    sims = cosine_pairs(emb, emb.filter(F.col("vec_id") < 20))
     w = Window.partitionBy("q_id").orderBy(F.col("sim_micro").desc(), F.col("c_id"))
     return (
         sims.withColumn("rn", F.row_number().over(w))
@@ -229,10 +220,12 @@ def x4_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def x5_json_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON extraction + bucketing (semi-structured props column)."""
+    """JSON extraction + bucketing (semi-structured props column).
+    from_json with an explicit schema beats get_json_object's per-row
+    path evaluation and scales to multi-key extraction in one parse."""
     ev = load_table(spark, sf_dir, "events")
     return (
-        ev.select((F.get_json_object("props", "$.k").cast("int") % 10).alias("bucket"))
+        ev.select((F.from_json("props", "k INT").getField("k") % 10).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -46,6 +46,11 @@ def test_x6_broadcast_join_and_topk(spark):
     assert "partial_sum" not in txt or "Sort " not in txt.split("TakeOrdered")[0]
 
 
-def test_x2_broadcasts_query_side(spark):
-    txt = plan_text(x2_cosine_top1(spark, SF_SMOKE))
-    assert "BroadcastNestedLoopJoin" in txt or "BroadcastHashJoin" in txt, txt
+def test_x2_corpus_side_unshuffled(spark):
+    # the query block is closed over by the Arrow kernel; the corpus
+    # scan must feed MapInPandas directly — no join, no Exchange below it
+    txt = plan_text(x2_cosine_top1(spark, SF_SMOKE), mode="simple")
+    assert "MapInPandas" in txt, txt
+    below_kernel = txt.split("MapInPandas")[-1]
+    assert "Exchange" not in below_kernel, txt
+    assert "Join" not in txt, txt
