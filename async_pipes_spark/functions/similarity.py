@@ -2,9 +2,11 @@
 
 Two tiers, as a 100 TB design demands:
 
-- **Brute force** (:func:`cosine_topk`): broadcast the bounded query
-  set; the candidate corpus streams past it with no shuffle of the big
-  side. Correct baseline + re-ranker. All JVM-side float folds.
+- **Brute force** (:func:`cosine_topk`): the bounded query set is
+  closed over by an Arrow-vectorized kernel; the candidate corpus
+  streams past it with no shuffle of the big side. Correct baseline +
+  re-ranker. Dot products are numpy batch math replicating the
+  sequential-float32 contract bit-for-bit (vectors_np).
 - **IVF** (:func:`ivf_assign` / :func:`ivf_topk`): coarse quantization
   — assign every vector to its nearest centroid, search only the
   query's cell. At scale, centroids come from a sampled KMeans and the
@@ -21,17 +23,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from async_pipes_spark.functions.vectors import cosine_sim_f32, micro_units, norm_f32
-from async_pipes_spark.operators.partitioning import fan_out
-
-
-def _sides(emb: DataFrame, id_col: str, vec_col: str, prefix: str, parallel: bool = False) -> DataFrame:
-    src = fan_out(emb) if parallel else emb
-    return src.select(
-        F.col(id_col).alias(f"{prefix}_id"),
-        F.col(vec_col).alias(f"{prefix}e"),
-        norm_f32(vec_col).alias(f"{prefix}n"),
-    )
 
 
 def cosine_pairs(
@@ -115,30 +106,46 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Assign each vector to its nearest centroid by cosine:
-    (vec_id, embedding, cell). Centroids are broadcast; one window per
-    vector over #centroids candidates."""
-    cents = centroids.select(
-        F.col(id_col).alias("cent_id"),
-        F.col(vec_col).alias("ce"),
-        norm_f32(vec_col).alias("cn"),
+    (vec_id, embedding, cell). The centroid block (small by
+    construction) is closed over by an Arrow kernel; the corpus scan
+    stays distributed, one numpy batch per Arrow batch — no join, no
+    per-pair interpreted folds. Ties go to the lowest centroid id
+    (argmax-first over id-sorted centroids), matching the window
+    ordering of the SQL formulation and the DuckDB oracle."""
+    import numpy as np
+    import pandas as pd
+
+    from async_pipes_spark.functions.vectors_np import (
+        micro_units_np,
+        seq_f32_dots,
+        seq_f32_self_dots,
     )
-    vecs = _sides(corpus, id_col, vec_col, "v", parallel=True)
-    w = Window.partitionBy("v_id").orderBy(F.col("_sim").desc(), F.col("cent_id"))
-    return (
-        vecs.crossJoin(F.broadcast(cents))
-        .select(
-            "v_id",
-            "ve",
-            "cent_id",
-            micro_units(cosine_sim_f32("ve", "ce", F.col("vn"), F.col("cn"))).alias("_sim"),
-        )
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(
-            F.col("v_id").alias("vec_id"),
-            F.col("ve").alias("embedding"),
-            F.col("cent_id").alias("cell"),
-        )
+
+    cent_rows = sorted(
+        centroids.select(id_col, vec_col).collect(), key=lambda r: r[0]
+    )
+    cent_ids = np.array([r[0] for r in cent_rows], dtype=np.int64)
+    Cm = np.array([np.asarray(r[1], dtype=np.float32) for r in cent_rows])
+    cn = np.sqrt(seq_f32_self_dots(Cm).astype(np.float64))
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float32, copy=False)
+            vn = np.sqrt(seq_f32_self_dots(V).astype(np.float64))
+            sim = seq_f32_dots(V, Cm).astype(np.float64) / (vn[:, None] * cn[None, :])
+            best = micro_units_np(sim).argmax(axis=1)  # first max = lowest cent_id
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "embedding": pdf[vec_col],
+                    "cell": cent_ids[best],
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        kernel, "vec_id bigint, embedding array<float>, cell bigint"
     )
 
 
@@ -155,28 +162,48 @@ def ivf_topk(
     Centroids = the ``num_centroids`` lowest-id vectors (deterministic;
     swap for KMeans centers in production). ``queries_filter`` is a
     Column predicate selecting query vectors."""
+    import numpy as np
+    import pandas as pd
+
+    from async_pipes_spark.functions.vectors_np import (
+        micro_units_np,
+        seq_f32_dots,
+        seq_f32_self_dots,
+    )
+
     centroids = corpus.filter(F.col(id_col) < num_centroids)
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
-    cand = assigned.select(
-        F.col("vec_id").alias("c_id"),
-        F.col("embedding").alias("ce"),
-        norm_f32("embedding").alias("cn"),
-        "cell",
-    )
-    q = assigned.filter(queries_filter(F.col("vec_id"))).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("qe"),
-        norm_f32("embedding").alias("qn"),
-        "cell",
-    )
-    sims = (
-        cand.join(F.broadcast(q), "cell")
-        .filter(F.col("q_id") != F.col("c_id"))
-        .select(
-            "q_id",
-            "c_id",
-            micro_units(cosine_sim_f32("qe", "ce", F.col("qn"), F.col("cn"))).alias("sim_micro"),
+    marked = assigned.withColumn("_is_q", queries_filter(F.col("vec_id")))
+
+    def cell_sims(pdf: pd.DataFrame) -> pd.DataFrame:
+        isq = pdf["_is_q"].to_numpy(dtype=bool)
+        if not isq.any():
+            return pd.DataFrame(
+                {
+                    "q_id": np.empty(0, np.int64),
+                    "c_id": np.empty(0, np.int64),
+                    "sim_micro": np.empty(0, np.int64),
+                }
+            )
+        V = np.stack(pdf["embedding"].to_numpy()).astype(np.float32, copy=False)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        nrm = np.sqrt(seq_f32_self_dots(V).astype(np.float64))
+        sim = seq_f32_dots(V[isq], V).astype(np.float64) / (
+            nrm[isq, None] * nrm[None, :]
         )
+        micro = micro_units_np(sim)
+        m, n = micro.shape
+        out = pd.DataFrame(
+            {
+                "q_id": np.repeat(ids[isq], n),
+                "c_id": np.tile(ids, m),
+                "sim_micro": micro.ravel(),
+            }
+        )
+        return out[out.q_id != out.c_id]
+
+    sims = marked.groupBy("cell").applyInPandas(
+        cell_sims, "q_id bigint, c_id bigint, sim_micro bigint"
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim_micro").desc(), F.col("c_id"))
     return (
@@ -198,23 +225,36 @@ def embedding_near_dups(
     Written as cell-bucketed candidate generation (IVF cells) so only
     same-cell pairs are compared — the scalable analogue of
     all-pairs; near-dups land in the same cell with high probability."""
+    import numpy as np
+    import pandas as pd
+
+    from async_pipes_spark.functions.vectors_np import (
+        micro_units_np,
+        seq_f32_dots,
+        seq_f32_self_dots,
+    )
+
     centroids = corpus.filter(F.col(id_col) < 8)
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
-    a = assigned.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ae"),
-        norm_f32("embedding").alias("an"), "cell",
-    )
-    b = assigned.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("be"),
-        norm_f32("embedding").alias("bn"), "cell",
-    )
-    return (
-        a.join(b, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            micro_units(cosine_sim_f32("ae", "be", F.col("an"), F.col("bn"))).alias("sim_micro"),
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        V = np.stack(pdf["embedding"].to_numpy()).astype(np.float32, copy=False)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        nrm = np.sqrt(seq_f32_self_dots(V).astype(np.float64))
+        micro = micro_units_np(
+            seq_f32_dots(V, V).astype(np.float64) / (nrm[:, None] * nrm[None, :])
         )
-        .filter(F.col("sim_micro") >= threshold_micro)
+        iu, ju = np.triu_indices(len(ids), k=1)  # ids sorted → id_a < id_b
+        keep = micro[iu, ju] >= threshold_micro
+        return pd.DataFrame(
+            {
+                "id_a": ids[iu[keep]],
+                "id_b": ids[ju[keep]],
+                "sim_micro": micro[iu[keep], ju[keep]],
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        cell_pairs, "id_a bigint, id_b bigint, sim_micro bigint"
     )
