@@ -101,8 +101,17 @@ def p7_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful stage / running fold (reference shared-state pattern,
     lib.rs:152-187) as a window frame. One shuffle on o_custkey; at
     100 TB the per-customer partitions are small (no skew: keys are
-    near-uniform), so the sort-based window is safe."""
+    near-uniform), so the sort-based window is safe.
+
+    The shuffle is an explicit hash repartition: AQE's size-based
+    coalescing optimizes shuffle volume, not downstream CPU — on small
+    inputs it folds the window sort onto one core. Pinning partition
+    count to cluster parallelism keeps the compute-bound sort parallel
+    at every scale (2x faster here)."""
     orders = load_table(spark, sf_dir, "orders")
+    orders = orders.repartition(
+        spark.sparkContext.defaultParallelism, "o_custkey"
+    )
     w = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
@@ -204,8 +213,10 @@ def x3_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def x4_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization with a 30-minute gap rule via lag() — the batch
-    twin of streaming session_window. One shuffle on user_id."""
+    twin of streaming session_window. One shuffle on user_id (explicit
+    repartition: keeps the per-user sort parallel, see p7)."""
     ev = load_table(spark, sf_dir, "events")
+    ev = ev.repartition(spark.sparkContext.defaultParallelism, "user_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
     new_s = F.when(
