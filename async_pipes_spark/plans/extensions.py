@@ -153,6 +153,19 @@ def mm1_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media, id_col="doc_id")
 
 
+def mm2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-frame-sampling shape (1 → M explode through an Arrow
+    kernel): every 2nd 64-byte frame of each payload, with per-frame
+    hash — the plumbing a real frame decoder drops into."""
+    from async_pipes_spark.multimodal.binary import frame_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = to_media(
+        docs.withColumn("payload", F.encode("text", "utf-8")), "payload", "raw", "source"
+    )
+    return frame_sample(media, frame_bytes=64, every_n=2)
+
+
 # ---- streaming ------------------------------------------------------
 
 
@@ -201,6 +214,7 @@ EXTENSION_QUERIES = {
     "t4_zscore": t4_zscore,
     "a3_near_dup_pairs": a3_near_dup_pairs,
     "mm1_media_features": mm1_media_features,
+    "mm2_frame_sample": mm2_frame_sample,
     "s9_tumbling_stream": s9_tumbling_stream,
     "s4_session_stream": s4_session_stream,
     "s5_stateful_fold": s5_stateful_fold,
@@ -438,6 +452,19 @@ EXTENSION_ORACLES = {
                CAST(strlen(text) % 640 AS BIGINT) AS width,
                CAST(ascii(substring(text, 1, 1)) % 480 AS BIGINT) AS height
         FROM documents ORDER BY doc_id
+    """,
+    "mm2_frame_sample": """
+        WITH f AS (
+            SELECT doc_id, t.i AS frame_idx,
+                   substring(text, t.i * 64 + 1, 64) AS chunk
+            FROM documents CROSS JOIN generate_series(0, 511) t(i)
+            WHERE t.i * 64 < strlen(text)
+        )
+        SELECT doc_id, frame_idx,
+               CAST(strlen(chunk) AS BIGINT) AS n_bytes,
+               md5(chunk) AS frame_hash
+        FROM f WHERE frame_idx % 2 = 0
+        ORDER BY doc_id, frame_idx
     """,
     # streaming twins share the batch oracles: availableNow quiescence
     # must reproduce batch semantics exactly

@@ -58,6 +58,16 @@ def r3_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def r4_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all four grouping sets of (status, priority) in one pass —
+    rollup's full-lattice sibling. Same single-shuffle expansion."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        cents_to_dec(F.sum(cents("o_totalprice")), "total"),
+    )
+
+
 def r5_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXISTS as left_semi: customers having ≥1 URGENT order, counted
     per market segment. Semi joins ship only the join key — no
@@ -83,6 +93,29 @@ def r6_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def r7_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by balance per market segment — the windowed
+    top-k-per-group idiom. WindowGroupLimit pushes the rank cutoff
+    below the shuffle (partial limit map-side), so only ~k rows per
+    group per partition ever move."""
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        cust.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "c_mktsegment",
+            F.col("rnk").cast("bigint").alias("rnk"),
+            "c_custkey",
+            cents("c_acctbal").alias("bal_cents"),
+        )
+    )
+
+
 def r8_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Post-aggregation filter (HAVING): parts appearing on more than
     40 lineitems. The filter runs after the agg — Catalyst keeps the
@@ -99,8 +132,10 @@ RELATIONAL_QUERIES = {
     "r1_rollup": r1_rollup,
     "r2_set_ops": r2_set_ops,
     "r3_pivot": r3_pivot,
+    "r4_cube": r4_cube,
     "r5_semi_join": r5_semi_join,
     "r6_anti_join": r6_anti_join,
+    "r7_topk_per_group": r7_topk_per_group,
     "r8_having": r8_having,
 }
 
@@ -128,6 +163,24 @@ RELATIONAL_ORACLES = {
                COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
                COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "r4_cube": """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus, o_orderpriority
+    """,
+    "r7_topk_per_group": """
+        SELECT c_mktsegment, CAST(rnk AS BIGINT) AS rnk, c_custkey,
+               CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+        FROM (
+            SELECT c_mktsegment, c_custkey, c_acctbal,
+                   ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY c_acctbal DESC, c_custkey) AS rnk
+            FROM customer
+        ) WHERE rnk <= 3
+        ORDER BY c_mktsegment, rnk
     """,
     "r5_semi_join": """
         SELECT c_mktsegment, COUNT(*) AS n

@@ -100,3 +100,20 @@ def test_media_codec_stub_raises_for_real_codecs(spark):
     media = to_media(df, "payload", "image/png", "source")
     with pytest.raises(PythonException, match="codec for media_type"):
         extract_features(media).collect()
+
+
+def test_media_resize_crops_and_pads(spark):
+    """resize keeps the media struct shape; raw payloads are cropped or
+    zero-padded to exactly width*height bytes."""
+    from async_pipes_spark.multimodal.binary import resize, to_media
+
+    df = spark.createDataFrame(
+        [(1, b"abcdefgh", "s"), (2, b"xy", "s")],
+        "doc_id: bigint, payload: binary, source: string",
+    )
+    out = resize(to_media(df, "payload", "raw", "source"), width=2, height=2)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert bytes(rows[1].media.payload) == b"abcd"  # cropped
+    assert bytes(rows[2].media.payload) == b"xy\0\0"  # padded
+    assert all((r.width, r.height) == (2, 2) for r in rows.values())
+    assert rows[1].media.media_type == "raw"
