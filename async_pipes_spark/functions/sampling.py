@@ -1,0 +1,50 @@
+"""Deterministic sampling — the reproducibility primitive of a
+training-data pipeline.
+
+``df.sample()`` is seeded per-partition, so its output changes with the
+physical plan (partition count, AQE decisions) — useless for
+reproducible corpus construction or an external oracle. These samplers
+hash stable key columns instead: a row is kept iff the first 12 hex
+chars of md5(key) fall below a rate threshold. The same rows are
+selected on any engine, any partitioning, any scale; sampling a
+sharded 100 TB corpus needs no coordination at all (pure map-side
+filter, pushes past shuffles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from async_pipes_spark.functions.sketches import HEX_WIDTH, hash_hex
+
+PPM = 1_000_000
+
+
+def _threshold_hex(rate_ppm: int) -> str:
+    """Exact hex threshold for a parts-per-million keep rate."""
+    if not 0 <= rate_ppm <= PPM:
+        raise ValueError(f"rate_ppm must be in [0, {PPM}], got {rate_ppm}")
+    if rate_ppm == PPM:
+        return "g" * HEX_WIDTH  # lexicographically above every hex string
+    return format(rate_ppm * 16**HEX_WIDTH // PPM, f"0{HEX_WIDTH}x")
+
+
+def hash_sample(df: DataFrame, cols: list[str], rate_ppm: int) -> DataFrame:
+    """Deterministic Bernoulli sample: keep each row iff
+    hash(key) < rate_ppm/1e6. Same selection on every run/engine."""
+    return df.filter(hash_hex(*cols) < F.lit(_threshold_hex(rate_ppm)))
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, rates_ppm: dict[str, int], cols: list[str]
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample dominant
+    languages, keep rare ones whole). Strata absent from ``rates_ppm``
+    are dropped (rate 0)."""
+    threshold: Column = F.lit("0" * HEX_WIDTH)
+    for stratum, rate in rates_ppm.items():
+        threshold = F.when(
+            F.col(strata_col) == stratum, F.lit(_threshold_hex(rate))
+        ).otherwise(threshold)
+    return df.filter(hash_hex(*cols) < threshold)

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from async_pipes_spark.functions.sampling import _threshold_hex
 from async_pipes_spark.functions.dedup import (
     fingerprint_dup_groups,
     minhash_lsh_pairs,
@@ -153,6 +154,51 @@ def mm1_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media, id_col="doc_id")
 
 
+# ---- sketches & sampling --------------------------------------------
+
+
+def k1_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-customer estimate over orders (k=256): the
+    deterministic, oracle-checkable sketch (vs HLL++, whose estimate is
+    implementation-defined)."""
+    from async_pipes_spark.functions.sketches import kmv_distinct
+
+    orders = load_table(spark, sf_dir, "orders")
+    return kmv_distinct(orders, ["o_custkey"], k=256)
+
+
+def smp1_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5% Bernoulli sample of lineitem (hash of the
+    primary key), folded per returnflag — identical selection on any
+    engine/partitioning, which seeded df.sample() cannot give."""
+    from async_pipes_spark.functions.sampling import hash_sample
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        hash_sample(li, ["l_orderkey", "l_linenumber"], 50_000)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def smp2_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum rates (downsample dominant strata, keep rare whole):
+    10% of F orders, 50% of O, all of P."""
+    from async_pipes_spark.functions.sampling import stratified_sample
+
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        stratified_sample(
+            orders,
+            "o_orderstatus",
+            {"F": 100_000, "O": 500_000, "P": 1_000_000},
+            ["o_orderkey"],
+        )
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def mm2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-frame-sampling shape (1 → M explode through an Arrow
     kernel): every 2nd 64-byte frame of each payload, with per-frame
@@ -213,6 +259,9 @@ EXTENSION_QUERIES = {
     "t3_token_counts": t3_token_counts,
     "t4_zscore": t4_zscore,
     "a3_near_dup_pairs": a3_near_dup_pairs,
+    "k1_kmv_distinct": k1_kmv_distinct,
+    "smp1_hash_sample": smp1_hash_sample,
+    "smp2_stratified_sample": smp2_stratified_sample,
     "mm1_media_features": mm1_media_features,
     "mm2_frame_sample": mm2_frame_sample,
     "s9_tumbling_stream": s9_tumbling_stream,
@@ -452,6 +501,46 @@ EXTENSION_ORACLES = {
                CAST(strlen(text) % 640 AS BIGINT) AS width,
                CAST(ascii(substring(text, 1, 1)) % 480 AS BIGINT) AS height
         FROM documents ORDER BY doc_id
+    """,
+    "k1_kmv_distinct": """
+        WITH h AS (
+            SELECT DISTINCT substring(md5(CAST(o_custkey AS VARCHAR)), 1, 12) AS h
+            FROM orders
+        ),
+        mins AS (SELECT h FROM h ORDER BY h LIMIT 256),
+        kth AS (SELECT MAX(h) AS kth_hash, COUNT(*) AS n_kept FROM mins),
+        v AS (
+            SELECT kth_hash, n_kept,
+                   (SELECT SUM((strpos('0123456789abcdef', substring(kth.kth_hash, t.i, 1)) - 1)
+                               * POWER(16, 12 - t.i))
+                    FROM generate_series(1, 12) t(i)) AS hv
+            FROM kth
+        )
+        SELECT kth_hash,
+               CASE WHEN n_kept < 256 THEN CAST(n_kept AS BIGINT)
+                    ELSE CAST(FLOOR(255.0 / (hv / POWER(16, 12))) AS BIGINT)
+               END AS est_distinct
+        FROM v
+    """,
+    "smp1_hash_sample": f"""
+        SELECT l_returnflag, COUNT(*) AS n
+        FROM lineitem
+        WHERE substring(md5(CAST(l_orderkey AS VARCHAR) || chr(31)
+                            || CAST(l_linenumber AS VARCHAR)), 1, 12)
+              < '{_threshold_hex(50_000)}'
+        GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "smp2_stratified_sample": f"""
+        SELECT o_orderstatus, COUNT(*) AS n
+        FROM orders
+        WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 12) <
+              CASE o_orderstatus
+                  WHEN 'F' THEN '{_threshold_hex(100_000)}'
+                  WHEN 'O' THEN '{_threshold_hex(500_000)}'
+                  WHEN 'P' THEN '{_threshold_hex(1_000_000)}'
+                  ELSE '000000000000'
+              END
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
     "mm2_frame_sample": """
         WITH f AS (

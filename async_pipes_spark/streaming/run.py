@@ -74,3 +74,34 @@ def run_available_now(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
+
+
+def run_foreach_batch_routes(df: DataFrame, routes: dict, base_dir: str) -> dict:
+    """Route a stream into one parquet sink per predicate in a single
+    pass — the streaming twin of ``with_branching_stage`` (reference
+    src/pipeline/builder.rs:251-282): compute once, send each record to
+    the branches whose predicate admits it.
+
+    Each micro-batch is persisted once so the N route filters scan the
+    batch from cache, not the source (the same single-pass guarantee
+    the batch builder gets from ``persist()``). Runs to quiescence
+    (availableNow); returns {route: sink_path}.
+    """
+    paths = {name: f"{base_dir}/{name}" for name in routes}
+
+    def handle(batch: DataFrame, _batch_id: int) -> None:
+        batch.persist()
+        try:
+            for name, pred in routes.items():
+                batch.filter(pred).write.mode("append").parquet(paths[name])
+        finally:
+            batch.unpersist()
+
+    q = (
+        df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", f"{base_dir}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return paths

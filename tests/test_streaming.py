@@ -62,3 +62,36 @@ def test_query_stop_is_terminate(spark):
     q.stop()
     q.awaitTermination()
     assert not q.isActive
+
+
+def test_foreach_batch_multi_sink_routes(spark, tmp_path):
+    """Streaming twin of with_branching_stage: one pass over the
+    stream, each record routed to the sinks whose predicate admits it;
+    per-sink contents equal the batch filters."""
+    from pyspark.sql import functions as F
+
+    from async_pipes_spark.sources.tables import load_table
+    from async_pipes_spark.streaming.run import run_foreach_batch_routes, stream_table
+
+    ev = stream_table(spark, SF_SMOKE, "events")
+    paths = run_foreach_batch_routes(
+        ev,
+        {
+            "clicks": F.col("event_type") == "click",
+            "purchases": F.col("event_type") == "purchase",
+            "big": F.col("value") > 50,  # overlapping route: true multicast
+        },
+        str(tmp_path),
+    )
+    batch = load_table(spark, SF_SMOKE, "events")
+    for name, pred in {
+        "clicks": F.col("event_type") == "click",
+        "purchases": F.col("event_type") == "purchase",
+        "big": F.col("value") > 50,
+    }.items():
+        got = spark.read.parquet(paths[name])
+        want = batch.filter(pred)
+        assert got.count() == want.count(), name
+        assert sorted(r.event_id for r in got.select("event_id").collect()) == sorted(
+            r.event_id for r in want.select("event_id").collect()
+        ), name
