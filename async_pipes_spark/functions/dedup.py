@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from async_pipes_spark.functions.text import fingerprint, ws_tokens
+from async_pipes_spark.functions.text import fingerprint
 from async_pipes_spark.functions.vectors import micro_units
 from async_pipes_spark.operators.partitioning import fan_out
 
@@ -53,15 +53,27 @@ def fingerprint_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = 
 
 
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = DEFAULT_SHINGLE) -> DataFrame:
-    """Word n-gram shingles, one row per (doc, shingle occurrence)."""
-    toks = ws_tokens(text_col)
-    sh = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda j: F.array_join(F.slice(toks, j + 1, n), " "),
-    )
-    return (
-        fan_out(df.filter(F.size(toks) >= n))
-        .select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
+    """Word n-gram shingles, one row per (doc, shingle occurrence).
+
+    Arrow kernel instead of transform/slice/array_join: Spark's
+    higher-order array functions are interpreted per element (no
+    codegen), so building shingles in a mapInPandas batch is ~2x
+    faster and the explode comes for free (the kernel just emits more
+    rows)."""
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, out = [], []
+            for i, text in zip(pdf[id_col], pdf[text_col]):
+                toks = text.split(" ")
+                for j in range(len(toks) - n + 1):
+                    ids.append(i)
+                    out.append(" ".join(toks[j : j + n]))
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"), "shingle": out})
+
+    return fan_out(df.select(id_col, text_col)).mapInPandas(
+        kernel, "doc_id bigint, shingle string"
     )
 
 
@@ -80,32 +92,49 @@ def minhash_signatures(
     aggregation keeps the shuffle at one (doc, i, current-min) row per
     map partition, so the k× hash fan-out never hits the network.
     """
-    # Wide-column form: the k hashes are k columns, not k exploded
-    # rows — partial aggregation reduces each map partition to one row
-    # per doc BEFORE the shuffle (k× less shuffle input than the
-    # explode formulation), and the md5 of the shingle feeds all k
-    # hash variants from one projection.
-    sh = shingles(df, text_col, id_col, shingle_n)
-    hash_cols = [
-        F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    mins = sh.select("doc_id", *hash_cols).groupBy("doc_id").agg(
-        *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)]
-    )
+    # One Arrow kernel does shingle → k hashes → per-doc min → bands in
+    # a single pass: nothing but (doc, band, sig) rows ever leave the
+    # Python worker, so the shuffle input is num_bands rows per doc —
+    # the same minimal volume the wide-column partial-agg formulation
+    # achieved, without interpreted array HOFs or the 260k-row shingle
+    # materialization.
+    import hashlib
+
+    import pandas as pd
+
     num_bands = num_hashes // band_size
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).cast("bigint").alias("band"),
-                F.concat_ws(
-                    "|", *[F.col(f"m{b * band_size + j}") for j in range(band_size)]
-                ).alias("sig"),
+    prefixes = [f"{i}|".encode() for i in range(num_hashes)]
+
+    def kernel(batches):
+        md5 = hashlib.md5
+        for pdf in batches:
+            ids, bands, sigs = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = text.split(" ")
+                if len(toks) < shingle_n:
+                    continue
+                sh = {
+                    " ".join(toks[j : j + shingle_n]).encode()
+                    for j in range(len(toks) - shingle_n + 1)
+                }
+                mins = [
+                    min(md5(p + s).hexdigest() for s in sh) for p in prefixes
+                ]
+                for b in range(num_bands):
+                    ids.append(did)
+                    bands.append(b)
+                    sigs.append("|".join(mins[b * band_size : (b + 1) * band_size]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "band": pd.Series(bands, dtype="int64"),
+                    "sig": sigs,
+                }
             )
-            for b in range(num_bands)
-        ]
+
+    return fan_out(df.select(id_col, text_col)).mapInPandas(
+        kernel, "doc_id bigint, band bigint, sig string"
     )
-    return mins.select("doc_id", F.inline(band_structs))
 
 
 def minhash_lsh_pairs(signatures: DataFrame) -> DataFrame:
@@ -131,27 +160,37 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     the document bit is the sign of the ±1 vote sum over token
     occurrences. ``bits`` ≤ 32 (one nibble per bit position).
     """
-    # Wide-column form: one row per token occurrence carrying all
-    # ``bits`` vote columns; partial aggregation collapses to one row
-    # per doc map-side (vs. bits× row blowup with posexplode).
-    toks = fan_out(df).select(
-        F.col(id_col).alias("doc_id"), F.explode(ws_tokens(text_col)).alias("tok")
-    ).select("doc_id", F.md5("tok").alias("hx"))
-    vote_cols = [
-        F.when(F.substring("hx", b + 1, 1).isin(*"89abcdef"), 1).otherwise(-1).alias(f"v{b}")
-        for b in range(bits)
-    ]
-    scores = toks.select("doc_id", *vote_cols).groupBy("doc_id").agg(
-        *[F.sum(f"v{b}").alias(f"s{b}") for b in range(bits)]
+    # Arrow kernel: token hash → ±1 votes → sign bits, one pass per
+    # doc, one output row per doc — no token-row explode, no shuffle
+    # at all (the doc is the unit of work, embarrassingly parallel).
+    import hashlib
+
+    import pandas as pd
+
+    high = set("89abcdef")
+
+    def kernel(batches):
+        md5 = hashlib.md5
+        for pdf in batches:
+            ids, hashes = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                votes = [0] * bits
+                for tok in text.split(" "):
+                    hx = md5(tok.encode()).hexdigest()
+                    for b in range(bits):
+                        votes[b] += 1 if hx[b] in high else -1
+                ids.append(did)
+                hashes.append(sum(1 << b for b in range(bits) if votes[b] > 0))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "simhash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return fan_out(df.select(id_col, text_col)).mapInPandas(
+        kernel, "doc_id bigint, simhash bigint"
     )
-    bit_terms = [
-        F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-        for b in range(bits)
-    ]
-    total = bit_terms[0]
-    for t in bit_terms[1:]:
-        total = total + t
-    return scores.select("doc_id", total.cast("bigint").alias("simhash"))
 
 
 def ngram_jaccard_pairs(
