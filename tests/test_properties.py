@@ -86,3 +86,42 @@ def test_revenue_kernel_rejects_nothing_but_matches_reference_case(spark):
     got = [str(r[0]) for r in df.select(cents_to_dec(revenue_cents("price", "disc"), "rev")).collect()]
     # 2.67*0.95 = 2.5365 → 2.54 (half-up); 123.45*0.90 = 111.105 → 111.11
     assert got == ["2.54", "111.11"]
+
+
+@given(
+    rates=st.lists(
+        st.integers(min_value=0, max_value=1_000_000), min_size=2, max_size=6
+    )
+)
+@SLOW
+def test_hash_sample_rates_nest(spark, rates):
+    """Nested-sample guarantee: for r1 <= r2, sample(r1) is a SUBSET of
+    sample(r2) — growing a training corpus never discards previously
+    selected rows. Holds because the keep test is hash < threshold and
+    thresholds are monotone in the rate."""
+    from async_pipes_spark.functions.sampling import hash_sample
+
+    df = spark.range(0, 500, 1, 4).selectExpr("id", "CAST(id * 7 AS STRING) AS key")
+    rates = sorted(rates)
+    prev: set = set()
+    prev_rate = 0
+    for rate in rates:
+        got = {r.id for r in hash_sample(df, ["key"], rate).collect()}
+        assert prev <= got, (prev_rate, rate)
+        prev, prev_rate = got, rate
+    # rate extremes are exact
+    assert {r.id for r in hash_sample(df, ["key"], 0).collect()} == set()
+    assert len({r.id for r in hash_sample(df, ["key"], 1_000_000).collect()}) == 500
+
+
+@given(k=st.integers(min_value=2, max_value=64))
+@SLOW
+def test_kmv_exact_below_k(spark, k):
+    """KMV must be exact when the true distinct count fits in the
+    sketch (n_distinct < k)."""
+    from async_pipes_spark.functions.sketches import kmv_distinct
+
+    n = k - 1
+    df = spark.range(0, n * 3, 1, 2).selectExpr(f"id % {n} AS v")
+    row = kmv_distinct(df, ["v"], k=k).head()
+    assert row.est_distinct == n
