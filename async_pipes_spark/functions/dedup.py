@@ -205,22 +205,45 @@ def ngram_jaccard_pairs(
     Inverted-index shape: distinct (doc, shingle) rows self-join on the
     shingle — pairs materialize only where overlap exists. This is the
     verify stage to run on LSH candidates at scale (join the candidate
-    pair set first to bound it)."""
-    sh = shingles(df, text_col, id_col, shingle_n).distinct()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
+    pair set first to bound it).
+
+    The per-doc set size rides along on every inverted-index row
+    (emitted by the kernel), so the Jaccard denominator needs no extra
+    doc-size joins after the intersection count — one self-join, one
+    aggregation, done."""
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, out, sizes = [], [], []
+            for i, text in zip(pdf[id_col], pdf[text_col]):
+                toks = text.split(" ")
+                sh = {
+                    " ".join(toks[j : j + shingle_n])
+                    for j in range(len(toks) - shingle_n + 1)
+                }
+                for s in sh:
+                    ids.append(i)
+                    out.append(s)
+                    sizes.append(len(sh))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "shingle": out,
+                    "n": pd.Series(sizes, dtype="int64"),
+                }
+            )
+
+    sh = fan_out(df.select(id_col, text_col)).mapInPandas(
+        kernel, "doc_id bigint, shingle string, n bigint"
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle", F.col("n").alias("na"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle", F.col("n").alias("nb"))
+    return (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("c"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
         .select(
             "doc_a",
             "doc_b",

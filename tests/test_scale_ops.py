@@ -129,3 +129,35 @@ def test_sql_entry_point(spark):
         .collect()
     )
     assert got == direct
+
+
+def test_iterate_inplace_converges_and_guards(spark):
+    """iterate_inplace: rows carry state to convergence in-place; a
+    non-contracting body trips the max_iterations guard instead of
+    spinning forever."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from async_pipes_spark.operators.iterate import iterate_inplace
+
+    df = spark.range(1, 6).selectExpr("CAST(id AS INT) AS v", "0 AS n")
+    live = F.col("v") > 1
+    out = iterate_inplace(
+        df,
+        body=lambda d: d.selectExpr(
+            "IF(v > 1, v - 1, v) AS v", "IF(v > 1, n + 1, n) AS n"
+        ),
+        active=lambda d: live,
+        unroll=2,
+    )
+    rows = sorted((r.v, r.n) for r in out.collect())
+    assert rows == [(1, 0), (1, 1), (1, 2), (1, 3), (1, 4)]
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        iterate_inplace(
+            spark.range(1).selectExpr("1 AS v"),
+            body=lambda d: d,  # never contracts
+            active=lambda d: F.col("v") == 1,
+            max_iterations=4,
+            unroll=2,
+        )
