@@ -236,6 +236,16 @@ def s4_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_sessions"))
 
 
+def s10_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour/30-minute windows (each event in exactly two
+    overlapping windows) — the overlapping-window twin of s9."""
+    from async_pipes_spark.streaming.run import run_available_now, stream_table
+    from async_pipes_spark.streaming.windows import sliding_counts_stream
+
+    ev = stream_table(spark, sf_dir, "events")
+    return run_available_now(sliding_counts_stream(ev))
+
+
 def s5_stateful_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming stage (applyInPandasWithState): per-
     user running fold; final state equals the batch fold."""
@@ -265,6 +275,7 @@ EXTENSION_QUERIES = {
     "mm1_media_features": mm1_media_features,
     "mm2_frame_sample": mm2_frame_sample,
     "s9_tumbling_stream": s9_tumbling_stream,
+    "s10_sliding_stream": s10_sliding_stream,
     "s4_session_stream": s4_session_stream,
     "s5_stateful_fold": s5_stateful_fold,
 }
@@ -562,6 +573,19 @@ EXTENSION_ORACLES = {
                COUNT(*) AS n,
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
         FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "s10_sliding_stream": """
+        WITH e AS (
+            SELECT event_type, CAST(ts AS TIMESTAMP) AS t FROM events
+        ),
+        slots AS (
+            SELECT event_type,
+                   make_timestamp(((CAST(FLOOR(epoch(t) / 1800) AS BIGINT) - u.k) * 1800)
+                                  * 1000000) AS w
+            FROM e CROSS JOIN (SELECT unnest([0, 1]) AS k) u
+        )
+        SELECT w, event_type, COUNT(*) AS n
+        FROM slots GROUP BY 1, 2 ORDER BY 1, 2
     """,
     "s4_session_stream": """
         WITH g AS (

@@ -30,6 +30,17 @@ def tumbling_counts_stream(events: DataFrame, watermark: str = "1 hour") -> Data
     return w.select(F.col("window.start").alias("w"), "event_type", "n", "total")
 
 
+def sliding_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Sliding 1-hour windows every 30 minutes: each event lands in
+    exactly two overlapping windows. (w, event_type, n)."""
+    w = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return w.select(F.col("window.start").alias("w"), "event_type", "n")
+
+
 def session_windows_stream(events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
     """Per-user session windows via session_window (30-minute gap):
     one row per (session, user) with its event count. Sessions merge

@@ -54,3 +54,21 @@ def test_x2_corpus_side_unshuffled(spark):
     below_kernel = txt.split("MapInPandas")[-1]
     assert "Exchange" not in below_kernel, txt
     assert "Join" not in txt, txt
+
+
+def test_temporal_joins_avoid_cartesian(spark):
+    """j1/j2 must never plan a cartesian/broadcast-nested-loop product:
+    the as-of join is a window over a union (no join node at all); the
+    range join is an equi-join on (key, bucket)."""
+    from async_pipes_spark.plans.joins import j1_asof_attribution, j2_range_attribution
+
+    asof_txt = plan_text(j1_asof_attribution(spark, SF_SMOKE), mode="simple")
+    assert "CartesianProduct" not in asof_txt, asof_txt
+    assert "BroadcastNestedLoopJoin" not in asof_txt, asof_txt
+    assert "Window" in asof_txt, asof_txt
+
+    range_txt = plan_text(j2_range_attribution(spark, SF_SMOKE), mode="simple")
+    assert "CartesianProduct" not in range_txt, range_txt
+    assert "BroadcastNestedLoopJoin" not in range_txt, range_txt
+    # the bucket equi-join appears as a hash or sort-merge join
+    assert "Join" in range_txt, range_txt
