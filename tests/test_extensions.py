@@ -117,3 +117,31 @@ def test_media_resize_crops_and_pads(spark):
     assert bytes(rows[2].media.payload) == b"xy\0\0"  # padded
     assert all((r.width, r.height) == (2, 2) for r in rows.values())
     assert rows[1].media.media_type == "raw"
+
+def test_json_get_int_matches_general_parser(spark):
+    """The regex fast lane must agree with get_json_object on every
+    shape: flat single-key (fast lane), nested / multi-key / string /
+    whitespace variants / malformed (slow lane), missing key (NULL)."""
+    from async_pipes_spark.functions.json import json_get_int
+
+    rows = [
+        (1, '{"k": 42}'),
+        (2, '{"k": -7}'),
+        (3, '{"k": 1, "j": 2}'),
+        (4, '{ "k" : 3 }'),
+        (5, '{"k": {"nested": 9}}'),
+        (6, '{"k": "12"}'),
+        (7, '{"j": 5}'),
+        (8, 'not json'),
+        (9, None),
+        (10, '{"k": 3.5}'),
+        (11, '{"k": 9999999999}'),
+    ]
+    df = spark.createDataFrame(rows, "id: bigint, props: string")
+    got = df.select(
+        "id",
+        json_get_int("props", "k").alias("fast"),
+        F.get_json_object("props", "$.k").try_cast("int").alias("ref"),
+    ).collect()
+    for r in got:
+        assert r.fast == r.ref, f"id={r.id}: fast={r.fast} ref={r.ref}"
