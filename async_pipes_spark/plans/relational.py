@@ -148,6 +148,51 @@ def r8_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def r9_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped quantiles (quartiles of order value per status).
+
+    ``percentile`` is Spark's exact sort-based percentile; run over
+    BIGINT cents at p ∈ {.25,.5,.75} the interpolated result
+    (1-f)·x + f·y has f a multiple of 2^-2, so the double arithmetic is
+    exact and engine-independent (matches DuckDB ``percentile_cont``
+    bit-for-bit — no rounding canonicalization needed).
+
+    100 TB path: exact percentile sorts each group's values in memory;
+    switch to ``approx_percentile(c, p, accuracy)`` (mergeable
+    Greenwald-Khanna sketch, bounded memory) when groups stop fitting."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderstatus", cents("o_totalprice").alias("c"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.expr("percentile(c, 0.25)").alias("q1_cents"),
+            F.expr("percentile(c, 0.5)").alias("median_cents"),
+            F.expr("percentile(c, 0.75)").alias("q3_cents"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def r10_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: top-20 tokens by frequency across the corpus.
+
+    explode → count per token (map-side partial agg absorbs the token
+    Zipf skew: hot tokens pre-reduce in every task before the shuffle)
+    → global top-k compiles to TakeOrderedAndProject (per-partition
+    heaps, no full sort). 100 TB: same plan; if even the distinct-token
+    count explodes, pre-filter with a count-min/frequent-items sketch
+    pass and re-count only candidates."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(20)
+    )
+
+
 RELATIONAL_QUERIES = {
     "r1_rollup": r1_rollup,
     "r2_set_ops": r2_set_ops,
@@ -157,6 +202,8 @@ RELATIONAL_QUERIES = {
     "r6_anti_join": r6_anti_join,
     "r7_topk_per_group": r7_topk_per_group,
     "r8_having": r8_having,
+    "r9_quantiles": r9_quantiles,
+    "r10_heavy_hitters": r10_heavy_hitters,
 }
 
 RELATIONAL_ORACLES = {
@@ -219,5 +266,22 @@ RELATIONAL_ORACLES = {
         SELECT l_partkey, COUNT(*) AS n
         FROM lineitem GROUP BY l_partkey HAVING COUNT(*) > 40
         ORDER BY l_partkey
+    """,
+    "r9_quantiles": """
+        SELECT o_orderstatus,
+               percentile_cont(0.25) WITHIN GROUP (ORDER BY c) AS q1_cents,
+               percentile_cont(0.5)  WITHIN GROUP (ORDER BY c) AS median_cents,
+               percentile_cont(0.75) WITHIN GROUP (ORDER BY c) AS q3_cents,
+               COUNT(*) AS n
+        FROM (SELECT o_orderstatus,
+                     CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+              FROM orders)
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "r10_heavy_hitters": """
+        SELECT token, COUNT(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        WHERE token <> ''
+        GROUP BY token ORDER BY n DESC, token LIMIT 20
     """,
 }
