@@ -140,15 +140,28 @@ def minhash_signatures(
 def minhash_lsh_pairs(signatures: DataFrame) -> DataFrame:
     """LSH candidate pairs: docs sharing any band signature.
 
-    Self-join on (band, sig) — bucket-local, skew-safe; at 100 TB this
-    is the only join and its groups are collision sets, not the corpus.
+    Bucket formation is a groupBy on (band, sig) with the member list
+    collected and pairs expanded *inside* each bucket — not a
+    self-join: a self-join would evaluate the (expensive) signature
+    input twice and shuffle it twice, while this shape computes
+    signatures once and shuffles each signature row once. Collision
+    buckets are collision sets, not the corpus, so collect_list and
+    the quadratic in-bucket expansion are bounded and skew-safe; the
+    same pair from multiple agreeing bands is deduped by `distinct`.
     """
-    a = signatures.select(F.col("doc_id").alias("doc_a"), "band", "sig")
-    b = signatures.select(F.col("doc_id").alias("doc_b"), "band", "sig")
+    buckets = (
+        signatures.groupBy("band", "sig")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     return (
-        a.join(b, ["band", "sig"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        buckets.select(F.posexplode("ids").alias("i", "doc_a"), "ids")
+        .select(
+            "doc_a",
+            F.explode(
+                F.slice("ids", F.col("i") + 2, F.size("ids") - F.col("i") - 1)
+            ).alias("doc_b"),
+        )
         .distinct()
     )
 
@@ -237,11 +250,29 @@ def ngram_jaccard_pairs(
     sh = fan_out(df.select(id_col, text_col)).mapInPandas(
         kernel, "doc_id bigint, shingle string, n bigint"
     )
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle", F.col("n").alias("na"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle", F.col("n").alias("nb"))
+    # Pair generation happens inside each posting list (groupBy +
+    # collect + in-group expansion), not via a self-join: the join
+    # would evaluate the shingle kernel twice and shuffle the index
+    # twice for the same pair multiset. Posting lists here are
+    # overlap sets; a stop-shingle cutoff (drop lists above a length
+    # cap) is the standard guard if a corpus has degenerate hot
+    # shingles.
+    members = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list(F.struct(id_col, "n"))).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    pairs = members.select(F.posexplode("ms").alias("i", "a"), "ms").select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("a.n").alias("na"),
+        F.explode(
+            F.slice("ms", F.col("i") + 2, F.size("ms") - F.col("i") - 1)
+        ).alias("b"),
+    )
     return (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        pairs.select(
+            "doc_a", F.col("b.doc_id").alias("doc_b"), "na", F.col("b.n").alias("nb")
+        )
         .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("c"))
         .select(
