@@ -65,9 +65,47 @@ def j2_range_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("click_id", "purchase_id")
 
 
+def j3_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join (TPC-H Q5 shape): orders ⋈ customer ⋈
+    nation ⋈ region, revenue per nation for one region's customers.
+
+    nation/region are forced broadcasts (always tiny); the
+    customer-side join is left to AQE, which broadcasts at this scale
+    and falls back to a shuffle join when the filtered dimension
+    outgrows the threshold at 100 TB. Orders are pre-aggregated per
+    custkey BEFORE the join chain: the join then moves one row per
+    customer, not one per order."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(_cents("o_totalprice")).alias("cents")
+    )
+    dims = (
+        cust.join(
+            F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .select("c_custkey", "n_name")
+    )
+    return (
+        spend.join(dims, spend.o_custkey == dims.c_custkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.sum("cents").cast("decimal(20,0)") / 100)
+            .cast("decimal(18,2)")
+            .alias("revenue"),
+        )
+    )
+
+
 JOIN_QUERIES = {
     "j1_asof_attribution": j1_asof_attribution,
     "j2_range_attribution": j2_range_attribution,
+    "j3_revenue_by_nation": j3_revenue_by_nation,
 }
 
 JOIN_ORACLES = {
@@ -101,5 +139,20 @@ JOIN_ORACLES = {
         FROM clicks c LEFT JOIN w
           ON c.user_id = w.user_id AND c.ts BETWEEN w.w_start AND w.w_end
         ORDER BY click_id, purchase_id
+    """,
+    "j3_revenue_by_nation": """
+        WITH spend AS (
+            SELECT o_custkey,
+                   SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT n_name, COUNT(*) AS n_customers,
+               CAST(CAST(SUM(cents) AS DECIMAL(20,0)) / 100 AS DECIMAL(18,2)) AS revenue
+        FROM spend
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name ORDER BY n_name
     """,
 }

@@ -72,3 +72,29 @@ def test_temporal_joins_avoid_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in range_txt, range_txt
     # the bucket equi-join appears as a hash or sort-merge join
     assert "Join" in range_txt, range_txt
+
+
+def test_j3_star_join_broadcasts_and_preaggregates(spark):
+    """The Q5-shaped star join must broadcast every dimension at this
+    scale (no sort-merge join) and aggregate orders BEFORE joining —
+    the join moves one row per customer, never one per order."""
+    from async_pipes_spark.plans.joins import j3_revenue_by_nation
+
+    txt = plan_text(j3_revenue_by_nation(spark, SF_SMOKE), mode="simple")
+    assert txt.count("BroadcastHashJoin") >= 3, txt
+    assert "SortMergeJoin" not in txt, txt
+    # pre-aggregation: the per-custkey HashAggregate sits below the
+    # customer join (inside its build side), not above it
+    below_top_join = txt.split("BroadcastHashJoin", 1)[1]
+    assert "HashAggregate(keys=[o_custkey" in below_top_join, txt
+
+
+def test_d2_lsh_has_no_join(spark):
+    """LSH candidate pairs come from in-bucket expansion, not a
+    self-join — a join here would evaluate the signature kernel twice
+    (once per side) and double the shuffle."""
+    from async_pipes_spark.plans.extensions import EXTENSION_QUERIES
+
+    txt = plan_text(EXTENSION_QUERIES["d2_minhash_lsh_pairs"](spark, SF_SMOKE), mode="simple")
+    assert "Join" not in txt, txt
+    assert txt.count("MapInPandas") == 1, txt
