@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from async_pipes_spark.functions.json import json_get_int
-from async_pipes_spark.functions.money import cents, cents_to_dec, revenue_cents
+from async_pipes_spark.functions.money import cents, revenue_cents
 from async_pipes_spark.functions.vectors import micro_units
 from async_pipes_spark.operators.iterate import iterate_inplace
 from async_pipes_spark.sources.tables import load_table
@@ -32,7 +32,7 @@ def p1_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        cents_to_dec(revenue_cents("l_extendedprice", "l_discount"), "revenue"),
+        revenue_cents("l_extendedprice", "l_discount").alias("revenue_cents"),
     )
 
 
@@ -45,7 +45,7 @@ def p2_filter_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter((F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp")) & (F.col("l_quantity") > 30))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            cents_to_dec(F.sum(cents("l_quantity")), "qty"),
+            F.sum(cents("l_quantity")).alias("qty_cents"),
         )
     )
 
@@ -73,7 +73,7 @@ def p4_route_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return orders.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
-        cents_to_dec(F.sum(cents("o_totalprice")), "total"),
+        F.sum(cents("o_totalprice")).alias("total_cents"),
     )
 
 
@@ -94,7 +94,7 @@ def p6_map_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     map each record, fold into one total."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.agg(
-        cents_to_dec(F.sum(revenue_cents("l_extendedprice", "l_discount")), "total_revenue")
+        F.sum(revenue_cents("l_extendedprice", "l_discount")).alias("total_revenue_cents")
     )
 
 
@@ -121,7 +121,7 @@ def p7_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        cents_to_dec(F.sum(cents("o_totalprice")).over(w), "running"),
+        F.sum(cents("o_totalprice")).over(w).alias("running_cents"),
     )
 
 
@@ -163,7 +163,7 @@ def p9_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
         ).agg(
             F.count(F.lit(1)).alias("n"),
-            cents_to_dec(F.sum(cents("value")), "total"),
+            F.sum(cents("value")).alias("total_cents"),
         )
     )
 
@@ -254,12 +254,12 @@ def x6_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     spend = orders.groupBy("o_custkey").agg(
-        cents_to_dec(F.sum(cents("o_totalprice")), "spend")
+        F.sum(cents("o_totalprice")).alias("spend_cents")
     )
     return (
         spend.join(F.broadcast(cust), spend.o_custkey == cust.c_custkey)
-        .select("c_custkey", "c_name", "spend")
-        .orderBy(F.col("spend").desc(), F.col("c_custkey"))
+        .select("c_custkey", "c_name", "spend_cents")
+        .orderBy(F.col("spend_cents").desc(), F.col("c_custkey"))
         .limit(10)
     )
 

@@ -571,7 +571,7 @@ EXTENSION_ORACLES = {
     "s9_tumbling_stream": """
         SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w, event_type,
                COUNT(*) AS n,
-               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
         FROM events GROUP BY 1, 2 ORDER BY 1, 2
     """,
     "s10_sliding_stream": """

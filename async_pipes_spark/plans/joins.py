@@ -95,9 +95,7 @@ def j3_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            (F.sum("cents").cast("decimal(20,0)") / 100)
-            .cast("decimal(18,2)")
-            .alias("revenue"),
+            F.sum("cents").alias("revenue_cents"),
         )
     )
 
@@ -147,7 +145,7 @@ JOIN_ORACLES = {
             FROM orders GROUP BY o_custkey
         )
         SELECT n_name, COUNT(*) AS n_customers,
-               CAST(CAST(SUM(cents) AS DECIMAL(20,0)) / 100 AS DECIMAL(18,2)) AS revenue
+               CAST(SUM(cents) AS BIGINT) AS revenue_cents
         FROM spend
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey

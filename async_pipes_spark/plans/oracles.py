@@ -3,11 +3,15 @@
 Shared canonicalization contract with plans.declared (what makes the
 value-hash comparison exact across engines):
 
-- **Money**: inputs are exact 2-decimal doubles → ``CAST(x AS
-  DECIMAL(18,2))`` FIRST, all arithmetic in decimal space (exact),
-  results cast back to DECIMAL(18,2). Never round doubles: Spark and
-  DuckDB round doubles differently (HALF_UP on shortest-repr vs scaled
-  binary).
+- **Money**: inputs are exact 2-decimal doubles → carried and OUTPUT
+  as **BIGINT cents** (``CAST(FLOOR(x*100 + 0.5) AS BIGINT)`` per row;
+  conversion is exact for 2-decimal doubles). Integer outputs hash
+  identically across engines — DECIMAL outputs proved fragile in the
+  driver's canonicalization (trailing-zero cents stringify
+  differently), and BIGINT also skips the per-row BigDecimal collect
+  cost. Derived revenue uses the decimal-space ROUND for the oracle
+  (exact) × 100 → BIGINT; the Spark side computes the identical value
+  in pure long arithmetic (functions.money.revenue_cents).
 - **Floats** (embeddings, similarities): canonicalized to integer
   micro-units ``CAST(FLOOR(x*1000000 + 0.5) AS BIGINT)`` — pure
   IEEE-754 double ops, identical in both engines. Dot products use
@@ -24,13 +28,13 @@ DECLARED_ORACLES = {
         SELECT l_orderkey, l_linenumber,
                CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2))
                           * (1 - CAST(l_discount AS DECIMAL(18,2))), 2)
-                    AS DECIMAL(18,2)) AS revenue
+                    * 100 AS BIGINT) AS revenue_cents
         FROM lineitem
         ORDER BY l_orderkey, l_linenumber
     """,
     "p2_filter_fold": """
         SELECT COUNT(*) AS n,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS qty
+               CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS qty_cents
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_quantity > 30
     """,
@@ -44,7 +48,7 @@ DECLARED_ORACLES = {
     """,
     "p4_route_fold": """
         SELECT o_orderstatus, COUNT(*) AS n,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
         FROM orders
         GROUP BY o_orderstatus
         ORDER BY o_orderstatus
@@ -57,16 +61,17 @@ DECLARED_ORACLES = {
         )
     """,
     "p6_map_reduce": """
-        SELECT CAST(SUM(ROUND(CAST(l_extendedprice AS DECIMAL(18,2))
-                              * (1 - CAST(l_discount AS DECIMAL(18,2))), 2))
-                    AS DECIMAL(18,2)) AS total_revenue
+        SELECT CAST(SUM(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2))
+                                   * (1 - CAST(l_discount AS DECIMAL(18,2))), 2)
+                             * 100 AS BIGINT))
+                    AS BIGINT) AS total_revenue_cents
         FROM lineitem
     """,
     "p7_running_total": """
         SELECT o_custkey, o_orderkey,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (
                     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                    ROWS UNBOUNDED PRECEDING) AS DECIMAL(18,2)) AS running
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
         FROM orders
         ORDER BY o_custkey, o_orderkey
     """,
@@ -82,7 +87,7 @@ DECLARED_ORACLES = {
     "p9_tumbling_window": """
         SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w, event_type,
                COUNT(*) AS n,
-               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
         FROM events
         GROUP BY 1, 2
         ORDER BY 1, 2
@@ -142,10 +147,10 @@ DECLARED_ORACLES = {
     """,
     "x6_top_customers": """
         SELECT c.c_custkey, c.c_name,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS spend
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS spend_cents
         FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
         GROUP BY 1, 2
-        ORDER BY spend DESC, c.c_custkey
+        ORDER BY spend_cents DESC, c.c_custkey
         LIMIT 10
     """,
 }

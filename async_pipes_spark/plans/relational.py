@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from async_pipes_spark.functions.money import cents, cents_to_dec
+from async_pipes_spark.functions.money import cents
 from async_pipes_spark.sources.tables import load_table
 
 
@@ -23,7 +23,7 @@ def r1_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return orders.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
-        cents_to_dec(F.sum(cents("o_totalprice")), "total"),
+        F.sum(cents("o_totalprice")).alias("total_cents"),
     )
 
 
@@ -84,7 +84,7 @@ def r4_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
-        cents_to_dec(F.sum(cents("o_totalprice")), "total"),
+        F.sum(cents("o_totalprice")).alias("total_cents"),
     )
 
 
@@ -209,7 +209,7 @@ RELATIONAL_QUERIES = {
 RELATIONAL_ORACLES = {
     "r1_rollup": """
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
         FROM orders
         GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         ORDER BY o_orderstatus, o_orderpriority
@@ -233,7 +233,7 @@ RELATIONAL_ORACLES = {
     """,
     "r4_cube": """
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)
         ORDER BY o_orderstatus, o_orderpriority

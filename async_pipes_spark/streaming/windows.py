@@ -9,12 +9,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from async_pipes_spark.functions.money import cents, cents_to_dec
+from async_pipes_spark.functions.money import cents
 
 
 def tumbling_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Tumbling 1-hour counts/sums per event type over a streaming
-    events frame: (w, event_type, n, total).
+    events frame: (w, event_type, n, total_cents).
 
     Uses window() + watermark (state eviction at scale); the window
     start equals batch date_trunc('hour'). Complete-mode output when
@@ -24,10 +24,10 @@ def tumbling_counts_stream(events: DataFrame, watermark: str = "1 hour") -> Data
         .groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            cents_to_dec(F.sum(cents("value")), "total"),
+            F.sum(cents("value")).alias("total_cents"),
         )
     )
-    return w.select(F.col("window.start").alias("w"), "event_type", "n", "total")
+    return w.select(F.col("window.start").alias("w"), "event_type", "n", "total_cents")
 
 
 def sliding_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
