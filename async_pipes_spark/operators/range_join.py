@@ -39,28 +39,28 @@ def range_join(
     if overlap:
         raise ValueError(f"column collision between sides: {sorted(overlap)}")
 
-    bucket = lambda c: F.floor(F.unix_micros(F.col(c)) / (bucket_seconds * 1_000_000))  # noqa: E731
-    p = points.withColumn("_pb", bucket(point_ts))
+    bucket = lambda c: F.floor(F.unix_micros(c) / (bucket_seconds * 1_000_000))  # noqa: E731
+    # Explicit side aliases: both frames often share lineage (two
+    # filters of one scan), and bare p[col] == i[col] on same-named
+    # columns degenerates to an ambiguity-fragile trivially-true
+    # predicate in that case. Qualified names are unambiguous.
+    p = points.withColumn("_pb", bucket(F.col(point_ts))).alias("_p")
     i = intervals.withColumn(
-        "_ib", F.explode(F.sequence(bucket(start_ts), bucket(end_ts)))
+        "_ib", F.explode(F.sequence(bucket(F.col(start_ts)), bucket(F.col(end_ts))))
+    ).alias("_i")
+    cond = F.col("_p._pb") == F.col("_i._ib")
+    if by:
+        cond &= F.col(f"_p.{by}") == F.col(f"_i.{by}")
+    # The exact range predicate lives IN the join condition (not a
+    # post-filter): 'left' is then a native left outer join — unmatched
+    # points surface with null interval columns in the same pass, with
+    # no second points scan, no full-row distinct, and no null-equality
+    # pitfalls (a matched row containing NULLs is never re-emitted).
+    cond &= (F.col(f"_p.{point_ts}") >= F.col(f"_i.{start_ts}")) & (
+        F.col(f"_p.{point_ts}") <= F.col(f"_i.{end_ts}")
     )
-    on = [p["_pb"] == i["_ib"]] + ([p[by] == i[by]] if by else [])
-    joined = p.join(i, on, "inner").filter(
-        (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) <= F.col(end_ts))
+    joined = p.join(i, cond, how)
+    return joined.select(
+        *[F.col(f"_p.{c}").alias(c) for c in points.columns],
+        *[F.col(f"_i.{c}").alias(c) for c in intervals.columns if c != by],
     )
-    out_cols = points.columns + [c for c in intervals.columns if c != by]
-    matched = joined.select(*[p[c] for c in points.columns],
-                            *[i[c] for c in intervals.columns if c != by])
-    if how == "inner":
-        return matched
-    # left: anti-join the matched point ids back in with null intervals
-    matched_keys = matched.select(*points.columns).distinct()
-    unmatched = points.join(matched_keys, points.columns, "left_anti").select(
-        *points.columns,
-        *[
-            F.lit(None).cast(dict(intervals.dtypes)[c]).alias(c)
-            for c in intervals.columns
-            if c != by
-        ],
-    )
-    return matched.select(*out_cols).unionByName(unmatched)

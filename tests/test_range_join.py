@@ -89,3 +89,53 @@ def test_range_join_small_buckets_same_result(spark):
         ).collect()
     )
     assert got == _want("inner")
+
+
+def test_range_join_left_null_payload_not_duplicated(spark):
+    """Regression: a matched point carrying a NULL column must appear
+    exactly once. (The old implementation recovered unmatched points
+    with a null-unsafe anti-join on all columns, so NULL-bearing
+    matched rows were re-emitted as unmatched.)"""
+    from async_pipes_spark.operators.range_join import range_join
+
+    p = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "user": [1, 1],
+                "ts": [ts(5), ts(200)],
+                "note": [None, None],  # NULL in every point row
+                "pid": [10, 11],
+            }
+        )
+    )
+    i = spark.createDataFrame(INTERVALS)
+    got = sorted(
+        (r.pid, r.iid)
+        for r in range_join(p, i, "ts", "start", "end", by="user", how="left").collect()
+    )
+    # pid 10 matches interval 100 (0-60); pid 11 matches nothing
+    assert got == [(10, 100), (11, None)]
+
+
+def test_range_join_shared_lineage_sides(spark):
+    """Both sides filtered from ONE parent frame (the j2 shape, where
+    unaliased p[by] == i[by] degenerates to a trivially-true self
+    equality): aliased sides must still join on the key correctly."""
+    from pyspark.sql import functions as F
+
+    from async_pipes_spark.operators.range_join import range_join
+
+    base = pd.concat(
+        [
+            POINTS.assign(kind="p", start=None, end=None, iid=None),
+            INTERVALS.assign(kind="i", ts=None, pid=None),
+        ]
+    )[["kind", "user", "ts", "pid", "start", "end", "iid"]]
+    parent = spark.createDataFrame(base)
+    p = parent.filter(F.col("kind") == "p").select("user", "ts", "pid")
+    i = parent.filter(F.col("kind") == "i").select("user", "start", "end", "iid")
+    got = sorted(
+        (r.pid, r.iid)
+        for r in range_join(p, i, "ts", "start", "end", by="user").collect()
+    )
+    assert got == _want("inner")
