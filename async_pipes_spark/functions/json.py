@@ -41,7 +41,10 @@ def json_get_int(col: str | Column, key: str) -> Column:
     a regex fast lane for the flat single-key shape ``{"key": N}``.
     """
     c = F.col(col) if isinstance(col, str) else col
-    pattern = r'^\{"%s": (-?\d+)\}$' % re.escape(key)
+    # capture only VALID JSON integers (no leading zeros): `{"k": 007}`
+    # is malformed JSON and must fall through to get_json_object, which
+    # returns NULL for it — the lanes must agree on every input
+    pattern = r'^\{"%s": (-?(?:0|[1-9]\d*))\}$' % re.escape(key)
     return F.coalesce(
         F.regexp_extract(c, pattern, 1).try_cast("int"),
         F.get_json_object(c, f"$.{key}").try_cast("int"),

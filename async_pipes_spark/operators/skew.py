@@ -41,14 +41,23 @@ def salted_aggregate(
     unknown = [fn for fn, _, _ in aggs if fn not in _PARTIAL]
     if unknown:
         raise ValueError(f"non-algebraic aggregate(s) cannot be salted: {unknown}")
-    salt = F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(num_salts)).alias("_salt")
+    # The salt must be deterministic under task retries: after a
+    # shuffle-fetch failure, recomputed map tasks must assign each row
+    # to the SAME salt group, or partials are lost/double-counted.
+    # Hash of row content + partition id is retry-stable (lineage
+    # recomputes identical partitions) — monotonically_increasing_id
+    # is not. The partition id term keeps identical hot rows spread
+    # across salts instead of collapsing onto one.
+    value_cols = sorted({col for _, col, _ in aggs if col in df.columns and col not in keys})
+    salt = F.pmod(
+        F.hash(*keys, *value_cols, F.spark_partition_id()), F.lit(num_salts)
+    ).alias("_salt")
     partial_cols: list[Column] = [
         _PARTIAL[fn](col).alias(f"_p_{alias}") for fn, col, alias in aggs
     ]
     combine_cols: list[Column] = [
         _COMBINE[fn](f"_p_{alias}").alias(alias) for fn, _, alias in aggs
     ]
-    value_cols = sorted({col for _, col, _ in aggs if col in df.columns and col not in keys})
     return (
         df.select(*keys, salt, *value_cols)
         .groupBy(*keys, "_salt")

@@ -136,6 +136,9 @@ def test_json_get_int_matches_general_parser(spark):
         (9, None),
         (10, '{"k": 3.5}'),
         (11, '{"k": 9999999999}'),
+        (12, '{"k": 007}'),  # leading zeros = malformed JSON → NULL
+        (13, '{"k": -0}'),
+        (14, '{"k": 0}'),
     ]
     df = spark.createDataFrame(rows, "id: bigint, props: string")
     got = df.select(
