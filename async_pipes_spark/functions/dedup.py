@@ -34,6 +34,36 @@ from async_pipes_spark.operators.partitioning import fan_out
 DEFAULT_NUM_HASHES = 8
 DEFAULT_BAND_SIZE = 2
 DEFAULT_SHINGLE = 3
+#: Hot-group guards: LSH buckets / shingle posting lists above these
+#: sizes are dropped before pair expansion. A degenerate corpus (one
+#: shingle in every doc, or a corpus of identical docs) otherwise
+#: funnels O(corpus) rows into ONE collect_list group → single-task
+#: OOM, and O(n²) pair expansion behind it.
+DEFAULT_MAX_BUCKET_SIZE = 10_000
+DEFAULT_MAX_POSTING_LEN = 1_000
+
+
+def _drop_hot_groups(rows: DataFrame, group_cols: list[str], cap: int) -> DataFrame:
+    """Remove all rows belonging to groups larger than ``cap``.
+
+    Two passes over a persisted input: a count-only aggregation finds
+    hot keys (bounded: ≤ |rows|/cap keys can exceed the cap, so the
+    hot list is always tiny and broadcastable), then a broadcast
+    left_anti join filters them out. The persist keeps kernel-backed
+    inputs (mapInPandas shingles/signatures) computed ONCE — the
+    broadcast side materializes first and populates the cache, the
+    probe side reads it back. MEMORY_AND_DISK: spills instead of
+    evicting at scale."""
+    from pyspark import StorageLevel
+
+    rows = rows.persist(StorageLevel.MEMORY_AND_DISK)
+    hot = (
+        rows.groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > cap)
+        .select(*group_cols)
+    )
+    return rows.join(F.broadcast(hot), group_cols, "left_anti")
 
 
 def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -137,7 +167,10 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(signatures: DataFrame) -> DataFrame:
+def minhash_lsh_pairs(
+    signatures: DataFrame,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
     """LSH candidate pairs: docs sharing any band signature.
 
     Bucket formation is a groupBy on (band, sig) with the member list
@@ -145,10 +178,17 @@ def minhash_lsh_pairs(signatures: DataFrame) -> DataFrame:
     self-join: a self-join would evaluate the (expensive) signature
     input twice and shuffle it twice, while this shape computes
     signatures once and shuffles each signature row once. Collision
-    buckets are collision sets, not the corpus, so collect_list and
-    the quadratic in-bucket expansion are bounded and skew-safe; the
+    buckets are exact-signature collision sets, normally tiny; the
     same pair from multiple agreeing bands is deduped by `distinct`.
-    """
+
+    ``max_bucket_size`` guards the degenerate corpus (huge families of
+    identical docs): buckets above the cap are dropped BEFORE the
+    member-list collect, bounding both the single-task list size and
+    the quadratic expansion. Oversized buckets are near-exact dup
+    families — run ``exact_dup_groups``/``fingerprint_dup_groups``
+    first; those catch them in one linear pass. ``None`` disables."""
+    if max_bucket_size is not None:
+        signatures = _drop_hot_groups(signatures, ["band", "sig"], max_bucket_size)
     buckets = (
         signatures.groupBy("band", "sig")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
@@ -211,6 +251,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = DEFAULT_SHINGLE,
+    max_posting_len: int | None = DEFAULT_MAX_POSTING_LEN,
 ) -> DataFrame:
     """Exact n-gram Jaccard for every doc pair sharing ≥1 shingle:
     (doc_a, doc_b, jac_micro).
@@ -253,10 +294,15 @@ def ngram_jaccard_pairs(
     # Pair generation happens inside each posting list (groupBy +
     # collect + in-group expansion), not via a self-join: the join
     # would evaluate the shingle kernel twice and shuffle the index
-    # twice for the same pair multiset. Posting lists here are
-    # overlap sets; a stop-shingle cutoff (drop lists above a length
-    # cap) is the standard guard if a corpus has degenerate hot
-    # shingles.
+    # twice for the same pair multiset. ``max_posting_len`` is the
+    # stop-shingle cutoff: posting lists above the cap are dropped
+    # before the collect (hot shingles carry no discriminative signal
+    # and would otherwise put O(corpus) rows in one group). Dropping a
+    # shingle removes it from intersection counts only — denominators
+    # ride on the doc rows — so Jaccard for pairs sharing it is
+    # underestimated, the standard stop-shingle trade-off.
+    if max_posting_len is not None:
+        sh = _drop_hot_groups(sh, ["shingle"], max_posting_len)
     members = (
         sh.groupBy("shingle")
         .agg(F.sort_array(F.collect_list(F.struct(id_col, "n"))).alias("ms"))

@@ -11,26 +11,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-#: Sources whose Catalyst-estimated size is below this are candidates
-#: for fan-out (a small table usually means few row groups → few scan
-#: partitions → idle cores in the downstream compute).
-SMALL_SOURCE_BYTES = 1 << 30
-
-
 def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
-    """Repartition a DataFrame up to cluster parallelism IF Catalyst
-    estimates it small; no-op (no shuffle) on large inputs — so this is
-    safe to leave in 100 TB paths, where scans arrive with thousands of
-    partitions and skip the extra shuffle entirely.
+    """Repartition a DataFrame up to cluster parallelism IF it is
+    under-partitioned; no-op (no shuffle) when the input already has
+    enough partitions — so this is safe to leave in 100 TB paths, where
+    scans arrive with thousands of partitions and skip the extra
+    shuffle entirely.
 
-    Uses optimizer statistics (no job, no RDD conversion): an
-    under-estimating stat only costs a tiny extra shuffle."""
+    The signal is the plan's actual partition count (public
+    ``df.rdd.getNumPartitions()`` — plan conversion only, no job): the
+    problem fan_out solves IS low partition count feeding a
+    compute-heavy stage, so measuring partitions directly beats
+    guessing from size statistics."""
     sc = df.sparkSession.sparkContext
     target = partitions or sc.defaultParallelism
     try:
-        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        current = df.rdd.getNumPartitions()
     except Exception:
-        size = SMALL_SOURCE_BYTES  # stats unavailable → assume small
-    if size >= SMALL_SOURCE_BYTES:
+        current = 1  # conversion unavailable → assume under-partitioned
+    if current >= target:
         return df
     return df.repartition(target)

@@ -161,3 +161,43 @@ def test_iterate_inplace_converges_and_guards(spark):
             max_iterations=4,
             unroll=2,
         )
+
+
+def test_lsh_hot_bucket_cap_drops_degenerate_buckets(spark):
+    """Degenerate corpus (many identical docs): the bucket cap must
+    drop the oversized collision bucket pre-collect; uncapped, the
+    full quadratic pair set comes back."""
+    from async_pipes_spark.functions.dedup import minhash_lsh_pairs, minhash_signatures
+
+    docs = spark.createDataFrame(
+        [(i, "the same exact document text every time") for i in range(6)],
+        "doc_id: bigint, text: string",
+    )
+    sigs = minhash_signatures(docs)
+    capped = minhash_lsh_pairs(sigs, max_bucket_size=3).collect()
+    assert capped == []  # every bucket holds all 6 docs -> dropped
+    uncapped = minhash_lsh_pairs(sigs, max_bucket_size=None).collect()
+    assert len(uncapped) == 15  # C(6,2)
+
+
+def test_ngram_jaccard_posting_cap_drops_stop_shingles(spark):
+    """A stop-shingle present in every doc must be dropped by the
+    posting-list cap: pairs whose ONLY overlap was the hot shingle
+    disappear; pairs with other overlap survive (underestimated)."""
+    from async_pipes_spark.functions.dedup import ngram_jaccard_pairs
+
+    common = "alpha beta gamma"  # one shared 3-shingle across all docs
+    docs = spark.createDataFrame(
+        [
+            (1, common + " one two three"),
+            (2, common + " four five six"),
+            (3, common + " one two three"),  # doc 3 overlaps doc 1 beyond the stop-shingle
+            (4, common + " seven eight nine"),
+        ],
+        "doc_id: bigint, text: string",
+    )
+    uncapped = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(docs, max_posting_len=None).collect()}
+    assert (1, 2) in uncapped and (1, 3) in uncapped  # all pairs share the common shingle
+    capped = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(docs, max_posting_len=3).collect()}
+    assert (1, 3) in capped  # real overlap survives
+    assert (1, 2) not in capped and (1, 4) not in capped  # stop-shingle-only pairs dropped
