@@ -149,6 +149,63 @@ def ivf_assign(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    k: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_sample: int = 100_000,
+    iters: int = 10,
+    seed: int = 13,
+) -> DataFrame:
+    """Sampled-KMeans IVF centroids — the production centroid source
+    (the query operators default to a deterministic id-prefix only so
+    the SQL oracles can replicate the assignment).
+
+    ``k`` defaults to ~sqrt(corpus) (the standard IVF sizing: cells of
+    ~sqrt(n) vectors keep probe cost and cell skew balanced as the
+    corpus grows — THIS is what makes cell size scale-honest). Lloyd's
+    iterations run driver-side over a bounded reservoir of at most
+    ``max_sample`` vectors (sampling a KMeans training set is the
+    standard IVF construction; the full corpus never leaves the
+    cluster), then the centers are returned as a small DataFrame with
+    ids 0..k-1, ready for :func:`ivf_assign`. Deterministic for a
+    fixed (corpus, seed)."""
+    import numpy as np
+
+    n = corpus.count()
+    if n == 0:
+        raise ValueError("cannot build centroids from an empty corpus")
+    if k is None:
+        k = max(1, min(int(n**0.5), 65_536))
+    frac = min(1.0, (max_sample * 1.05) / n)
+    rows = (
+        corpus.select(vec_col).sample(fraction=frac, seed=seed).limit(max_sample).collect()
+    )
+    X = np.array([np.asarray(r[0], dtype=np.float32) for r in rows], dtype=np.float32)
+    if len(X) < k:
+        raise ValueError(f"sample of {len(X)} vectors cannot seed {k} centroids")
+    rng = np.random.default_rng(seed)
+    centers = X[rng.choice(len(X), size=k, replace=False)].astype(np.float64)
+    Xd = X.astype(np.float64)
+    xsq = (Xd**2).sum(axis=1)
+    for _ in range(iters):
+        # ||x-c||² = ||x||² - 2x·c + ||c||² — matmul form keeps memory
+        # at O(sample × k), never O(sample × k × dim)
+        d2 = xsq[:, None] - 2.0 * (Xd @ centers.T) + (centers**2).sum(axis=1)[None, :]
+        lbl = d2.argmin(axis=1)
+        sums = np.zeros_like(centers)
+        np.add.at(sums, lbl, Xd)
+        counts = np.bincount(lbl, minlength=k).astype(np.float64)
+        nonempty = counts > 0
+        centers[nonempty] = sums[nonempty] / counts[nonempty, None]
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        [(i, [float(x) for x in centers[i]]) for i in range(k)],
+        f"{id_col} bigint, {vec_col} array<float>",
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     num_centroids: int,
@@ -159,9 +216,20 @@ def ivf_topk(
 ) -> DataFrame:
     """Approximate top-k: search only the query's IVF cell.
 
-    Centroids = the ``num_centroids`` lowest-id vectors (deterministic;
-    swap for KMeans centers in production). ``queries_filter`` is a
-    Column predicate selecting query vectors."""
+    Centroids = the ``num_centroids`` lowest-id vectors (deterministic
+    so the DuckDB oracle can replicate the assignment; swap in
+    :func:`kmeans_centroids` for production). ``queries_filter`` is a
+    Column predicate selecting query vectors.
+
+    Scale shape: ONE fused kernel pass, zero shuffles of the corpus.
+    The centroid block and the (bounded, by contract) query block —
+    with the queries' own cell assignments precomputed driver-side —
+    are closed over by a ``mapInPandas`` kernel; each Arrow batch
+    computes its rows' cells and their sims against only the queries
+    of the matching cell. Per-task memory is O(|queries| × batch), so
+    a popular cell never lands in a single task — the failure mode of
+    the earlier groupBy(cell).applyInPandas formulation, whose group
+    size was corpus/num_centroids."""
     import numpy as np
     import pandas as pd
 
@@ -171,39 +239,50 @@ def ivf_topk(
         seq_f32_self_dots,
     )
 
-    centroids = corpus.filter(F.col(id_col) < num_centroids)
-    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
-    marked = assigned.withColumn("_is_q", queries_filter(F.col("vec_id")))
+    cent_rows = sorted(
+        corpus.filter(F.col(id_col) < num_centroids)
+        .select(id_col, vec_col)
+        .collect(),
+        key=lambda r: r[0],
+    )
+    cent_ids = np.array([r[0] for r in cent_rows], dtype=np.int64)
+    Cm = np.array([np.asarray(r[1], dtype=np.float32) for r in cent_rows])
+    cn = np.sqrt(seq_f32_self_dots(Cm).astype(np.float64))
 
-    def cell_sims(pdf: pd.DataFrame) -> pd.DataFrame:
-        isq = pdf["_is_q"].to_numpy(dtype=bool)
-        if not isq.any():
-            return pd.DataFrame(
+    def assign_np(V: "np.ndarray") -> "np.ndarray":
+        vn = np.sqrt(seq_f32_self_dots(V).astype(np.float64))
+        sim = seq_f32_dots(V, Cm).astype(np.float64) / (vn[:, None] * cn[None, :])
+        return cent_ids[micro_units_np(sim).argmax(axis=1)]
+
+    q_rows = corpus.filter(queries_filter(F.col(id_col))).select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Qm = np.array([np.asarray(r[1], dtype=np.float32) for r in q_rows])
+    q_cells = assign_np(Qm)
+    qn = np.sqrt(seq_f32_self_dots(Qm).astype(np.float64))
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float32, copy=False)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            cells = assign_np(V)
+            vn = np.sqrt(seq_f32_self_dots(V).astype(np.float64))
+            sim = seq_f32_dots(V, Qm).astype(np.float64) / (vn[:, None] * qn[None, :])
+            micro = micro_units_np(sim)
+            same_cell = cells[:, None] == q_cells[None, :]
+            ri, qi = np.nonzero(same_cell)
+            out = pd.DataFrame(
                 {
-                    "q_id": np.empty(0, np.int64),
-                    "c_id": np.empty(0, np.int64),
-                    "sim_micro": np.empty(0, np.int64),
+                    "q_id": q_ids[qi],
+                    "c_id": ids[ri],
+                    "sim_micro": micro[ri, qi],
                 }
             )
-        V = np.stack(pdf["embedding"].to_numpy()).astype(np.float32, copy=False)
-        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-        nrm = np.sqrt(seq_f32_self_dots(V).astype(np.float64))
-        sim = seq_f32_dots(V[isq], V).astype(np.float64) / (
-            nrm[isq, None] * nrm[None, :]
-        )
-        micro = micro_units_np(sim)
-        m, n = micro.shape
-        out = pd.DataFrame(
-            {
-                "q_id": np.repeat(ids[isq], n),
-                "c_id": np.tile(ids, m),
-                "sim_micro": micro.ravel(),
-            }
-        )
-        return out[out.q_id != out.c_id]
+            yield out[out.q_id != out.c_id]
 
-    sims = marked.groupBy("cell").applyInPandas(
-        cell_sims, "q_id bigint, c_id bigint, sim_micro bigint"
+    sims = corpus.select(id_col, vec_col).mapInPandas(
+        kernel, "q_id bigint, c_id bigint, sim_micro bigint"
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim_micro").desc(), F.col("c_id"))
     return (
@@ -218,15 +297,32 @@ def embedding_near_dups(
     threshold_micro: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    num_centroids: int = 8,
+    block_size: int = 4096,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above a similarity
     threshold (micro-units): (id_a, id_b, sim_micro).
 
-    Written as cell-bucketed candidate generation (IVF cells) so only
-    same-cell pairs are compared — the scalable analogue of
-    all-pairs; near-dups land in the same cell with high probability."""
+    Cell-bucketed candidate generation (IVF cells) so only same-cell
+    pairs are compared; near-dups land in the same cell with high
+    probability. In-cell pair generation is BLOCKED: cells larger than
+    ``block_size`` are hash-split into nb = ceil(|cell|/block_size)
+    blocks and every block pair (bi ≤ bj) becomes its own task, so
+    per-task memory is O(block_size) no matter how hot a cell is —
+    never one pandas frame per cell. The result set is identical for
+    any blocking (every pair lands in exactly one tile); at the oracle
+    scale every cell fits one block and the plan degenerates to the
+    unblocked shape. Cell sizes come from a count-only pass over the
+    persisted assignment, so the assignment kernel runs once.
+
+    ``num_centroids`` defaults to the oracle's deterministic 8-prefix;
+    production: pass ``kmeans_centroids`` output size ~ sqrt(corpus)
+    so cells stay small and blocking rarely engages."""
+    import math
+
     import numpy as np
     import pandas as pd
+    from pyspark import StorageLevel
 
     from async_pipes_spark.functions.vectors_np import (
         micro_units_np,
@@ -234,27 +330,83 @@ def embedding_near_dups(
         seq_f32_self_dots,
     )
 
-    centroids = corpus.filter(F.col(id_col) < 8)
-    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    centroids = corpus.filter(F.col(id_col) < num_centroids)
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    spark = corpus.sparkSession
+    sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    nb_rows = [(int(r["cell"]), max(1, math.ceil(r["n"] / block_size))) for r in sizes]
+    nb_df = F.broadcast(spark.createDataFrame(nb_rows or [(0, 1)], "cell bigint, nb int"))
 
-    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+    # row in block b joins every tile (i≤b, b) and (b, j>b): nb tiles
+    # per row — the standard O(n·nb) duplication that buys bounded
+    # tiles. Interpreted HOFs are fine here: the arrays are nb-element.
+    blocked = (
+        assigned.join(nb_df, "cell")
+        .withColumn("b", F.pmod(F.hash(F.col("vec_id")), F.col("nb")))
+        .withColumn(
+            "tile",
+            F.explode(
+                F.concat(
+                    F.transform(
+                        F.sequence(F.lit(0), F.col("b")),
+                        lambda i: F.struct(i.alias("bi"), F.col("b").alias("bj")),
+                    ),
+                    F.transform(
+                        F.when(
+                            F.col("b") < F.col("nb") - 1,
+                            F.sequence(F.col("b") + 1, F.col("nb") - 1),
+                        ).otherwise(F.array().cast("array<int>")),
+                        lambda j: F.struct(F.col("b").alias("bi"), j.alias("bj")),
+                    ),
+                )
+            ),
+        )
+        .select("cell", F.col("tile.bi").alias("bi"), F.col("tile.bj").alias("bj"), "b", "vec_id", "embedding")
+    )
+
+    def tile_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": np.empty(0, np.int64),
+                "id_b": np.empty(0, np.int64),
+                "sim_micro": np.empty(0, np.int64),
+            }
+        )
+        bi, bj = int(pdf["bi"].iloc[0]), int(pdf["bj"].iloc[0])
         pdf = pdf.sort_values("vec_id")
         V = np.stack(pdf["embedding"].to_numpy()).astype(np.float32, copy=False)
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
         nrm = np.sqrt(seq_f32_self_dots(V).astype(np.float64))
+        if bi == bj:
+            micro = micro_units_np(
+                seq_f32_dots(V, V).astype(np.float64) / (nrm[:, None] * nrm[None, :])
+            )
+            iu, ju = np.triu_indices(len(ids), k=1)  # ids sorted → id_a < id_b
+            keep = micro[iu, ju] >= threshold_micro
+            return pd.DataFrame(
+                {
+                    "id_a": ids[iu[keep]],
+                    "id_b": ids[ju[keep]],
+                    "sim_micro": micro[iu[keep], ju[keep]],
+                }
+            )
+        mask_a = pdf["b"].to_numpy() == bi
+        mask_b = ~mask_a
+        if not mask_a.any() or not mask_b.any():
+            return empty
         micro = micro_units_np(
-            seq_f32_dots(V, V).astype(np.float64) / (nrm[:, None] * nrm[None, :])
+            seq_f32_dots(V[mask_a], V[mask_b]).astype(np.float64)
+            / (nrm[mask_a, None] * nrm[None, mask_b])
         )
-        iu, ju = np.triu_indices(len(ids), k=1)  # ids sorted → id_a < id_b
-        keep = micro[iu, ju] >= threshold_micro
+        ai, bi_idx = np.nonzero(micro >= threshold_micro)
+        a_ids, b_ids = ids[mask_a][ai], ids[mask_b][bi_idx]
+        lo, hi = np.minimum(a_ids, b_ids), np.maximum(a_ids, b_ids)
         return pd.DataFrame(
-            {
-                "id_a": ids[iu[keep]],
-                "id_b": ids[ju[keep]],
-                "sim_micro": micro[iu[keep], ju[keep]],
-            }
+            {"id_a": lo, "id_b": hi, "sim_micro": micro[ai, bi_idx]}
         )
 
-    return assigned.groupBy("cell").applyInPandas(
-        cell_pairs, "id_a bigint, id_b bigint, sim_micro bigint"
+    return blocked.groupBy("cell", "bi", "bj").applyInPandas(
+        tile_pairs, "id_a bigint, id_b bigint, sim_micro bigint"
     )

@@ -201,3 +201,44 @@ def test_ngram_jaccard_posting_cap_drops_stop_shingles(spark):
     capped = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(docs, max_posting_len=3).collect()}
     assert (1, 3) in capped  # real overlap survives
     assert (1, 2) not in capped and (1, 4) not in capped  # stop-shingle-only pairs dropped
+
+
+def test_near_dup_tiling_is_blocking_invariant(spark):
+    """Forcing multi-block cells (tiny block_size) must return exactly
+    the single-tile result: every pair lands in one tile regardless of
+    blocking. This is the bounded-per-task scale path for hot cells."""
+    from async_pipes_spark.functions.similarity import embedding_near_dups
+    from async_pipes_spark.sources.tables import load_table
+
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    one_tile = {
+        (r.id_a, r.id_b, r.sim_micro)
+        for r in embedding_near_dups(emb, 350_000, block_size=1 << 20).collect()
+    }
+    tiled = {
+        (r.id_a, r.id_b, r.sim_micro)
+        for r in embedding_near_dups(emb, 350_000, block_size=16).collect()
+    }
+    assert tiled == one_tile and len(one_tile) > 0
+
+
+def test_kmeans_centroids_deterministic_and_usable(spark):
+    """Same (corpus, seed) → identical centers; output plugs into
+    ivf_assign and covers every corpus vector with a cell."""
+    from async_pipes_spark.functions.similarity import ivf_assign, kmeans_centroids
+    from async_pipes_spark.sources.tables import load_table
+
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    c1 = kmeans_centroids(emb, k=7, iters=3).collect()
+    c2 = kmeans_centroids(emb, k=7, iters=3).collect()
+    assert [r.embedding for r in sorted(c1, key=lambda r: r.vec_id)] == [
+        r.embedding for r in sorted(c2, key=lambda r: r.vec_id)
+    ]
+    assigned = ivf_assign(emb, kmeans_centroids(emb, k=7, iters=3))
+    n = emb.count()
+    assert assigned.count() == n
+    assert assigned.filter(assigned.cell.isNull()).count() == 0
