@@ -246,6 +246,39 @@ def s10_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(sliding_counts_stream(ev))
 
 
+def s11_orders_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4's streaming twin on a NON-events table: stream_table is
+    schema-driven, so the orders stream needs no hand-written schema.
+    Complete-mode groupBy fold, quiesced with availableNow."""
+    from async_pipes_spark.functions.money import cents
+    from async_pipes_spark.streaming.run import run_available_now, stream_table
+
+    orders = stream_table(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents("o_totalprice")).alias("total_cents"),
+    )
+    return run_available_now(agg)
+
+
+def s12_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup statistics over the documents table: per-lang
+    doc and distinct-text counts. Stateful streaming distinct is the
+    (lang, md5) groupBy; the per-lang rollup of the quiesced result is
+    a batch agg (one stateful agg per streaming query)."""
+    from async_pipes_spark.streaming.run import run_available_now, stream_table
+
+    docs = stream_table(spark, sf_dir, "documents")
+    per_hash = docs.groupBy("lang", F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    sunk = run_available_now(per_hash)
+    return sunk.groupBy("lang").agg(
+        F.sum("n").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_unique"),
+    )
+
+
 def s5_stateful_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming stage (applyInPandasWithState): per-
     user running fold; final state equals the batch fold."""
@@ -278,6 +311,8 @@ EXTENSION_QUERIES = {
     "s10_sliding_stream": s10_sliding_stream,
     "s4_session_stream": s4_session_stream,
     "s5_stateful_fold": s5_stateful_fold,
+    "s11_orders_stream": s11_orders_stream,
+    "s12_documents_stream": s12_documents_stream,
 }
 
 
@@ -604,5 +639,15 @@ EXTENSION_ORACLES = {
         SELECT user_id, COUNT(*) AS n,
                CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
         FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    "s11_orders_stream": """
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "s12_documents_stream": """
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique
+        FROM documents GROUP BY lang ORDER BY lang
     """,
 }

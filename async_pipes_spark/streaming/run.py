@@ -23,25 +23,26 @@ from pyspark.sql import functions as F
 
 from async_pipes_spark.session import ensure_engine_confs
 
-EVENTS_STREAM_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, "
-    "value double, props string"
-)
-
-
 def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """File-source streaming read of one synthetic table (the file
+    """File-source streaming read of ANY synthetic table (the file
     stream source needs a directory, so we glob-filter inside sf_dir).
-    ``events.ts`` gets the same ns→µs conversion as the batch reader."""
+
+    Schema-driven, like the reference's table-agnostic unbounded
+    producers (src/pipeline/builder.rs:96-119): the file stream source
+    requires an explicit schema, which we take from a one-footer batch
+    read of the same file — no hand-maintained per-table schemas.
+    ``events.ts`` gets the same ns→µs conversion as the batch reader
+    so streaming twins agree with batch oracles byte-for-byte."""
     ensure_engine_confs(spark)
-    if name != "events":
-        raise NotImplementedError("streaming reads are defined for the events table")
+    raw_schema = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
     df = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", f"{name}.parquet")
         .parquet(sf_dir)
     )
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
 
 
 def run_available_now(
