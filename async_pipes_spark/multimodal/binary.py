@@ -5,12 +5,15 @@ metadata struct; heavy per-item work (decode, resize, frame-sample,
 feature-extract) runs in Arrow-batched ``mapInPandas`` — bytes never
 round-trip through Python row-at-a-time.
 
-The actual codec step is STUBBED (this environment has no image/audio
-libraries): :func:`_decode_stub` raises ``NotImplementedError`` for
-real codecs and provides a deterministic fake for ``raw`` payloads so
-the Spark-side plumbing — schema, batch shape, UDF signature,
-partitioning — is fully real and tested. Swap ``_decode_stub`` for a
-PIL/ffmpeg call in production; nothing else changes.
+Codecs: ``bmp`` is decoded FOR REAL by a pure-Python parser
+(:func:`_decode_bmp`: header validation, 24bpp pixel walk with row
+padding) — one image type is end-to-end with no external libraries.
+Compressed codecs (png/jpeg/audio/video) are STUBBED because this
+environment has no image/audio libraries: :func:`_decode_stub` raises
+``NotImplementedError`` for them and provides a deterministic fake for
+``raw`` payloads, so the Spark-side plumbing — schema, batch shape,
+UDF signature, partitioning — is fully real and tested. Swap the stub
+for a PIL/ffmpeg call in production; nothing else changes.
 
 Scale notes: mapInPandas streams Arrow batches; set
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` to bound batch memory
@@ -33,7 +36,8 @@ from async_pipes_spark.operators.partitioning import fan_out
 MEDIA_SCHEMA = "media STRUCT<payload: BINARY, media_type: STRING, source: STRING>"
 
 FEATURE_FIELDS = (
-    "n_bytes BIGINT, content_hash STRING, width BIGINT, height BIGINT"
+    "n_bytes BIGINT, content_hash STRING, width BIGINT, height BIGINT, "
+    "mean_px_milli BIGINT"
 )
 
 
@@ -49,9 +53,65 @@ def to_media(df: DataFrame, payload_col: str, media_type: str, source_col: str) 
     )
 
 
+def bmp_encode(width: int, height: int, pixel: int) -> bytes:
+    """Build a real uncompressed 24bpp BMP (BITMAPINFOHEADER, bottom-up
+    rows, 4-byte row padding) with every channel of every pixel set to
+    ``pixel`` — the deterministic image generator for tests/oracles."""
+    import struct
+
+    if width <= 0 or height <= 0 or not (0 <= pixel <= 255):
+        raise ValueError("width/height must be positive, pixel in [0,255]")
+    stride = (3 * width + 3) // 4 * 4
+    image_size = stride * height
+    file_size = 14 + 40 + image_size
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, image_size, 0, 0, 0, 0)
+    row = bytes([pixel] * (3 * width)) + b"\0" * (stride - 3 * width)
+    return header + info + row * height
+
+
+def _decode_bmp(payload: bytes) -> dict:
+    """Pure-Python BMP decode: validates the magic and headers, walks
+    the 24bpp pixel rows (skipping row padding) for the mean channel
+    value. Raises ValueError on anything malformed — this is a real
+    parser, not a length heuristic."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP: bad magic/size")
+    _, file_size, _, _, data_offset = struct.unpack("<2sIHHI", payload[:14])
+    header_size, width, height, planes, bpp, compression = struct.unpack(
+        "<IiiHHI", payload[14:34]
+    )
+    if header_size < 40 or planes != 1:
+        raise ValueError("unsupported BMP header")
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24bpp supported (got bpp={bpp})")
+    flipped = height < 0
+    height = abs(height)
+    stride = (3 * width + 3) // 4 * 4
+    if data_offset + stride * height > len(payload):
+        raise ValueError("truncated BMP pixel data")
+    total = 0
+    for r in range(height):
+        row = payload[data_offset + r * stride : data_offset + r * stride + 3 * width]
+        total += sum(row)
+    n_px = 3 * width * height
+    return {
+        "n_bytes": len(payload),
+        "content_hash": hashlib.md5(payload).hexdigest(),
+        "width": width,
+        "height": height,
+        "mean_px_milli": (total * 1000 + n_px // 2) // n_px if n_px else None,
+    }
+
+
 def _decode_stub(payload: bytes, media_type: str) -> dict:
-    """Deterministic fake decode for ``raw`` payloads; real codecs are
-    explicitly not implemented in this environment."""
+    """Deterministic fake decode for ``raw`` payloads; ``bmp`` routes
+    to the real parser; compressed codecs are explicitly not
+    implemented in this environment."""
+    if media_type == "bmp":
+        return _decode_bmp(payload)
     if media_type != "raw":
         raise NotImplementedError(
             f"codec for media_type={media_type!r} not available in this environment; "
@@ -62,6 +122,7 @@ def _decode_stub(payload: bytes, media_type: str) -> dict:
         "content_hash": hashlib.md5(payload).hexdigest(),
         "width": len(payload) % 640,
         "height": (payload[0] if payload else 0) % 480,
+        "mean_px_milli": None,
     }
 
 

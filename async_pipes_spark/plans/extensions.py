@@ -199,6 +199,43 @@ def smp2_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm3_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END non-'raw' decode: build a real 24bpp BMP per document
+    (dimensions/pixels derived from n_chars so the SQL oracle can
+    verify the decode arithmetically), then recover width/height/mean
+    through the actual header-parsing BMP decoder."""
+    import pandas as pd
+
+    from async_pipes_spark.multimodal.binary import bmp_encode, extract_features
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        bmp_encode((int(n) % 16) + 1, 2, int(n) % 251)
+                        for n in pdf["n_chars"]
+                    ],
+                    "source": pdf["source"],
+                }
+            )
+
+    media = to_media(
+        docs.select("doc_id", "n_chars", "source").mapInPandas(
+            gen, "doc_id bigint, payload binary, source string"
+        ),
+        "payload",
+        "bmp",
+        "source",
+    )
+    return extract_features(media, id_col="doc_id").select(
+        "doc_id", "n_bytes", "width", "height", "mean_px_milli"
+    )
+
+
 def mm2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-frame-sampling shape (1 → M explode through an Arrow
     kernel): every 2nd 64-byte frame of each payload, with per-frame
@@ -307,6 +344,7 @@ EXTENSION_QUERIES = {
     "smp2_stratified_sample": smp2_stratified_sample,
     "mm1_media_features": mm1_media_features,
     "mm2_frame_sample": mm2_frame_sample,
+    "mm3_bmp_decode": mm3_bmp_decode,
     "s9_tumbling_stream": s9_tumbling_stream,
     "s10_sliding_stream": s10_sliding_stream,
     "s4_session_stream": s4_session_stream,
@@ -545,7 +583,16 @@ EXTENSION_ORACLES = {
                CAST(strlen(text) AS BIGINT) AS n_bytes,
                md5(text) AS content_hash,
                CAST(strlen(text) % 640 AS BIGINT) AS width,
-               CAST(ascii(substring(text, 1, 1)) % 480 AS BIGINT) AS height
+               CAST(ascii(substring(text, 1, 1)) % 480 AS BIGINT) AS height,
+               CAST(NULL AS BIGINT) AS mean_px_milli
+        FROM documents ORDER BY doc_id
+    """,
+    "mm3_bmp_decode": """
+        SELECT doc_id,
+               CAST(54 + 2 * ((3 * ((n_chars % 16) + 1) + 3) // 4 * 4) AS BIGINT) AS n_bytes,
+               CAST((n_chars % 16) + 1 AS BIGINT) AS width,
+               CAST(2 AS BIGINT) AS height,
+               CAST((n_chars % 251) * 1000 AS BIGINT) AS mean_px_milli
         FROM documents ORDER BY doc_id
     """,
     "k1_kmv_distinct": """

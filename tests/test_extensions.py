@@ -148,3 +148,22 @@ def test_json_get_int_matches_general_parser(spark):
     ).collect()
     for r in got:
         assert r.fast == r.ref, f"id={r.id}: fast={r.fast} ref={r.ref}"
+
+
+def test_bmp_codec_roundtrip_and_validation():
+    """bmp_encode output survives the real parser (incl. odd widths
+    that need row padding); malformed inputs are rejected."""
+    import pytest as _pytest
+
+    from async_pipes_spark.multimodal.binary import _decode_bmp, bmp_encode
+
+    for w, h, px in [(1, 1, 0), (5, 2, 17), (16, 3, 255), (7, 4, 128)]:
+        d = _decode_bmp(bmp_encode(w, h, px))
+        assert (d["width"], d["height"]) == (w, h)
+        assert d["mean_px_milli"] == px * 1000
+        stride = (3 * w + 3) // 4 * 4
+        assert d["n_bytes"] == 54 + stride * h
+    with _pytest.raises(ValueError):
+        _decode_bmp(b"NOTABMP" + b"\0" * 60)
+    with _pytest.raises(ValueError):
+        _decode_bmp(bmp_encode(4, 4, 9)[:40])  # truncated
