@@ -25,6 +25,11 @@ from pyspark.sql import DataFrame, SparkSession
 from async_pipes_spark.pipeline.builder import NoOutput, Stage
 
 MAX_CYCLE_ITERATIONS = 1000
+#: Driver-side pull-protocol producers are for parity/testing with
+#: BOUNDED closures; an unbounded closure must use the streaming path
+#: (reference's infinite with_producer ≙ readStream, builder.rs:96-98).
+#: The cap turns the would-be hang into an actionable error.
+MAX_PRODUCER_PULLS = 1_000_000
 
 
 def _tarjan_sccs(n: int, edges: dict[int, set[int]]) -> list[list[int]]:
@@ -121,6 +126,14 @@ class Pipeline:
                     values = []
                     while produced is not None:
                         values.append(produced if isinstance(produced, tuple) else (produced,))
+                        if len(values) > MAX_PRODUCER_PULLS:
+                            raise RuntimeError(
+                                f"producer for pipe '{stage.outputs[0]}' exceeded "
+                                f"{MAX_PRODUCER_PULLS} pulls without terminating; the "
+                                "driver-side pull protocol is for bounded closures — "
+                                "pass a streaming DataFrame (streaming.run.stream_table "
+                                "/ spark.readStream) for unbounded sources"
+                            )
                         produced = task()
                     df = self._spark.createDataFrame(values, schema)
             self._contrib.setdefault(stage.outputs[0], []).append(df)

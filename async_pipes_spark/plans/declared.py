@@ -79,14 +79,30 @@ def p4_route_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def p5_fan_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fan-in union (many writers, one pipe — reference
-    tests/pipeline_tests.rs:220-273) + fold. unionByName is a no-shuffle
-    concatenation of scans."""
+    tests/pipeline_tests.rs:220-273) + fold, routed through the FLUENT
+    BUILDER end-to-end (two DataFrame producers writing pipe 'k', the
+    second attached via ``also`` composition) so the public API
+    surface — not just the plans module — is oracle-checked. The built
+    plan is the identical no-shuffle unionByName + 1-row fold; the
+    consumer returns the lazy DataFrame."""
+    from async_pipes_spark.pipeline.pipeline import Pipeline
+
     cust = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
     supp = load_table(spark, sf_dir, "supplier").select(F.col("s_suppkey").cast("bigint").alias("k"))
-    return cust.unionByName(supp).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("k").alias("s"),
+    res = (
+        Pipeline.builder(spark)
+        .with_inputs("k", cust)
+        .also(lambda b: b.with_inputs("k", supp))
+        .with_stage(
+            "k",
+            "folded",
+            lambda df: df.agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("s")),
+        )
+        .with_consumer("folded", lambda df: df)
+        .build()
+        .wait()
     )
+    return res["folded"]
 
 
 def p6_map_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:

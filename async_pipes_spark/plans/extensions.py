@@ -249,6 +249,42 @@ def mm2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(media, frame_bytes=64, every_n=2)
 
 
+def b1_builder_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fluent surface exercised end-to-end in one oracle-checked
+    graph: static branching inputs (tuple slot i → pipe i), a routing
+    branching stage (evens/odds), ``also`` composition, and a 3-writer
+    fan-in into one consumer pipe. The oracle replays the same rows
+    through DuckDB VALUES."""
+    from async_pipes_spark.pipeline.pipeline import Pipeline
+
+    rows = [(1, "a"), (2, "bb"), (3, "ccc"), (4, "dddd"), (5, "eeeee")]
+
+    def tag(metric: str, agg_col):
+        return lambda df: df.agg(agg_col.alias("value")).select(
+            F.lit(metric).alias("metric"), "value"
+        )
+
+    res = (
+        Pipeline.builder(spark)
+        .with_branching_inputs(["nums", "strs"], rows, ["n: bigint", "s: string"])
+        .with_branching_stage(
+            "nums",
+            ["evens", "odds"],
+            lambda df: [
+                df.filter(F.col("n") % 2 == 0),
+                df.filter(F.col("n") % 2 == 1),
+            ],
+        )
+        .with_stage("evens", "out", tag("even_sum", F.sum("n")))
+        .with_stage("odds", "out", tag("odd_sum", F.sum("n")))
+        .also(lambda b: b.with_stage("strs", "out", tag("char_total", F.sum(F.length("s")))))
+        .with_consumer("out", lambda df: df)
+        .build()
+        .wait()
+    )
+    return res["out"]
+
+
 # ---- streaming ------------------------------------------------------
 
 
@@ -345,6 +381,7 @@ EXTENSION_QUERIES = {
     "mm1_media_features": mm1_media_features,
     "mm2_frame_sample": mm2_frame_sample,
     "mm3_bmp_decode": mm3_bmp_decode,
+    "b1_builder_route": b1_builder_route,
     "s9_tumbling_stream": s9_tumbling_stream,
     "s10_sliding_stream": s10_sliding_stream,
     "s4_session_stream": s4_session_stream,
@@ -696,5 +733,14 @@ EXTENSION_ORACLES = {
         SELECT lang, COUNT(*) AS n_docs,
                CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique
         FROM documents GROUP BY lang ORDER BY lang
+    """,
+    "b1_builder_route": """
+        WITH t(n, s) AS (VALUES (1, 'a'), (2, 'bb'), (3, 'ccc'), (4, 'dddd'), (5, 'eeeee'))
+        SELECT 'even_sum' AS metric,
+               CAST(SUM(n) FILTER (WHERE n % 2 = 0) AS BIGINT) AS value FROM t
+        UNION ALL
+        SELECT 'odd_sum', CAST(SUM(n) FILTER (WHERE n % 2 = 1) AS BIGINT) FROM t
+        UNION ALL
+        SELECT 'char_total', CAST(SUM(strlen(s)) AS BIGINT) FROM t
     """,
 }

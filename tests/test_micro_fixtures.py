@@ -274,3 +274,21 @@ def test_worker_options_validation():
         WorkerOptions(max_task_count=0)
     assert WorkerOptions.default_single_task().max_task_count == 1
     assert WorkerOptions.default_multi_task().max_task_count == 100
+
+
+def test_infinite_producer_raises_with_guidance(spark, monkeypatch):
+    """An unbounded pull-protocol closure must fail fast with a pointer
+    to the streaming path, not hang (reference's infinite producers map
+    to readStream; the driver pull loop is for bounded closures)."""
+    import async_pipes_spark.pipeline.pipeline as pl
+    from async_pipes_spark.pipeline.pipeline import Pipeline
+
+    monkeypatch.setattr(pl, "MAX_PRODUCER_PULLS", 50)
+    p = (
+        Pipeline.builder(spark)
+        .with_producer("p", lambda: 1)  # never returns None
+        .with_consumer("p", lambda df: df.count())
+        .build()
+    )
+    with pytest.raises(RuntimeError, match="streaming"):
+        p.wait()
