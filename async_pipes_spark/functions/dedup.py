@@ -46,24 +46,37 @@ DEFAULT_MAX_POSTING_LEN = 1_000
 def _drop_hot_groups(rows: DataFrame, group_cols: list[str], cap: int) -> DataFrame:
     """Remove all rows belonging to groups larger than ``cap``.
 
-    Two passes over a persisted input: a count-only aggregation finds
-    hot keys (bounded: ≤ |rows|/cap keys can exceed the cap, so the
-    hot list is always tiny and broadcastable), then a broadcast
-    left_anti join filters them out. The persist keeps kernel-backed
-    inputs (mapInPandas shingles/signatures) computed ONCE — the
-    broadcast side materializes first and populates the cache, the
-    probe side reads it back. MEMORY_AND_DISK: spills instead of
-    evicting at scale."""
-    from pyspark import StorageLevel
+    A count-only side-job finds hot keys eagerly (bounded: at most
+    |rows|/cap keys can exceed the cap, so the result is always tiny);
+    in the common clean-corpus case it is EMPTY and the input plan is
+    returned untouched — zero change to the main query. Only when hot
+    keys exist does the plan gain a broadcast left_anti join against
+    the literal hot-key list.
 
-    rows = rows.persist(StorageLevel.MEMORY_AND_DISK)
+    Deliberately NO materialization of the input: persist() leaks
+    (CacheManager holds blocks until an explicit unpersist the query
+    shape can't express — measured as suite-wide slowdowns) and
+    localCheckpoint(eager=True) costs MORE than recomputing (measured
+    2-4s vs 1.7s per query at sf0.1: serializing the wide kernel
+    output to the block store exceeds one extra kernel run). The count
+    pass simply re-evaluates the upstream kernel — bounded,
+    predictable; at 100 TB a caller who knows the kernel is the
+    bottleneck can persist upstream explicitly and unpersist when
+    done."""
     hot = (
         rows.groupBy(*group_cols)
         .agg(F.count(F.lit(1)).alias("_n"))
         .filter(F.col("_n") > cap)
         .select(*group_cols)
+        .collect()
     )
-    return rows.join(F.broadcast(hot), group_cols, "left_anti")
+    if not hot:
+        return rows
+    spark = rows.sparkSession
+    hot_df = spark.createDataFrame(
+        [tuple(r) for r in hot], rows.select(*group_cols).schema
+    )
+    return rows.join(F.broadcast(hot_df), group_cols, "left_anti")
 
 
 def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -322,7 +322,6 @@ def embedding_near_dups(
 
     import numpy as np
     import pandas as pd
-    from pyspark import StorageLevel
 
     from async_pipes_spark.functions.vectors_np import (
         micro_units_np,
@@ -331,10 +330,12 @@ def embedding_near_dups(
     )
 
     centroids = corpus.filter(F.col(id_col) < num_centroids)
-    assigned = ivf_assign(corpus, centroids, id_col, vec_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
     spark = corpus.sparkSession
+    # cell sizes via an eager count-only side-job. One extra
+    # assignment-kernel evaluation, deliberately NOT materialized:
+    # persist() leaks across the query lifetime and localCheckpoint
+    # costs more than the recompute (see dedup._drop_hot_groups)
     sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
     nb_rows = [(int(r["cell"]), max(1, math.ceil(r["n"] / block_size))) for r in sizes]
     nb_df = F.broadcast(spark.createDataFrame(nb_rows or [(0, 1)], "cell bigint, nb int"))

@@ -96,13 +96,8 @@ def test_d2_lsh_has_no_join(spark):
     from async_pipes_spark.plans.extensions import EXTENSION_QUERIES
 
     txt = plan_text(EXTENSION_QUERIES["d2_minhash_lsh_pairs"](spark, SF_SMOKE), mode="simple")
-    # the only join allowed is the hot-bucket cap's broadcast LeftAnti
-    # against the persisted signature frame — never a shuffled
-    # self-join of the kernel output
-    assert "SortMergeJoin" not in txt, txt
-    assert "ShuffledHashJoin" not in txt, txt
-    joins = [ln for ln in txt.splitlines() if "Join" in ln and "Broadcast" not in ln]
-    assert not joins, joins
-    # kernel feeds the plan through ONE persisted evaluation: the probe
-    # side must read the InMemoryRelation, not re-run MapInPandas
-    assert "InMemoryTableScan" in txt, txt
+    # clean corpus → the hot-bucket side-job finds nothing and the MAIN
+    # plan is exactly the uncapped single-kernel shape: no join of any
+    # kind, signature kernel evaluated once in the plan
+    assert "Join" not in txt, txt
+    assert txt.count("MapInPandas") == 1, txt
