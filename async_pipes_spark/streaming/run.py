@@ -23,7 +23,12 @@ from pyspark.sql import functions as F
 
 from async_pipes_spark.session import ensure_engine_confs
 
-def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def stream_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    shuffle_partitions: int | None = 8,
+) -> DataFrame:
     """File-source streaming read of ANY synthetic table (the file
     stream source needs a directory, so we glob-filter inside sf_dir).
 
@@ -32,11 +37,26 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     requires an explicit schema, which we take from a one-footer batch
     read of the same file — no hand-maintained per-table schemas.
     ``events.ts`` gets the same ns→µs conversion as the batch reader
-    so streaming twins agree with batch oracles byte-for-byte."""
+    so streaming twins agree with batch oracles byte-for-byte.
+
+    The stream is built on a CLONED SparkSession (same SparkContext,
+    private SQLConf) with ``shuffle_partitions`` pinned: a streaming
+    query freezes its state-store partition count from the conf at
+    start, and each state partition costs provider setup + commit I/O
+    per trigger — a finite availableNow drain wants few. The clone
+    keeps that pin per-query instead of mutating the caller's session
+    (racy under concurrent use). Long-lived deployments should size it
+    to key cardinality (pass None to inherit the caller's conf)."""
     ensure_engine_confs(spark)
     raw_schema = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
+    if shuffle_partitions is not None:
+        session = spark.newSession()
+        ensure_engine_confs(session)
+        session.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    else:
+        session = spark
     df = (
-        spark.readStream.schema(raw_schema)
+        session.readStream.schema(raw_schema)
         .option("pathGlobFilter", f"{name}.parquet")
         .parquet(sf_dir)
     )
@@ -53,27 +73,21 @@ def run_available_now(
     """Run a streaming DataFrame to quiescence (availableNow) into a
     memory sink; return the materialized result as a batch DataFrame.
 
-    ≙ reference ``wait()``: drain all producers, then terminate."""
+    ≙ reference ``wait()``: drain all producers, then terminate.
+
+    State-store width comes from the conf of ``df``'s OWN session
+    (``stream_table`` builds streams on a cloned session with few
+    shuffle partitions pinned) — nothing global is mutated here."""
     name = query_name or f"q_{uuid.uuid4().hex[:12]}"
     spark = df.sparkSession
-    # State-store partition count is fixed at query start from
-    # spark.sql.shuffle.partitions; a finite availableNow drain doesn't
-    # need wide state, and each state partition costs provider setup +
-    # commit I/O per trigger. Real long-lived deployments should size
-    # this to key cardinality instead.
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
     return spark.table(name)
 
 
