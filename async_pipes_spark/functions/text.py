@@ -52,6 +52,25 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(F.array_join(F.array_sort(F.array_distinct(ws_tokens(text))), " "))
 
 
+def winnow_fingerprint(text: Column | str, window: int = 8) -> Column:
+    """Rolling-window document fingerprint (the winnowing idea with a
+    global min: hash every ``window``-char substring, keep the
+    lexicographic minimum). Shared substrings between near-identical
+    docs produce identical minima with high probability, so equal
+    fingerprints flag copy-with-small-edits pairs — the character-level
+    complement of the token-set :func:`fingerprint`.
+
+    Pure JVM expression: sequence → transform(md5 ∘ substring) →
+    array_min. Docs shorter than ``window`` hash whole. No shuffle."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_windows = F.greatest(F.length(c) - F.lit(window - 1), F.lit(1))
+    hashes = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda i: F.md5(c.substr(i, F.lit(window))),
+    )
+    return F.array_min(hashes)
+
+
 def quality_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document quality scores: token counts, type/token ratio,
     mean token length, stopword ratio, non-alphanumeric ratio.

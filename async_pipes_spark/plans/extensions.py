@@ -131,6 +131,48 @@ def t4_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t5_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window (winnowing-style) fingerprint groups: docs whose
+    8-char window hashes share a minimum are copy-with-small-edit
+    candidates. Zero-shuffle per-doc expression + one groupBy."""
+    from async_pipes_spark.functions.text import winnow_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", winnow_fingerprint("text").alias("wfp"))
+        .groupBy("wfp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("dups"))
+    )
+
+
+def a4_mean_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional mean over an embedding column (the pooling shape:
+    centroid of a vector set). posexplode → per-position sum/count —
+    one shuffle of (pos, partial) pairs thanks to map-side combine.
+
+    Determinism: each element is canonicalized to integer micro-units
+    BEFORE the sum (floating sums are accumulation-order-dependent in
+    the last ulp and Spark/DuckDB combine in different orders; integer
+    sums are exact in any order)."""
+    from async_pipes_spark.functions.vectors import micro_units
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.filter(F.col("vec_id") < 100)
+        .select(F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(
+            F.floor(
+                F.sum(micro_units(F.col("v"))).cast("double") / F.count(F.lit(1))
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("mean_micro")
+        )
+        .select(F.col("pos").cast("bigint").alias("pos"), "mean_micro")
+    )
+
+
 def a3_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via IVF cell bucketing
     (same-cell candidates only — the all-pairs-free scale shape)."""
@@ -374,7 +416,9 @@ EXTENSION_QUERIES = {
     "t2_langid": t2_langid,
     "t3_token_counts": t3_token_counts,
     "t4_zscore": t4_zscore,
+    "t5_winnow_fingerprint": t5_winnow_fingerprint,
     "a3_near_dup_pairs": a3_near_dup_pairs,
+    "a4_mean_vector": a4_mean_vector,
     "k1_kmv_distinct": k1_kmv_distinct,
     "smp1_hash_sample": smp1_hash_sample,
     "smp2_stratified_sample": smp2_stratified_sample,
@@ -541,6 +585,27 @@ EXTENSION_ORACLES = {
                           * 1000000 + 0.5) AS BIGINT) AS z_micro
         FROM documents d JOIN stats s USING (lang)
         ORDER BY d.doc_id
+    """,
+    "t5_winnow_fingerprint": """
+        WITH w AS (
+            SELECT doc_id,
+                   min(md5(substring(text, CAST(t.i AS INTEGER), 8))) AS wfp
+            FROM documents,
+                 LATERAL unnest(generate_series(1, greatest(strlen(text) - 7, 1))) t(i)
+            GROUP BY doc_id
+        )
+        SELECT wfp, MIN(doc_id) AS keep_id, COUNT(*) AS dups
+        FROM w GROUP BY wfp ORDER BY wfp
+    """,
+    "a4_mean_vector": """
+        WITH e AS (
+            SELECT CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+                   CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS vm
+            FROM embeddings WHERE vec_id < 100
+        )
+        SELECT pos,
+               CAST(FLOOR(CAST(SUM(vm) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS mean_micro
+        FROM e GROUP BY pos ORDER BY pos
     """,
     "a3_near_dup_pairs": """
         WITH norms AS (

@@ -65,6 +65,25 @@ def j2_range_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("click_id", "purchase_id")
 
 
+def j4_forward_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of: each click carries the EARLIEST at-or-after
+    purchase of the same user (the refund/attribution-lookahead shape;
+    exercises the operator's forward direction end-to-end against
+    DuckDB's ASOF with a <= ordering predicate)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.sum(_cents("value")).alias("next_purch_cents"))
+    )
+    return asof_join(
+        clicks, purchases, on="ts", by="user_id", direction="forward"
+    ).select("event_id", "user_id", "next_purch_cents")
+
+
 def j3_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-way star join (TPC-H Q5 shape): orders ⋈ customer ⋈
     nation ⋈ region, revenue per nation for one region's customers.
@@ -104,6 +123,7 @@ JOIN_QUERIES = {
     "j1_asof_attribution": j1_asof_attribution,
     "j2_range_attribution": j2_range_attribution,
     "j3_revenue_by_nation": j3_revenue_by_nation,
+    "j4_forward_asof": j4_forward_asof,
 }
 
 JOIN_ORACLES = {
@@ -137,6 +157,21 @@ JOIN_ORACLES = {
         FROM clicks c LEFT JOIN w
           ON c.user_id = w.user_id AND c.ts BETWEEN w.w_start AND w.w_end
         ORDER BY click_id, purchase_id
+    """,
+    "j4_forward_asof": """
+        WITH clicks AS (
+            SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE event_type = 'click'
+        ),
+        p AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                   SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS next_purch_cents
+            FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        )
+        SELECT c.event_id, c.user_id, p.next_purch_cents
+        FROM clicks c ASOF LEFT JOIN p
+          ON c.user_id = p.user_id AND c.ts <= p.ts
+        ORDER BY c.event_id
     """,
     "j3_revenue_by_nation": """
         WITH spend AS (

@@ -193,6 +193,30 @@ def r10_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def r11_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted two-phase aggregation (operators.skew) producing the
+    same result as a direct groupBy — the oracle IS the direct SQL
+    aggregation, proving salt-invariance on real data. Integer cents
+    keep the two-phase sum exact under any partial combine order."""
+    from async_pipes_spark.operators.skew import salted_aggregate
+
+    orders = load_table(spark, sf_dir, "orders")
+    prepared = orders.select(
+        "o_orderpriority", cents("o_totalprice").alias("c")
+    )
+    return salted_aggregate(
+        prepared,
+        keys=["o_orderpriority"],
+        aggs=[
+            ("count", "c", "n"),
+            ("sum", "c", "total_cents"),
+            ("min", "c", "min_cents"),
+            ("max", "c", "max_cents"),
+        ],
+        num_salts=8,
+    )
+
+
 RELATIONAL_QUERIES = {
     "r1_rollup": r1_rollup,
     "r2_set_ops": r2_set_ops,
@@ -204,6 +228,7 @@ RELATIONAL_QUERIES = {
     "r8_having": r8_having,
     "r9_quantiles": r9_quantiles,
     "r10_heavy_hitters": r10_heavy_hitters,
+    "r11_salted_agg": r11_salted_agg,
 }
 
 RELATIONAL_ORACLES = {
@@ -283,5 +308,16 @@ RELATIONAL_ORACLES = {
         FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         WHERE token <> ''
         GROUP BY token ORDER BY n DESC, token LIMIT 20
+    """,
+    "r11_salted_agg": """
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(c) AS BIGINT) AS total_cents,
+               CAST(MIN(c) AS BIGINT) AS min_cents,
+               CAST(MAX(c) AS BIGINT) AS max_cents
+        FROM (SELECT o_orderpriority,
+                     CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+              FROM orders)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
 }
