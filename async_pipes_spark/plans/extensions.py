@@ -134,12 +134,12 @@ def t4_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t5_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-window (winnowing-style) fingerprint groups: docs whose
     8-char window hashes share a minimum are copy-with-small-edit
-    candidates. Zero-shuffle per-doc expression + one groupBy."""
-    from async_pipes_spark.functions.text import winnow_fingerprint
+    candidates. Zero-shuffle per-doc Arrow kernel + one groupBy."""
+    from async_pipes_spark.functions.text import winnow_fingerprints
 
     docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.select("doc_id", winnow_fingerprint("text").alias("wfp"))
+        winnow_fingerprints(docs)
         .groupBy("wfp")
         .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("dups"))
     )

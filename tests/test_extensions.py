@@ -167,3 +167,17 @@ def test_bmp_codec_roundtrip_and_validation():
         _decode_bmp(b"NOTABMP" + b"\0" * 60)
     with _pytest.raises(ValueError):
         _decode_bmp(bmp_encode(4, 4, 9)[:40])  # truncated
+
+
+def test_winnow_forms_agree(spark):
+    """Expression form (interpreted HOF) and Arrow-kernel form must be
+    bit-identical, including docs shorter than the window."""
+    from async_pipes_spark.functions.text import winnow_fingerprint, winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "tiny"), (3, "the quick brown fox jumped")],
+        "doc_id: bigint, text: string",
+    )
+    expr = {r.doc_id: r.wfp for r in df.select("doc_id", winnow_fingerprint("text").alias("wfp")).collect()}
+    kern = {r.doc_id: r.wfp for r in winnow_fingerprints(df).collect()}
+    assert expr == kern
