@@ -23,6 +23,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+#: Hard cap on driver-collected query/centroid blocks. The brute-force
+#: operators are defined for a BOUNDED query set closed over by the
+#: kernel; an unbounded "query side" must go through LSH/IVF instead.
+#: The cap turns a silent driver OOM into an actionable error.
+MAX_QUERY_BLOCK = 100_000
+
+
+def _collect_block(df: DataFrame, what: str) -> list:
+    rows = df.limit(MAX_QUERY_BLOCK + 1).collect()
+    if len(rows) > MAX_QUERY_BLOCK:
+        raise ValueError(
+            f"{what} block exceeds {MAX_QUERY_BLOCK} rows; the brute-force kernels "
+            "close over a bounded driver-side block — for unbounded query sets use "
+            "the LSH/IVF operators (minhash_lsh_pairs / ivf_topk with "
+            "kmeans_centroids) instead"
+        )
+    return rows
 
 
 def cosine_pairs(
@@ -50,7 +67,7 @@ def cosine_pairs(
         seq_f32_self_dots,
     )
 
-    q_rows = queries.select(id_col, vec_col).collect()
+    q_rows = _collect_block(queries.select(id_col, vec_col), "query")
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Qm = np.array([np.asarray(r[1], dtype=np.float32) for r in q_rows])
     qn = np.sqrt(seq_f32_self_dots(Qm).astype(np.float64))
@@ -122,7 +139,8 @@ def ivf_assign(
     )
 
     cent_rows = sorted(
-        centroids.select(id_col, vec_col).collect(), key=lambda r: r[0]
+        _collect_block(centroids.select(id_col, vec_col), "centroid"),
+        key=lambda r: r[0],
     )
     cent_ids = np.array([r[0] for r in cent_rows], dtype=np.int64)
     Cm = np.array([np.asarray(r[1], dtype=np.float32) for r in cent_rows])
@@ -240,9 +258,10 @@ def ivf_topk(
     )
 
     cent_rows = sorted(
-        corpus.filter(F.col(id_col) < num_centroids)
-        .select(id_col, vec_col)
-        .collect(),
+        _collect_block(
+            corpus.filter(F.col(id_col) < num_centroids).select(id_col, vec_col),
+            "centroid",
+        ),
         key=lambda r: r[0],
     )
     cent_ids = np.array([r[0] for r in cent_rows], dtype=np.int64)
@@ -254,7 +273,9 @@ def ivf_topk(
         sim = seq_f32_dots(V, Cm).astype(np.float64) / (vn[:, None] * cn[None, :])
         return cent_ids[micro_units_np(sim).argmax(axis=1)]
 
-    q_rows = corpus.filter(queries_filter(F.col(id_col))).select(id_col, vec_col).collect()
+    q_rows = _collect_block(
+        corpus.filter(queries_filter(F.col(id_col))).select(id_col, vec_col), "query"
+    )
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Qm = np.array([np.asarray(r[1], dtype=np.float32) for r in q_rows])
     q_cells = assign_np(Qm)
