@@ -91,6 +91,39 @@ def run_available_now(
     return spark.table(name)
 
 
+def stream_to_files(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    checkpoint_dir: str | None = None,
+    output_mode: str = "append",
+    partition_by: list[str] | None = None,
+    available_now: bool = True,
+):
+    """Durable file sink for a streaming frame — the production
+    counterpart of the memory-sink oracle harness (``with_consumer``'s
+    persistent form). Exactly-once via the checkpoint dir (source
+    offsets + sink commit log survive restarts); ``available_now=True``
+    drains-and-stops (reference ``wait()``), ``False`` returns the
+    running continuous query (stop ≙ Terminate).
+
+    Returns the ``StreamingQuery``; callers ``awaitTermination()`` as
+    needed (done here for availableNow)."""
+    writer = (
+        df.writeStream.format(fmt)
+        .outputMode(output_mode)
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_dir or f"{path}/_checkpoint")
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
+
+
 def run_foreach_batch_routes(df: DataFrame, routes: dict, base_dir: str) -> dict:
     """Route a stream into one parquet sink per predicate in a single
     pass — the streaming twin of ``with_branching_stage`` (reference

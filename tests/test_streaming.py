@@ -95,3 +95,19 @@ def test_foreach_batch_multi_sink_routes(spark, tmp_path):
         assert sorted(r.event_id for r in got.select("event_id").collect()) == sorted(
             r.event_id for r in want.select("event_id").collect()
         ), name
+
+
+def test_stream_to_files_durable_sink(spark, tmp_path):
+    """Streaming file sink: availableNow drain writes every source row
+    exactly once to parquet (checkpointed), and the result equals the
+    batch read."""
+    from async_pipes_spark.sources.tables import load_table
+    from async_pipes_spark.streaming.run import stream_table, stream_to_files
+
+    out = str(tmp_path / "events_copy")
+    ev = stream_table(spark, SF_SMOKE, "events")
+    stream_to_files(ev.select("event_id", "user_id"), out)
+    got = spark.read.parquet(out)
+    want = load_table(spark, SF_SMOKE, "events")
+    assert got.count() == want.count()
+    assert got.select(F.sum("event_id")).head()[0] == want.select(F.sum("event_id")).head()[0]
