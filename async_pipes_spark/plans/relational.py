@@ -217,6 +217,51 @@ def r11_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def r12_approx_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documented 100 TB quantile path (mergeable Greenwald-Khanna
+    ``approx_percentile``) verified AS A PROPERTY: sketch estimates are
+    implementation-specific so they can't hash-match another engine,
+    but 'approx within 1% of exact' is engine-independent — the oracle
+    asserts the booleans. Keeps the approximate path from being
+    dead documentation."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_status = (
+        orders.select("o_orderstatus", cents("o_totalprice").alias("c"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.expr("percentile(c, 0.5)").alias("exact_med"),
+            F.expr("approx_percentile(c, 0.5, 10000)").alias("approx_med"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return per_status.select(
+        "o_orderstatus",
+        "n",
+        (
+            F.abs(F.col("approx_med") - F.col("exact_med"))
+            <= F.col("exact_med") * 0.01
+        ).alias("approx_within_1pct"),
+    )
+
+
+def r13_hll_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-count (the constant-memory scale path
+    next to the exact groupBy and the KMV sketch), verified as a
+    property: |approx - exact| / exact ≤ 5% (rsd passed = 0.01)."""
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.agg(
+        F.countDistinct("o_custkey").alias("exact_d"),
+        F.approx_count_distinct("o_custkey", 0.01).alias("approx_d"),
+    )
+    return agg.select(
+        "exact_d",
+        (
+            F.abs(F.col("approx_d") - F.col("exact_d"))
+            <= F.col("exact_d") * 0.05
+        ).alias("approx_within_5pct"),
+    )
+
+
 RELATIONAL_QUERIES = {
     "r1_rollup": r1_rollup,
     "r2_set_ops": r2_set_ops,
@@ -229,6 +274,22 @@ RELATIONAL_QUERIES = {
     "r9_quantiles": r9_quantiles,
     "r10_heavy_hitters": r10_heavy_hitters,
     "r11_salted_agg": r11_salted_agg,
+    "r12_approx_quantile_check": r12_approx_quantile_check,
+    "r13_hll_distinct_check": r13_hll_distinct_check,
+}
+
+_APPROX_CHECK_ORACLES = {
+    # sketch outputs are implementation-specific; the engine-independent
+    # contract is the tolerance property, which the oracle asserts
+    "r12_approx_quantile_check": """
+        SELECT o_orderstatus, COUNT(*) AS n, true AS approx_within_1pct
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "r13_hll_distinct_check": """
+        SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_d,
+               true AS approx_within_5pct
+        FROM orders
+    """,
 }
 
 RELATIONAL_ORACLES = {
@@ -320,4 +381,5 @@ RELATIONAL_ORACLES = {
               FROM orders)
         GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
+    **_APPROX_CHECK_ORACLES,
 }

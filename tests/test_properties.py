@@ -7,6 +7,8 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from pyspark.sql import functions as F
+
 from async_pipes_spark.functions.money import cents, cents_to_dec, revenue_cents
 from async_pipes_spark.functions.vectors import micro_units
 
@@ -125,3 +127,40 @@ def test_kmv_exact_below_k(spark, k):
     df = spark.range(0, n * 3, 1, 2).selectExpr(f"id % {n} AS v")
     row = kmv_distinct(df, ["v"], k=k).head()
     assert row.est_distinct == n
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-10_000, 10_000)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_salted_aggregate_equals_direct_on_random_data(spark, rows):
+    """Property: salted two-phase aggregation == direct groupBy for
+    any data, including negative values and singleton groups."""
+    from async_pipes_spark.operators.skew import salted_aggregate
+
+    df = spark.createDataFrame(rows, "k: bigint, v: bigint")
+    got = {
+        r.k: (r.n, r.s, r.mn, r.mx)
+        for r in salted_aggregate(
+            df,
+            keys=["k"],
+            aggs=[("count", "v", "n"), ("sum", "v", "s"), ("min", "v", "mn"), ("max", "v", "mx")],
+            num_salts=4,
+        ).collect()
+    }
+    want = {
+        r.k: (r.n, r.s, r.mn, r.mx)
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    assert got == want
