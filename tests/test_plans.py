@@ -101,3 +101,16 @@ def test_d2_lsh_has_no_join(spark):
     # kind, signature kernel evaluated once in the plan
     assert "Join" not in txt, txt
     assert txt.count("MapInPandas") == 1, txt
+
+
+def test_a2_ivf_is_fused_single_pass(spark):
+    """ivf_topk must be the fused kernel shape: one MapInPandas over
+    the corpus, NO grouped-map (FlatMapGroupsInPandas) that would
+    funnel a whole cell into one task, and the only Exchange is the
+    final per-query ranking window over the tiny sims set."""
+    from async_pipes_spark.plans.extensions import EXTENSION_QUERIES
+
+    txt = plan_text(EXTENSION_QUERIES["a2_ivf_top1"](spark, SF_SMOKE), mode="simple")
+    assert "FlatMapGroupsInPandas" not in txt, txt
+    assert txt.count("MapInPandas") == 1, txt
+    assert txt.count("Exchange") == 1, txt

@@ -57,3 +57,24 @@ def test_executor_side_producer(spark):
     df = producer_source(spark, "gen", gen, "value bigint", num_partitions=4).load()
     assert df.count() == 400
     assert df.agg(F.sum("value")).head()[0] == 79800
+
+
+def test_csv_json_roundtrip(spark, tmp_path):
+    """write_files + read_csv/read_json roundtrip with explicit
+    schemas (no inference scan on the read side)."""
+    from async_pipes_spark.sources.files import read_csv, read_json
+    from async_pipes_spark.sources.sinks import write_files
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", -2.25), (3, None, 0.0)],
+        "id: bigint, name: string, score: double",
+    )
+    csv_path, json_path = str(tmp_path / "c"), str(tmp_path / "j")
+    write_files(df, csv_path, fmt="csv")
+    write_files(df, json_path, fmt="json")
+    schema = "id bigint, name string, score double"
+    back_csv = read_csv(spark, csv_path, schema=schema)
+    back_json = read_json(spark, json_path, schema=schema)
+    want = sorted(map(tuple, df.collect()))
+    assert sorted(map(tuple, back_csv.collect())) == want
+    assert sorted(map(tuple, back_json.collect())) == want
