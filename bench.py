@@ -54,7 +54,7 @@ def main() -> None:
     # noise-bound (JIT/GC/host load land differently run to run: best-of-3
     # measured 4.2-5.6s for the same build where best-of-5 converges to
     # ~4.0s), and the extra ~30s keeps the headline stable between rounds
-    declared_runs = int(os.environ.get("SPARK_GRAFT_BENCH_DECLARED_RUNS", str(runs + 3)))
+    declared_runs = int(os.environ.get("SPARK_GRAFT_BENCH_DECLARED_RUNS", str(runs + 5)))
     timings: dict[str, float] = {}
     for name, fn in queries.items():
         best = None
