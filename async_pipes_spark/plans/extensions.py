@@ -394,6 +394,23 @@ def s12_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s13_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication (``dropDuplicates`` state): first event
+    per user on the events stream. WHICH row survives depends on
+    arrival order (engine-specific), so the oracle-checked output is
+    the arrival-order-independent part — the deduplicated cardinality.
+    At scale add ``withWatermark`` + ``dropDuplicatesWithinWatermark``
+    so the distinct-key state is evicted instead of unbounded."""
+    from async_pipes_spark.streaming.run import run_available_now, stream_table
+
+    ev = stream_table(spark, sf_dir, "events")
+    firsts = run_available_now(
+        ev.select("user_id", "event_id").dropDuplicates(["user_id"]),
+        output_mode="append",
+    )
+    return firsts.agg(F.count(F.lit(1)).alias("n_users"))
+
+
 def s5_stateful_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming stage (applyInPandasWithState): per-
     user running fold; final state equals the batch fold."""
@@ -432,6 +449,7 @@ EXTENSION_QUERIES = {
     "s5_stateful_fold": s5_stateful_fold,
     "s11_orders_stream": s11_orders_stream,
     "s12_documents_stream": s12_documents_stream,
+    "s13_stream_dedup": s13_stream_dedup,
 }
 
 
@@ -798,6 +816,9 @@ EXTENSION_ORACLES = {
         SELECT lang, COUNT(*) AS n_docs,
                CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique
         FROM documents GROUP BY lang ORDER BY lang
+    """,
+    "s13_stream_dedup": """
+        SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events
     """,
     "b1_builder_route": """
         WITH t(n, s) AS (VALUES (1, 'a'), (2, 'bb'), (3, 'ccc'), (4, 'dddd'), (5, 'eeeee'))

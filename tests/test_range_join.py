@@ -139,3 +139,24 @@ def test_range_join_shared_lineage_sides(spark):
         for r in range_join(p, i, "ts", "start", "end", by="user").collect()
     )
     assert got == _want("inner")
+
+
+def test_range_join_without_key(spark):
+    """by=None: pure time-containment join (no equi key beyond the
+    bucket) must match DuckDB's keyless range predicate."""
+    from async_pipes_spark.operators.range_join import range_join
+
+    con = duckdb.connect()
+    con.register("p", POINTS)
+    con.register("i", INTERVALS)
+    want = sorted(
+        con.execute(
+            "SELECT p.pid, i.iid FROM p JOIN i ON p.ts BETWEEN i.start AND i.end"
+        ).fetchall()
+    )
+    p = spark.createDataFrame(POINTS.drop(columns=["user"]))
+    i = spark.createDataFrame(INTERVALS.drop(columns=["user"]))
+    got = sorted(
+        (r.pid, r.iid) for r in range_join(p, i, "ts", "start", "end").collect()
+    )
+    assert got == want
