@@ -1,5 +1,31 @@
+from async_pipes_spark.functions.dedup import (  # noqa: F401
+    exact_dup_groups,
+    fingerprint_dup_groups,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
 from async_pipes_spark.functions.json import json_get_int  # noqa: F401
-from async_pipes_spark.functions.money import dec2, money_sum  # noqa: F401
+from async_pipes_spark.functions.money import cents, dec2, money_sum, revenue_cents  # noqa: F401
+from async_pipes_spark.functions.sampling import hash_sample, stratified_sample  # noqa: F401
+from async_pipes_spark.functions.similarity import (  # noqa: F401
+    cosine_topk,
+    embedding_near_dups,
+    ivf_assign,
+    ivf_topk,
+    kmeans_centroids,
+)
+from async_pipes_spark.functions.sketches import kmv_distinct  # noqa: F401
+from async_pipes_spark.functions.text import (  # noqa: F401
+    fingerprint,
+    langid_scores,
+    quality_metrics,
+    token_count_bpe_ish,
+    token_count_ws,
+    winnow_fingerprint,
+    winnow_fingerprints,
+)
 from async_pipes_spark.functions.vectors import (  # noqa: F401
     cosine_sim_f32,
     dot_f32,
