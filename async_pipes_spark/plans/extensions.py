@@ -411,6 +411,40 @@ def s13_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return firsts.agg(F.count(F.lit(1)).alias("n_users"))
 
 
+def s14_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with an event-time range condition —
+    j2's streaming twin (clicks ⋈ purchase windows per user). Both
+    sides derive from ONE streaming read (a self-join keeps them in
+    the same cloned session); watermarks + the time-range predicate
+    let Spark evict join state at scale instead of buffering forever.
+    availableNow quiescence ≡ the batch range join."""
+    from async_pipes_spark.streaming.run import run_available_now, stream_table
+
+    ev = stream_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("c_ts") >= F.col("p_ts"))
+        & (F.col("c_ts") <= F.col("p_ts") + F.expr("INTERVAL 2 HOURS")),
+        "inner",
+    ).select("click_id", "purchase_id")
+    return run_available_now(joined, output_mode="append")
+
+
 def s5_stateful_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming stage (applyInPandasWithState): per-
     user running fold; final state equals the batch fold."""
@@ -450,6 +484,7 @@ EXTENSION_QUERIES = {
     "s11_orders_stream": s11_orders_stream,
     "s12_documents_stream": s12_documents_stream,
     "s13_stream_dedup": s13_stream_dedup,
+    "s14_stream_stream_join": s14_stream_stream_join,
 }
 
 
@@ -819,6 +854,21 @@ EXTENSION_ORACLES = {
     """,
     "s13_stream_dedup": """
         SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events
+    """,
+    "s14_stream_stream_join": """
+        WITH clicks AS (
+            SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS c_ts
+            FROM events WHERE event_type = 'click'
+        ),
+        p AS (
+            SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT c.click_id, p.purchase_id
+        FROM clicks c JOIN p
+          ON c.user_id = p.user_id
+         AND c.c_ts BETWEEN p.p_ts AND p.p_ts + INTERVAL 2 HOUR
+        ORDER BY click_id, purchase_id
     """,
     "b1_builder_route": """
         WITH t(n, s) AS (VALUES (1, 'a'), (2, 'bb'), (3, 'ccc'), (4, 'dddd'), (5, 'eeeee'))
