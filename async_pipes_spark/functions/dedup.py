@@ -44,39 +44,33 @@ DEFAULT_MAX_POSTING_LEN = 1_000
 
 
 def _drop_hot_groups(rows: DataFrame, group_cols: list[str], cap: int) -> DataFrame:
-    """Remove all rows belonging to groups larger than ``cap``.
+    """Remove all rows belonging to groups larger than ``cap`` —
+    LAZILY, inside the shuffle the downstream aggregation needs anyway.
 
-    A count-only side-job finds hot keys eagerly (bounded: at most
-    |rows|/cap keys can exceed the cap, so the result is always tiny);
-    in the common clean-corpus case it is EMPTY and the input plan is
-    returned untouched — zero change to the main query. Only when hot
-    keys exist does the plan gain a broadcast left_anti join against
-    the literal hot-key list.
+    ``count(*) OVER (PARTITION BY group)`` hash-partitions the rows on
+    the group key; the filter then discards oversized groups before
+    any ``collect_list`` buffers them. Because the window's output
+    partitioning (hash on ``group_cols``) already satisfies the
+    downstream groupBy's distribution requirement, Catalyst adds NO
+    second exchange — the cap costs one sort within the one shuffle
+    the pair expansion always needed, and the expensive upstream
+    kernel (shingle/minhash/assignment) is evaluated exactly once.
 
-    Deliberately NO materialization of the input: persist() leaks
-    (CacheManager holds blocks until an explicit unpersist the query
-    shape can't express — measured as suite-wide slowdowns) and
-    localCheckpoint(eager=True) costs MORE than recomputing (measured
-    2-4s vs 1.7s per query at sf0.1: serializing the wide kernel
-    output to the block store exceeds one extra kernel run). The count
-    pass simply re-evaluates the upstream kernel — bounded,
-    predictable; at 100 TB a caller who knows the kernel is the
-    bottleneck can persist upstream explicitly and unpersist when
-    done."""
-    hot = (
-        rows.groupBy(*group_cols)
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") > cap)
-        .select(*group_cols)
-        .collect()
+    Previous design (eager count side-job + broadcast anti-join) ran
+    the upstream kernel TWICE — at 100 TB that re-reads the corpus and
+    re-runs the most expensive compute in the pipeline. A hot group's
+    rows still land on one task here, but WindowExec spills its
+    partition buffer to disk, so the degenerate corpus degrades to
+    disk I/O instead of a single-task OOM, and the filter drops the
+    rows before the collect."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols)
+    return (
+        rows.withColumn("_gn", F.count(F.lit(1)).over(w))
+        .filter(F.col("_gn") <= cap)
+        .drop("_gn")
     )
-    if not hot:
-        return rows
-    spark = rows.sparkSession
-    hot_df = spark.createDataFrame(
-        [tuple(r) for r in hot], rows.select(*group_cols).schema
-    )
-    return rows.join(F.broadcast(hot_df), group_cols, "left_anti")
 
 
 def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

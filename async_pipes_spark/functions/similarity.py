@@ -68,6 +68,11 @@ def cosine_pairs(
     )
 
     q_rows = _collect_block(queries.select(id_col, vec_col), "query")
+    if not q_rows:
+        # empty query block: 0-row result, not an opaque 1-d numpy error
+        return corpus.sparkSession.createDataFrame(
+            [], "q_id bigint, c_id bigint, sim_micro bigint"
+        )
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Qm = np.array([np.asarray(r[1], dtype=np.float32) for r in q_rows])
     qn = np.sqrt(seq_f32_self_dots(Qm).astype(np.float64))
@@ -188,7 +193,11 @@ def kmeans_centroids(
     standard IVF construction; the full corpus never leaves the
     cluster), then the centers are returned as a small DataFrame with
     ids 0..k-1, ready for :func:`ivf_assign`. Deterministic for a
-    fixed (corpus, seed)."""
+    fixed (corpus, seed) INDEPENDENT of partition layout: the reservoir
+    is a hash-threshold filter on the id (not ``sample()``, whose
+    per-partition RNG changes with the layout), ordered by id before
+    the limit so the same corpus yields the same centroids on any
+    cluster."""
     import numpy as np
 
     n = corpus.count()
@@ -196,11 +205,16 @@ def kmeans_centroids(
         raise ValueError("cannot build centroids from an empty corpus")
     if k is None:
         k = max(1, min(int(n**0.5), 65_536))
-    frac = min(1.0, (max_sample * 1.05) / n)
+    denom = 1_000_000
+    thresh = int(min(1.0, (max_sample * 1.05) / n) * denom)
     rows = (
-        corpus.select(vec_col).sample(fraction=frac, seed=seed).limit(max_sample).collect()
+        corpus.select(id_col, vec_col)
+        .filter(F.pmod(F.hash(F.col(id_col), F.lit(seed)), F.lit(denom)) < thresh)
+        .orderBy(id_col)
+        .limit(max_sample)
+        .collect()
     )
-    X = np.array([np.asarray(r[0], dtype=np.float32) for r in rows], dtype=np.float32)
+    X = np.array([np.asarray(r[1], dtype=np.float32) for r in rows], dtype=np.float32)
     if len(X) < k:
         raise ValueError(f"sample of {len(X)} vectors cannot seed {k} centroids")
     rng = np.random.default_rng(seed)
@@ -276,6 +290,11 @@ def ivf_topk(
     q_rows = _collect_block(
         corpus.filter(queries_filter(F.col(id_col))).select(id_col, vec_col), "query"
     )
+    if not q_rows or not cent_rows:
+        # empty query or centroid block: 0-row result, not a shape error
+        return corpus.sparkSession.createDataFrame(
+            [], "q_id bigint, rank bigint, c_id bigint, sim_micro bigint"
+        )
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Qm = np.array([np.asarray(r[1], dtype=np.float32) for r in q_rows])
     q_cells = assign_np(Qm)
@@ -333,14 +352,13 @@ def embedding_near_dups(
     never one pandas frame per cell. The result set is identical for
     any blocking (every pair lands in exactly one tile); at the oracle
     scale every cell fits one block and the plan degenerates to the
-    unblocked shape. Cell sizes come from a count-only pass over the
-    persisted assignment, so the assignment kernel runs once.
+    unblocked shape. Cell sizes come from ``count(*) OVER (PARTITION
+    BY cell)`` inside the plan — lazy, so the assignment kernel is
+    evaluated exactly once and no eager side-job fires.
 
     ``num_centroids`` defaults to the oracle's deterministic 8-prefix;
     production: pass ``kmeans_centroids`` output size ~ sqrt(corpus)
     so cells stay small and blocking rarely engages."""
-    import math
-
     import numpy as np
     import pandas as pd
 
@@ -352,20 +370,19 @@ def embedding_near_dups(
 
     centroids = corpus.filter(F.col(id_col) < num_centroids)
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
-    spark = corpus.sparkSession
-    # cell sizes via an eager count-only side-job. One extra
-    # assignment-kernel evaluation, deliberately NOT materialized:
-    # persist() leaks across the query lifetime and localCheckpoint
-    # costs more than the recompute (see dedup._drop_hot_groups)
-    sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
-    nb_rows = [(int(r["cell"]), max(1, math.ceil(r["n"] / block_size))) for r in sizes]
-    nb_df = F.broadcast(spark.createDataFrame(nb_rows or [(0, 1)], "cell bigint, nb int"))
-
+    # cell sizes inside the plan: count over a cell-partitioned window.
+    # Lazy — the assignment kernel runs once; the window's shuffle is
+    # on the small (id, vec, cell) rows, and WindowExec spills, so even
+    # a degenerate all-one-cell corpus degrades to disk, not OOM.
+    cell_w = Window.partitionBy("cell")
     # row in block b joins every tile (i≤b, b) and (b, j>b): nb tiles
     # per row — the standard O(n·nb) duplication that buys bounded
     # tiles. Interpreted HOFs are fine here: the arrays are nb-element.
     blocked = (
-        assigned.join(nb_df, "cell")
+        assigned.withColumn(
+            "nb",
+            F.ceil(F.count(F.lit(1)).over(cell_w) / F.lit(block_size)).cast("int"),
+        )
         .withColumn("b", F.pmod(F.hash(F.col("vec_id")), F.col("nb")))
         .withColumn(
             "tile",
@@ -429,6 +446,14 @@ def embedding_near_dups(
             {"id_a": lo, "id_b": hi, "sim_micro": micro[ai, bi_idx]}
         )
 
-    return blocked.groupBy("cell", "bi", "bj").applyInPandas(
-        tile_pairs, "id_a bigint, id_b bigint, sim_micro bigint"
+    # The window leaves rows hash-partitioned on cell alone — enough to
+    # satisfy the groupBy's distribution, which would serialize every
+    # tile of a hot cell through one task. Repartition on the full tile
+    # key so a hot cell's tiles spread across the cluster (the point of
+    # blocking); the extra exchange moves only the nb-duplicated small
+    # rows, never the corpus scan or the assignment kernel.
+    return (
+        blocked.repartition("cell", "bi", "bj")
+        .groupBy("cell", "bi", "bj")
+        .applyInPandas(tile_pairs, "id_a bigint, id_b bigint, sim_micro bigint")
     )

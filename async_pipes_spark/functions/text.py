@@ -81,11 +81,12 @@ def winnow_fingerprints(
     id_col: str = "doc_id",
     window: int = 8,
 ) -> DataFrame:
-    """Kernel form of :func:`winnow_fingerprint`: (doc_id, wfp) via one
-    Arrow batch pass — hashlib md5 over character windows, one output
-    row per doc, zero shuffle. Bit-identical to the expression form
-    and the SQL oracle (md5 of UTF-8 bytes of the character window;
-    lexicographic min over hex digests)."""
+    """Kernel form of :func:`winnow_fingerprint`: (``id_col``, wfp) via
+    one Arrow batch pass — hashlib md5 over character windows, one
+    output row per doc, zero shuffle. Bit-identical to the expression
+    form and the SQL oracle (md5 of UTF-8 bytes of the character
+    window; lexicographic min over hex digests). The id column keeps
+    its input name in the output."""
     import hashlib
 
     import pandas as pd
@@ -102,10 +103,10 @@ def winnow_fingerprints(
                     min(md5(text[i : i + window].encode()).hexdigest() for i in range(n))
                 )
                 ids.append(did)
-            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"), "wfp": fps})
+            yield pd.DataFrame({id_col: pd.Series(ids, dtype="int64"), "wfp": fps})
 
     return fan_out(df.select(id_col, text_col)).mapInPandas(
-        kernel, "doc_id bigint, wfp string"
+        kernel, f"{id_col} bigint, wfp string"
     )
 
 

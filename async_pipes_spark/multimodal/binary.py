@@ -87,6 +87,11 @@ def _decode_bmp(payload: bytes) -> dict:
         raise ValueError("unsupported BMP header")
     if bpp != 24 or compression != 0:
         raise ValueError(f"only uncompressed 24bpp supported (got bpp={bpp})")
+    if width <= 0 or height == 0:
+        # a negative width gives a negative stride that would pass the
+        # truncation check and return garbage; width/height 0 would
+        # silently yield mean_px_milli=None
+        raise ValueError(f"invalid BMP dimensions {width}x{height}")
     flipped = height < 0
     height = abs(height)
     stride = (3 * width + 3) // 4 * 4

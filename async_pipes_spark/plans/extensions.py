@@ -644,7 +644,7 @@ EXTENSION_ORACLES = {
             SELECT doc_id,
                    min(md5(substring(text, CAST(t.i AS INTEGER), 8))) AS wfp
             FROM documents,
-                 LATERAL unnest(generate_series(1, greatest(strlen(text) - 7, 1))) t(i)
+                 LATERAL unnest(generate_series(1, greatest(length(text) - 7, 1))) t(i)
             GROUP BY doc_id
         )
         SELECT wfp, MIN(doc_id) AS keep_id, COUNT(*) AS dups
@@ -692,8 +692,8 @@ EXTENSION_ORACLES = {
             SELECT doc_id,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
                    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types,
-                   CAST(strlen(text) AS BIGINT) AS n_chars,
-                   CAST(strlen(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS BIGINT) AS n_alnum,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS BIGINT) AS n_alnum,
                    CAST(len(list_filter(string_split(text, ' '),
                             t -> t IN ('the', 'a', 'of', 'and', 'is'))) AS BIGINT) AS stop_hits
             FROM documents
@@ -877,6 +877,6 @@ EXTENSION_ORACLES = {
         UNION ALL
         SELECT 'odd_sum', CAST(SUM(n) FILTER (WHERE n % 2 = 1) AS BIGINT) FROM t
         UNION ALL
-        SELECT 'char_total', CAST(SUM(strlen(s)) AS BIGINT) FROM t
+        SELECT 'char_total', CAST(SUM(length(s)) AS BIGINT) FROM t
     """,
 }
