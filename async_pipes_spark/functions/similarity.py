@@ -20,6 +20,8 @@ Determinism: similarity ordering and outputs use integer micro-units
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -205,11 +207,16 @@ def kmeans_centroids(
         raise ValueError("cannot build centroids from an empty corpus")
     if k is None:
         k = max(1, min(int(n**0.5), 65_536))
-    denom = 1_000_000
-    thresh = int(min(1.0, (max_sample * 1.05) / n) * denom)
+    # 1e9 buckets on a 64-bit hash with a ceil + floor-of-1: fractions as
+    # small as max_sample/n for n ~ 1e13 (100 TB of vectors) still select a
+    # non-empty, slightly-oversampled reservoir (int(frac*1e6) truncated to
+    # 0 above n ≈ 1e11, raising on exactly the corpora IVF exists for).
+    denom = 1_000_000_000
+    frac = min(1.0, (max_sample * 1.05) / n)
+    thresh = max(1, math.ceil(frac * denom))
     rows = (
         corpus.select(id_col, vec_col)
-        .filter(F.pmod(F.hash(F.col(id_col), F.lit(seed)), F.lit(denom)) < thresh)
+        .filter(F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(denom)) < thresh)
         .orderBy(id_col)
         .limit(max_sample)
         .collect()
@@ -278,6 +285,12 @@ def ivf_topk(
         ),
         key=lambda r: r[0],
     )
+    if not cent_rows:
+        # guard BEFORE building Cm: an empty block is 1-d, and the dot
+        # kernels index shape[1] (IndexError) ahead of any later check
+        return corpus.sparkSession.createDataFrame(
+            [], "q_id bigint, rank bigint, c_id bigint, sim_micro bigint"
+        )
     cent_ids = np.array([r[0] for r in cent_rows], dtype=np.int64)
     Cm = np.array([np.asarray(r[1], dtype=np.float32) for r in cent_rows])
     cn = np.sqrt(seq_f32_self_dots(Cm).astype(np.float64))
@@ -290,8 +303,8 @@ def ivf_topk(
     q_rows = _collect_block(
         corpus.filter(queries_filter(F.col(id_col))).select(id_col, vec_col), "query"
     )
-    if not q_rows or not cent_rows:
-        # empty query or centroid block: 0-row result, not a shape error
+    if not q_rows:
+        # empty query block: 0-row result, not a shape error
         return corpus.sparkSession.createDataFrame(
             [], "q_id bigint, rank bigint, c_id bigint, sim_micro bigint"
         )

@@ -17,6 +17,13 @@ from pyspark.sql import SparkSession
 #: sources.tables converts to a microsecond TimestampType column.
 NANOS_AS_LONG = "spark.sql.legacy.parquet.nanosAsLong"
 
+#: The driver's parquet timestamps are written with isAdjustedToUTC=false,
+#: which Spark 4 infers as TIMESTAMP_NTZ by default. NTZ is rejected by
+#: event-time watermarks and unix_micros/unix_timestamp arithmetic, so we
+#: pin inference back to TimestampType (session tz is pinned to UTC below,
+#: making the two wall-clock-identical and matching DuckDB's naive reads).
+INFER_NTZ = "spark.sql.parquet.inferTimestampNTZ.enabled"
+
 
 def _cpus() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -48,6 +55,7 @@ def get_spark(app_name: str = "async-pipes-spark", cpus: int | None = None) -> S
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config(NANOS_AS_LONG, "true")
+        .config(INFER_NTZ, "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -58,5 +66,6 @@ def ensure_engine_confs(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs this engine depends on to an
     externally-created session (e.g. the verification driver's)."""
     spark.conf.set(NANOS_AS_LONG, "true")
+    spark.conf.set(INFER_NTZ, "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark

@@ -53,7 +53,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    df = normalize_ntz(df)
     _TABLE_CACHE[key] = df
+    return df
+
+
+def normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to TimestampType (wall-clock
+    identity under the engine's pinned UTC session tz).
+
+    Belt-and-suspenders behind the INFER_NTZ conf in session.py: a
+    caller-supplied session that ignores runtime conf changes still gets
+    watermark-/unix_micros-compatible TimestampType columns.
+    """
+    ntz = [f.name for f in df.schema.fields if f.dataType.simpleString() == "timestamp_ntz"]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

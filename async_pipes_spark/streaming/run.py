@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from async_pipes_spark.session import ensure_engine_confs
+from async_pipes_spark.sources.tables import normalize_ntz
 
 def stream_table(
     spark: SparkSession,
@@ -62,7 +63,7 @@ def stream_table(
     )
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return df
+    return normalize_ntz(df)
 
 
 def run_available_now(

@@ -1,0 +1,42 @@
+"""Driver-contract invariants (VERDICT r2 'Next round' #1).
+
+The verification driver snapshots ``queries()`` and records correctness
+rows for the first 50 entries; these tests freeze the contract shape so
+a late edit can't silently drop a query's oracle or push a
+never-recorded query past the coverage window.
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry
+
+
+def test_every_query_has_an_oracle():
+    qs, os_ = entry.queries(), entry.oracle_sql()
+    assert set(qs) == set(os_), (
+        f"missing oracles: {sorted(set(qs) - set(os_))}; "
+        f"orphan oracles: {sorted(set(os_) - set(qs))}"
+    )
+
+
+def test_queries_and_oracles_share_order():
+    assert list(entry.queries()) == list(entry.oracle_sql())
+
+
+def test_never_recorded_queries_inside_coverage_window():
+    """j*/s*/b*/new-family queries must sit in the first 50 entries —
+    the driver's observed per-round correctness window."""
+    first50 = list(entry.queries())[:50]
+    uncovered_families = ("j", "s", "b")
+    missing = [
+        k
+        for k in entry.queries()
+        if k.split("_")[0][0] in uncovered_families and k not in first50
+    ]
+    assert not missing, f"driver window misses: {missing}"
+
+
+def test_priority_list_covers_all_keys():
+    ranked = entry._PRIORITY
+    for key in entry.queries():
+        assert any(key.startswith(p) for p in ranked), f"unranked key {key}"

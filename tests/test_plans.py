@@ -27,8 +27,10 @@ def test_p2_filter_pushdown_and_pruning(spark):
     txt = plan_text(p2_filter_fold(spark, SF_SMOKE))
     assert "GreaterThan(l_quantity,30.0)" in txt, txt
     assert "GreaterThanOrEqual(l_shipdate" in txt, txt
-    # scan reads only the two needed columns of lineitem's 11
-    assert "struct<l_quantity:double,l_shipdate:timestamp_ntz>" in txt, txt
+    # scan reads only the two needed columns of lineitem's 11 (the
+    # engine pins TimestampType inference — session.py INFER_NTZ — so
+    # the pushed filter and pruned schema are tz-typed)
+    assert "struct<l_quantity:double,l_shipdate:timestamp>" in txt, txt
 
 
 def test_p1_column_pruning(spark):
