@@ -26,17 +26,24 @@ from async_pipes_spark.pipeline.options import DEFAULT_MAX_TASK_COUNT
 def async_map_in_pandas(
     df: DataFrame,
     fn: Callable[[dict[str, Any]], Awaitable[dict[str, Any] | None]],
-    schema: str,
+    schema,
     max_task_count: int = DEFAULT_MAX_TASK_COUNT,
 ) -> DataFrame:
     """Apply an async per-record function with bounded concurrency.
 
     ``fn`` receives one record as a dict and returns an output dict, or
     ``None`` to drop the record (the reference's map+filter fusion,
-    builder.rs:194-196). Output columns must match ``schema``.
+    builder.rs:194-196). Output columns must match ``schema`` (a DDL
+    string or a ``StructType``).
     """
     if max_task_count <= 0:
         raise ValueError("max task count must be greater than zero")
+
+    field_names = (
+        list(schema.fieldNames())
+        if hasattr(schema, "fieldNames")
+        else [f.split(":")[0].split()[0].strip() for f in schema.split(",")]
+    )
 
     def run_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         async def run_batch(records: list[dict]) -> list[dict]:
@@ -52,7 +59,7 @@ def async_map_in_pandas(
         for pdf in it:
             out = asyncio.run(run_batch(pdf.to_dict("records")))
             yield pd.DataFrame(out) if out else pd.DataFrame(
-                {f.split()[0]: [] for f in schema.split(",")}
+                {name: [] for name in field_names}
             )
 
     return df.mapInPandas(run_batches, schema)

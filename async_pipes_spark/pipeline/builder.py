@@ -37,6 +37,7 @@ driver-side fixpoint loop (see pipeline.pipeline).
 
 from __future__ import annotations
 
+import asyncio
 from collections.abc import Callable, Iterable, Sequence
 from dataclasses import dataclass, field
 from typing import Any
@@ -83,6 +84,23 @@ def _rows_to_tuples(values: Sequence[Any]) -> list[tuple]:
     return [v if isinstance(v, tuple) else (v,) for v in values]
 
 
+def _sync_pull(coro_fn: Callable[[], Any]) -> Callable[[], Any]:
+    """Adapt an ``async def`` pull closure to the sync pull protocol.
+
+    The reference's producer tasks are async fns driven by its runtime
+    (builder.rs:104-119); here the driver-side pull loop is synchronous,
+    so each pull runs the coroutine to completion on a private loop.
+    Parity/testing path only — scale producers are (streaming)
+    DataFrames, and async PER-RECORD work belongs in an async stage
+    (operators.async_map), which runs coroutines concurrently inside
+    executor tasks."""
+
+    def pull():
+        return asyncio.run(coro_fn())
+
+    return pull
+
+
 class PipelineBuilder:
     """Accumulates stage declarations; see module docstring."""
 
@@ -117,10 +135,13 @@ class PipelineBuilder:
     def with_producer(self, pipe: str, task: Callable[..., Any] | DataFrame, schema: Any = "value: bigint"):
         """Dynamic source (reference builder.rs:104-119). Accepts:
         a DataFrame (batch or streaming); a zero-arg callable returning
-        a DataFrame; or a zero-arg callable yielding one value per call
-        with ``None`` terminating (the reference's exact pull protocol —
-        driver-side, for parity/testing; use file/stream sources at
-        scale)."""
+        a DataFrame; or a zero-arg callable — sync or ``async def``,
+        matching the reference's async producer closures
+        (builder.rs:104-119) — yielding one value per call with ``None``
+        terminating (the reference's exact pull protocol — driver-side,
+        for parity/testing; use file/stream sources at scale)."""
+        if asyncio.iscoroutinefunction(task):
+            task = _sync_pull(task)
         self._stages.append(
             Stage("producer", (), (pipe,), ("producer", task, schema), name=f"producer:{pipe}")
         )
@@ -129,7 +150,10 @@ class PipelineBuilder:
     def with_branching_producer(self, pipes: Sequence[str], task: Callable[..., Any], schemas: Sequence[Any] | None = None):
         """Dynamic multi-output source (reference builder.rs:144-156):
         ``task()`` returns a list with one entry per pipe (``None`` /
-        ``NoOutput`` skips that pipe this round) or ``None`` to stop."""
+        ``NoOutput`` skips that pipe this round) or ``None`` to stop.
+        ``async def`` closures accepted as in :meth:`with_producer`."""
+        if asyncio.iscoroutinefunction(task):
+            task = _sync_pull(task)
         pipes = tuple(pipes)
         schemas = tuple(schemas) if schemas is not None else tuple("value: bigint" for _ in pipes)
         self._stages.append(
@@ -145,10 +169,31 @@ class PipelineBuilder:
 
     # ---- transforms ----------------------------------------------
 
-    def with_stage(self, input_pipe: str, output_pipe: str, task: Callable[[DataFrame], DataFrame], options: WorkerOptions | None = None):
+    def with_stage(self, input_pipe: str, output_pipe: str, task: Callable[..., Any], options: WorkerOptions | None = None, schema: Any = None):
         """Map+filter fused, 1 pipe → 1 pipe (reference
         builder.rs:202-224): ``task`` is a DataFrame→DataFrame transform
-        (drop rows to express the reference's ``None`` return)."""
+        (drop rows to express the reference's ``None`` return).
+
+        An ``async def`` task is accepted natively, mirroring the
+        reference's async stage closures (builder.rs:202-224): it is
+        treated as a PER-RECORD coroutine ``dict -> dict | None``
+        (``None`` drops the record — the same map+filter fusion) and
+        routed through the bounded-concurrency Arrow kernel
+        (operators.async_map), with ``options.max_task_count`` as the
+        per-task in-flight limit — the reference's admission control
+        (workers.rs:139). ``schema`` names the output schema for async
+        tasks (defaults to the input pipe's schema)."""
+        if asyncio.iscoroutinefunction(task):
+            opts = options or WorkerOptions()
+            record_fn, out_schema = task, schema
+
+            def task(df: DataFrame, _fn=record_fn, _schema=out_schema, _opts=opts):
+                from async_pipes_spark.operators.async_map import async_map_in_pandas
+
+                return async_map_in_pandas(
+                    df, _fn, _schema or df.schema, max_task_count=_opts.max_task_count
+                )
+
         self._stages.append(
             Stage(
                 "stage",
@@ -181,7 +226,15 @@ class PipelineBuilder:
     def with_consumer(self, pipe: str, task: Callable[[DataFrame], Any], options: WorkerOptions | None = None):
         """Terminal sink (reference builder.rs:169-183): an action on
         the pipe's DataFrame; its return value is exposed in
-        ``Pipeline.wait()`` results keyed by pipe name."""
+        ``Pipeline.wait()`` results keyed by pipe name. An ``async def``
+        task (reference consumers are async fns, builder.rs:169-183) is
+        run to completion on a private loop at consume time."""
+        if asyncio.iscoroutinefunction(task):
+            consumer_fn = task
+
+            def task(df: DataFrame, _fn=consumer_fn):
+                return asyncio.run(_fn(df))
+
         self._stages.append(
             Stage("consumer", (pipe,), (), task, options or WorkerOptions(), name=f"consumer:{pipe}")
         )

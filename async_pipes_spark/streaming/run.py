@@ -21,6 +21,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from async_pipes_spark.pipeline.options import WorkerOptions
 from async_pipes_spark.session import ensure_engine_confs
 from async_pipes_spark.sources.tables import normalize_ntz
 
@@ -29,6 +30,7 @@ def stream_table(
     sf_dir: str,
     name: str,
     shuffle_partitions: int | None = 8,
+    options: "WorkerOptions | None" = None,
 ) -> DataFrame:
     """File-source streaming read of ANY synthetic table (the file
     stream source needs a directory, so we glob-filter inside sf_dir).
@@ -47,7 +49,16 @@ def stream_table(
     per trigger — a finite availableNow drain wants few. The clone
     keeps that pin per-query instead of mutating the caller's session
     (racy under concurrent use). Long-lived deployments should size it
-    to key cardinality (pass None to inherit the caller's conf)."""
+    to key cardinality (pass None to inherit the caller's conf).
+
+    ``options`` wires the reference's backpressure knob for real: a
+    bounded pipe buffer (reference src/pipeline/mod.rs:25, blocking
+    write io.rs:154-160) admits at most ``pipe_buffer_size`` records
+    ahead of the consumer; the file-source analogue admits at most
+    ``pipe_buffer_size`` FILES per trigger (``maxFilesPerTrigger`` —
+    honored by availableNow drains too, which split into that many
+    files per micro-batch). Kafka-style sources would map to
+    ``maxOffsetsPerTrigger``; omit for unthrottled intake."""
     ensure_engine_confs(spark)
     raw_schema = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
     if shuffle_partitions is not None:
@@ -56,11 +67,12 @@ def stream_table(
         session.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     else:
         session = spark
-    df = (
-        session.readStream.schema(raw_schema)
-        .option("pathGlobFilter", f"{name}.parquet")
-        .parquet(sf_dir)
+    reader = session.readStream.schema(raw_schema).option(
+        "pathGlobFilter", f"{name}.parquet"
     )
+    if options is not None:
+        reader = reader.option("maxFilesPerTrigger", str(options.pipe_buffer_size))
+    df = reader.parquet(sf_dir)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return normalize_ntz(df)

@@ -111,3 +111,46 @@ def test_stream_to_files_durable_sink(spark, tmp_path):
     want = load_table(spark, SF_SMOKE, "events")
     assert got.count() == want.count()
     assert got.select(F.sum("event_id")).head()[0] == want.select(F.sum("event_id")).head()[0]
+
+
+def test_backpressure_bounds_files_per_trigger(spark, tmp_path):
+    """WorkerOptions.pipe_buffer_size → maxFilesPerTrigger (VERDICT r2
+    #3): with a buffer of 1, an availableNow drain over a 4-file source
+    must intake at most one file per micro-batch instead of gulping the
+    directory — the file-source analogue of the reference's bounded
+    pipe buffer (src/pipeline/mod.rs:25, blocking write io.rs:154-160)."""
+    from async_pipes_spark.pipeline.options import WorkerOptions
+    from async_pipes_spark.streaming.run import stream_table
+
+    src = tmp_path / "src"
+    for i in range(4):
+        spark.range(i * 10, i * 10 + 10).coalesce(1).write.parquet(
+            str(src), mode="append"
+        )
+    nfiles = len(list(src.glob("part-*.parquet")))
+    assert nfiles >= 4
+
+    def drain(options):
+        batch_sizes = []
+        df = stream_table(spark, str(src), "part-*", options=options)
+        q = (
+            df.writeStream.foreachBatch(
+                lambda b, _i: batch_sizes.append(b.count())
+            )
+            .option("checkpointLocation", str(tmp_path / f"ckpt{id(options)}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return batch_sizes
+
+    throttled = drain(WorkerOptions(pipe_buffer_size=1))
+    assert sum(throttled) == 40
+    assert len(throttled) >= nfiles, (
+        f"expected >= {nfiles} single-file batches, got {throttled}"
+    )
+    assert max(throttled) <= 10  # no batch gulped more than one file
+
+    unthrottled = drain(None)
+    assert sum(unthrottled) == 40
+    assert len([b for b in unthrottled if b]) == 1  # whole dir in one gulp
