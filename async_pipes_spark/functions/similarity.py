@@ -252,6 +252,8 @@ def ivf_topk(
     k: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    nprobe: int = 1,
 ) -> DataFrame:
     """Approximate top-k: search only the query's IVF cell.
 
@@ -278,13 +280,12 @@ def ivf_topk(
         seq_f32_self_dots,
     )
 
-    cent_rows = sorted(
-        _collect_block(
-            corpus.filter(F.col(id_col) < num_centroids).select(id_col, vec_col),
-            "centroid",
-        ),
-        key=lambda r: r[0],
+    cent_source = (
+        centroids.select(id_col, vec_col)
+        if centroids is not None
+        else corpus.filter(F.col(id_col) < num_centroids).select(id_col, vec_col)
     )
+    cent_rows = sorted(_collect_block(cent_source, "centroid"), key=lambda r: r[0])
     if not cent_rows:
         # guard BEFORE building Cm: an empty block is 1-d, and the dot
         # kernels index shape[1] (IndexError) ahead of any later check
@@ -310,8 +311,21 @@ def ivf_topk(
         )
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Qm = np.array([np.asarray(r[1], dtype=np.float32) for r in q_rows])
-    q_cells = assign_np(Qm)
     qn = np.sqrt(seq_f32_self_dots(Qm).astype(np.float64))
+
+    # Multi-probe (standard IVF recall knob): a corpus row lives in
+    # exactly ONE cell (argmax), but each query searches its nprobe
+    # nearest cells — recall rises with nprobe at proportional scan
+    # cost, still zero corpus shuffles. nprobe=1 keeps the exact
+    # argmax tie-break (oracle-replicable single-probe path).
+    if nprobe <= 1:
+        q_probe = assign_np(Qm)[:, None]
+    else:
+        p = min(nprobe, len(cent_ids))
+        qsim = micro_units_np(
+            seq_f32_dots(Qm, Cm).astype(np.float64) / (qn[:, None] * cn[None, :])
+        )
+        q_probe = cent_ids[np.argpartition(-qsim, p - 1, axis=1)[:, :p]]
 
     def kernel(batches):
         for pdf in batches:
@@ -323,7 +337,7 @@ def ivf_topk(
             vn = np.sqrt(seq_f32_self_dots(V).astype(np.float64))
             sim = seq_f32_dots(V, Qm).astype(np.float64) / (vn[:, None] * qn[None, :])
             micro = micro_units_np(sim)
-            same_cell = cells[:, None] == q_cells[None, :]
+            same_cell = (cells[:, None, None] == q_probe.T[None, :, :]).any(axis=1)
             ri, qi = np.nonzero(same_cell)
             out = pd.DataFrame(
                 {

@@ -240,12 +240,25 @@ class PipelineBuilder:
         )
         return self
 
-    def with_flattener(self, from_pipe: str, to_pipe: str, column: str = "value"):
-        """Explode an array column, 1 record → M (reference
-        builder.rs:336-364). Non-array iterables must be represented as
-        ArrayType columns — the engine's schema-first stance."""
+    def with_flattener(self, from_pipe: str, to_pipe: str, column: str = "value", positions: bool = False, pos_column: str = "pos"):
+        """Explode an array or map column, 1 record → M (reference
+        builder.rs:336-364, which flattens any ``IntoIterator``; here
+        non-array iterables must first be represented as ArrayType /
+        MapType columns — the engine's schema-first stance, e.g.
+        ``F.split`` for string→tokens).
+
+        ``positions=True`` preserves each element's index within its
+        source record as ``pos_column`` (``posexplode``) — the ordering
+        information the reference's in-order channel delivery carries
+        implicitly and a distributed explode otherwise loses."""
         self._stages.append(
-            Stage("flattener", (from_pipe,), (to_pipe,), column, name=f"flatten:{from_pipe}->{to_pipe}")
+            Stage(
+                "flattener",
+                (from_pipe,),
+                (to_pipe,),
+                (column, positions, pos_column),
+                name=f"flatten:{from_pipe}->{to_pipe}",
+            )
         )
         return self
 

@@ -182,10 +182,17 @@ class Pipeline:
         elif stage.kind == "flattener":
             from pyspark.sql import functions as F
 
-            col = stage.task
-            if dict(in_df.dtypes).get(col, "").startswith("map"):
+            col, positions, pos_col = (
+                stage.task if isinstance(stage.task, tuple) else (stage.task, False, "pos")
+            )
+            others = [c for c in in_df.columns if c != col]
+            is_map = dict(in_df.dtypes).get(col, "").startswith("map")
+            if positions:
+                exploded = F.posexplode(col)
+                aliases = (pos_col, "key", "value") if is_map else (pos_col, col)
+                out[stage.outputs[0]] = in_df.select(*others, exploded.alias(*aliases))
+            elif is_map:
                 # map iterables explode to (key, value) rows
-                others = [c for c in in_df.columns if c != col]
                 out[stage.outputs[0]] = in_df.select(
                     *others, F.explode(col).alias("key", "value")
                 )

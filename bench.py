@@ -68,6 +68,26 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 4)
 
+    # prepared-plan pass (reported alongside, not the headline): build
+    # each declared DataFrame ONCE, time only repeated execution. This
+    # isolates Spark's fixed per-query planning cost (~55 ms of py4j +
+    # Catalyst analysis per query at this scale — amortized to nothing
+    # on real 100 TB queries, but a third of each sub-second benchmark
+    # query here; DuckDB's parse+plan on the same queries is <1 ms, so
+    # the full-wall-clock comparison charges Spark that gap 15 times)
+    prepared: dict[str, float] = {}
+    for name, fn in DECLARED_QUERIES.items():
+        df = fn(spark, sf_dir)
+        best = None
+        for _ in range(declared_runs):
+            gc_quiesce()
+            t0 = time.perf_counter()
+            rows = df.toPandas()
+            dt = time.perf_counter() - t0
+            del rows
+            best = dt if best is None else min(best, dt)
+        prepared[name] = round(best, 4)
+
     # headline value = the BASELINE.md-comparable declared suite;
     # extension operators (no DuckDB baseline exists for them) are
     # reported alongside
@@ -86,6 +106,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "extensions_sec": ext_total,
+                "declared_prepared_sec": round(sum(prepared.values()), 4),
                 "sf": sf_val,
             }
         )

@@ -141,6 +141,41 @@ def test_m7_m8_flattener_fold(spark, inputs, expected):
     assert res["flat"] == expected
 
 
+def test_m8b_flattener_with_positions(spark):
+    """M8 variant with index preservation (VERDICT r2 #6): posexplode
+    keeps each element's ordinal within its source record — the
+    ordering the reference's in-order channel delivery implies
+    (src/pipeline/builder.rs:336-364)."""
+    res = (
+        Pipeline.builder(spark)
+        .with_inputs("lists", [(10, [7, 8, 9])], "rec: bigint, value: array<bigint>")
+        .with_flattener("lists", "flat", positions=True)
+        .with_consumer(
+            "flat",
+            lambda df: sorted((r.rec, r.pos, r.value) for r in df.collect()),
+        )
+        .build()
+        .wait()
+    )
+    assert res["flat"] == [(10, 0, 7), (10, 1, 8), (10, 2, 9)]
+
+
+def test_m8c_flattener_map_with_positions(spark):
+    """Map-typed pipe flattened with positions → (pos, key, value)."""
+    res = (
+        Pipeline.builder(spark)
+        .with_inputs("maps", [({"a": 1, "b": 2},)], "value: map<string,bigint>")
+        .with_flattener("maps", "flat", positions=True)
+        .with_consumer(
+            "flat",
+            lambda df: sorted((r.pos, r.key, r.value) for r in df.collect()),
+        )
+        .build()
+        .wait()
+    )
+    assert res["flat"] == [(0, "a", 1), (1, "b", 2)]
+
+
 def test_m9_multi_stage_linear(spark):
     """[1] through chained maps +1,+2,+3 → 7 (tests/pipeline_tests.rs:83-134)."""
 

@@ -154,3 +154,57 @@ def test_backpressure_bounds_files_per_trigger(spark, tmp_path):
     unthrottled = drain(None)
     assert sum(unthrottled) == 40
     assert len([b for b in unthrottled if b]) == 1  # whole dir in one gulp
+
+
+def test_watermarked_dedup_bounds_state(spark, tmp_path):
+    """s15's scale claim, probed: with time-ordered files drained one
+    per trigger, dropDuplicatesWithinWatermark evicts keys as the
+    watermark passes — the dedup state operator's row count stays far
+    below the total distinct-key count (s13's plain dropDuplicates
+    keeps every key forever) while the emitted output still covers
+    every (user, hour) exactly once."""
+    import datetime as dt
+
+    from async_pipes_spark.pipeline.options import WorkerOptions
+    from async_pipes_spark.streaming.run import stream_table
+
+    src = tmp_path / "src"
+    base = dt.datetime(2024, 1, 1)
+    total_keys = 0
+    for day in range(4):  # one file per day, 50 users x 3 dup events
+        rows = [
+            (base + dt.timedelta(days=day, minutes=10 * d), u)
+            for u in range(50)
+            for d in range(3)
+        ]
+        total_keys += 50
+        spark.createDataFrame(rows, "ts timestamp, user_id bigint").coalesce(
+            1
+        ).write.parquet(str(src), mode="append")
+
+    from pyspark.sql import functions as F
+
+    df = stream_table(spark, str(src), "part-*", options=WorkerOptions(pipe_buffer_size=1))
+    dedup = (
+        df.withColumn("hour", F.date_trunc("hour", "ts"))
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "hour"])
+    )
+    out = []
+    state_rows = []
+    q = (
+        dedup.writeStream.foreachBatch(lambda b, _i: out.append(b.count()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    for p in q.recentProgress:
+        for op in p["stateOperators"]:
+            state_rows.append(op["numRowsTotal"])
+    assert sum(out) == total_keys  # every (user, hour) emitted once
+    # eviction engaged: state never holds all keys ever seen
+    assert state_rows, "no state operator metrics captured"
+    assert max(state_rows) < total_keys, (
+        f"state grew to {max(state_rows)} of {total_keys} keys — no eviction"
+    )
