@@ -89,28 +89,45 @@ def fingerprint_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = 
     )
 
 
-def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = DEFAULT_SHINGLE) -> DataFrame:
+def shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = DEFAULT_SHINGLE,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Word n-gram shingles, one row per (doc, shingle occurrence).
 
     Arrow kernel instead of transform/slice/array_join: Spark's
     higher-order array functions are interpreted per element (no
     codegen), so building shingles in a mapInPandas batch is ~2x
     faster and the explode comes for free (the kernel just emits more
-    rows)."""
+    rows). ``carry_cols`` are replicated onto every emitted shingle row
+    (e.g. ``source`` for contamination checks) — cheaper than a
+    post-hoc join of the exploded table back to the corpus."""
     import pandas as pd
 
     def kernel(batches):
         for pdf in batches:
             ids, out = [], []
-            for i, text in zip(pdf[id_col], pdf[text_col]):
+            carry: dict[str, list] = {c: [] for c in carry_cols}
+            for row in zip(pdf[id_col], pdf[text_col], *(pdf[c] for c in carry_cols)):
+                i, text, extras = row[0], row[1], row[2:]
                 toks = text.split(" ")
                 for j in range(len(toks) - n + 1):
                     ids.append(i)
                     out.append(" ".join(toks[j : j + n]))
-            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"), "shingle": out})
+                    for c, v in zip(carry_cols, extras):
+                        carry[c].append(v)
+            cols = {"doc_id": pd.Series(ids, dtype="int64"), "shingle": out}
+            cols.update(carry)
+            yield pd.DataFrame(cols)
 
-    return fan_out(df.select(id_col, text_col)).mapInPandas(
-        kernel, "doc_id bigint, shingle string"
+    carry_schema = "".join(
+        f", {c} {dict(df.dtypes)[c]}" for c in carry_cols
+    )
+    return fan_out(df.select(id_col, text_col, *carry_cols)).mapInPandas(
+        kernel, "doc_id bigint, shingle string" + carry_schema
     )
 
 
@@ -333,4 +350,48 @@ def ngram_jaccard_pairs(
             "doc_b",
             micro_units(F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))).alias("jac_micro"),
         )
+    )
+
+
+def cross_source_contamination(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """Per-source n-gram contamination: for each source, how many of
+    its distinct n-gram shingles also occur in at least one OTHER
+    source — the standard benchmark-contamination / train-test-overlap
+    check run before training (shingle containment, cf. GPT-3 appx C):
+    (source, n_shingles, n_shared, shared_micro).
+
+    Scale shape: shingle kernel carries the group column (no join of
+    the exploded table back to the corpus), one distinct on
+    (source, shingle), one count per shingle, one co-partitioned join
+    on shingle, one final small aggregation per source. Hot shingles
+    (stop-gram soup) cost only a counter thanks to partial aggregation
+    — no collect_list anywhere, so no hot-key memory risk."""
+    ss = (
+        shingles(df, text_col=text_col, id_col=id_col, n=n, carry_cols=(group_col,))
+        .select(group_col, "shingle")
+        .distinct()
+    )
+    per_shingle = ss.groupBy("shingle").agg(F.count(F.lit(1)).alias("ns"))
+    from async_pipes_spark.functions.vectors import micro_units
+
+    return (
+        ss.join(per_shingle, "shingle")
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("ns") > 1).cast("bigint")).alias("n_shared"),
+        )
+        .select(
+            group_col,
+            "n_shingles",
+            "n_shared",
+            micro_units(F.col("n_shared") / F.col("n_shingles")).alias("shared_micro"),
+        )
+        .orderBy(group_col)
     )

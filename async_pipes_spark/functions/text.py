@@ -166,3 +166,38 @@ def langid_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
             cand = F.struct(F.col(c).alias("h"), F.lit(lang).alias("l"))
             pred = F.when(F.col(c) > pred.getField("h"), cand).otherwise(pred)
     return out.withColumn("pred_lang", pred.getField("l"))
+
+
+def duplicate_ngram_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Per-document duplicate n-gram fraction — the Gopher-family
+    repetition quality signal (Rae et al. 2021 §A1.1: documents whose
+    n-grams repeat heavily are boilerplate/spam): (doc_id,
+    total_ngrams, uniq_ngrams, dup_micro) where dup_micro =
+    micro_units(1 - uniq/total). Documents shorter than ``n`` tokens
+    emit no row (no n-grams to judge).
+
+    Scale shape: the shingle kernel is one scan pass; the aggregation
+    is a single shuffle on doc_id with map-side partial aggregation.
+    The distinct-count per doc is exact (count_distinct) — the group is
+    one document's n-grams, bounded by document length, never corpus-
+    sized."""
+    from async_pipes_spark.functions.dedup import shingles
+
+    sh = shingles(df, text_col=text_col, id_col=id_col, n=n)
+    return (
+        sh.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("total_ngrams"),
+            F.count_distinct("shingle").alias("uniq_ngrams"),
+        )
+        .select(
+            "doc_id",
+            "total_ngrams",
+            "uniq_ngrams",
+            micro_units(
+                (F.col("total_ngrams") - F.col("uniq_ngrams")) / F.col("total_ngrams")
+            ).alias("dup_micro"),
+        )
+    )

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from async_pipes_spark.functions.sampling import _threshold_hex
 from async_pipes_spark.functions.dedup import (
+    cross_source_contamination,
     fingerprint_dup_groups,
     minhash_lsh_pairs,
     minhash_signatures,
@@ -54,6 +55,21 @@ def d3_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d4_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     return ngram_jaccard_pairs(docs)
+
+
+def d6_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-test-overlap / benchmark-contamination check (3-gram
+    shingle containment across the ``source`` strata)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return cross_source_contamination(docs)
+
+
+def t6_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style duplicate-3-gram repetition quality signal."""
+    from async_pipes_spark.functions.text import duplicate_ngram_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_ngram_stats(docs)
 
 
 def d5_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -553,6 +569,8 @@ EXTENSION_QUERIES = {
     "d3_simhash": d3_simhash,
     "d4_ngram_jaccard_pairs": d4_ngram_jaccard_pairs,
     "d5_fingerprint_dedup": d5_fingerprint_dedup,
+    "d6_contamination": d6_contamination,
+    "t6_repetition": t6_repetition,
     "a1_ann_top3": a1_ann_top3,
     "a2_ivf_top1": a2_ivf_top1,
     "a5_ivf_recall_check": a5_ivf_recall_check,
@@ -956,6 +974,36 @@ EXTENSION_ORACLES = {
             FROM events
         )
     """,
+    "d6_contamination": (
+        "WITH "
+        + _SHINGLES.format(doc_filter="")
+        + """,
+        ss AS (
+            SELECT DISTINCT d.source, sh.shingle
+            FROM sh JOIN documents d ON sh.doc_id = d.doc_id
+        ),
+        per AS (SELECT shingle, COUNT(*) AS ns FROM ss GROUP BY shingle)
+        SELECT ss.source,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(CASE WHEN per.ns > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+               CAST(FLOOR(CAST(SUM(CASE WHEN per.ns > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                    / COUNT(*) * 1000000 + 0.5) AS BIGINT) AS shared_micro
+        FROM ss JOIN per ON ss.shingle = per.shingle
+        GROUP BY ss.source ORDER BY ss.source
+    """
+    ),
+    "t6_repetition": (
+        "WITH "
+        + _SHINGLES.format(doc_filter="")
+        + """
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS total_ngrams,
+               CAST(COUNT(DISTINCT shingle) AS BIGINT) AS uniq_ngrams,
+               CAST(FLOOR(CAST(COUNT(*) - COUNT(DISTINCT shingle) AS DOUBLE)
+                    / COUNT(*) * 1000000 + 0.5) AS BIGINT) AS dup_micro
+        FROM sh GROUP BY doc_id ORDER BY doc_id
+    """
+    ),
     "s14_stream_stream_join": """
         WITH clicks AS (
             SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS c_ts
