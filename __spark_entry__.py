@@ -56,7 +56,7 @@ _PRIORITY = [
     "s4_", "s5_", "s9_", "s10_", "s11_", "s12_", "s13_", "s14_", "s15_",
     # builder-surface and LLM-pipeline families (one green row each)
     "b1_", "b2_",
-    "d1_", "d2_", "d3_", "d4_", "d5_", "d6_",
+    "d1_", "d2_", "d3_", "d4_", "d5_", "d6_", "d7_",
     "a1_", "a2_", "a3_", "a4_", "a5_",
     "t1_", "t2_", "t3_", "t4_", "t5_", "t6_",
     "k1_", "smp1_", "smp2_",

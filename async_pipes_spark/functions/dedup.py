@@ -395,3 +395,61 @@ def cross_source_contamination(
         )
         .orderBy(group_col)
     )
+
+
+def dedup_group_labels(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iterations: int = 64,
+) -> DataFrame:
+    """Resolve candidate near-dup PAIRS into dedup GROUPS: connected
+    components of the pair graph by iterative min-label propagation —
+    the step that turns LSH output into an actionable keep/drop list
+    (keep_id = the smallest doc id in each component). Returns
+    (doc_id, keep_id) for every doc that appears in a pair.
+
+    The loop is the engine's cycle primitive (reference cyclic pipes,
+    README.md:12-13) applied to data: each round every vertex adopts
+    the minimum label among itself and its neighbors; quiescence =
+    no label changed (the empty-frontier termination of
+    pipeline._run_cycle). Rounds needed = component diameter — dup
+    clusters are shallow (typically 2-5 docs), so this converges in
+    2-3 rounds; corpora with pathological chain-shaped components
+    would want the O(log n) large-star/small-star variant instead.
+    Per-round cost: one shuffle join on vertex id + one aggregation;
+    lineage is cut each round (localCheckpoint) so plans stay flat.
+    """
+    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = edges.select(F.col("src").alias("v")).distinct().select(
+        "v", F.col("v").alias("lbl")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iterations):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.v)
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        proposed = (
+            labels.join(nbr_min, labels.v == nbr_min.src, "left")
+            .select(
+                "v",
+                F.col("lbl").alias("old"),
+                F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if proposed.filter(F.col("lbl") < F.col("old")).isEmpty():
+            break
+        labels = proposed.select("v", "lbl")
+    else:
+        raise RuntimeError(
+            f"label propagation did not converge in {max_iterations} rounds"
+        )
+    return proposed.select(
+        F.col("v").alias("doc_id"), F.col("lbl").alias("keep_id")
+    )

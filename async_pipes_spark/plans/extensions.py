@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from async_pipes_spark.functions.sampling import _threshold_hex
 from async_pipes_spark.functions.dedup import (
     cross_source_contamination,
+    dedup_group_labels,
     fingerprint_dup_groups,
     minhash_lsh_pairs,
     minhash_signatures,
@@ -62,6 +63,15 @@ def d6_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle containment across the ``source`` strata)."""
     docs = load_table(spark, sf_dir, "documents")
     return cross_source_contamination(docs)
+
+
+def d7_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH pairs → dedup groups end-to-end: d2's candidate pairs
+    resolved into connected components (keep_id = min doc id per
+    component) by the iterative min-label loop. Oracle: DuckDB
+    recursive CTE transitive closure over the identical pair set."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_group_labels(minhash_lsh_pairs(minhash_signatures(docs)))
 
 
 def t6_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -570,6 +580,7 @@ EXTENSION_QUERIES = {
     "d4_ngram_jaccard_pairs": d4_ngram_jaccard_pairs,
     "d5_fingerprint_dedup": d5_fingerprint_dedup,
     "d6_contamination": d6_contamination,
+    "d7_dedup_groups": d7_dedup_groups,
     "t6_repetition": t6_repetition,
     "a1_ann_top3": a1_ann_top3,
     "a2_ivf_top1": a2_ivf_top1,
@@ -679,6 +690,27 @@ EXTENSION_ORACLES = {
     FROM bands a
     JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
     ORDER BY doc_a, doc_b
+    """,
+    # transitive closure over the SAME pair set as d2; WITH RECURSIVE
+    # prefixes the shared band CTE chain
+    "d7_dedup_groups": _MINHASH_BANDS.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """,
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id, LEAST(src, MIN(dst)) AS keep_id
+    FROM reach GROUP BY src ORDER BY doc_id
     """,
     "d3_simhash": """
         WITH toks AS (

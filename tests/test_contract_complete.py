@@ -26,12 +26,13 @@ def test_queries_and_oracles_share_order():
 def test_never_recorded_queries_inside_coverage_window():
     """j*/s*/b*/new-family queries must sit in the first 50 entries —
     the driver's observed per-round correctness window."""
+    import re
+
     first50 = list(entry.queries())[:50]
-    uncovered_families = ("j", "s", "b")
     missing = [
         k
         for k in entry.queries()
-        if k.split("_")[0][0] in uncovered_families and k not in first50
+        if re.match(r"^[jsb]\d+_", k) and k not in first50
     ]
     assert not missing, f"driver window misses: {missing}"
 

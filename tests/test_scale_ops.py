@@ -242,3 +242,21 @@ def test_kmeans_centroids_deterministic_and_usable(spark):
     n = emb.count()
     assert assigned.count() == n
     assert assigned.filter(assigned.cell.isNull()).count() == 0
+
+
+def test_dedup_group_labels_chain_and_clusters(spark):
+    """Min-label propagation resolves a 5-vertex chain (needs multiple
+    rounds), a triangle, and an isolated pair into min-id components."""
+    from async_pipes_spark.functions.dedup import dedup_group_labels
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4-5, triangle 10-11-12, pair 20-21
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "doc_a bigint, doc_b bigint",
+    )
+    got = {(r.doc_id, r.keep_id) for r in dedup_group_labels(pairs).collect()}
+    want = {(v, 1) for v in (1, 2, 3, 4, 5)} | {(v, 10) for v in (10, 11, 12)} | {
+        (20, 20),
+        (21, 20),
+    }
+    assert got == want
