@@ -116,3 +116,24 @@ def test_a2_ivf_is_fused_single_pass(spark):
     assert "FlatMapGroupsInPandas" not in txt, txt
     assert txt.count("MapInPandas") == 1, txt
     assert txt.count("Exchange") == 1, txt
+
+
+def test_d6_contamination_plan_shape(spark):
+    """Contamination check: candidate generation must stay a hash
+    join on shingle (never a nested-loop/cartesian pairing of
+    sources) with map-side partial aggregation before each shuffle."""
+    from async_pipes_spark.plans.extensions import d6_contamination
+
+    txt = plan_text(d6_contamination(spark, SF_SMOKE), "formatted")
+    assert "CartesianProduct" not in txt and "BroadcastNestedLoop" not in txt, txt
+    assert "partial_count" in txt or "Partial" in txt, txt
+
+
+def test_t6_repetition_plan_shape(spark):
+    """Repetition signal: one aggregation keyed on doc_id, no joins at
+    all — the kernel explode feeds a straight groupBy."""
+    from async_pipes_spark.plans.extensions import t6_repetition
+
+    txt = plan_text(t6_repetition(spark, SF_SMOKE), "formatted")
+    assert "Join" not in txt, txt
+    assert "CartesianProduct" not in txt, txt
