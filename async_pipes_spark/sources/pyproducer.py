@@ -76,3 +76,80 @@ def producer_source(
         spark.read.format("async_pipes_producer")
         .option("producer_schema", schema)
     )
+
+
+def make_stream_producer_datasource(
+    fn: Callable[[int], tuple | None],
+    rows_per_batch: int = 30,
+):
+    """Streaming DataSource around an INDEXED pull closure — the true
+    analogue of the reference's infinite ``with_producer`` closures
+    (src/pipeline/builder.rs:96-98: an async closure pulled forever),
+    mapped onto Structured Streaming's offset/commit protocol.
+
+    Contract: ``fn(i)`` deterministically returns row-tuple *i*, or
+    ``None`` for end-of-stream (an infinite producer never returns
+    None). Determinism per index is what makes the source REPLAYABLE —
+    ``readBetweenOffsets`` re-produces any committed range after a
+    restart, giving exactly-once delivery through the checkpoint, where
+    the reference's in-memory channels simply lose the pipe on crash.
+
+    ``rows_per_batch`` is the producer-side backpressure knob: at most
+    that many pulls are admitted per micro-batch — the direct analogue
+    of the reference's bounded pipe buffer (mod.rs:25), on the producer
+    itself rather than the file source (cf. streaming.run.stream_table).
+    """
+
+    from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+    class _StreamReader(SimpleDataSourceStreamReader):
+        def initialOffset(self) -> dict:
+            return {"index": 0}
+
+        def _pull_range(self, start: int, end: int):
+            for i in range(start, end):
+                row = fn(i)
+                if row is None:
+                    return
+                yield row if isinstance(row, tuple) else (row,)
+
+        def read(self, start: dict):
+            lo = start["index"]
+            rows = list(self._pull_range(lo, lo + rows_per_batch))
+            return iter(rows), {"index": lo + len(rows)}
+
+        def readBetweenOffsets(self, start: dict, end: dict):
+            return self._pull_range(start["index"], end["index"])
+
+    class StreamProducerDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "async_pipes_stream_producer"
+
+        def schema(self):
+            return self.options["producer_schema"]
+
+        def simpleStreamReader(self, schema):
+            return _StreamReader()
+
+    return StreamProducerDataSource
+
+
+def stream_producer_source(
+    spark: SparkSession,
+    fn: Callable[[int], tuple | None],
+    schema: str,
+    options=None,
+):
+    """Register and load an unbounded executor-driven producer as a
+    streaming DataFrame. ``options.pipe_buffer_size`` (WorkerOptions)
+    bounds rows per micro-batch; default 30 = the reference's default
+    pipe buffer (src/pipeline/mod.rs:25)."""
+    rows_per_batch = options.pipe_buffer_size if options is not None else 30
+    cls = make_stream_producer_datasource(fn, rows_per_batch)
+    spark.dataSource.register(cls)
+    return (
+        spark.readStream.format("async_pipes_stream_producer")
+        .option("producer_schema", schema)
+        .load()
+    )

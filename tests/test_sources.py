@@ -78,3 +78,80 @@ def test_csv_json_roundtrip(spark, tmp_path):
     want = sorted(map(tuple, df.collect()))
     assert sorted(map(tuple, back_csv.collect())) == want
     assert sorted(map(tuple, back_json.collect())) == want
+
+
+def test_stream_producer_unbounded_closure(spark, tmp_path):
+    """The reference's INFINITE with_producer closure, as a real
+    streaming source (Spark 4 Python DataSource, offset-tracked):
+    fn(i) -> row i forever; pipe_buffer_size bounds pulls per
+    micro-batch; stopping the query is the Terminate signal. Drains
+    deterministically: after >= 3 micro-batches of 10 rows each, the
+    sink holds exactly the prefix 0..n-1."""
+    import time
+
+    from async_pipes_spark.pipeline.options import WorkerOptions
+    from async_pipes_spark.sources.pyproducer import stream_producer_source
+
+    df = stream_producer_source(
+        spark,
+        fn=lambda i: (i, i * i),
+        schema="n bigint, sq bigint",
+        options=WorkerOptions(pipe_buffer_size=10),
+    )
+    assert df.isStreaming
+    name = "stream_producer_sink"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.table(name).count() >= 30:
+                break
+            time.sleep(0.5)
+        rows = sorted((r.n, r.sq) for r in spark.table(name).collect())
+        assert len(rows) >= 30
+        assert rows == [(i, i * i) for i in range(len(rows))]  # exact prefix, no gaps/dupes
+        # each batch admitted at most pipe_buffer_size rows
+        for p in q.recentProgress:
+            assert p["numInputRows"] <= 10
+    finally:
+        q.stop()
+
+
+def test_stream_producer_finite_closure_ends(spark, tmp_path):
+    """A finite closure (None at i=25) drains fully under availableNow
+    batching and stops producing: the sink holds exactly 25 rows."""
+    import time
+
+    from async_pipes_spark.pipeline.options import WorkerOptions
+    from async_pipes_spark.sources.pyproducer import stream_producer_source
+
+    df = stream_producer_source(
+        spark,
+        fn=lambda i: (i,) if i < 25 else None,
+        schema="n bigint",
+        options=WorkerOptions(pipe_buffer_size=10),
+    )
+    name = "stream_producer_finite"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.table(name).count() >= 25:
+                break
+            time.sleep(0.5)
+        time.sleep(2)  # extra triggers must add nothing
+        assert spark.table(name).count() == 25
+    finally:
+        q.stop()
