@@ -59,7 +59,7 @@ _PRIORITY = [
     "d1_", "d2_", "d3_", "d4_", "d5_", "d6_", "d7_",
     "a1_", "a2_", "a3_", "a4_", "a5_",
     "t1_", "t2_", "t3_", "t4_", "t5_", "t6_",
-    "k1_", "smp1_", "smp2_",
+    "k1_", "k2_", "smp1_", "smp2_",
     "mm1_", "mm2_", "mm3_",
     # twice-green relational tail
     *[f"r{i}_" for i in range(1, 14)],

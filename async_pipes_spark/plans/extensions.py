@@ -274,6 +274,44 @@ def k1_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(orders, ["o_custkey"], k=256)
 
 
+def k2_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bloom membership (the join-pruning primitive)
+    verified as a property: build over orders' customer keys, probe
+    every customer id AND a disjoint shifted id range. No false
+    negatives is a hard guarantee (member_hits == n_members, exact
+    columns the oracle reproduces); the false-positive rate on the
+    guaranteed-non-member range must stay under 10% (m=65536, k=4:
+    theoretical ~4% at sf0.01's ~10k keys)."""
+    from async_pipes_spark.functions.sketches import bloom_build, bloom_probe
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    bits = bloom_build(orders, ["o_custkey"])
+
+    members = orders.select("o_custkey").distinct()
+    member_probe = bloom_probe(members, ["o_custkey"], bits)
+    # ids shifted far beyond any custkey: pure non-members
+    non_members = customer.select((F.col("c_custkey") + 10_000_000).alias("o_custkey"))
+    nm_probe = bloom_probe(non_members, ["o_custkey"], bits)
+
+    m = member_probe.agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(F.col("might_contain").cast("bigint")).alias("member_hits"),
+    )
+    n = nm_probe.agg(
+        F.count(F.lit(1)).alias("n_non_members"),
+        F.sum(F.col("might_contain").cast("bigint")).alias("false_positives"),
+    )
+    return m.crossJoin(n).select(
+        "n_members",
+        "member_hits",
+        (F.col("member_hits") == F.col("n_members")).alias("no_false_negatives"),
+        (F.col("false_positives") <= F.col("n_non_members") * 0.10).alias(
+            "fpr_below_10pct"
+        ),
+    )
+
+
 def smp1_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 5% Bernoulli sample of lineitem (hash of the
     primary key), folded per returnflag — identical selection on any
@@ -593,6 +631,7 @@ EXTENSION_QUERIES = {
     "a3_near_dup_pairs": a3_near_dup_pairs,
     "a4_mean_vector": a4_mean_vector,
     "k1_kmv_distinct": k1_kmv_distinct,
+    "k2_bloom_membership": k2_bloom_membership,
     "smp1_hash_sample": smp1_hash_sample,
     "smp2_stratified_sample": smp2_stratified_sample,
     "mm1_media_features": mm1_media_features,
@@ -894,6 +933,16 @@ EXTENSION_ORACLES = {
                CAST(2 AS BIGINT) AS height,
                CAST((n_chars % 251) * 1000 AS BIGINT) AS mean_px_milli
         FROM documents ORDER BY doc_id
+    """,
+    # bloom bitset is engine-replicable (md5-derived positions) but the
+    # membership CONTRACT is what matters: zero false negatives exactly,
+    # FPR bounded — the r12/r13 tolerance-property pattern
+    "k2_bloom_membership": """
+        SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_members,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS member_hits,
+               true AS no_false_negatives,
+               true AS fpr_below_10pct
+        FROM orders
     """,
     "k1_kmv_distinct": """
         WITH h AS (

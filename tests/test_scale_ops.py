@@ -260,3 +260,21 @@ def test_dedup_group_labels_chain_and_clusters(spark):
         (21, 20),
     }
     assert got == want
+
+
+def test_bloom_filter_deterministic_and_mergeable(spark):
+    """Same keys under different partitionings → identical bitset
+    (OR-merge is order-independent); membership has zero false
+    negatives and rejects a disjoint range almost entirely."""
+    from async_pipes_spark.functions.sketches import bloom_build, bloom_probe
+
+    keys = spark.range(500).select((F.col("id") * 3).alias("k"))
+    b1 = bloom_build(keys.repartition(7), ["k"])
+    b2 = bloom_build(keys.coalesce(1), ["k"])
+    assert b1 == b2
+
+    hits = bloom_probe(keys, ["k"], b1).filter("might_contain").count()
+    assert hits == 500  # no false negatives, ever
+    strangers = spark.range(500).select((F.col("id") + 1_000_000).alias("k"))
+    fp = bloom_probe(strangers, ["k"], b1).filter("might_contain").count()
+    assert fp <= 25  # 5% at this load factor; theoretical ~0.1%
