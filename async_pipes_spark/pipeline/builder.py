@@ -241,11 +241,13 @@ class PipelineBuilder:
         return self
 
     def with_flattener(self, from_pipe: str, to_pipe: str, column: str = "value", positions: bool = False, pos_column: str = "pos"):
-        """Explode an array or map column, 1 record → M (reference
-        builder.rs:336-364, which flattens any ``IntoIterator``; here
-        non-array iterables must first be represented as ArrayType /
-        MapType columns — the engine's schema-first stance, e.g.
-        ``F.split`` for string→tokens).
+        """Explode an array, map, or string column, 1 record → M
+        (reference builder.rs:336-364, which flattens any
+        ``IntoIterator``): arrays explode to elements, maps to
+        (key, value) rows, strings to characters (String is
+        IntoIterator<char>). Other iterables must first be represented
+        as ArrayType columns — the engine's schema-first stance, e.g.
+        ``F.split`` for string→tokens.
 
         ``positions=True`` preserves each element's index within its
         source record as ``pos_column`` (``posexplode``) — the ordering

@@ -186,7 +186,14 @@ class Pipeline:
                 stage.task if isinstance(stage.task, tuple) else (stage.task, False, "pos")
             )
             others = [c for c in in_df.columns if c != col]
-            is_map = dict(in_df.dtypes).get(col, "").startswith("map")
+            dtype = dict(in_df.dtypes).get(col, "")
+            if dtype == "string":
+                # String IS IntoIterator<Item=char> in the reference
+                # (builder.rs:336-364 flattens any iterable): explode
+                # to one character per record
+                in_df = in_df.withColumn(col, F.split(F.col(col), ""))
+                dtype = "array<string>"
+            is_map = dtype.startswith("map")
             if positions:
                 exploded = F.posexplode(col)
                 aliases = (pos_col, "key", "value") if is_map else (pos_col, col)

@@ -176,6 +176,24 @@ def test_m8c_flattener_map_with_positions(spark):
     assert res["flat"] == [(0, "a", 1), (1, "b", 2)]
 
 
+def test_m8d_flattener_string_to_chars(spark):
+    """String is IntoIterator<char> in the reference's flattener
+    (builder.rs:336-364): a string pipe explodes to one character per
+    record, with positions when asked."""
+    res = (
+        Pipeline.builder(spark)
+        .with_inputs("words", ["ab", "cde"], "value: string")
+        .with_flattener("words", "chars", positions=True)
+        .with_consumer(
+            "chars",
+            lambda df: sorted((r.pos, r.value) for r in df.collect()),
+        )
+        .build()
+        .wait()
+    )
+    assert res["chars"] == [(0, "a"), (0, "c"), (1, "b"), (1, "d"), (2, "e")]
+
+
 def test_m9_multi_stage_linear(spark):
     """[1] through chained maps +1,+2,+3 → 7 (tests/pipeline_tests.rs:83-134)."""
 
