@@ -368,18 +368,23 @@ def cross_source_contamination(
 
     Scale shape: shingle kernel carries the group column (no join of
     the exploded table back to the corpus), one distinct on
-    (source, shingle), one count per shingle, one co-partitioned join
-    on shingle, one final small aggregation per source. Hot shingles
-    (stop-gram soup) cost only a counter thanks to partial aggregation
-    — no collect_list anywhere, so no hot-key memory risk."""
+    (source, shingle), a per-shingle count (map-side partial agg), and
+    a join of the two. The join's both sides share the distinct's
+    shuffle subtree, and Spark's exchange reuse dedupes it — the
+    physical plan shows ``ReusedExchange``, so the shingle kernel and
+    the distinct execute ONCE (verified; a window-count formulation
+    avoids the join but replaces the tiny partial-agged count shuffle
+    with a full sort of the distinct set — measured slower). Hot
+    shingles (stop-gram soup) cost only a counter — no collect_list
+    anywhere, so no hot-key memory risk."""
+    from async_pipes_spark.functions.vectors import micro_units
+
     ss = (
         shingles(df, text_col=text_col, id_col=id_col, n=n, carry_cols=(group_col,))
         .select(group_col, "shingle")
         .distinct()
     )
     per_shingle = ss.groupBy("shingle").agg(F.count(F.lit(1)).alias("ns"))
-    from async_pipes_spark.functions.vectors import micro_units
-
     return (
         ss.join(per_shingle, "shingle")
         .groupBy(group_col)

@@ -90,6 +90,12 @@ def bloom_build(
     size, arriving pre-deduplicated from a map-side-partial distinct.
     (The earlier per-partition-bitset formulation looped Python md5 per
     row — measured 3 s on 150k rows; this shape is pure JVM.)"""
+    if num_bits % 8:
+        # positions are taken mod num_bits but the bitset holds whole
+        # bytes; a ragged tail would either IndexError on build or make
+        # bloom_probe re-derive a DIFFERENT modulus from len(bitset)*8 —
+        # false negatives, violating the hard guarantee
+        raise ValueError("num_bits must be a multiple of 8")
     pos = (
         df.select(F.explode(F.array(*_bloom_positions(cols, num_bits, num_hashes))).alias("p"))
         .distinct()

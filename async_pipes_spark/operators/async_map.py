@@ -39,11 +39,14 @@ def async_map_in_pandas(
     if max_task_count <= 0:
         raise ValueError("max task count must be greater than zero")
 
-    field_names = (
-        list(schema.fieldNames())
-        if hasattr(schema, "fieldNames")
-        else [f.split(":")[0].split()[0].strip() for f in schema.split(",")]
-    )
+    if hasattr(schema, "fieldNames"):
+        field_names = list(schema.fieldNames())
+    else:
+        # parse the DDL properly — naive comma-splitting miscounts
+        # fields for nested generics like array<struct<x:int,y:int>>
+        from pyspark.sql.types import StructType
+
+        field_names = list(StructType.fromDDL(schema).fieldNames())
 
     def run_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         async def run_batch(records: list[dict]) -> list[dict]:
@@ -58,8 +61,10 @@ def async_map_in_pandas(
 
         for pdf in it:
             out = asyncio.run(run_batch(pdf.to_dict("records")))
+            # empty fallback columns must be object-typed: a default
+            # float64 empty column can't Arrow-cast to list/struct types
             yield pd.DataFrame(out) if out else pd.DataFrame(
-                {name: [] for name in field_names}
+                {name: pd.Series([], dtype="object") for name in field_names}
             )
 
     return df.mapInPandas(run_batches, schema)

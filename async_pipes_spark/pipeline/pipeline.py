@@ -190,8 +190,15 @@ class Pipeline:
             if dtype == "string":
                 # String IS IntoIterator<Item=char> in the reference
                 # (builder.rs:336-364 flattens any iterable): explode
-                # to one character per record
-                in_df = in_df.withColumn(col, F.split(F.col(col), ""))
+                # to one character per record. split('','') yields ['']
+                # in Spark, but '' iterates to ZERO chars — map empties
+                # to an empty array so they contribute no rows.
+                in_df = in_df.withColumn(
+                    col,
+                    F.when(
+                        F.length(col) == 0, F.array().cast("array<string>")
+                    ).otherwise(F.split(F.col(col), "")),
+                )
                 dtype = "array<string>"
             is_map = dtype.startswith("map")
             if positions:

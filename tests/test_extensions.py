@@ -181,3 +181,21 @@ def test_winnow_forms_agree(spark):
     expr = {r.doc_id: r.wfp for r in df.select("doc_id", winnow_fingerprint("text").alias("wfp")).collect()}
     kern = {r.doc_id: r.wfp for r in winnow_fingerprints(df).collect()}
     assert expr == kern
+
+
+def test_async_map_empty_batch_with_nested_schema(spark):
+    """The all-dropped-batch fallback frame must honor nested generic
+    DDL (comma inside array<struct<..>>) — naive comma-splitting
+    produced phantom columns."""
+    from async_pipes_spark.operators.async_map import async_map_in_pandas
+
+    async def drop_all(rec):
+        return None
+
+    out = async_map_in_pandas(
+        spark.range(5).selectExpr("id as n").coalesce(1),
+        drop_all,
+        "pairs array<struct<x:int,y:int>>",
+    )
+    assert out.count() == 0
+    assert out.columns == ["pairs"]

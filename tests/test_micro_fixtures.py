@@ -345,3 +345,18 @@ def test_infinite_producer_raises_with_guidance(spark, monkeypatch):
     )
     with pytest.raises(RuntimeError, match="streaming"):
         p.wait()
+
+
+def test_m8e_flattener_empty_string_yields_no_rows(spark):
+    """'' is IntoIterator over zero chars — it must contribute zero
+    rows, not a phantom empty-string row (Spark's split('','') is ['']).
+    """
+    res = (
+        Pipeline.builder(spark)
+        .with_inputs("words", ["ab", ""], "value: string")
+        .with_flattener("words", "chars")
+        .with_consumer("chars", lambda df: sorted(r.value for r in df.collect()))
+        .build()
+        .wait()
+    )
+    assert res["chars"] == ["a", "b"]

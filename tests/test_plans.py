@@ -121,12 +121,17 @@ def test_a2_ivf_is_fused_single_pass(spark):
 def test_d6_contamination_plan_shape(spark):
     """Contamination check: candidate generation must stay a hash
     join on shingle (never a nested-loop/cartesian pairing of
-    sources) with map-side partial aggregation before each shuffle."""
+    sources) with map-side partial aggregation before each shuffle,
+    and the self-join's shared distinct subtree must be deduped by
+    exchange reuse — the shingle kernel executes once."""
     from async_pipes_spark.plans.extensions import d6_contamination
 
-    txt = plan_text(d6_contamination(spark, SF_SMOKE), "formatted")
+    df = d6_contamination(spark, SF_SMOKE)
+    df.collect()  # let AQE finalize so reuse shows in the plan
+    txt = plan_text(df, "formatted")
     assert "CartesianProduct" not in txt and "BroadcastNestedLoop" not in txt, txt
     assert "partial_count" in txt or "Partial" in txt, txt
+    assert "ReusedExchange" in txt, txt
 
 
 def test_t6_repetition_plan_shape(spark):

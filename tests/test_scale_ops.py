@@ -278,3 +278,12 @@ def test_bloom_filter_deterministic_and_mergeable(spark):
     strangers = spark.range(500).select((F.col("id") + 1_000_000).alias("k"))
     fp = bloom_probe(strangers, ["k"], b1).filter("might_contain").count()
     assert fp <= 25  # 5% at this load factor; theoretical ~0.1%
+
+
+def test_bloom_rejects_ragged_num_bits(spark):
+    from async_pipes_spark.functions.sketches import bloom_build
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="multiple of 8"):
+        bloom_build(spark.range(3), ["id"], num_bits=1001)
