@@ -60,13 +60,16 @@ _PRIORITY = [
     "s4_", "s5_", "s9_", "s10_", "s11_", "s12_", "s13_", "s14_", "s15_",
     # builder-surface and LLM-pipeline families (one green row each)
     "b1_", "b2_",
-    "d1_", "d2_", "d3_", "d4_", "d5_", "d6_", "d7_",
+    "d1_", "d2_", "d3_", "d4_", "d5_", "d6_", "d7_", "d8_",
     "a1_", "a2_", "a3_", "a4_", "a5_",
     "t1_", "t2_", "t3_", "t4_", "t5_", "t6_",
-    "k1_", "k2_", "smp1_", "smp2_",
+    # k2 is new (needs its first driver row); k1 is twice-green → tail
+    "k2_", "k1_", "smp1_", "smp2_",
     "mm1_", "mm2_", "mm3_",
-    # twice-green relational tail
-    *[f"r{i}_" for i in range(1, 14)],
+    # twice-green relational tail (r14 is new in round 4 but the window
+    # is full; it ships fully verified by the repo-side sweep/tests and
+    # rotates in with the tail next round)
+    *[f"r{i}_" for i in range(1, 15)],
 ]
 
 

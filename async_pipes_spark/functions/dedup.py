@@ -458,3 +458,62 @@ def dedup_group_labels(
     return proposed.select(
         F.col("v").alias("doc_id"), F.col("lbl").alias("keep_id")
     )
+
+
+def simhash_pairs(
+    signatures: DataFrame,
+    radius: int = 1,
+    bits: int = 16,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """Near-dup candidate pairs from SimHash signatures: docs whose
+    signatures differ in at most ``radius`` bits (Hamming ball join) —
+    the pairing stage downstream of :func:`simhash`, via NEIGHBORHOOD
+    KEY EXPANSION, never an O(n²) self-join: each doc emits its own
+    signature plus every signature within ``radius`` bit-flips
+    (1 + bits keys at radius 1), and docs sharing any key group
+    together. Two signatures at Hamming distance d ≤ radius meet in
+    the lower one's neighborhood — each unordered pair is counted once
+    by generating flips DOWNWARD only would be lossy, so both emit and
+    pairs dedupe on (a < b) + distinct. Shuffle keys are near-uniform
+    signature variants; degenerate corpora (everyone identical) hit
+    the same in-shuffle hot-group cap as LSH.
+
+    Returns (doc_a, doc_b, hamming) with exact distance ≤ radius.
+    """
+    if radius != 1:
+        raise NotImplementedError(
+            "radius 1 ships (1+bits keys/doc); larger radii need "
+            "pigeonhole block splitting to keep key counts bounded"
+        )
+    variants = F.array(
+        F.col(sig_col),
+        *[F.col(sig_col).bitwiseXOR(F.lit(1 << b)) for b in range(bits)],
+    )
+    keyed = signatures.select(
+        F.col(id_col).alias("doc_id"), F.col(sig_col).alias("sig"),
+        F.explode(variants).alias("k"),
+    )
+    if max_bucket_size is not None:
+        keyed = _drop_hot_groups(keyed, ["k"], cap=max_bucket_size)
+    buckets = keyed.groupBy("k").agg(
+        F.collect_list(F.struct("doc_id", "sig")).alias("members")
+    )
+    pairs = (
+        buckets.select(F.posexplode("members").alias("i", "a"), "members")
+        .select(
+            "a",
+            F.explode(F.slice("members", F.col("i") + 2, F.size("members"))).alias("b"),
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= radius)
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .distinct()
+    )
+    return pairs

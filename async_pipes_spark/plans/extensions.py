@@ -65,6 +65,17 @@ def d6_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_source_contamination(docs)
 
 
+def d8_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-ball pairing (radius 1) — d3's signatures
+    resolved into near-dup candidate pairs by neighborhood-key
+    expansion (1+16 keys per doc), never an O(n²) self-join. Oracle:
+    brute-force xor/bit_count over the identical signature CTE."""
+    from async_pipes_spark.functions.dedup import simhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(simhash(docs)).orderBy("doc_a", "doc_b")
+
+
 def d7_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH pairs → dedup groups end-to-end: d2's candidate pairs
     resolved into connected components (keep_id = min doc id per
@@ -619,6 +630,7 @@ EXTENSION_QUERIES = {
     "d5_fingerprint_dedup": d5_fingerprint_dedup,
     "d6_contamination": d6_contamination,
     "d7_dedup_groups": d7_dedup_groups,
+    "d8_simhash_pairs": d8_simhash_pairs,
     "t6_repetition": t6_repetition,
     "a1_ann_top3": a1_ann_top3,
     "a2_ivf_top1": a2_ivf_top1,
@@ -765,6 +777,30 @@ EXTENSION_ORACLES = {
         SELECT doc_id,
                CAST(SUM(CASE WHEN score > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS simhash
         FROM votes GROUP BY doc_id ORDER BY doc_id
+    """,
+    # the oracle pairs by brute force (fine at oracle scale); the engine
+    # must reach the identical set through the neighborhood-key join
+    "d8_simhash_pairs": """
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ),
+        votes AS (
+            SELECT doc_id, t.b,
+                   SUM(CASE WHEN strpos('89abcdef', substring(md5(tok), t.b + 1, 1)) > 0
+                            THEN 1 ELSE -1 END) AS score
+            FROM toks CROSS JOIN generate_series(0, 15) t(b)
+            GROUP BY doc_id, t.b
+        ),
+        sigs AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN score > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS simhash
+            FROM votes GROUP BY doc_id
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS INTEGER) AS hamming
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) <= 1
+        ORDER BY doc_a, doc_b
     """,
     "d4_ngram_jaccard_pairs": "WITH "
     + _SHINGLES.format(doc_filter=" WHERE doc_id < 50")

@@ -262,6 +262,40 @@ def r13_hll_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def r14_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval window frame: per customer, trailing-7-day order
+    spend (RANGE BETWEEN INTERVAL frame — the value-based frame p7's
+    ROWS frame can't express). Spark's rangeBetween needs a numeric
+    ordering column, so the frame runs over epoch seconds; RANGE
+    includes ALL peers of the current timestamp, making the result
+    deterministic even when a customer places several orders the same
+    instant. One shuffle on o_custkey; frames evaluate with a sliding
+    accumulator inside each sorted partition."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    epoch = F.unix_timestamp("o_orderdate")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(epoch)
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderdate",
+            cents("o_totalprice").alias("c"),
+        )
+        .select(
+            "o_custkey",
+            "o_orderdate",
+            F.sum("c").over(w).alias("trailing_cents"),
+            F.count(F.lit(1)).over(w).alias("trailing_n"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "trailing_cents")
+    )
+
+
 RELATIONAL_QUERIES = {
     "r1_rollup": r1_rollup,
     "r2_set_ops": r2_set_ops,
@@ -276,6 +310,7 @@ RELATIONAL_QUERIES = {
     "r11_salted_agg": r11_salted_agg,
     "r12_approx_quantile_check": r12_approx_quantile_check,
     "r13_hll_distinct_check": r13_hll_distinct_check,
+    "r14_interval_frame": r14_interval_frame,
 }
 
 _APPROX_CHECK_ORACLES = {
@@ -289,6 +324,24 @@ _APPROX_CHECK_ORACLES = {
         SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_d,
                true AS approx_within_5pct
         FROM orders
+    """,
+}
+
+_R14_ORACLE = {
+    "r14_interval_frame": """
+        SELECT o_custkey, o_orderdate,
+               CAST(SUM(c) OVER w AS BIGINT) AS trailing_cents,
+               CAST(COUNT(*) OVER w AS BIGINT) AS trailing_n
+        FROM (
+            SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+                   CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+            FROM orders WHERE o_custkey < 200
+        )
+        WINDOW w AS (
+            PARTITION BY o_custkey ORDER BY o_orderdate
+            RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW
+        )
+        ORDER BY o_custkey, o_orderdate, trailing_cents
     """,
 }
 
@@ -382,4 +435,5 @@ RELATIONAL_ORACLES = {
         GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
     **_APPROX_CHECK_ORACLES,
+    **_R14_ORACLE,
 }
