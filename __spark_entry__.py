@@ -56,15 +56,15 @@ _PRIORITY = [
     "x1_", "x2_", "x3_", "x4_", "x5_", "x6_",
     # never driver-recorded: temporal joins (j3 was a r1 hash-FAIL whose
     # fix has no driver row yet) and the streaming family
-    "j1_", "j2_", "j3_", "j4_",
-    "s4_", "s5_", "s9_", "s10_", "s11_", "s12_", "s13_", "s14_", "s15_",
+    "j1_", "j2_", "j3_", "j4_", "j5_",
+    "s4_", "s5_", "s9_", "s10_", "s11_", "s12_", "s13_", "s14_", "s15_", "s16_",
     # builder-surface and LLM-pipeline families (one green row each)
     "b1_", "b2_",
     "d1_", "d2_", "d3_", "d4_", "d5_", "d6_", "d7_", "d8_",
-    "a1_", "a2_", "a3_", "a4_", "a5_",
+    "a3_", "a4_", "a5_",
     "t1_", "t2_", "t3_", "t4_", "t5_", "t6_",
-    # k2 is new (needs its first driver row); k1 is twice-green → tail
-    "k2_", "k1_", "smp1_", "smp2_",
+    # k2 is new (needs its first driver row); twice-green a1/a2/k1 → tail
+    "k2_", "a1_", "a2_", "k1_", "smp1_", "smp2_",
     "mm1_", "mm2_", "mm3_",
     # twice-green relational tail (r14 is new in round 4 but the window
     # is full; it ships fully verified by the repo-side sweep/tests and

@@ -622,6 +622,28 @@ def s15_watermarked_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return firsts.agg(F.count(F.lit(1)).alias("n_user_hours"))
 
 
+def s16_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the canonical Structured
+    Streaming pattern for dimension lookups: the orders STREAM joins a
+    STATIC broadcast customer dimension per micro-batch (no state
+    store, no watermark needed — the static side is re-planned each
+    trigger, which at scale is how slowly-changing dims stay fresh).
+    Revenue per market segment at quiescence equals the batch join."""
+    from async_pipes_spark.streaming.run import run_available_now, stream_table
+
+    orders = stream_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("revenue_cents"),
+    )
+    return run_available_now(joined, output_mode="complete").orderBy("c_mktsegment")
+
+
 EXTENSION_QUERIES = {
     "d1_minhash_signatures": d1_minhash_signatures,
     "d2_minhash_lsh_pairs": d2_minhash_lsh_pairs,
@@ -660,6 +682,7 @@ EXTENSION_QUERIES = {
     "s13_stream_dedup": s13_stream_dedup,
     "s14_stream_stream_join": s14_stream_stream_join,
     "s15_watermarked_dedup": s15_watermarked_dedup,
+    "s16_stream_static_join": s16_stream_static_join,
 }
 
 
@@ -1090,6 +1113,14 @@ EXTENSION_ORACLES = {
             SELECT DISTINCT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP))
             FROM events
         )
+    """,
+    "s16_stream_static_join": """
+        SELECT c.c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
     """,
     "d6_contamination": (
         "WITH "

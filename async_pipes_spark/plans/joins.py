@@ -84,6 +84,26 @@ def j4_forward_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "next_purch_cents")
 
 
+def j5_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j1 with a ONE-HOUR staleness bound — pandas merge_asof's
+    ``tolerance``: an as-of match older than the bound is NULLED (the
+    row survives; only the stale payload is refused). Same one-shuffle
+    union+window plan as j1; the tolerance is a post-window column
+    guard, not a join-condition explosion."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.sum(_cents("value")).alias("purch_cents"))
+    )
+    return asof_join(
+        clicks, purchases, on="ts", by="user_id", tolerance_seconds=3600
+    ).select("event_id", "user_id", "purch_cents")
+
+
 def j3_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-way star join (TPC-H Q5 shape): orders ⋈ customer ⋈
     nation ⋈ region, revenue per nation for one region's customers.
@@ -124,9 +144,30 @@ JOIN_QUERIES = {
     "j2_range_attribution": j2_range_attribution,
     "j3_revenue_by_nation": j3_revenue_by_nation,
     "j4_forward_asof": j4_forward_asof,
+    "j5_asof_tolerance": j5_asof_tolerance,
 }
 
 JOIN_ORACLES = {
+    # ASOF picks the LATEST at-or-before match; if that one is stale the
+    # tolerance nulls the payload (no fresher match can exist), so the
+    # CASE over the matched ts reproduces merge_asof tolerance exactly
+    "j5_asof_tolerance": """
+        WITH clicks AS (
+            SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE event_type = 'click'
+        ),
+        p AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                   SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS purch_cents
+            FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        )
+        SELECT c.event_id, c.user_id,
+               CASE WHEN p.ts >= c.ts - INTERVAL 1 HOUR THEN p.purch_cents END
+                   AS purch_cents
+        FROM clicks c ASOF LEFT JOIN p
+          ON c.user_id = p.user_id AND c.ts >= p.ts
+        ORDER BY c.event_id
+    """,
     "j1_asof_attribution": """
         WITH clicks AS (
             SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
