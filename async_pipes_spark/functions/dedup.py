@@ -481,6 +481,12 @@ def simhash_pairs(
     signature variants; degenerate corpora (everyone identical) hit
     the same in-shuffle hot-group cap as LSH.
 
+    Scale note: 16-bit signatures (d3's demo width) concentrate a
+    similar corpus into few buckets — fine under the cap at test
+    scale, but a 100 TB corpus wants ``bits=64`` signatures (pass a
+    wider :func:`simhash`), which keep exact-signature buckets sparse
+    so in-bucket expansion stays near-linear.
+
     Returns (doc_a, doc_b, hamming) with exact distance ≤ radius.
     """
     if radius != 1:
