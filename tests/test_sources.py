@@ -155,3 +155,45 @@ def test_stream_producer_finite_closure_ends(spark, tmp_path):
         assert spark.table(name).count() == 25
     finally:
         q.stop()
+
+
+def test_merge_upsert_replaces_keeps_appends(spark, tmp_path):
+    """MERGE semantics on a parquet dir: same-key rows replaced,
+    unmatched target rows kept, new keys appended; atomic via staging
+    rename."""
+    from async_pipes_spark.sources.sinks import merge_upsert
+
+    tgt = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k bigint, s string, v bigint"
+    ).coalesce(1).write.parquet(tgt)
+    updates = spark.createDataFrame(
+        [(2, "B", 200), (9, "z", 90)], "k bigint, s string, v bigint"
+    )
+    merge_upsert(spark, tgt, updates, ["k"])
+    got = sorted(tuple(r) for r in spark.read.parquet(tgt).collect())
+    assert got == [(1, "a", 10), (2, "B", 200), (3, "c", 30), (9, "z", 90)]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="schema mismatch"):
+        merge_upsert(spark, tgt, updates.drop("v"), ["k"])
+
+
+def test_compact_small_files(spark, tmp_path):
+    """Streaming dust (20 single-row appends) compacts to one file with
+    identical contents."""
+    from async_pipes_spark.sources.sinks import compact_small_files
+
+    p = str(tmp_path / "dust")
+    for i in range(20):
+        spark.createDataFrame([(i,)], "n bigint").coalesce(1).write.mode(
+            "append"
+        ).parquet(p)
+    import os
+
+    before = sum(1 for f in os.listdir(p) if f.endswith(".parquet"))
+    assert before >= 20
+    nfiles = compact_small_files(spark, p, target_rows_per_file=1000)
+    assert nfiles == 1
+    assert sorted(r.n for r in spark.read.parquet(p).collect()) == list(range(20))
