@@ -523,3 +523,82 @@ def simhash_pairs(
         .distinct()
     )
     return pairs
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_rounds: int = 40,
+) -> DataFrame:
+    """Connected components by alternating LARGE-STAR / SMALL-STAR
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — converges in O(log n) rounds regardless of
+    component DIAMETER, where :func:`dedup_group_labels`'s min-label
+    propagation needs diameter rounds (fine for shallow dup clusters,
+    hopeless for chain-shaped components). Same output contract:
+    (doc_id, keep_id = component minimum) for every vertex in a pair.
+
+    Each round is two aggregations + two joins on vertex ids, no
+    collect_list (the per-node neighborhood minimum comes from
+    ``min()`` partial aggregation, so a celebrity node costs a counter,
+    not a buffered list). Lineage is cut per round.
+
+    large-star: every node's LARGER neighbors re-link to its
+    neighborhood minimum (including itself); small-star: the not-larger
+    neighbors and the node re-link likewise. At the fixpoint every edge
+    is (v, component_min).
+    """
+    e = pairs.select(
+        F.greatest(F.col(a_col), F.col(b_col)).alias("u"),
+        F.least(F.col(a_col), F.col(b_col)).alias("v"),
+    ).filter(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=True)
+
+    def large_star(edges: DataFrame) -> DataFrame:
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        return (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(edges: DataFrame) -> DataFrame:
+        # edges already oriented u > v
+        mins = edges.groupBy("u").agg(F.min("v").alias("m"))
+        relink = (
+            edges.join(mins, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        self_link = mins.select(F.col("u"), F.col("m").alias("v"))
+        return (
+            relink.unionByName(self_link)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    for _ in range(max_rounds):
+        after = small_star(
+            large_star(e).select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+        ).localCheckpoint(eager=True)
+        stable = (
+            after.exceptAll(e).isEmpty() and e.exceptAll(after).isEmpty()
+        )
+        e = after
+        if stable:
+            break
+    else:
+        raise RuntimeError(f"star contraction did not converge in {max_rounds} rounds")
+
+    # fixpoint: every edge is (vertex, component_min); the minima
+    # themselves are their own keep ids
+    verts = e.select(F.col("u").alias("doc_id"), F.col("v").alias("keep_id"))
+    roots = e.select(F.col("v").alias("doc_id"), F.col("v").alias("keep_id")).distinct()
+    return verts.unionByName(roots).distinct()

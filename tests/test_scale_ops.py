@@ -287,3 +287,41 @@ def test_bloom_rejects_ragged_num_bits(spark):
 
     with _pytest.raises(ValueError, match="multiple of 8"):
         bloom_build(spark.range(3), ["id"], num_bits=1001)
+
+
+def test_star_contraction_equals_minlabel_on_random_graphs(spark):
+    """large-star/small-star must produce the identical (doc_id,
+    keep_id) map as min-label propagation on assorted random graphs."""
+    import random
+
+    from async_pipes_spark.functions.dedup import (
+        connected_components_star,
+        dedup_group_labels,
+    )
+
+    rng = random.Random(7)
+    for trial in range(4):
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(rng.randrange(10, 80))
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        pairs = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+        star = {(r.doc_id, r.keep_id) for r in connected_components_star(pairs).collect()}
+        lbl = {(r.doc_id, r.keep_id) for r in dedup_group_labels(pairs).collect()}
+        assert star == lbl, f"trial {trial}: {sorted(star ^ lbl)[:6]}"
+
+
+def test_star_contraction_handles_deep_chain(spark):
+    """A 300-vertex chain has diameter 299: min-label would need 299
+    rounds (its cap raises), star contraction needs O(log n)
+    alternations — every vertex must resolve to keep_id 0."""
+    from async_pipes_spark.functions.dedup import connected_components_star
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(299)], "doc_a bigint, doc_b bigint"
+    )
+    got = {(r.doc_id, r.keep_id) for r in connected_components_star(chain).collect()}
+    assert got == {(i, 0) for i in range(300)}
