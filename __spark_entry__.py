@@ -61,10 +61,11 @@ _PRIORITY = [
     # builder-surface and LLM-pipeline families (one green row each)
     "b1_", "b2_",
     "d1_", "d2_", "d3_", "d4_", "d5_", "d6_", "d7_", "d8_",
-    "a3_", "a4_", "a5_",
+    "a5_",
     "t1_", "t2_", "t3_", "t4_", "t5_", "t6_",
-    # k2 is new (needs its first driver row); twice-green a1/a2/k1 → tail
-    "k2_", "a1_", "a2_", "k1_", "smp1_", "smp2_",
+    # k2/k3 are new (need their first driver row); twice-green
+    # a1-a4/k1 and the rest rotate to the tail
+    "k2_", "k3_", "a1_", "a2_", "a3_", "a4_", "k1_", "smp1_", "smp2_",
     "mm1_", "mm2_", "mm3_",
     # twice-green relational tail (r14 is new in round 4 but the window
     # is full; it ships fully verified by the repo-side sweep/tests and

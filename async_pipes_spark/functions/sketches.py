@@ -134,3 +134,47 @@ def bloom_probe(
 
     pos_array = F.array(*_bloom_positions(cols, num_bits, num_hashes))
     return df.withColumn(result_col, _contains(pos_array))
+
+
+def count_min_build(
+    df: DataFrame,
+    cols: list[str],
+    width: int = 1024,
+    depth: int = 3,
+) -> DataFrame:
+    """Count-min sketch of key frequencies as a (i, b, cnt) table —
+    the mergeable heavy-hitter / frequency primitive (merge = sum
+    matching cells; the table is width×depth rows no matter the corpus
+    size). Bucket positions reuse the bloom filter's md5-derived
+    formula (engine-replicable: the DuckDB oracle rebuilds the exact
+    sketch). One explode (depth rows per key occurrence) into one
+    partially-aggregated groupBy — map-side combine collapses to at
+    most width×depth rows per partition before the shuffle."""
+    pos = _bloom_positions(cols, width, depth)
+    return (
+        df.select(F.posexplode(F.array(*pos)).alias("i", "b"))
+        .groupBy("i", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def count_min_lookup(
+    sketch: DataFrame,
+    items: DataFrame,
+    cols: list[str],
+    width: int = 1024,
+    depth: int = 3,
+    result_col: str = "cms_n",
+) -> DataFrame:
+    """Estimate each item's frequency from a count_min_build sketch:
+    min over the depth rows of the item's bucket counts (missing
+    bucket = 0). Overestimates only — cms_n >= true count is a hard
+    guarantee (collisions add, never subtract)."""
+    pos = _bloom_positions(cols, width, depth)
+    keyed = items.select(*items.columns, F.posexplode(F.array(*pos)).alias("i", "b"))
+    return (
+        keyed.join(sketch, ["i", "b"], "left")
+        .fillna(0, subset=["cnt"])
+        .groupBy(*items.columns)
+        .agg(F.min("cnt").cast("bigint").alias(result_col))
+    )

@@ -622,6 +622,34 @@ def s15_watermarked_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return firsts.agg(F.count(F.lit(1)).alias("n_user_hours"))
 
 
+def k3_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency sketch, ORACLE-EXACT: bucket positions are
+    md5-derived (same formula as the bloom filter), so DuckDB rebuilds
+    the identical width=1024 × depth=3 sketch and both engines agree on
+    every estimated count — not just the tolerance property. Output:
+    the top-10 tokens by exact count with exact vs sketch estimates and
+    the hard no-underestimate guarantee. At 100 TB only the sketch side
+    runs (width×depth cells, mergeable by summing)."""
+    from async_pipes_spark.functions.sketches import count_min_build, count_min_lookup
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    sketch = count_min_build(toks, ["tok"])
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "tok")
+        .limit(10)
+    )
+    est = count_min_lookup(sketch, top, ["tok"])
+    return est.select(
+        "tok",
+        "exact_n",
+        "cms_n",
+        (F.col("cms_n") >= F.col("exact_n")).alias("no_underestimate"),
+    ).orderBy("tok")
+
+
 def s16_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join — the canonical Structured
     Streaming pattern for dimension lookups: the orders STREAM joins a
@@ -666,6 +694,7 @@ EXTENSION_QUERIES = {
     "a4_mean_vector": a4_mean_vector,
     "k1_kmv_distinct": k1_kmv_distinct,
     "k2_bloom_membership": k2_bloom_membership,
+    "k3_countmin_topk": k3_countmin_topk,
     "smp1_hash_sample": smp1_hash_sample,
     "smp2_stratified_sample": smp2_stratified_sample,
     "mm1_media_features": mm1_media_features,
@@ -1002,6 +1031,36 @@ EXTENSION_ORACLES = {
                true AS no_false_negatives,
                true AS fpr_below_10pct
         FROM orders
+    """,
+    # the sketch itself is engine-replicable (md5-derived buckets), so
+    # the oracle rebuilds it and the ESTIMATES hash-match, not just the
+    # no-underestimate property
+    "k3_countmin_topk": """
+        WITH toks AS (
+            SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        ),
+        top AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_n
+            FROM toks GROUP BY tok ORDER BY exact_n DESC, tok LIMIT 10
+        ),
+        keyed AS (
+            SELECT tok, t.i,
+                   ('0x' || substring(md5(CAST(t.i AS VARCHAR) || '|' || tok), 1, 15))::BIGINT
+                       % 1024 AS b
+            FROM toks CROSS JOIN generate_series(0, 2) t(i)
+        ),
+        sketch AS (SELECT i, b, COUNT(*) AS cnt FROM keyed GROUP BY i, b),
+        probe AS (
+            SELECT top.tok, top.exact_n, t.i,
+                   ('0x' || substring(md5(CAST(t.i AS VARCHAR) || '|' || top.tok), 1, 15))::BIGINT
+                       % 1024 AS b
+            FROM top CROSS JOIN generate_series(0, 2) t(i)
+        )
+        SELECT p.tok, p.exact_n,
+               CAST(MIN(s.cnt) AS BIGINT) AS cms_n,
+               CAST(MIN(s.cnt) AS BIGINT) >= p.exact_n AS no_underestimate
+        FROM probe p JOIN sketch s ON p.i = s.i AND p.b = s.b
+        GROUP BY p.tok, p.exact_n ORDER BY p.tok
     """,
     "k1_kmv_distinct": """
         WITH h AS (
