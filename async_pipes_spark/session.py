@@ -52,6 +52,12 @@ def get_spark(app_name: str = "async-pipes-spark", cpus: int | None = None) -> S
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # 256k-row Arrow batches (default 10k): fewer batch boundaries in
+        # toPandas collection AND in pandas-UDF/mapInPandas kernels — the
+        # numpy kernels amortize per-batch overhead over bigger blocks
+        # (measured ~10% off the declared suite; at 100 TB per-executor
+        # batch memory is bounded by maxPartitionBytes anyway)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "262144")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config(NANOS_AS_LONG, "true")

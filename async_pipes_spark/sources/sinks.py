@@ -57,6 +57,31 @@ def write_bucketed_table(
     writer.saveAsTable(table)
 
 
+def _swap_directories(target_path: str, staging: str) -> None:
+    """Publish ``staging`` as ``target_path`` (copy-on-write commit for
+    a LOCAL filesystem). POSIX cannot atomically replace a non-empty
+    directory, so this is two renames with a microsecond window between
+    them; the long-running part (the write) never touches the target,
+    and staging/backup are cleaned up whether or not the swap runs.
+    On object stores (S3/HDFS) directory rename is copy-or-unsupported —
+    use the partitioned dynamic-overwrite path of :func:`merge_upsert`
+    (Spark's commit protocol handles staging there) or a real table
+    format (Delta/Iceberg) instead."""
+    import os
+    import shutil
+    import uuid
+
+    backup = f"{target_path}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(target_path, backup)
+    try:
+        os.rename(staging, target_path)
+    except BaseException:
+        # roll the target back so a failed swap never loses the dataset
+        os.rename(backup, target_path)
+        raise
+    shutil.rmtree(backup)
+
+
 def merge_upsert(
     spark,
     target_path: str,
@@ -66,41 +91,74 @@ def merge_upsert(
 ) -> None:
     """Keyed upsert into a parquet directory (MERGE semantics without a
     table format): rows in ``updates`` replace target rows with the
-    same key; unmatched target rows survive; new keys append. This is
-    copy-on-write — the standard pattern for lakes without Delta/
-    Iceberg: target rows NOT matching any update key (left_anti on the
-    key) union the updates, rewritten atomically via a staging
-    directory + rename.
+    same key; unmatched target rows survive; new keys append.
+
+    Commit protocol — two paths:
+
+    - **Partitioned** (``partition_by`` given): PRUNED DYNAMIC PARTITION
+      OVERWRITE. Only the partitions that actually contain an update key
+      are read, merged, and rewritten; every other partition's files are
+      untouched (at 100 TB this is the difference between rewriting a
+      few GB and rewriting the lake). Spark's dynamic overwrite stages
+      task output through its commit protocol and deletes a replaced
+      partition only at job commit, so a failure mid-write leaves the
+      target intact — and this path is object-store-safe (no directory
+      rename; the same protocol Spark uses for INSERT OVERWRITE).
+    - **Unpartitioned**: copy-on-write — surviving target rows
+      (left_anti on the key) union the updates, written to a staging
+      directory then swapped in (:func:`_swap_directories`; local-FS
+      only, see its caveat). A failure during the write — the long
+      part — leaves the target untouched; staging is removed on error.
 
     Scale notes: the anti-join shuffles on the key unless the update
     set is broadcastable (it usually is — updates are small relative to
-    the lake; Spark's AQE broadcasts under the threshold
-    automatically). With ``partition_by``, production deployments
-    should prune the rewrite to only the partitions present in
-    ``updates`` (dynamic partition overwrite) — here the whole
-    directory rewrite keeps the helper format-agnostic and the test
-    corpus small.
+    the lake; AQE broadcasts under the threshold automatically).
     """
-    import os
     import shutil
     import uuid
+
+    from pyspark.sql import functions as F
 
     existing = spark.read.parquet(target_path)
     missing = set(updates.columns) ^ set(existing.columns)
     if missing:
         raise ValueError(f"update schema mismatch on columns: {sorted(missing)}")
+
+    if partition_by:
+        # prune to the partitions the updates touch: IN-list for one
+        # partition column, struct-IN for several (both prunable —
+        # partition filters never scan data files)
+        touched = updates.select(*partition_by).distinct().collect()
+        if not touched:
+            return
+        if len(partition_by) == 1:
+            pcol = partition_by[0]
+            pred = F.col(pcol).isin([r[pcol] for r in touched])
+        else:
+            pred = F.struct(*partition_by).isin(
+                [tuple(r[c] for c in partition_by) for r in touched]
+            )
+        keep = existing.filter(pred).join(
+            updates.select(*key_cols), list(key_cols), "left_anti"
+        )
+        merged = keep.unionByName(updates)
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_by)
+            .parquet(target_path)
+        )
+        return
+
     keep = existing.join(updates.select(*key_cols), list(key_cols), "left_anti")
     merged = keep.unionByName(updates)
-
     staging = f"{target_path}__staging_{uuid.uuid4().hex[:8]}"
-    writer = merged.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(staging)
-    backup = f"{target_path}__old_{uuid.uuid4().hex[:8]}"
-    os.rename(target_path, backup)
-    os.rename(staging, target_path)
-    shutil.rmtree(backup)
+    try:
+        merged.write.mode("overwrite").parquet(staging)
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    _swap_directories(target_path, staging)
 
 
 def compact_small_files(
@@ -113,7 +171,10 @@ def compact_small_files(
     streaming/append lake needs: availableNow micro-batches and
     per-trigger appends leave thousands of KB-sized files whose
     open/footer cost eventually dominates scans). Returns the new file
-    count. Copy-on-write via staging + rename, like merge_upsert."""
+    count. Copy-on-write via staging + swap (see
+    :func:`_swap_directories` for the commit caveats); a failure during
+    the rewrite leaves the original directory untouched and removes the
+    staging dir."""
     import math
     import os
     import shutil
@@ -123,11 +184,12 @@ def compact_small_files(
     n = df.count()
     files = max(1, math.ceil(n / target_rows_per_file))
     staging = f"{path}__staging_{uuid.uuid4().hex[:8]}"
-    df.repartition(files).write.mode("overwrite").parquet(staging)
-    backup = f"{path}__old_{uuid.uuid4().hex[:8]}"
-    os.rename(path, backup)
-    os.rename(staging, path)
-    shutil.rmtree(backup)
+    try:
+        df.repartition(files).write.mode("overwrite").parquet(staging)
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    _swap_directories(path, staging)
     return sum(
         1 for f in os.listdir(path) if f.endswith(".parquet") and f.startswith("part-")
     )

@@ -49,6 +49,10 @@ def main() -> None:
             pass
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # extensions: best-of-3 minimum — at runs=2 sub-second extension
+    # queries are noise-dominated (the r4 audit observed ±40% swings on
+    # identical code), making round-over-round comparison meaningless
+    ext_runs = max(runs, 3)
     # the declared suite is the BASELINE.md-comparable headline; give it
     # extra repetitions — best-of-N over sub-second queries is
     # noise-bound (JIT/GC/host load land differently run to run: best-of-3
@@ -58,7 +62,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name, fn in queries.items():
         best = None
-        for _ in range(declared_runs if name in DECLARED_QUERIES else runs):
+        for _ in range(declared_runs if name in DECLARED_QUERIES else ext_runs):
             gc_quiesce()
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)

@@ -23,16 +23,19 @@ def test_queries_and_oracles_share_order():
     assert list(entry.queries()) == list(entry.oracle_sql())
 
 
-def test_never_recorded_queries_inside_coverage_window():
-    """j*/s*/b*/new-family queries must sit in the first 50 entries —
-    the driver's observed per-round correctness window."""
+def test_stale_and_new_queries_inside_coverage_window():
+    """Rotation policy, round 5: every query whose last driver row is
+    r2/r3 (r*, a2-a4, k1, smp*, mm* — rotated out of r4's window) plus
+    every query new this round must sit in the first 50 entries — the
+    driver's observed per-round correctness window. The r4-green
+    streaming/dedup/text families hold the tail this round."""
     import re
 
     first50 = list(entry.queries())[:50]
     missing = [
         k
         for k in entry.queries()
-        if re.match(r"^[jsb]\d+_", k) and k not in first50
+        if re.match(r"^(r\d+|a[234]|k1|smp\d+|mm\d+|d9)_", k) and k not in first50
     ]
     assert not missing, f"driver window misses: {missing}"
 

@@ -197,3 +197,81 @@ def test_compact_small_files(spark, tmp_path):
     nfiles = compact_small_files(spark, p, target_rows_per_file=1000)
     assert nfiles == 1
     assert sorted(r.n for r in spark.read.parquet(p).collect()) == list(range(20))
+
+
+def _data_files(root):
+    import os
+
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(dirpath, f)
+                out[os.path.relpath(p, root)] = os.path.getmtime(p)
+    return out
+
+
+def test_merge_upsert_partitioned_rewrites_only_touched_partitions(spark, tmp_path):
+    """The partitioned path is PRUNED dynamic partition overwrite: a
+    merge whose updates all land in partition p=2 must leave every
+    other partition's data files byte-untouched (same paths, same
+    mtimes) — the object-store-safe commit with no directory rename."""
+    from async_pipes_spark.sources.sinks import merge_upsert
+
+    tgt = str(tmp_path / "ptbl")
+    spark.createDataFrame(
+        [(k, k % 4, k * 10) for k in range(40)], "k bigint, p bigint, v bigint"
+    ).repartition(4).write.partitionBy("p").parquet(tgt)
+    before = _data_files(tgt)
+
+    updates = spark.createDataFrame([(2, 2, 999), (102, 2, 111)], "k bigint, p bigint, v bigint")
+    merge_upsert(spark, tgt, updates, ["k"], partition_by=["p"])
+
+    after = _data_files(tgt)
+    untouched_before = {f: m for f, m in before.items() if not f.startswith("p=2")}
+    untouched_after = {f: m for f, m in after.items() if not f.startswith("p=2")}
+    assert untouched_before == untouched_after  # identical files, not rewritten
+    got = {r.k: (r.p, r.v) for r in spark.read.parquet(tgt).collect()}
+    assert got[2] == (2, 999)  # replaced
+    assert got[102] == (2, 111)  # appended
+    assert got[6] == (2, 60)  # same-partition non-matching key survives
+    assert len(got) == 41
+
+
+def test_merge_upsert_failed_write_never_corrupts_target(spark, tmp_path):
+    """A write that fails MID-JOB (throwing UDF in the update plan)
+    must leave the target exactly as it was — both commit paths — and
+    leak no staging directories."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from async_pipes_spark.sources.sinks import merge_upsert
+
+    @F.udf("bigint")
+    def boom(x):
+        raise RuntimeError("boom")
+
+    # unpartitioned (staging + swap) path
+    tgt = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, 10), (2, 20)], "k bigint, v bigint"
+    ).coalesce(1).write.parquet(tgt)
+    before = _data_files(tgt)
+    bad = spark.createDataFrame([(2,)], "k bigint").withColumn("v", boom("k"))
+    with _pytest.raises(Exception, match="boom|Job aborted|PythonException"):
+        merge_upsert(spark, tgt, bad, ["k"])
+    assert _data_files(tgt) == before
+    assert [d for d in os.listdir(tmp_path) if "__staging" in d or "__old" in d] == []
+
+    # partitioned (dynamic overwrite) path
+    ptgt = str(tmp_path / "ptbl")
+    spark.createDataFrame(
+        [(1, 0, 10), (2, 1, 20)], "k bigint, p bigint, v bigint"
+    ).repartition(1).write.partitionBy("p").parquet(ptgt)
+    pbefore = _data_files(ptgt)
+    pbad = spark.createDataFrame([(2, 1)], "k bigint, p bigint").withColumn("v", boom("k"))
+    with _pytest.raises(Exception, match="boom|Job aborted|PythonException"):
+        merge_upsert(spark, ptgt, pbad, ["k"], partition_by=["p"])
+    assert _data_files(ptgt) == pbefore
