@@ -233,31 +233,64 @@ def minhash_lsh_pairs(
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
     """Per-document SimHash: (doc_id, simhash).
 
-    Bit b of a token's hash = high bit of hex nibble b of md5(token);
-    the document bit is the sign of the ±1 vote sum over token
-    occurrences. ``bits`` ≤ 32 (one nibble per bit position).
+    Two engine-portable bit mappings (both plain md5 arithmetic any
+    SQL engine reproduces):
+
+    - ``bits`` ≤ 32 (d3's demo width): bit b of a token's hash = high
+      bit of hex nibble b of md5(token).
+    - ``bits`` ≤ 64 (corpus-scale width, d9): bit b = bit (b mod 4) of
+      hex nibble (b div 4) — the full first-16-nibble bit field, so 64
+      independent bits instead of 32 correlated nibble-high bits.
+
+    The document bit is the sign of the ±1 vote sum over token
+    occurrences. 64-bit signatures are returned as two's-complement
+    BIGINT (bit 63 set → negative), matching what
+    ``CAST(huge AS BIGINT)`` yields in the oracle.
     """
     # Arrow kernel: token hash → ±1 votes → sign bits, one pass per
     # doc, one output row per doc — no token-row explode, no shuffle
     # at all (the doc is the unit of work, embarrassingly parallel).
     import hashlib
 
+    import numpy as np
     import pandas as pd
 
+    if bits > 64:
+        raise ValueError("bits must be <= 64 (md5 first-16-nibble bit field)")
     high = set("89abcdef")
+    # bits>32 mapping as shift amounts into int(hexdigest[:16], 16),
+    # where nibble 0 is MOST significant: bit b lives at
+    # 4*(15 - b//4) + (b % 4)
+    shifts = np.array([4 * (15 - b // 4) + (b % 4) for b in range(bits)], dtype=np.uint64)
 
     def kernel(batches):
         md5 = hashlib.md5
+        tok_bits: dict[str, object] = {}  # token → per-bit 0/1 vector (corpora repeat tokens heavily)
         for pdf in batches:
             ids, hashes = [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
-                votes = [0] * bits
-                for tok in text.split(" "):
-                    hx = md5(tok.encode()).hexdigest()
-                    for b in range(bits):
-                        votes[b] += 1 if hx[b] in high else -1
+                toks = text.split(" ")
+                rows = []
+                for tok in toks:
+                    bv = tok_bits.get(tok)
+                    if bv is None:
+                        hx = md5(tok.encode()).hexdigest()
+                        if bits <= 32:
+                            bv = np.fromiter(
+                                (1 if hx[b] in high else 0 for b in range(bits)),
+                                dtype=np.int64,
+                                count=bits,
+                            )
+                        else:
+                            h64 = np.uint64(int(hx[:16], 16))
+                            bv = ((h64 >> shifts) & np.uint64(1)).astype(np.int64)
+                        tok_bits[tok] = bv
+                    rows.append(bv)
+                ones = np.sum(rows, axis=0)
+                sig_bits = 2 * ones > len(toks)
+                sig = sum(1 << b for b, v in enumerate(sig_bits) if v)
                 ids.append(did)
-                hashes.append(sum(1 << b for b in range(bits) if votes[b] > 0))
+                hashes.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
@@ -481,27 +514,72 @@ def simhash_pairs(
     signature variants; degenerate corpora (everyone identical) hit
     the same in-shuffle hot-group cap as LSH.
 
+    ``radius`` ≥ 2 switches to PIGEONHOLE BLOCK SPLITTING (the
+    Hamming-join standard, cf. multi-index Hamming search): split the
+    ``bits``-bit signature into ``radius + 1`` near-equal contiguous
+    blocks — two signatures within Hamming ``radius`` must agree
+    EXACTLY on at least one block (radius flips cannot touch all
+    radius+1 blocks). Each doc emits one (block_idx, block_value) key
+    per block; candidates group per key, and the exact
+    ``bit_count(xor)`` filter keeps only true ≤-radius pairs. Key
+    count is radius+1 per doc (vs the 1+bits of the flip expansion,
+    which is only viable at radius 1); block values are
+    bits/(radius+1)-bit fields, so buckets stay sparse whenever the
+    per-block entropy does.
+
     Scale note: 16-bit signatures (d3's demo width) concentrate a
     similar corpus into few buckets — fine under the cap at test
-    scale, but a 100 TB corpus wants ``bits=64`` signatures (pass a
-    wider :func:`simhash`), which keep exact-signature buckets sparse
+    scale, but a 100 TB corpus wants ``bits=64`` signatures (pass
+    ``simhash(..., bits=64)``), which keep both exact-signature
+    buckets (radius 1) and 16-bit pigeonhole blocks (radius 3) sparse
     so in-bucket expansion stays near-linear.
+
+    Hot-bucket contract: with ``max_bucket_size`` set (the default),
+    every doc in an over-cap bucket is dropped from THAT bucket before
+    pair expansion — on corpora where some Hamming neighborhood or
+    pigeonhole block exceeds the cap, the result undercounts pairs
+    relative to a brute-force oracle (d8/d9 oracle equivalence holds
+    exactly while all buckets stay under the cap, which their tests
+    assert). Oversized buckets are near-identical dup families; run
+    exact/fingerprint dedup first, or pass ``None`` to disable.
 
     Returns (doc_a, doc_b, hamming) with exact distance ≤ radius.
     """
-    if radius != 1:
-        raise NotImplementedError(
-            "radius 1 ships (1+bits keys/doc); larger radii need "
-            "pigeonhole block splitting to keep key counts bounded"
+    if radius < 1:
+        raise ValueError("radius must be >= 1")
+    if radius == 1:
+        # flip expansion: exact-signature buckets, 1 + bits keys/doc
+        variants = F.array(
+            F.col(sig_col),
+            *[F.col(sig_col).bitwiseXOR(F.lit(1 << b)) for b in range(bits)],
         )
-    variants = F.array(
-        F.col(sig_col),
-        *[F.col(sig_col).bitwiseXOR(F.lit(1 << b)) for b in range(bits)],
-    )
-    keyed = signatures.select(
-        F.col(id_col).alias("doc_id"), F.col(sig_col).alias("sig"),
-        F.explode(variants).alias("k"),
-    )
+        keyed = signatures.select(
+            F.col(id_col).alias("doc_id"), F.col(sig_col).alias("sig"),
+            F.explode(variants).alias("k"),
+        )
+    else:
+        # pigeonhole: radius+1 contiguous blocks, one key per block;
+        # key = block_idx * 2^33 + block_value packed into one BIGINT
+        # (radius ≥ 2 → ≥3 blocks → widths ≤ ceil(64/3) = 22 bits, so
+        # the fixed 2^33 stride keeps block id ranges disjoint).
+        # shiftrightunsigned handles the bits=64 sign bit.
+        nblocks = radius + 1
+        base, rem = divmod(bits, nblocks)
+        widths = [base + (1 if i < rem else 0) for i in range(nblocks)]
+        offsets = [sum(widths[:i]) for i in range(nblocks)]
+        blocks = F.array(
+            *[
+                F.lit(i * (1 << 33))
+                + F.shiftrightunsigned(F.col(sig_col), offsets[i]).bitwiseAND(
+                    F.lit((1 << widths[i]) - 1)
+                )
+                for i in range(nblocks)
+            ]
+        )
+        keyed = signatures.select(
+            F.col(id_col).alias("doc_id"), F.col(sig_col).alias("sig"),
+            F.explode(blocks).alias("k"),
+        )
     if max_bucket_size is not None:
         keyed = _drop_hot_groups(keyed, ["k"], cap=max_bucket_size)
     buckets = keyed.groupBy("k").agg(

@@ -76,6 +76,21 @@ def d8_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(simhash(docs)).orderBy("doc_a", "doc_b")
 
 
+def d9_simhash64_pairs_r3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale SimHash pairing: 64-bit signatures, Hamming radius
+    3 via PIGEONHOLE BLOCK SPLITTING (4 × 16-bit blocks; any pair
+    within distance 3 agrees exactly on ≥1 block). This is the shape
+    a 100 TB dedup run uses — d8's 16-bit/radius-1 demo widened to the
+    production parameters. Oracle: brute-force xor/bit_count over the
+    identical 64-bit signature CTE."""
+    from async_pipes_spark.functions.dedup import simhash, simhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(
+        simhash(docs, bits=64), radius=3, bits=64
+    ).orderBy("doc_a", "doc_b")
+
+
 def d7_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH pairs → dedup groups end-to-end: d2's candidate pairs
     resolved into connected components (keep_id = min doc id per
@@ -681,6 +696,7 @@ EXTENSION_QUERIES = {
     "d6_contamination": d6_contamination,
     "d7_dedup_groups": d7_dedup_groups,
     "d8_simhash_pairs": d8_simhash_pairs,
+    "d9_simhash64_pairs_r3": d9_simhash64_pairs_r3,
     "t6_repetition": t6_repetition,
     "a1_ann_top3": a1_ann_top3,
     "a2_ivf_top1": a2_ivf_top1,
@@ -852,6 +868,42 @@ EXTENSION_ORACLES = {
                CAST(bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS INTEGER) AS hamming
         FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
         WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) <= 1
+        ORDER BY doc_a, doc_b
+    """,
+    # 64-bit signature: bit b = bit (b%4) of hex nibble (b//4) of
+    # md5(token) — the full first-16-nibble bit field. Signature packed
+    # via HUGEINT then converted to two's-complement BIGINT, matching
+    # the engine's int64. Brute-force pairing is fine at oracle scale;
+    # the engine must reach the identical set via pigeonhole blocks.
+    "d9_simhash64_pairs_r3": """
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ),
+        votes AS (
+            SELECT doc_id, t.b,
+                   SUM(CASE WHEN ((strpos('0123456789abcdef',
+                                          substring(md5(tok), (t.b // 4) + 1, 1)) - 1)
+                                  >> (t.b % 4)) & 1 = 1
+                            THEN 1 ELSE -1 END) AS score
+            FROM toks CROSS JOIN generate_series(0, 63) t(b)
+            GROUP BY doc_id, t.b
+        ),
+        sigs AS (
+            SELECT doc_id,
+                   CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+                             THEN s - 18446744073709551616::HUGEINT
+                             ELSE s END AS BIGINT) AS simhash
+            FROM (
+                SELECT doc_id,
+                       SUM(CASE WHEN score > 0 THEN 1::HUGEINT << b
+                                ELSE 0::HUGEINT END) AS s
+                FROM votes GROUP BY doc_id
+            )
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         ORDER BY doc_a, doc_b
     """,
     "d4_ngram_jaccard_pairs": "WITH "

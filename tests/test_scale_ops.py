@@ -325,3 +325,81 @@ def test_star_contraction_handles_deep_chain(spark):
     )
     got = {(r.doc_id, r.keep_id) for r in connected_components_star(chain).collect()}
     assert got == {(i, 0) for i in range(300)}
+
+
+def test_simhash_pigeonhole_equals_bruteforce(spark):
+    """radius >= 2 pigeonhole block splitting must return exactly the
+    brute-force Hamming-ball pair set on random 64-bit signatures
+    (including negative int64s — the sign bit is data), at radius 2
+    and 3."""
+    import random
+
+    from async_pipes_spark.functions.dedup import simhash_pairs
+
+    rng = random.Random(11)
+    sigs = [rng.getrandbits(64) for _ in range(80)]
+    # plant near pairs at assorted distances 0..4
+    for d in (0, 1, 2, 3, 3, 4):
+        base = sigs[rng.randrange(len(sigs))]
+        flipped = base
+        for b in rng.sample(range(64), d):
+            flipped ^= 1 << b
+        sigs.append(flipped)
+    signed = [s - (1 << 64) if s >= 1 << 63 else s for s in sigs]
+    df = spark.createDataFrame(
+        list(enumerate(signed)), "doc_id bigint, simhash bigint"
+    )
+    for radius in (2, 3):
+        expect = set()
+        for i in range(len(sigs)):
+            for j in range(i + 1, len(sigs)):
+                h = bin(sigs[i] ^ sigs[j]).count("1")
+                if h <= radius:
+                    expect.add((i, j, h))
+        got = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in simhash_pairs(df, radius=radius, bits=64).collect()
+        }
+        assert got == expect, f"radius {radius}: diff {sorted(got ^ expect)[:6]}"
+
+
+def test_simhash_pairs_pigeonhole_hot_bucket_cap(spark):
+    """Degenerate corpus (identical signatures): every pigeonhole
+    block bucket holds all docs — the cap must drop them pre-collect;
+    uncapped returns the full quadratic pair set."""
+    from async_pipes_spark.functions.dedup import simhash_pairs
+
+    df = spark.createDataFrame(
+        [(i, -12345) for i in range(8)], "doc_id bigint, simhash bigint"
+    )
+    capped = simhash_pairs(df, radius=2, bits=64, max_bucket_size=4).collect()
+    assert capped == []
+    uncapped = simhash_pairs(df, radius=2, bits=64, max_bucket_size=None).collect()
+    assert len(uncapped) == 28  # C(8,2)
+
+
+def test_simhash64_bit_mapping_and_sign(spark):
+    """simhash(bits=64): bit b of a token = bit (b%4) of hex nibble
+    (b//4) of md5(token); a single-token doc's signature IS that bit
+    field, returned as two's-complement int64."""
+    import hashlib
+
+    from async_pipes_spark.functions.dedup import simhash
+
+    def expected_sig(tok: str) -> int:
+        hx = hashlib.md5(tok.encode()).hexdigest()
+        sig = 0
+        for b in range(64):
+            if (int(hx[b // 4], 16) >> (b % 4)) & 1:
+                sig |= 1 << b
+        return sig - (1 << 64) if sig >= 1 << 63 else sig
+
+    docs = spark.createDataFrame(
+        [(1, "alpha"), (2, "negative-sign-probe"), (3, "alpha alpha alpha")],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r.simhash for r in simhash(docs, bits=64).collect()}
+    assert got[1] == expected_sig("alpha")
+    assert got[2] == expected_sig("negative-sign-probe")
+    # repeated token: votes all agree, same signature as one occurrence
+    assert got[3] == expected_sig("alpha")
