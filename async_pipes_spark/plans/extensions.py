@@ -306,8 +306,10 @@ def k2_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     every customer id AND a disjoint shifted id range. No false
     negatives is a hard guarantee (member_hits == n_members, exact
     columns the oracle reproduces); the false-positive rate on the
-    guaranteed-non-member range must stay under 10% (m=65536, k=4:
-    theoretical ~4% at sf0.01's ~10k keys)."""
+    guaranteed-non-member range must stay under 10% at ANY sf — the
+    filter sizes itself from the observed key count (16 bits/key, k=4:
+    theoretical FPR ~0.24%), so a larger corpus grows the filter
+    instead of saturating it."""
     from async_pipes_spark.functions.sketches import bloom_build, bloom_probe
 
     orders = load_table(spark, sf_dir, "orders")

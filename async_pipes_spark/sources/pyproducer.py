@@ -27,10 +27,19 @@ from __future__ import annotations
 
 from collections.abc import Callable, Iterator
 
+import uuid
+
 from pyspark.sql import SparkSession
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
-_REGISTERED: set[tuple[str, str]] = set()
+
+def _unique_name(prefix: str) -> str:
+    """A fresh registry name per producer. DataSource registration is
+    name-keyed and LAST-WRITE-WINS: under a fixed name, creating a
+    second producer rebinds the name, and a first stream that hasn't
+    started yet silently reads the SECOND producer's closure. A uuid
+    suffix gives every closure its own binding."""
+    return f"{prefix}_{uuid.uuid4().hex[:12]}"
 
 
 def make_producer_datasource(
@@ -38,6 +47,8 @@ def make_producer_datasource(
     num_partitions: int = 1,
 ):
     """Build a DataSource class around a partitioned generator fn."""
+
+    source_name = _unique_name("async_pipes_producer")
 
     class _Reader(DataSourceReader):
         def partitions(self):
@@ -49,7 +60,7 @@ def make_producer_datasource(
     class ProducerDataSource(DataSource):
         @classmethod
         def name(cls) -> str:
-            return "async_pipes_producer"
+            return source_name
 
         def schema(self):
             return self.options["producer_schema"]
@@ -73,7 +84,7 @@ def producer_source(
     cls = make_producer_datasource(fn, num_partitions)
     spark.dataSource.register(cls)
     return (
-        spark.read.format("async_pipes_producer")
+        spark.read.format(cls.name())
         .option("producer_schema", schema)
     )
 
@@ -102,6 +113,8 @@ def make_stream_producer_datasource(
 
     from pyspark.sql.datasource import SimpleDataSourceStreamReader
 
+    source_name = _unique_name("async_pipes_stream_producer")
+
     class _StreamReader(SimpleDataSourceStreamReader):
         def initialOffset(self) -> dict:
             return {"index": 0}
@@ -124,7 +137,7 @@ def make_stream_producer_datasource(
     class StreamProducerDataSource(DataSource):
         @classmethod
         def name(cls) -> str:
-            return "async_pipes_stream_producer"
+            return source_name
 
         def schema(self):
             return self.options["producer_schema"]
@@ -149,7 +162,7 @@ def stream_producer_source(
     cls = make_stream_producer_datasource(fn, rows_per_batch)
     spark.dataSource.register(cls)
     return (
-        spark.readStream.format("async_pipes_stream_producer")
+        spark.readStream.format(cls.name())
         .option("producer_schema", schema)
         .load()
     )

@@ -78,6 +78,36 @@ def stream_table(
     return normalize_ntz(df)
 
 
+def stream_rate(
+    spark: SparkSession,
+    options: "WorkerOptions | None" = None,
+    num_partitions: int = 1,
+    start_timestamp_ms: int = 0,
+) -> DataFrame:
+    """OFFSET-BASED streaming source with the reference's bounded-pipe
+    backpressure (mod.rs:25) wired: the ``rate-micro-batch`` source
+    tracks a monotone row offset — the same offset/commit shape as a
+    Kafka partition — and admits exactly ``pipe_buffer_size`` rows per
+    trigger (``rowsPerBatch``), the counterpart of Kafka's
+    ``maxOffsetsPerTrigger`` cap. ``stream_table`` bounds intake in
+    FILES per trigger for file sources; this bounds it in OFFSETS per
+    trigger for offset sources — WorkerOptions.pipe_buffer_size is the
+    single knob for both. Returns (timestamp, value) rows with
+    ``value`` the global row offset.
+
+    ``start_timestamp_ms`` pins the synthetic timestamps so replays
+    are deterministic (rate-micro-batch is replayable by contract:
+    offsets → identical rows, like sources/pyproducer)."""
+    rows = options.pipe_buffer_size if options is not None else 30
+    return (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", str(rows))
+        .option("numPartitions", str(num_partitions))
+        .option("startTimestamp", str(start_timestamp_ms))
+        .load()
+    )
+
+
 def run_available_now(
     df: DataFrame,
     output_mode: str = "complete",

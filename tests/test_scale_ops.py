@@ -403,3 +403,24 @@ def test_simhash64_bit_mapping_and_sign(spark):
     assert got[2] == expected_sig("negative-sign-probe")
     # repeated token: votes all agree, same signature as one occurrence
     assert got[3] == expected_sig("alpha")
+
+
+def test_bloom_adaptive_sizing_survives_scale(spark):
+    """A fixed 65536-bit filter saturates at 40k keys (4 hashes -> ~92%
+    fill, FPR near 1); adaptive sizing (the default) must keep the
+    false-positive rate inside k2's 10% contract at that scale."""
+    from async_pipes_spark.functions.sketches import bloom_build, bloom_probe
+
+    keys = spark.range(40_000).select((F.col("id") * 7).alias("k"))
+    strangers = spark.range(4_000).select((F.col("id") + 10_000_000).alias("k"))
+
+    saturated = bloom_build(keys, ["k"], num_bits=1 << 16)
+    fp_fixed = bloom_probe(strangers, ["k"], saturated).filter("might_contain").count()
+    assert fp_fixed > 2_000  # the fixed filter IS saturated here
+
+    adaptive = bloom_build(keys, ["k"])  # sizes from approx_count_distinct
+    assert len(adaptive) * 8 >= 16 * 30_000  # ~16 bits/key (HLL estimate +-2%)
+    hits = bloom_probe(keys, ["k"], adaptive).filter("might_contain").count()
+    assert hits == 40_000  # no false negatives regardless of sizing
+    fp = bloom_probe(strangers, ["k"], adaptive).filter("might_contain").count()
+    assert fp <= 400  # 10% contract; theoretical ~0.24%

@@ -275,3 +275,52 @@ def test_merge_upsert_failed_write_never_corrupts_target(spark, tmp_path):
     with _pytest.raises(Exception, match="boom|Job aborted|PythonException"):
         merge_upsert(spark, ptgt, pbad, ["k"], partition_by=["p"])
     assert _data_files(ptgt) == pbefore
+
+
+def test_two_producers_keep_their_own_closures(spark, tmp_path):
+    """Registration is name-keyed and last-write-wins in Spark's
+    DataSource registry: under a fixed name, a second producer created
+    before the first one STARTS would rebind the name and the first
+    stream would silently read the second closure. Unique per-call
+    names must keep both bindings live — batch and streaming."""
+    import time
+
+    from async_pipes_spark.pipeline.options import WorkerOptions
+    from async_pipes_spark.sources.pyproducer import (
+        producer_source,
+        stream_producer_source,
+    )
+
+    # batch: build both loaders BEFORE loading either
+    a = producer_source(spark, "a", lambda p, n: iter([(111,)]), "v bigint")
+    b = producer_source(spark, "b", lambda p, n: iter([(222,)]), "v bigint")
+    assert [r.v for r in a.load().collect()] == [111]
+    assert [r.v for r in b.load().collect()] == [222]
+
+    # streaming: create both streams, then start the FIRST
+    s1 = stream_producer_source(
+        spark, fn=lambda i: (1,) if i < 5 else None, schema="v bigint",
+        options=WorkerOptions(pipe_buffer_size=5),
+    )
+    s2 = stream_producer_source(
+        spark, fn=lambda i: (2,) if i < 5 else None, schema="v bigint",
+        options=WorkerOptions(pipe_buffer_size=5),
+    )
+    for tag, stream, want in (("one", s1, 1), ("two", s2, 2)):
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(f"closure_probe_{tag}")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}"))
+            .start()
+        )
+        try:
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                if spark.table(f"closure_probe_{tag}").count() >= 5:
+                    break
+                time.sleep(0.5)
+            vals = {r.v for r in spark.table(f"closure_probe_{tag}").collect()}
+            assert vals == {want}, f"stream {tag} read the wrong closure: {vals}"
+        finally:
+            q.stop()

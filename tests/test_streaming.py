@@ -113,6 +113,43 @@ def test_stream_to_files_durable_sink(spark, tmp_path):
     assert got.select(F.sum("event_id")).head()[0] == want.select(F.sum("event_id")).head()[0]
 
 
+def test_backpressure_bounds_offsets_per_trigger(spark, tmp_path):
+    """WorkerOptions.pipe_buffer_size on an OFFSET-BASED source
+    (VERDICT r4 #6): stream_rate maps the same knob onto per-trigger
+    row-offset admission (the Kafka maxOffsetsPerTrigger shape), the
+    way stream_table maps it onto maxFilesPerTrigger for file sources.
+    With a buffer of 7, every micro-batch must admit exactly 7 offsets,
+    and the drained prefix must be gapless (replayable offsets)."""
+    import time
+
+    from async_pipes_spark.pipeline.options import WorkerOptions
+    from async_pipes_spark.streaming.run import stream_rate
+
+    df = stream_rate(spark, options=WorkerOptions(pipe_buffer_size=7))
+    assert df.isStreaming
+    batch_sizes = []
+    seen = []
+    q = (
+        df.writeStream.foreachBatch(
+            lambda b, _i: (
+                batch_sizes.append(b.count()),
+                seen.extend(r.value for r in b.select("value").collect()),
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_rate"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and len(batch_sizes) < 4:
+            time.sleep(0.25)
+    finally:
+        q.stop()
+    assert len(batch_sizes) >= 4
+    assert all(b == 7 for b in batch_sizes[:4]), batch_sizes[:4]
+    assert sorted(seen)[: 4 * 7] == list(range(4 * 7))  # gapless offset prefix
+
+
 def test_backpressure_bounds_files_per_trigger(spark, tmp_path):
     """WorkerOptions.pipe_buffer_size → maxFilesPerTrigger (VERDICT r2
     #3): with a buffer of 1, an availableNow drain over a 4-file source
@@ -207,4 +244,75 @@ def test_watermarked_dedup_bounds_state(spark, tmp_path):
     assert state_rows, "no state operator metrics captured"
     assert max(state_rows) < total_keys, (
         f"state grew to {max(state_rows)} of {total_keys} keys — no eviction"
+    )
+
+
+def test_stream_stream_join_bounds_state(spark, tmp_path):
+    """s14's scale claim, probed: with time-ordered files drained one
+    per trigger, the watermarked stream-stream join's time-range
+    predicate lets Spark EVICT buffered join state as the watermark
+    passes — numRowsTotal plateaus near one day's rows instead of
+    accumulating every row ever seen — while still emitting every
+    in-window (click, purchase) pair exactly once."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from async_pipes_spark.pipeline.options import WorkerOptions
+    from async_pipes_spark.streaming.run import stream_table
+
+    src = tmp_path / "src"
+    base = dt.datetime(2024, 1, 1)
+    days, users = 4, 30
+    for day in range(days):  # per user: one purchase, one click 30min later
+        rows = []
+        for u in range(users):
+            t0 = base + dt.timedelta(days=day, minutes=u)
+            rows.append((t0, u, "purchase", day * 10_000 + u))
+            rows.append((t0 + dt.timedelta(minutes=30), u, "click", day * 10_000 + 1000 + u))
+        spark.createDataFrame(
+            rows, "ts timestamp, user_id bigint, event_type string, event_id bigint"
+        ).coalesce(1).write.parquet(str(src), mode="append")
+
+    ev = stream_table(spark, str(src), "part-*", options=WorkerOptions(pipe_buffer_size=1))
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("c_ts") >= F.col("p_ts"))
+        & (F.col("c_ts") <= F.col("p_ts") + F.expr("INTERVAL 2 HOURS")),
+        "inner",
+    ).select("click_id", "purchase_id")
+
+    out = []
+    q = (
+        joined.writeStream.foreachBatch(lambda b, _i: out.append(b.count()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state_rows = [
+        op["numRowsTotal"] for p in q.recentProgress for op in p["stateOperators"]
+    ]
+    total_rows = days * users * 2
+    assert sum(out) == days * users  # every same-day pair, exactly once
+    assert state_rows, "no state operator metrics captured"
+    # eviction engaged: join state never buffers all rows ever seen —
+    # it plateaus at ~one day in flight (watermark lags one trigger)
+    assert max(state_rows) <= total_rows // 2, (
+        f"join state grew to {max(state_rows)} of {total_rows} rows — no eviction"
     )
