@@ -201,3 +201,92 @@ def duplicate_ngram_stats(
             ).alias("dup_micro"),
         )
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document fluency score under a corpus-trained bigram
+    language model — the classic model-based quality signal a
+    pretraining pipeline runs after the rule-based ones (perplexity
+    filtering à la CCNet/Gopher, here with the corpus itself as the
+    LM): (doc_id, n_bigrams, avg_p_micro), where avg_p_micro is the
+    mean conditional bigram probability P(w2|w1) = c(w1 w2)/c(w1 ·) in
+    integer micro-units. Averaging probabilities (not log-probs) keeps
+    every arithmetic step IEEE-exact (÷, ×, +, floor) so a DuckDB
+    oracle hash-matches — ln() is not bit-specified across engines.
+    Documents with fewer than 2 tokens emit no row (no bigrams).
+
+    Per-bigram probabilities canonicalize to integer micro-units
+    BEFORE the per-doc sum (the a4 combine-order-independence trick):
+    integer addition commutes exactly, so partial aggregation across
+    any partitioning yields identical results.
+
+    Scale shape: ONE shingle-kernel scan (n=2), immediately collapsed
+    to per-(doc, bigram) multiplicities — the same kernel→Exchange→
+    Aggregate subtree then feeds BOTH the model and the scoring join,
+    and AQE's stage reuse executes it once (the d6 ReusedExchange
+    shape, plan-tested; an explicit repartition variant measured two
+    kernel executions because the REPARTITION_BY_COL stage didn't
+    dedupe). The prefix marginal c(w1 ·) is a window sum over the
+    already-aggregated vocab-sized model, not a second corpus pass.
+    Scoring joins per-doc bigrams many-to-ONE to the model — the skew
+    shape AQE splits automatically — then one groupBy(doc_id), with
+    occurrence multiplicities as weights. Nothing is collected; the
+    model stays distributed."""
+    from pyspark.sql import Window
+
+    from async_pipes_spark.functions.dedup import shingles
+
+    # the explicit (vacuously true) isnotnull matches the null filter
+    # the scoring join pushes down on ITS side of the subtree — without
+    # it the two consumers' subtrees differ by that one Filter node and
+    # AQE cannot dedupe the stage (kernel would run twice)
+    per_pair = (
+        shingles(df, text_col=text_col, id_col=id_col, n=2)
+        .filter(F.col("shingle").isNotNull())
+        .groupBy("doc_id", "shingle")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    model = per_pair.groupBy("shingle").agg(F.sum("m").alias("c_bg"))
+    w1 = Window.partitionBy(F.substring_index("shingle", " ", 1))
+    scored = model.select(
+        "shingle",
+        micro_units(F.col("c_bg") / F.sum("c_bg").over(w1)).alias("p_micro"),
+    )
+    return (
+        per_pair.join(scored, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").alias("n_bigrams"),
+            F.floor(F.sum(F.col("m") * F.col("p_micro")) / F.sum("m") + F.lit(0.5))
+            .cast("bigint")
+            .alias("avg_p_micro"),
+        )
+    )
+
+
+def redact(
+    df: DataFrame,
+    col: str,
+    patterns: dict[str, str],
+    out_col: str = "redacted",
+) -> DataFrame:
+    """Pattern scrubbing — the PII-redaction primitive every corpus
+    runs before training (strip emails/phones/ids, count what was
+    found): adds one ``n_<label>`` match-count column per pattern and
+    ``out_col`` with every match replaced by ``[LABEL]``. Patterns
+    apply in dict order against the ORIGINAL text for counting and
+    cumulatively for replacement (later patterns see earlier
+    redactions — order ambiguous-overlap patterns accordingly).
+
+    Scale shape: pure JVM regexp codegen (regexp_count /
+    regexp_replace) — zero Python, zero shuffles; runs at scan speed
+    and pushes column pruning through. Keep patterns RE2-compatible
+    (no backrefs/lookaround) so external engines reproduce them."""
+    out = df
+    red = F.col(col)
+    for label, pat in patterns.items():
+        out = out.withColumn(f"n_{label}", F.regexp_count(F.col(col), F.lit(pat)))
+        red = F.regexp_replace(red, pat, f"[{label.upper()}]")
+    return out.withColumn(out_col, red)

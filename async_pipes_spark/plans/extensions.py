@@ -113,6 +113,45 @@ def d5_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint_dup_groups(docs)
 
 
+def t7_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring: mean conditional bigram probability
+    per document under the corpus's own bigram LM (the perplexity-
+    filter shape, micro-units; see functions.text.bigram_lm_scores)."""
+    from async_pipes_spark.functions.text import bigram_lm_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_lm_scores(docs).orderBy("doc_id")
+
+
+def t8_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style pattern scrubbing over customer names: count and
+    redact long digit runs (account-number shape) plus email/URL
+    patterns (present in real corpora; zero here, proving the
+    no-match path) — pure JVM regexp codegen, zero Python."""
+    from async_pipes_spark.functions.text import redact
+
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        redact(
+            cust,
+            "c_name",
+            {
+                "id": "[0-9]{6,}",
+                "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}",
+                "url": "https?://[^ ]+",
+            },
+        )
+        .select(
+            "c_custkey",
+            F.col("n_id").cast("bigint").alias("n_id"),
+            F.col("n_email").cast("bigint").alias("n_email"),
+            F.col("n_url").cast("bigint").alias("n_url"),
+            "redacted",
+        )
+        .orderBy("c_custkey")
+    )
+
+
 # ---- similarity / ANN ----------------------------------------------
 
 
@@ -700,6 +739,8 @@ EXTENSION_QUERIES = {
     "d8_simhash_pairs": d8_simhash_pairs,
     "d9_simhash64_pairs_r3": d9_simhash64_pairs_r3,
     "t6_repetition": t6_repetition,
+    "t7_bigram_lm": t7_bigram_lm,
+    "t8_redact": t8_redact,
     "a1_ann_top3": a1_ann_top3,
     "a2_ivf_top1": a2_ivf_top1,
     "a5_ivf_recall_check": a5_ivf_recall_check,
@@ -907,6 +948,49 @@ EXTENSION_ORACLES = {
         FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         ORDER BY doc_a, doc_b
+    """,
+    # per-bigram probability canonicalizes to micro-units BEFORE the
+    # per-doc sum (integer addition commutes; see bigram_lm_scores)
+    "t7_bigram_lm": """
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+            FROM documents
+        ),
+        bg AS (
+            SELECT a.doc_id, a.tok || ' ' || b.tok AS shingle
+            FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        ),
+        model AS (SELECT shingle, COUNT(*) AS c_bg FROM bg GROUP BY shingle),
+        prefix AS (
+            SELECT split_part(shingle, ' ', 1) AS w1, SUM(c_bg) AS c_w1
+            FROM model GROUP BY 1
+        ),
+        scored AS (
+            SELECT m.shingle,
+                   CAST(FLOOR((CAST(m.c_bg AS DOUBLE) / p.c_w1) * 1000000 + 0.5)
+                        AS BIGINT) AS p_micro
+            FROM model m JOIN prefix p ON split_part(m.shingle, ' ', 1) = p.w1
+        )
+        SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+               CAST(FLOOR(SUM(p_micro) / COUNT(*) + 0.5) AS BIGINT) AS avg_p_micro
+        FROM bg JOIN scored USING (shingle)
+        GROUP BY bg.doc_id ORDER BY bg.doc_id
+    """,
+    # counts from the ORIGINAL text, replacements cumulative in
+    # pattern order (id -> email -> url), mirroring functions.text.redact
+    "t8_redact": """
+        SELECT c_custkey,
+               CAST(len(regexp_extract_all(c_name, '[0-9]{6,}')) AS BIGINT) AS n_id,
+               CAST(len(regexp_extract_all(c_name,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}')) AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(c_name, 'https?://[^ ]+')) AS BIGINT) AS n_url,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(c_name, '[0-9]{6,}', '[ID]', 'g'),
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '[EMAIL]', 'g'),
+                   'https?://[^ ]+', '[URL]', 'g') AS redacted
+        FROM customer ORDER BY c_custkey
     """,
     "d4_ngram_jaccard_pairs": "WITH "
     + _SHINGLES.format(doc_filter=" WHERE doc_id < 50")

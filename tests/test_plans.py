@@ -142,3 +142,36 @@ def test_t6_repetition_plan_shape(spark):
     txt = plan_text(t6_repetition(spark, SF_SMOKE), "formatted")
     assert "Join" not in txt, txt
     assert "CartesianProduct" not in txt, txt
+
+
+def test_t7_bigram_lm_plan_single_kernel_pass(spark):
+    """t7: the bigram kernel feeds both the LM and the scoring join
+    through ONE deduped stage — the final adaptive plan must contain
+    exactly one MapInPandas with a ReusedExchange covering the second
+    consumer, and no cartesian shapes. (The vacuous isnotnull filter in
+    bigram_lm_scores is what keeps both consumer subtrees identical —
+    this test pins that.)"""
+    from async_pipes_spark.plans.extensions import t7_bigram_lm
+
+    df = t7_bigram_lm(spark, SF_SMOKE)
+    df.collect()  # let AQE finalize so stage reuse shows in the plan
+    final = plan_text(df, "formatted").split("== Initial Plan ==")[0]
+    assert final.count("MapInPandas") == 1, final
+    assert "ReusedExchange" in final, final
+    assert "CartesianProduct" not in final and "BroadcastNestedLoop" not in final
+
+
+def test_t8_redact_plan_stays_in_codegen(spark):
+    """t8: regexp scrub is pure JVM codegen over the scan — no Python
+    nodes, no joins, no aggregates; the only exchange is the output
+    sort."""
+    from async_pipes_spark.plans.extensions import t8_redact
+
+    txt = plan_text(t8_redact(spark, SF_SMOKE), "formatted")
+    assert "MapInPandas" not in txt and "EvalPython" not in txt, txt
+    assert "Join" not in txt, txt
+    # column pruning reaches the scan: only the two consumed columns
+    assert "ReadSchema: struct<c_custkey:bigint,c_name:string>" in txt, txt
+    # exactly one exchange — the output sort; the scrub itself is
+    # a Project sitting directly on the scan
+    assert txt.count("(3) Exchange") >= 1 and "rangepartitioning" in txt, txt
