@@ -290,3 +290,48 @@ def redact(
         out = out.withColumn(f"n_{label}", F.regexp_count(F.col(col), F.lit(pat)))
         red = F.regexp_replace(red, pat, f"[{label.upper()}]")
     return out.withColumn(out_col, red)
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Split documents into fixed-token training chunks with overlap —
+    the context-window chunking step every pretraining / RAG-indexing
+    pipeline runs: (doc_id, chunk_id, n_tokens, chunk_text). Chunk c
+    covers tokens [c*stride, c*stride + chunk); the last chunk may be
+    short; a doc of ≤ ``chunk`` tokens yields exactly one chunk.
+    ``stride < chunk`` gives ``chunk - stride`` tokens of overlap.
+
+    Scale shape: pure JVM array HOFs (split → sequence → transform →
+    posexplode-style flatten) inside the scan stage — no Python, no
+    shuffle at all; output fan-out is ~n_tokens/stride rows per doc,
+    bounded by document length."""
+    if not (0 < stride <= chunk):
+        raise ValueError("need 0 < stride <= chunk")
+    toks = F.split(F.col(text_col), " ", -1)
+    n = F.size(toks)
+    # integer-exact chunk count: 1 + ceil((n - chunk)/stride) for
+    # n > chunk else 1, via (a + stride - 1) div stride on ints
+    last = F.when(
+        n > chunk,
+        F.floor((n - F.lit(chunk) + F.lit(stride - 1)) / F.lit(stride)).cast("int"),
+    ).otherwise(F.lit(0))
+    pieces = F.transform(
+        F.sequence(F.lit(0), last),
+        lambda c: F.struct(
+            c.cast("bigint").alias("chunk_id"),
+            F.slice(toks, c * stride + 1, chunk).alias("arr"),
+        ),
+    )
+    return df.select(
+        id_col, F.explode(pieces).alias("p")
+    ).select(
+        id_col,
+        F.col("p.chunk_id").alias("chunk_id"),
+        F.size("p.arr").cast("bigint").alias("n_tokens"),
+        F.array_join("p.arr", " ").alias("chunk_text"),
+    )

@@ -1,0 +1,77 @@
+"""Distributed prefix scan (running/cumulative aggregation over a
+GLOBAL order) — the scalable form of ``sum() OVER (ORDER BY k)``.
+
+A plain unpartitioned window (``Window.orderBy(k)`` with no
+partitionBy) funnels the ENTIRE dataset through one task — the classic
+scale-killer Spark even warns about ("No Partition Defined for Window
+operation"). The distributed algorithm is the textbook two-phase scan
+(Blelloch-style, the same shape every MPP engine uses):
+
+1. range-repartition on the order key, so partition *i* holds a
+   contiguous key range below partition *i+1*'s;
+2. one pass computing per-partition TOTALS — a bounded driver collect
+   of exactly ``num_partitions`` rows (one long each), never data;
+3. exclusive-prefix those totals on the driver (trivial) and hand
+   partition *i* its offset; a second pass adds local cumsum + offset.
+
+Two scans of the data, one bounded collect, no single-task funnel.
+The reference engine has no ordered-scan primitive at all (its pipes
+are unordered channels); this is the engine's own surface, used by the
+sequence-packing manifest (t10).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cumsum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``out_col`` = inclusive running sum of ``value_col`` in
+    ``order_col`` order. Ties are well-defined: range partitioning
+    co-locates equal keys and the window's default RANGE frame gives
+    tied rows the tied-group total — exactly the serial
+    ``SUM() OVER (ORDER BY)`` semantics (property-tested).
+
+    Equals ``SUM(value) OVER (ORDER BY order_col)`` but without the
+    single-partition window: per-partition local windows (keyed by the
+    range-partition id, so each window task sees one partition's rows)
+    plus driver-prefixed offsets. The only driver data is one
+    (pid, total) row per partition."""
+    sess = df.sparkSession
+    n = num_partitions or sess.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, order_col).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    # bounded collect: one row per partition (pid, min_key, total)
+    totals = (
+        ranged.groupBy("_pid")
+        .agg(F.min(order_col).alias("_lo"), F.sum(value_col).alias("_tot"))
+        .collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in sorted(totals, key=lambda r: r["_lo"]):
+        offsets[r["_pid"]] = acc
+        acc += r["_tot"] or 0
+    if any(offsets.values()):
+        off_map = F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        )
+        offset = F.coalesce(off_map[F.col("_pid")], F.lit(0))
+    else:
+        # empty input or a single non-empty partition: offsets all zero
+        # (create_map() with no entries is untyped and fails analysis)
+        offset = F.lit(0)
+    w = Window.partitionBy("_pid").orderBy(order_col)
+    return (
+        ranged.withColumn(out_col, F.sum(value_col).over(w) + offset)
+        .drop("_pid")
+    )

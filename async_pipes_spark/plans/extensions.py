@@ -113,6 +113,99 @@ def d5_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint_dup_groups(docs)
 
 
+def t9_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (32-token chunks, stride 24): the
+    pretraining / RAG-indexing split step, pure JVM array HOFs —
+    see functions.text.chunk_documents."""
+    from async_pipes_spark.functions.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs).orderBy("doc_id", "chunk_id")
+
+
+def t10_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing manifest: concatenate the corpus in doc_id
+    order and cut fixed 256-token training windows (the GPT-style
+    concat-and-cut packing); report per-window document count and
+    token count. The global running token offset comes from the
+    DISTRIBUTED two-phase prefix scan (operators.scan.prefix_sum) —
+    never a single-partition window. Oracle: SUM() OVER (ORDER BY) in
+    DuckDB, proving the distributed scan equals the serial one."""
+    from async_pipes_spark.operators.scan import prefix_sum
+    from async_pipes_spark.functions.text import token_count_ws
+
+    budget = 256
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count_ws("text").cast("bigint").alias("n_tok")
+    )
+    ps = prefix_sum(docs, "doc_id", "n_tok", out_col="cum")
+    spans = ps.select(
+        "doc_id",
+        "n_tok",
+        (F.col("cum") - F.col("n_tok")).alias("start"),
+        "cum",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("cum") - F.col("n_tok")) / budget).cast("bigint"),
+                F.floor((F.col("cum") - 1) / budget).cast("bigint"),
+            )
+        ).alias("window_id"),
+    )
+    return (
+        spans.groupBy("window_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.least(F.col("cum"), (F.col("window_id") + 1) * budget)
+                - F.greatest(F.col("start"), F.col("window_id") * budget)
+            )
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+        .orderBy("window_id")
+    )
+
+
+def k4_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom filter doing its actual production job: prune a join's
+    probe side before the shuffle. Build over orders' buyer keys
+    (fixed 65536 bits so the oracle can rebuild the identical bitset),
+    probe every customer, then verify the survivors with the exact
+    semi join. Hard guarantees the oracle reproduces: the bloom pass
+    never loses a true match (n_matched == exact semi-join count), and
+    the pass set is a superset of the matches (n_bloom_pass >=
+    n_matched, the gap being false positives)."""
+    from async_pipes_spark.functions.sketches import bloom_build, bloom_probe
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    bits = bloom_build(orders, ["o_custkey"], num_bits=1 << 16)
+
+    passed = bloom_probe(customer.select("c_custkey"), ["c_custkey"], bits).filter(
+        "might_contain"
+    )
+    buyers = orders.select("o_custkey").distinct()
+    pruned_matches = passed.join(
+        buyers, passed["c_custkey"] == buyers["o_custkey"], "semi"
+    )
+    exact_matches = customer.join(
+        orders, customer["c_custkey"] == orders["o_custkey"], "semi"
+    )
+    counts = (
+        customer.agg(F.count(F.lit(1)).alias("n_customers"))
+        .crossJoin(passed.agg(F.count(F.lit(1)).alias("n_bloom_pass")))
+        .crossJoin(pruned_matches.agg(F.count(F.lit(1)).alias("n_matched")))
+        .crossJoin(exact_matches.agg(F.count(F.lit(1)).alias("n_exact")))
+    )
+    return counts.select(
+        "n_customers",
+        "n_bloom_pass",
+        "n_matched",
+        (F.col("n_matched") == F.col("n_exact")).alias("no_false_negatives"),
+        (F.col("n_bloom_pass") >= F.col("n_matched")).alias("pass_superset"),
+    )
+
+
 def t7_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality scoring: mean conditional bigram probability
     per document under the corpus's own bigram LM (the perplexity-
@@ -741,6 +834,9 @@ EXTENSION_QUERIES = {
     "t6_repetition": t6_repetition,
     "t7_bigram_lm": t7_bigram_lm,
     "t8_redact": t8_redact,
+    "t9_chunking": t9_chunking,
+    "t10_sequence_pack": t10_sequence_pack,
+    "k4_bloom_prune_join": k4_bloom_prune_join,
     "a1_ann_top3": a1_ann_top3,
     "a2_ivf_top1": a2_ivf_top1,
     "a5_ivf_recall_check": a5_ivf_recall_check,
@@ -976,6 +1072,77 @@ EXTENSION_ORACLES = {
                CAST(FLOOR(SUM(p_micro) / COUNT(*) + 0.5) AS BIGINT) AS avg_p_micro
         FROM bg JOIN scored USING (shingle)
         GROUP BY bg.doc_id ORDER BY bg.doc_id
+    """,
+    # 1-based inclusive list_slice == Spark slice(arr, start, len) with
+    # both clamping at the array end; chunk count is integer-exact
+    "t9_chunking": """
+        WITH d AS (
+            SELECT doc_id, string_split(text, ' ') AS toks,
+                   len(string_split(text, ' ')) AS n
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, toks,
+                   unnest(generate_series(
+                       0,
+                       CAST(CASE WHEN n > 32 THEN (n - 32 + 23) // 24 ELSE 0 END AS BIGINT)
+                   )) AS chunk_id
+            FROM d
+        )
+        SELECT doc_id, chunk_id,
+               CAST(len(list_slice(toks, chunk_id * 24 + 1, chunk_id * 24 + 32)) AS BIGINT) AS n_tokens,
+               array_to_string(list_slice(toks, chunk_id * 24 + 1, chunk_id * 24 + 32), ' ') AS chunk_text
+        FROM c ORDER BY doc_id, chunk_id
+    """,
+    # the serial SUM() OVER (ORDER BY) the distributed two-phase
+    # prefix scan must reproduce exactly
+    "t10_sequence_pack": """
+        WITH d AS (
+            SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+            FROM documents
+        ),
+        c AS (SELECT doc_id, n, SUM(n) OVER (ORDER BY doc_id) AS cum FROM d),
+        w AS (
+            SELECT doc_id, n, cum - n AS s, cum,
+                   unnest(generate_series(CAST((cum - n) // 256 AS BIGINT),
+                                          CAST((cum - 1) // 256 AS BIGINT))) AS window_id
+            FROM c
+        )
+        SELECT window_id, COUNT(*) AS n_docs,
+               CAST(SUM(LEAST(cum, (window_id + 1) * 256)
+                        - GREATEST(s, window_id * 256)) AS BIGINT) AS n_tokens
+        FROM w GROUP BY window_id ORDER BY window_id
+    """,
+    # rebuilds the identical 65536-bit md5-derived bitset (the k3
+    # pattern) and replays the prune-then-verify join
+    "k4_bloom_prune_join": """
+        WITH keys AS (SELECT DISTINCT o_custkey AS k FROM orders),
+        hs AS (SELECT unnest(['0','1','2','3']) AS i),
+        bset AS (
+            SELECT DISTINCT
+                   ('0x' || substring(md5(hs.i || '|' || CAST(k AS VARCHAR)), 1, 15))::BIGINT
+                       % 65536 AS p
+            FROM keys CROSS JOIN hs
+        ),
+        probe AS (
+            SELECT c_custkey, COUNT(*) AS hits
+            FROM customer CROSS JOIN hs
+            JOIN bset
+              ON ('0x' || substring(md5(hs.i || '|' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT
+                     % 65536 = bset.p
+            GROUP BY c_custkey
+        ),
+        pass AS (SELECT c_custkey FROM probe WHERE hits = 4),
+        agg AS (
+            SELECT (SELECT COUNT(*) FROM customer) AS n_customers,
+                   (SELECT COUNT(*) FROM pass) AS n_bloom_pass,
+                   (SELECT COUNT(*) FROM pass JOIN keys ON k = c_custkey) AS n_matched,
+                   (SELECT COUNT(*) FROM customer JOIN keys ON k = c_custkey) AS n_exact
+        )
+        SELECT n_customers, n_bloom_pass, n_matched,
+               n_matched = n_exact AS no_false_negatives,
+               n_bloom_pass >= n_matched AS pass_superset
+        FROM agg
     """,
     # counts from the ORIGINAL text, replacements cumulative in
     # pattern order (id -> email -> url), mirroring functions.text.redact

@@ -424,3 +424,67 @@ def test_bloom_adaptive_sizing_survives_scale(spark):
     assert hits == 40_000  # no false negatives regardless of sizing
     fp = bloom_probe(strangers, ["k"], adaptive).filter("might_contain").count()
     assert fp <= 400  # 10% contract; theoretical ~0.24%
+
+
+def test_prefix_sum_matches_serial_cumsum(spark):
+    """The two-phase distributed prefix scan must equal the serial
+    SUM() OVER (ORDER BY) on multi-partition data, including ties in
+    the order key (range partitioning co-locates equal keys, and the
+    RANGE window frame gives tied rows the tied total — the same
+    semantics the serial window produces)."""
+    import random
+
+    from async_pipes_spark.operators.scan import prefix_sum
+
+    rng = random.Random(3)
+    # k = i // 2: every key appears twice — real ties
+    rows = [(i // 2, rng.randrange(1, 50)) for i in range(1_000)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "k bigint, v bigint").repartition(13)
+    got = sorted(
+        (r.k, r.cumsum)
+        for r in prefix_sum(df, "k", "v", num_partitions=8).collect()
+    )
+    # serial RANGE-frame semantics: tied rows share the tied-group total
+    by_key: dict[int, int] = {}
+    for k, v in rows:
+        by_key[k] = by_key.get(k, 0) + v
+    acc, expect = 0, []
+    for k in sorted(by_key):
+        acc += by_key[k]
+        expect.extend([(k, acc)] * sum(1 for kk, _ in rows if kk == k))
+    assert got == sorted(expect)
+
+
+def test_prefix_sum_single_row_and_empty(spark):
+    from async_pipes_spark.operators.scan import prefix_sum
+
+    one = spark.createDataFrame([(5, 7)], "k bigint, v bigint")
+    assert prefix_sum(one, "k", "v").collect()[0].cumsum == 7
+    empty = spark.createDataFrame([], "k bigint, v bigint")
+    assert prefix_sum(empty, "k", "v").collect() == []
+
+
+def test_chunk_documents_boundaries(spark):
+    """Chunk layout edge cases: shorter than one chunk, exactly one
+    chunk, one token over (two chunks, second is the overlap tail)."""
+    import pytest as _pytest
+
+    from async_pipes_spark.functions.text import chunk_documents
+
+    def doc(i, n):
+        return (i, " ".join(f"w{j}" for j in range(n)))
+
+    df = spark.createDataFrame(
+        [doc(1, 3), doc(2, 8), doc(3, 9)], "doc_id bigint, text string"
+    )
+    out = {
+        (r.doc_id, r.chunk_id): (r.n_tokens, r.chunk_text)
+        for r in chunk_documents(df, chunk=8, stride=6).collect()
+    }
+    assert out[(1, 0)][0] == 3
+    assert out[(2, 0)][0] == 8 and (2, 1) not in out  # exact fit: one chunk
+    assert out[(3, 0)][0] == 8 and out[(3, 1)][0] == 3  # tokens 6,7,8
+    assert out[(3, 1)][1] == "w6 w7 w8"
+    with _pytest.raises(ValueError, match="stride"):
+        chunk_documents(df, chunk=4, stride=5)
