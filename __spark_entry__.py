@@ -54,7 +54,7 @@ _PRIORITY = [
     # new in round 5 — first driver row needed
     "d9_", "t7_", "t8_", "t9_", "t10_", "k4_",
     # last driver row is r2/r3 (judge re-verified green in the r4 audit)
-    *[f"r{i}_" for i in range(1, 15)],
+    *[f"r{i}_" for i in range(1, 16)],
     "a2_", "a3_", "a4_", "k1_", "smp1_", "smp2_", "mm1_", "mm2_", "mm3_",
     # core declared contract (p/x) — the reference's own shapes
     *[f"p{i}_" for i in range(1, 10)],

@@ -296,6 +296,35 @@ def r14_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def r15_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily resample of the event stream with gap-fill and
+    forward-fill (operators.resample — the pandas resample().ffill() /
+    TimescaleDB gapfill+locf shape Spark lacks natively): one row per
+    (user, day) across each user's own observed span, event counts
+    zeroed on gap days, the daily spend carried forward. Oracle: dense
+    generate_series grid + LAST_VALUE IGNORE NULLS."""
+    from async_pipes_spark.operators.resample import resample_ffill
+
+    ev = load_table(spark, sf_dir, "events")
+    out = resample_ffill(
+        ev.select("user_id", "ts", cents("value").alias("vc")),
+        ts_col="ts",
+        key_col="user_id",
+        agg_cols={
+            "n_events": F.count(F.lit(1)),
+            "day_cents": F.sum("vc"),
+        },
+        fill_cols=["day_cents"],
+        unit="day",
+    )
+    return out.select(
+        "user_id",
+        "bucket",
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        "day_cents",
+    ).orderBy("user_id", "bucket")
+
+
 RELATIONAL_QUERIES = {
     "r1_rollup": r1_rollup,
     "r2_set_ops": r2_set_ops,
@@ -311,6 +340,7 @@ RELATIONAL_QUERIES = {
     "r12_approx_quantile_check": r12_approx_quantile_check,
     "r13_hll_distinct_check": r13_hll_distinct_check,
     "r14_interval_frame": r14_interval_frame,
+    "r15_resample_ffill": r15_resample_ffill,
 }
 
 _APPROX_CHECK_ORACLES = {
@@ -328,6 +358,30 @@ _APPROX_CHECK_ORACLES = {
 }
 
 _R14_ORACLE = {
+    "r15_resample_ffill": """
+        WITH obs AS (
+            SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS bucket,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS day_cents
+            FROM events GROUP BY 1, 2
+        ),
+        grid AS (
+            SELECT user_id,
+                   unnest(generate_series(min(bucket), max(bucket), INTERVAL 1 DAY)) AS bucket
+            FROM obs GROUP BY user_id
+        ),
+        j AS (
+            SELECT g.user_id, g.bucket, o.n_events, o.day_cents
+            FROM grid g
+            LEFT JOIN obs o ON g.user_id = o.user_id AND g.bucket = o.bucket
+        )
+        SELECT user_id, bucket,
+               COALESCE(n_events, 0) AS n_events,
+               LAST_VALUE(day_cents IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS day_cents
+        FROM j ORDER BY user_id, bucket
+    """,
     "r14_interval_frame": """
         SELECT o_custkey, o_orderdate,
                CAST(SUM(c) OVER w AS BIGINT) AS trailing_cents,

@@ -488,3 +488,37 @@ def test_chunk_documents_boundaries(spark):
     assert out[(3, 1)][1] == "w6 w7 w8"
     with _pytest.raises(ValueError, match="stride"):
         chunk_documents(df, chunk=4, stride=5)
+
+
+def test_resample_ffill_gaps_and_single_event(spark):
+    """Gap days appear with NULL count and the forward-filled value;
+    a single-event key yields exactly one bucket; fill columns must be
+    aggregate columns."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from async_pipes_spark.operators.resample import resample_ffill
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 5), 10),
+        (1, dt.datetime(2024, 1, 1, 9), 5),   # same day, aggregates
+        (1, dt.datetime(2024, 1, 4, 1), 7),   # 2-day gap before this
+        (2, dt.datetime(2024, 3, 1, 0), 99),  # single event
+    ]
+    df = spark.createDataFrame(rows, "k bigint, ts timestamp, v bigint")
+    from pyspark.sql import functions as F
+
+    out = resample_ffill(
+        df, "ts", "k",
+        agg_cols={"n": F.count(F.lit(1)), "s": F.sum("v")},
+        fill_cols=["s"],
+    )
+    got = {(r.k, r.bucket.day): (r.n, r.s) for r in out.collect()}
+    assert got[(1, 1)] == (2, 15)
+    assert got[(1, 2)] == (None, 15)  # gap: count NULL, value carried
+    assert got[(1, 3)] == (None, 15)
+    assert got[(1, 4)] == (1, 7)
+    assert got[(2, 1)] == (1, 99) and len(got) == 5
+    with _pytest.raises(ValueError, match="not an aggregate column"):
+        resample_ffill(df, "ts", "k", agg_cols={"n": F.count(F.lit(1))}, fill_cols=["v"])
