@@ -52,7 +52,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: driver row from r4 or r5.
 _PRIORITY = [
     # new in round 5 — first driver row needed
-    "d9_", "t7_", "t8_", "t9_", "t10_", "k4_",
+    "d9_", "t7_", "t8_", "t9_", "t10_", "k4_", "v1_",
     # last driver row is r2/r3 (judge re-verified green in the r4 audit)
     *[f"r{i}_" for i in range(1, 16)],
     "a2_", "a3_", "a4_", "k1_", "smp1_", "smp2_", "mm1_", "mm2_", "mm3_",

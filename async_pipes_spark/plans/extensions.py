@@ -206,6 +206,30 @@ def k4_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def v1_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate over orders: domain, range, null, and key-
+    uniqueness checks folded into ONE conditional-aggregation scan
+    (functions.validate.dq_audit), plus orphaned-foreign-key detection
+    via a keys-only anti-join (referential_check). One row per check —
+    the run-over-run diffable audit a production pipeline sinks before
+    training."""
+    from async_pipes_spark.functions.validate import dq_audit, referential_check
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    base = dq_audit(
+        orders,
+        checks={
+            "status_domain": ~F.col("o_orderstatus").isin("F", "O", "P"),
+            "positive_price": F.col("o_totalprice") <= 0,
+            "custkey_not_null": F.col("o_custkey").isNull(),
+        },
+        unique_keys={"orderkey_unique": ["o_orderkey"]},
+    )
+    ri = referential_check(orders, customer, "o_custkey", "c_custkey")
+    return base.unionByName(ri).orderBy("check")
+
+
 def t7_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality scoring: mean conditional bigram probability
     per document under the corpus's own bigram LM (the perplexity-
@@ -837,6 +861,7 @@ EXTENSION_QUERIES = {
     "t9_chunking": t9_chunking,
     "t10_sequence_pack": t10_sequence_pack,
     "k4_bloom_prune_join": k4_bloom_prune_join,
+    "v1_dq_audit": v1_dq_audit,
     "a1_ann_top3": a1_ann_top3,
     "a2_ivf_top1": a2_ivf_top1,
     "a5_ivf_recall_check": a5_ivf_recall_check,
@@ -1072,6 +1097,32 @@ EXTENSION_ORACLES = {
                CAST(FLOOR(SUM(p_micro) / COUNT(*) + 0.5) AS BIGINT) AS avg_p_micro
         FROM bg JOIN scored USING (shingle)
         GROUP BY bg.doc_id ORDER BY bg.doc_id
+    """,
+    "v1_dq_audit": """
+        WITH base AS (
+            SELECT COUNT(*) AS n,
+                   SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS v_status,
+                   SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS v_price,
+                   SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v_null,
+                   COUNT(*) - COUNT(DISTINCT o_orderkey) AS v_dup
+            FROM orders
+        ),
+        ri AS (
+            SELECT COUNT(*) AS v FROM orders
+            LEFT JOIN customer ON o_custkey = c_custkey
+            WHERE c_custkey IS NULL
+        ),
+        rows AS (
+            SELECT 'status_domain' AS "check", v_status AS n_violations, n AS n_checked FROM base
+            UNION ALL SELECT 'positive_price', v_price, n FROM base
+            UNION ALL SELECT 'custkey_not_null', v_null, n FROM base
+            UNION ALL SELECT 'orderkey_unique', v_dup, n FROM base
+            UNION ALL SELECT 'referential_integrity', v, (SELECT n FROM base) FROM ri
+        )
+        SELECT "check", CAST(n_violations AS BIGINT) AS n_violations,
+               CAST(n_checked AS BIGINT) AS n_checked,
+               n_violations = 0 AS ok
+        FROM rows ORDER BY "check"
     """,
     # 1-based inclusive list_slice == Spark slice(arr, start, len) with
     # both clamping at the array end; chunk count is integer-exact

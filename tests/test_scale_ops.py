@@ -522,3 +522,43 @@ def test_resample_ffill_gaps_and_single_event(spark):
     assert got[(2, 1)] == (1, 99) and len(got) == 5
     with _pytest.raises(ValueError, match="not an aggregate column"):
         resample_ffill(df, "ts", "k", agg_cols={"n": F.count(F.lit(1))}, fill_cols=["v"])
+
+
+def test_dq_audit_counts_violations_in_one_scan(spark):
+    """dq_audit: dirty rows counted per check from a single
+    conditional-aggregation pass; unique-key dups ride the same pass;
+    referential_check finds orphans; empty-check registration errors."""
+    import pytest as _pytest
+
+    from async_pipes_spark.functions.validate import dq_audit, referential_check
+
+    rows = [
+        (1, "F", 10.0, 100),
+        (2, "O", -5.0, 101),   # price violation
+        (3, "Z", 7.0, None),   # domain violation + null fk
+        (1, "F", 3.0, 999),    # duplicate key + orphan fk
+    ]
+    df = spark.createDataFrame(rows, "k bigint, st string, price double, fk bigint")
+    got = {
+        r.check: (r.n_violations, r.n_checked, r.ok)
+        for r in dq_audit(
+            df,
+            checks={
+                "st_domain": ~F.col("st").isin("F", "O", "P"),
+                "pos_price": F.col("price") <= 0,
+                "fk_not_null": F.col("fk").isNull(),
+            },
+            unique_keys={"k_unique": ["k"]},
+        ).collect()
+    }
+    assert got == {
+        "st_domain": (1, 4, False),
+        "pos_price": (1, 4, False),
+        "fk_not_null": (1, 4, False),
+        "k_unique": (1, 4, False),
+    }
+    parent = spark.createDataFrame([(100,), (101,)], "pk bigint")
+    ri = referential_check(df, parent, "fk", "pk").collect()[0]
+    assert (ri.n_violations, ri.n_checked, ri.ok) == (2, 4, False)  # None + 999
+    with _pytest.raises(ValueError, match="no checks"):
+        dq_audit(df, checks={})
