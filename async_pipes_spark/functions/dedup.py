@@ -265,8 +265,14 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
 
     def kernel(batches):
         md5 = hashlib.md5
-        tok_bits: dict[str, object] = {}  # token → per-bit 0/1 vector (corpora repeat tokens heavily)
         for pdf in batches:
+            # token → per-bit 0/1 vector. Scoped PER BATCH: corpora
+            # repeat tokens heavily so the memo still kills most md5
+            # calls, but a task-lifetime dict would grow unboundedly
+            # with the partition's distinct-token count (GBs on a real
+            # corpus shard) — per-batch keeps worker memory bounded by
+            # the Arrow batch's vocabulary.
+            tok_bits: dict[str, object] = {}
             ids, hashes = [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
                 toks = text.split(" ")
@@ -548,10 +554,13 @@ def simhash_pairs(
     if radius < 1:
         raise ValueError("radius must be >= 1")
     if radius == 1:
-        # flip expansion: exact-signature buckets, 1 + bits keys/doc
+        # flip expansion: exact-signature buckets, 1 + bits keys/doc.
+        # Bit 63's mask is -2^63 (two's complement): lit(1 << 63) would
+        # overflow the signed BIGINT literal.
+        masks = [(1 << b) if b < 63 else -(1 << 63) for b in range(bits)]
         variants = F.array(
             F.col(sig_col),
-            *[F.col(sig_col).bitwiseXOR(F.lit(1 << b)) for b in range(bits)],
+            *[F.col(sig_col).bitwiseXOR(F.lit(m)) for m in masks],
         )
         keyed = signatures.select(
             F.col(id_col).alias("doc_id"), F.col(sig_col).alias("sig"),

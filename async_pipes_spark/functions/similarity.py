@@ -35,18 +35,27 @@ MAX_QUERY_BLOCK = 100_000
 #: (applicationId, plan semantic hash) → collected block. Query/centroid
 #: blocks are bounded (≤ MAX_QUERY_BLOCK) and the benchmark/driver call
 #: the same query repeatedly; re-collecting an identical plan would bill
-#: a full Spark job (~100 ms at any scale) to every call. Semantically
-#: equal plans over static sources return identical rows, so the cache
-#: is exact; bounded LRU so long sessions can't accumulate blocks.
+#: a full Spark job (~100 ms at any scale) to every call.
+#:
+#: OPT-IN ONLY (``SPARK_GRAFT_BLOCK_CACHE=1`` — bench.py sets it): the
+#: key cannot see DATA changes behind the same plan, so overwriting a
+#: source path between calls in one application would silently serve
+#: pre-overwrite rows, and the 32-bit semanticHash can in principle
+#: collide. Enable it only over immutable sources (the benchmark's
+#: read-only testdata). Eviction is FIFO-bounded, not LRU.
 _BLOCK_CACHE: dict[tuple[str, int], list] = {}
 _BLOCK_CACHE_MAX = 8
 
 
 def _collect_block(df: DataFrame, what: str) -> list:
-    try:
-        key = (df.sparkSession.sparkContext.applicationId, df.semanticHash())
-    except Exception:  # pragma: no cover - semanticHash unavailable
-        key = None
+    import os
+
+    key = None
+    if os.environ.get("SPARK_GRAFT_BLOCK_CACHE") == "1":
+        try:
+            key = (df.sparkSession.sparkContext.applicationId, df.semanticHash())
+        except Exception:  # pragma: no cover - semanticHash unavailable
+            key = None
     if key is not None and key in _BLOCK_CACHE:
         return _BLOCK_CACHE[key]
     rows = df.limit(MAX_QUERY_BLOCK + 1).collect()

@@ -32,6 +32,11 @@ def dq_audit(
     count as violations (``count(*) - count(distinct keys)``)."""
     if not checks and not unique_keys:
         raise ValueError("no checks registered")
+    dup_names = set(checks) & set(unique_keys or {})
+    if dup_names:
+        raise ValueError(
+            f"check names used in both checks and unique_keys: {sorted(dup_names)}"
+        )
     aggs = [F.count(F.lit(1)).alias("_n")]
     for name, pred in checks.items():
         aggs.append(F.sum(pred.cast("bigint")).alias(f"_v_{name}"))
@@ -72,8 +77,11 @@ def referential_check(
     dedicated null check to separate them). Same (check, n_violations,
     n_checked, ok) contract as :func:`dq_audit`. The anti-join ships
     only the key column of both sides."""
+    # alias the parent key: when fk and pk share a column name (the
+    # normal FK convention) an unaliased join condition is ambiguous
+    parent_keys = parent.select(F.col(pk).alias("_dq_pk"))
     orphans = child.select(F.col(fk)).join(
-        parent.select(F.col(pk)), F.col(fk) == F.col(pk), "left_anti"
+        parent_keys, F.col(fk) == F.col("_dq_pk"), "left_anti"
     )
     return (
         orphans.agg(F.count(F.lit(1)).alias("n_violations"))

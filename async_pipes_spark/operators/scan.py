@@ -14,7 +14,9 @@ operation"). The distributed algorithm is the textbook two-phase scan
 3. exclusive-prefix those totals on the driver (trivial) and hand
    partition *i* its offset; a second pass adds local cumsum + offset.
 
-Two scans of the data, one bounded collect, no single-task funnel.
+One materialized pass over the data (localCheckpoint pins the range
+boundaries between the totals job and the final plan), one bounded
+collect, no single-task funnel.
 The reference engine has no ordered-scan primitive at all (its pipes
 are unordered channels); this is the engine's own surface, used by the
 sequence-packing manifest (t10).
@@ -47,8 +49,17 @@ def prefix_sum(
     (pid, total) row per partition."""
     sess = df.sparkSession
     n = num_partitions or sess.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n, order_col).withColumn(
-        "_pid", F.spark_partition_id()
+    # localCheckpoint PINS the range partitioning: the totals collect
+    # and the returned plan are separate executions, and the range
+    # partitioner's reservoir sampling is NOT guaranteed to pick the
+    # same boundaries twice on data bigger than its sample — offsets
+    # computed against pass-1 boundaries would silently mismatch
+    # pass-2 partitions. Materializing once also means one scan, not
+    # two.
+    ranged = (
+        df.repartitionByRange(n, order_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     # bounded collect: one row per partition (pid, min_key, total)
     totals = (

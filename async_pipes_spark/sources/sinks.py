@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 
 
 def write_files(
@@ -88,6 +88,7 @@ def merge_upsert(
     updates: DataFrame,
     key_cols: Sequence[str],
     partition_by: Sequence[str] | None = None,
+    keys_partition_stable: bool = False,
 ) -> None:
     """Keyed upsert into a parquet directory (MERGE semantics without a
     table format): rows in ``updates`` replace target rows with the
@@ -97,9 +98,12 @@ def merge_upsert(
 
     - **Partitioned** (``partition_by`` given): PRUNED DYNAMIC PARTITION
       OVERWRITE. Only the partitions that actually contain an update key
-      are read, merged, and rewritten; every other partition's files are
-      untouched (at 100 TB this is the difference between rewriting a
-      few GB and rewriting the lake). Spark's dynamic overwrite stages
+      are read, merged, and rewritten — including the partition a moved
+      key is LEAVING (an update may change a key's partition value; the
+      old partition must rewrite too or the stale row survives as a
+      duplicate) — and every other partition's files are untouched (at
+      100 TB this is the difference between rewriting a few GB and
+      rewriting the lake). Spark's dynamic overwrite stages
       task output through its commit protocol and deletes a replaced
       partition only at job commit, so a failure mid-write leaves the
       target intact — and this path is object-store-safe (no directory
@@ -125,22 +129,40 @@ def merge_upsert(
         raise ValueError(f"update schema mismatch on columns: {sorted(missing)}")
 
     if partition_by:
-        # prune to the partitions the updates touch: IN-list for one
-        # partition column, struct-IN for several (both prunable —
-        # partition filters never scan data files)
-        touched = updates.select(*partition_by).distinct().collect()
+        # Touched partitions = partitions the UPDATES land in, PLUS the
+        # partitions currently holding any updated key — an update can
+        # MOVE a key across partitions, and skipping the old partition
+        # would leave the stale row behind (duplicate keys). Finding
+        # the old partitions costs one keys-only semi join over the
+        # target; callers whose partition values are derived from the
+        # key (so keys never move) can skip it with
+        # ``keys_partition_stable=True`` and prune purely from updates.
+        from functools import reduce
+
+        up_keys = updates.select(*key_cols).distinct()
+        touched_df = updates.select(*partition_by)
+        if not keys_partition_stable:
+            moved = existing.join(up_keys, list(key_cols), "left_semi").select(
+                *partition_by
+            )
+            touched_df = touched_df.unionByName(moved)
+        touched = touched_df.distinct().collect()
         if not touched:
             return
-        if len(partition_by) == 1:
-            pcol = partition_by[0]
-            pred = F.col(pcol).isin([r[pcol] for r in touched])
-        else:
-            pred = F.struct(*partition_by).isin(
-                [tuple(r[c] for c in partition_by) for r in touched]
-            )
-        keep = existing.filter(pred).join(
-            updates.select(*key_cols), list(key_cols), "left_anti"
+        # null-safe per-partition predicate: isin() would evaluate NULL
+        # for a NULL partition value, silently dropping that partition's
+        # surviving rows from `keep` before the dynamic overwrite
+        pred = reduce(
+            Column.__or__,
+            [
+                reduce(
+                    Column.__and__,
+                    [F.col(c).eqNullSafe(F.lit(r[c])) for c in partition_by],
+                )
+                for r in touched
+            ],
         )
+        keep = existing.filter(pred).join(up_keys, list(key_cols), "left_anti")
         merged = keep.unionByName(updates)
         (
             merged.write.mode("overwrite")

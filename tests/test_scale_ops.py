@@ -562,3 +562,40 @@ def test_dq_audit_counts_violations_in_one_scan(spark):
     assert (ri.n_violations, ri.n_checked, ri.ok) == (2, 4, False)  # None + 999
     with _pytest.raises(ValueError, match="no checks"):
         dq_audit(df, checks={})
+
+
+def test_simhash_pairs_radius1_bits64_sign_bit(spark):
+    """radius=1 flip expansion at bits=64: the bit-63 flip mask is
+    -2^63 (a lit(1<<63) literal overflows BIGINT); pairs differing only
+    in the sign bit must be found."""
+    from async_pipes_spark.functions.dedup import simhash_pairs
+
+    base = 0x0123456789ABCDEF
+    flipped = (base ^ (1 << 63)) - (1 << 64)  # sign-bit flip, as int64
+    df = spark.createDataFrame(
+        [(0, base), (1, flipped), (2, base ^ 0b11)],  # doc2 at distance 2
+        "doc_id bigint, simhash bigint",
+    )
+    got = {(r.doc_a, r.doc_b, r.hamming) for r in simhash_pairs(df, radius=1, bits=64).collect()}
+    assert got == {(0, 1, 1)}
+
+
+def test_referential_check_same_column_name(spark):
+    """fk and pk sharing a name (the normal FK convention) must not
+    trip an ambiguous-reference error."""
+    from async_pipes_spark.functions.validate import referential_check
+
+    child = spark.createDataFrame([(1,), (2,), (9,)], "id bigint")
+    parent = spark.createDataFrame([(1,), (2,)], "id bigint")
+    r = referential_check(child, parent, "id", "id").collect()[0]
+    assert (r.n_violations, r.n_checked, r.ok) == (1, 3, False)
+
+
+def test_dq_audit_rejects_duplicate_check_name(spark):
+    import pytest as _pytest
+
+    from async_pipes_spark.functions.validate import dq_audit
+
+    df = spark.createDataFrame([(1,)], "k bigint")
+    with _pytest.raises(ValueError, match="both checks and unique_keys"):
+        dq_audit(df, checks={"pk": F.col("k").isNull()}, unique_keys={"pk": ["k"]})

@@ -324,3 +324,64 @@ def test_two_producers_keep_their_own_closures(spark, tmp_path):
             assert vals == {want}, f"stream {tag} read the wrong closure: {vals}"
         finally:
             q.stop()
+
+
+def test_merge_upsert_partitioned_key_move_and_stable_flag(spark, tmp_path):
+    """An update that MOVES a key to a different partition must rewrite
+    the key's OLD partition too (or the stale row survives as a
+    duplicate); keys_partition_stable=True skips that old-partition
+    scan and correctly applies when keys never move."""
+    from async_pipes_spark.sources.sinks import merge_upsert
+
+    tgt = str(tmp_path / "mvtbl")
+    spark.createDataFrame(
+        [(1, 1, 10), (2, 2, 20), (3, 1, 30)], "k bigint, p bigint, v bigint"
+    ).write.partitionBy("p").parquet(tgt)
+
+    # key 1 moves from p=1 to p=2
+    merge_upsert(
+        spark,
+        tgt,
+        spark.createDataFrame([(1, 2, 99)], "k bigint, p bigint, v bigint"),
+        ["k"],
+        partition_by=["p"],
+    )
+    got = sorted((r.k, r.p, r.v) for r in spark.read.parquet(tgt).collect())
+    assert got == [(1, 2, 99), (2, 2, 20), (3, 1, 30)]  # no duplicate key 1
+
+    # in-place update with the stable flag: old partition scan skipped
+    merge_upsert(
+        spark,
+        tgt,
+        spark.createDataFrame([(3, 1, 77)], "k bigint, p bigint, v bigint"),
+        ["k"],
+        partition_by=["p"],
+        keys_partition_stable=True,
+    )
+    got = sorted((r.k, r.p, r.v) for r in spark.read.parquet(tgt).collect())
+    assert got == [(1, 2, 99), (2, 2, 20), (3, 1, 77)]
+
+
+def test_merge_upsert_partitioned_null_partition_survives(spark, tmp_path):
+    """A NULL partition value must not black-hole surviving rows: the
+    touched-partition predicate is null-safe, so merging into the NULL
+    partition keeps its unmatched keys."""
+    from async_pipes_spark.sources.sinks import merge_upsert
+
+    tgt = str(tmp_path / "nulltbl")
+    spark.createDataFrame(
+        [(1, None, 10), (2, None, 20), (3, 5, 30)],
+        "k bigint, p bigint, v bigint",
+    ).write.partitionBy("p").parquet(tgt)
+
+    merge_upsert(
+        spark,
+        tgt,
+        spark.createDataFrame([(1, None, 99)], "k bigint, p bigint, v bigint"),
+        ["k"],
+        partition_by=["p"],
+    )
+    got = sorted(
+        (r.k, r.p, r.v) for r in spark.read.parquet(tgt).collect()
+    )
+    assert got == [(1, None, 99), (2, None, 20), (3, 5, 30)]
