@@ -48,3 +48,33 @@ def stratified_sample(
             F.col(strata_col) == stratum, F.lit(_threshold_hex(rate))
         ).otherwise(threshold)
     return df.filter(hash_hex(*cols) < threshold)
+
+
+def group_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    key_cols: list[str],
+    k: int,
+) -> DataFrame:
+    """Deterministic FIXED-SIZE sample per group: the k rows whose key
+    hash sorts lowest within each group — quota sampling for balanced
+    eval/holdout sets (k docs per language, k customers per segment),
+    where the rate-based :func:`stratified_sample` cannot guarantee a
+    per-group count. Selection depends only on the key values, so any
+    engine/partitioning reproduces it; groups smaller than ``k`` return
+    whole.
+
+    Scale shape: one shuffle on the group key; WindowGroupLimit pushes
+    the rank-k cutoff below the exchange (per-partition partial top-k),
+    so only ~k rows per group per input partition ever move — the same
+    plan as r7's top-k-per-group."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = Window.partitionBy(*group_cols).orderBy(hash_hex(*key_cols), *key_cols)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

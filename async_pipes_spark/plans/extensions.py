@@ -206,6 +206,48 @@ def k4_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def smp3_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size quota sample: 5 customers per market
+    segment by lowest key hash (functions.sampling.group_sample) —
+    balanced eval-set construction, engine/partitioning-independent."""
+    from async_pipes_spark.functions.sampling import group_sample
+
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        group_sample(customer, ["c_mktsegment"], ["c_custkey"], k=5)
+        .select("c_mktsegment", "c_custkey")
+        .orderBy("c_mktsegment", "c_custkey")
+    )
+
+
+def s17_stream_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t8's PII scrub running ON A STREAM: the stateless JVM-codegen
+    projection applies per micro-batch with no state store at all —
+    the shape a production scrubber takes between a stream source and
+    the training lake. availableNow quiescence ≡ the batch result, so
+    the oracle is t8's own SQL."""
+    from async_pipes_spark.functions.text import redact
+    from async_pipes_spark.streaming.run import run_available_now, stream_table
+
+    cust = stream_table(spark, sf_dir, "customer")
+    red = redact(
+        cust,
+        "c_name",
+        {
+            "id": "[0-9]{6,}",
+            "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}",
+            "url": "https?://[^ ]+",
+        },
+    ).select(
+        "c_custkey",
+        F.col("n_id").cast("bigint").alias("n_id"),
+        F.col("n_email").cast("bigint").alias("n_email"),
+        F.col("n_url").cast("bigint").alias("n_url"),
+        "redacted",
+    )
+    return run_available_now(red, output_mode="append").orderBy("c_custkey")
+
+
 def v1_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality gate over orders: domain, range, null, and key-
     uniqueness checks folded into ONE conditional-aggregation scan
@@ -862,6 +904,8 @@ EXTENSION_QUERIES = {
     "t10_sequence_pack": t10_sequence_pack,
     "k4_bloom_prune_join": k4_bloom_prune_join,
     "v1_dq_audit": v1_dq_audit,
+    "smp3_group_sample": smp3_group_sample,
+    "s17_stream_redact": s17_stream_redact,
     "a1_ann_top3": a1_ann_top3,
     "a2_ivf_top1": a2_ivf_top1,
     "a5_ivf_recall_check": a5_ivf_recall_check,
@@ -1097,6 +1141,32 @@ EXTENSION_ORACLES = {
                CAST(FLOOR(SUM(p_micro) / COUNT(*) + 0.5) AS BIGINT) AS avg_p_micro
         FROM bg JOIN scored USING (shingle)
         GROUP BY bg.doc_id ORDER BY bg.doc_id
+    """,
+    "smp3_group_sample": """
+        WITH h AS (
+            SELECT c_mktsegment, c_custkey,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c_mktsegment
+                       ORDER BY substring(md5(CAST(c_custkey AS VARCHAR)), 1, 12),
+                                c_custkey) AS rk
+            FROM customer
+        )
+        SELECT c_mktsegment, c_custkey FROM h WHERE rk <= 5
+        ORDER BY c_mktsegment, c_custkey
+    """,
+    # the stream must quiesce to exactly the batch scrub (t8's oracle)
+    "s17_stream_redact": """
+        SELECT c_custkey,
+               CAST(len(regexp_extract_all(c_name, '[0-9]{6,}')) AS BIGINT) AS n_id,
+               CAST(len(regexp_extract_all(c_name,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}')) AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(c_name, 'https?://[^ ]+')) AS BIGINT) AS n_url,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(c_name, '[0-9]{6,}', '[ID]', 'g'),
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '[EMAIL]', 'g'),
+                   'https?://[^ ]+', '[URL]', 'g') AS redacted
+        FROM customer ORDER BY c_custkey
     """,
     "v1_dq_audit": """
         WITH base AS (
