@@ -130,3 +130,31 @@ def test_salted_agg_on_hot_key(spark, skewed_docs):
         ).collect()
     }
     assert direct == salted
+
+
+def test_prefix_sum_soak_500k_rows(spark):
+    """Distributed prefix scan at 500k rows over 32 range partitions —
+    enough data that the range partitioner's reservoir sampling is
+    actually sampling (not seeing every row). Spot-check the running
+    sum at deterministic probe points against closed-form values:
+    v(k) = (k % 97) + 1, so cumsum(K) = sum_{k<=K} ((k % 97) + 1)."""
+    from pyspark.sql import functions as F
+
+    from async_pipes_spark.operators.scan import prefix_sum
+
+    n = 500_000
+    df = spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") % 97 + 1).alias("v")
+    ).repartition(40)
+    out = prefix_sum(df, "k", "v", num_partitions=32)
+
+    def closed_form(K):  # sum over k in [0, K] of (k % 97) + 1
+        full, rem = divmod(K + 1, 97)
+        return full * (97 * 98 // 2) + rem * (rem + 1) // 2
+
+    probes = [0, 1, 96, 97, 123_456, 499_999]
+    got = {
+        r.k: r.cumsum
+        for r in out.filter(F.col("k").isin(probes)).collect()
+    }
+    assert got == {K: closed_form(K) for K in probes}
