@@ -22,7 +22,16 @@ def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
     ``df.rdd.getNumPartitions()`` — plan conversion only, no job): the
     problem fan_out solves IS low partition count feeding a
     compute-heavy stage, so measuring partitions directly beats
-    guessing from size statistics."""
+    guessing from size statistics.
+
+    STREAMING frames pass through untouched: ``df.rdd`` is undefined
+    on a stream, and micro-batch parallelism is the source's
+    per-trigger split (maxFilesPerTrigger / offset ranges), so the
+    kernels downstream (simhash, shingles, winnow) run unchanged on
+    streams without a repartition that would force a per-batch
+    shuffle."""
+    if df.isStreaming:
+        return df
     sc = df.sparkSession.sparkContext
     target = partitions or sc.defaultParallelism
     try:

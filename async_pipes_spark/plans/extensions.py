@@ -248,6 +248,20 @@ def s17_stream_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(red, output_mode="append").orderBy("c_custkey")
 
 
+def s18_stream_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d3's SimHash Arrow kernel running ON A STREAM: mapInPandas
+    executes inside each micro-batch (Structured Streaming runs Python
+    kernels per-batch with no state), proving the engine's
+    kernel-based operators compose with streaming sources unchanged.
+    availableNow quiescence ≡ the batch signature table, so the oracle
+    is d3's own SQL."""
+    from async_pipes_spark.functions.dedup import simhash
+    from async_pipes_spark.streaming.run import run_available_now, stream_table
+
+    docs = stream_table(spark, sf_dir, "documents")
+    return run_available_now(simhash(docs), output_mode="append").orderBy("doc_id")
+
+
 def v1_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality gate over orders: domain, range, null, and key-
     uniqueness checks folded into ONE conditional-aggregation scan
@@ -906,6 +920,7 @@ EXTENSION_QUERIES = {
     "v1_dq_audit": v1_dq_audit,
     "smp3_group_sample": smp3_group_sample,
     "s17_stream_redact": s17_stream_redact,
+    "s18_stream_simhash": s18_stream_simhash,
     "a1_ann_top3": a1_ann_top3,
     "a2_ivf_top1": a2_ivf_top1,
     "a5_ivf_recall_check": a5_ivf_recall_check,
@@ -1141,6 +1156,22 @@ EXTENSION_ORACLES = {
                CAST(FLOOR(SUM(p_micro) / COUNT(*) + 0.5) AS BIGINT) AS avg_p_micro
         FROM bg JOIN scored USING (shingle)
         GROUP BY bg.doc_id ORDER BY bg.doc_id
+    """,
+    # the stream must quiesce to exactly d3's batch signature table
+    "s18_stream_simhash": """
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ),
+        votes AS (
+            SELECT doc_id, t.b,
+                   SUM(CASE WHEN strpos('89abcdef', substring(md5(tok), t.b + 1, 1)) > 0
+                            THEN 1 ELSE -1 END) AS score
+            FROM toks CROSS JOIN generate_series(0, 15) t(b)
+            GROUP BY doc_id, t.b
+        )
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN score > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS simhash
+        FROM votes GROUP BY doc_id ORDER BY doc_id
     """,
     "smp3_group_sample": """
         WITH h AS (

@@ -164,3 +164,57 @@ def test_salted_aggregate_equals_direct_on_random_data(spark, rows):
         .collect()
     }
     assert got == want
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "bb", "ccc", "dd", "e"]), min_size=1, max_size=40),
+        min_size=1,
+        max_size=8,
+    ),
+    chunk=st.integers(min_value=2, max_value=12),
+)
+def test_chunk_documents_reconstructs_original(spark, docs, chunk):
+    """Reconstruction invariant: chunk 0 plus each later chunk's
+    non-overlapping tail (tokens past the chunk-stride overlap)
+    re-concatenates to exactly the original document, for any
+    chunk/stride combination."""
+    from async_pipes_spark.functions.text import chunk_documents
+
+    stride = max(1, chunk - 2)
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id bigint, text string",
+    )
+    out = {}
+    for r in chunk_documents(df, chunk=chunk, stride=stride).collect():
+        out.setdefault(r.doc_id, []).append((r.chunk_id, r.chunk_text))
+    for i, toks in enumerate(docs):
+        pieces = [t.split(" ") for _, t in sorted(out[i])]
+        rebuilt = pieces[0] + [tok for p in pieces[1:] for tok in p[chunk - stride:]]
+        assert rebuilt == toks, (i, pieces)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(parts=st.integers(min_value=1, max_value=17), k=st.integers(min_value=1, max_value=6))
+def test_group_sample_is_partitioning_invariant(spark, parts, k):
+    """The quota sample must select the identical rows under any input
+    partitioning (its whole point vs df.sample): selection is a pure
+    function of key hashes."""
+    from async_pipes_spark.functions.sampling import group_sample
+
+    df = spark.range(200).selectExpr("id AS key", "id % 7 AS grp")
+    a = {
+        (r.grp, r.key)
+        for r in group_sample(df.repartition(parts), ["grp"], ["key"], k).collect()
+    }
+    b = {
+        (r.grp, r.key)
+        for r in group_sample(df.coalesce(1), ["grp"], ["key"], k).collect()
+    }
+    assert a == b
+    counts = {}
+    for g, _ in a:
+        counts[g] = counts.get(g, 0) + 1
+    assert all(c == min(k, 29) or c == min(k, 28) for c in counts.values())
