@@ -248,6 +248,30 @@ def s17_stream_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(red, output_mode="append").orderBy("c_custkey")
 
 
+def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the nation trade graph (customer nation → supplier
+    nation through orders⋈lineitem⋈customer⋈supplier), 5 exact integer
+    rounds (operators.graph.pagerank_micro) — the iterative
+    join-aggregate fixpoint with a hash-exact oracle: DuckDB replays
+    the identical integer trajectory via 5 unrolled CTE levels."""
+    from async_pipes_spark.operators.graph import pagerank_micro
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .select(
+            cust["c_nationkey"].cast("bigint").alias("src"),
+            supp["s_nationkey"].cast("bigint").alias("dst"),
+        )
+    )
+    return pagerank_micro(edges, iterations=5).orderBy("node")
+
+
 def s18_stream_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """d3's SimHash Arrow kernel running ON A STREAM: mapInPandas
     executes inside each micro-batch (Structured Streaming runs Python
@@ -921,6 +945,7 @@ EXTENSION_QUERIES = {
     "smp3_group_sample": smp3_group_sample,
     "s17_stream_redact": s17_stream_redact,
     "s18_stream_simhash": s18_stream_simhash,
+    "g1_pagerank": g1_pagerank,
     "a1_ann_top3": a1_ann_top3,
     "a2_ivf_top1": a2_ivf_top1,
     "a5_ivf_recall_check": a5_ivf_recall_check,
@@ -1019,6 +1044,42 @@ _IVF_ORACLE = """
     SELECT q_id, CAST(rn AS BIGINT) AS rank, c_id, sim_micro
     FROM ranked WHERE rn <= 1 ORDER BY q_id
 """
+
+def _pagerank_oracle(iterations: int) -> str:
+    """DuckDB twin of operators.graph.pagerank_micro over the nation
+    trade graph: one CTE level per iteration (aggregation over the
+    recursive reference is disallowed in a recursive CTE, and the
+    iteration count is fixed anyway), every step BIGINT integer
+    division — the trajectories are identical, not approximately
+    equal."""
+    level = """
+        p{i} AS (
+            SELECT n.node,
+                   CAST(150000 + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS r
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node, SUM(p.r // o.d) AS c
+                FROM edges e
+                JOIN p{prev} p ON p.node = e.src
+                JOIN outdeg o ON o.src = e.src
+                GROUP BY e.dst
+            ) s ON s.node = n.node
+        )"""
+    levels = ",".join(level.format(i=i, prev=i - 1) for i in range(1, iterations + 1))
+    return f"""
+        WITH edges AS (
+            SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS src,
+                            CAST(s_nationkey AS BIGINT) AS dst
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+        ),
+        nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        outdeg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+        p0 AS (SELECT node, 1000000::BIGINT AS r FROM nodes),{levels}
+        SELECT node, r AS rank_micro FROM p{iterations} ORDER BY node
+    """
+
 
 EXTENSION_ORACLES = {
     "d1_minhash_signatures": _MINHASH_BANDS
@@ -1157,6 +1218,9 @@ EXTENSION_ORACLES = {
         FROM bg JOIN scored USING (shingle)
         GROUP BY bg.doc_id ORDER BY bg.doc_id
     """,
+    # replays pagerank_micro's exact integer trajectory: 5 unrolled
+    # CTE levels, all arithmetic in BIGINT integer division
+    "g1_pagerank": _pagerank_oracle(5),
     # the stream must quiesce to exactly d3's batch signature table
     "s18_stream_simhash": """
         WITH toks AS (

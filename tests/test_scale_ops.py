@@ -599,3 +599,34 @@ def test_dq_audit_rejects_duplicate_check_name(spark):
     df = spark.createDataFrame([(1,)], "k bigint")
     with _pytest.raises(ValueError, match="both checks and unique_keys"):
         dq_audit(df, checks={"pk": F.col("k").isNull()}, unique_keys={"pk": ["k"]})
+
+
+def test_pagerank_micro_exact_trajectory(spark):
+    """pagerank_micro on a hand-computable graph: exact integer ranks
+    after 2 rounds, duplicate edges collapse, dangling nodes keep the
+    bare teleport rank."""
+    from async_pipes_spark.operators.graph import pagerank_micro
+
+    # 1 -> 2, 1 -> 3, 2 -> 3; 3 dangles. Duplicate edge (1,2) must not count twice.
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 2), (1, 3), (2, 3)], "src bigint, dst bigint"
+    )
+    r1 = {r.node: r.rank_micro for r in pagerank_micro(edges, iterations=1).collect()}
+    # round 1 from all-1e6: contrib(2) = 1e6 div 2; contrib(3) = 1e6 div 2 + 1e6 div 1
+    assert r1 == {
+        1: 150_000,
+        2: 150_000 + 85 * 500_000 // 100,
+        3: 150_000 + 85 * 1_500_000 // 100,
+    }
+    r2 = {r.node: r.rank_micro for r in pagerank_micro(edges, iterations=2).collect()}
+    c2 = r1[1] // 2
+    c3 = r1[1] // 2 + r1[2] // 1
+    assert r2 == {
+        1: 150_000,
+        2: 150_000 + 85 * c2 // 100,
+        3: 150_000 + 85 * c3 // 100,
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="iterations"):
+        pagerank_micro(edges, iterations=0)
