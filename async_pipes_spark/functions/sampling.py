@@ -64,6 +64,14 @@ def group_sample(
     engine/partitioning reproduces it; groups smaller than ``k`` return
     whole.
 
+    Rows sharing identical key values tie on the hash; a full-row hash
+    breaks the tie deterministically (added whenever every column is
+    hashable), so even duplicate-key inputs select the same rows under
+    any partitioning — only fully identical rows remain
+    interchangeable, and those are indistinguishable anyway. With an
+    unhashable column type (map) in the frame, pass key columns that
+    uniquely identify rows.
+
     Scale shape: one shuffle on the group key; WindowGroupLimit pushes
     the rank-k cutoff below the exchange (per-partition partial top-k),
     so only ~k rows per group per input partition ever move — the same
@@ -72,7 +80,12 @@ def group_sample(
 
     if k < 1:
         raise ValueError("k must be >= 1")
-    w = Window.partitionBy(*group_cols).orderBy(hash_hex(*key_cols), *key_cols)
+    tiebreak = []
+    if not any("map<" in t for _, t in df.dtypes):
+        tiebreak = [F.hash(F.struct(*df.columns))]
+    w = Window.partitionBy(*group_cols).orderBy(
+        hash_hex(*key_cols), *key_cols, *tiebreak
+    )
     return (
         df.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= k)

@@ -230,15 +230,7 @@ def s17_stream_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from async_pipes_spark.streaming.run import run_available_now, stream_table
 
     cust = stream_table(spark, sf_dir, "customer")
-    red = redact(
-        cust,
-        "c_name",
-        {
-            "id": "[0-9]{6,}",
-            "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}",
-            "url": "https?://[^ ]+",
-        },
-    ).select(
+    red = redact(cust, "c_name", PII_PATTERNS).select(
         "c_custkey",
         F.col("n_id").cast("bigint").alias("n_id"),
         F.col("n_email").cast("bigint").alias("n_email"),
@@ -249,11 +241,14 @@ def s17_stream_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank over the nation trade graph (customer nation → supplier
-    nation through orders⋈lineitem⋈customer⋈supplier), 5 exact integer
-    rounds (operators.graph.pagerank_micro) — the iterative
-    join-aggregate fixpoint with a hash-exact oracle: DuckDB replays
-    the identical integer trajectory via 5 unrolled CTE levels."""
+    """PageRank over the STRONG-TRADE nation graph (customer nation →
+    supplier nation edges with ≥ 140 lineitems — unthresholded, the
+    sf0.01 graph is the complete K25 whose exact fixpoint is the
+    initial rank, which would make the oracle vacuous), 5 exact
+    integer rounds (operators.graph.pagerank_micro). The thresholded
+    graph has varied out-degrees and dangling nodes, so the 5-round
+    trajectory spans 150k…14M micro-units — a real iteration the
+    oracle replays via 5 unrolled CTE levels."""
     from async_pipes_spark.operators.graph import pagerank_micro
 
     orders = load_table(spark, sf_dir, "orders")
@@ -264,10 +259,13 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(supp, li["l_suppkey"] == supp["s_suppkey"])
-        .select(
+        .groupBy(
             cust["c_nationkey"].cast("bigint").alias("src"),
             supp["s_nationkey"].cast("bigint").alias("dst"),
         )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 140)
+        .select("src", "dst")
     )
     return pagerank_micro(edges, iterations=5).orderBy("node")
 
@@ -329,15 +327,7 @@ def t8_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = load_table(spark, sf_dir, "customer")
     return (
-        redact(
-            cust,
-            "c_name",
-            {
-                "id": "[0-9]{6,}",
-                "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}",
-                "url": "https?://[^ ]+",
-            },
-        )
+        redact(cust, "c_name", PII_PATTERNS)
         .select(
             "c_custkey",
             F.col("n_id").cast("bigint").alias("n_id"),
@@ -1045,6 +1035,47 @@ _IVF_ORACLE = """
     FROM ranked WHERE rn <= 1 ORDER BY q_id
 """
 
+#: PII scrub patterns shared by t8 (batch) and s17 (streaming twin) —
+#: one definition so the twins can never drift apart.
+PII_PATTERNS = {
+    "id": "[0-9]{6,}",
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}",
+    "url": "https?://[^ ]+",
+}
+
+#: Oracles shared between a batch query and its streaming twin — the
+#: twin quiesces to exactly the batch result, so it IS the same SQL.
+_D3_SIMHASH_SQL = """
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ),
+        votes AS (
+            SELECT doc_id, t.b,
+                   SUM(CASE WHEN strpos('89abcdef', substring(md5(tok), t.b + 1, 1)) > 0
+                            THEN 1 ELSE -1 END) AS score
+            FROM toks CROSS JOIN generate_series(0, 15) t(b)
+            GROUP BY doc_id, t.b
+        )
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN score > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS simhash
+        FROM votes GROUP BY doc_id ORDER BY doc_id
+    """
+
+_T8_REDACT_SQL = """
+        SELECT c_custkey,
+               CAST(len(regexp_extract_all(c_name, '[0-9]{6,}')) AS BIGINT) AS n_id,
+               CAST(len(regexp_extract_all(c_name,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}')) AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(c_name, 'https?://[^ ]+')) AS BIGINT) AS n_url,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(c_name, '[0-9]{6,}', '[ID]', 'g'),
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '[EMAIL]', 'g'),
+                   'https?://[^ ]+', '[URL]', 'g') AS redacted
+        FROM customer ORDER BY c_custkey
+    """
+
+
 def _pagerank_oracle(iterations: int) -> str:
     """DuckDB twin of operators.graph.pagerank_micro over the nation
     trade graph: one CTE level per iteration (aggregation over the
@@ -1067,12 +1098,16 @@ def _pagerank_oracle(iterations: int) -> str:
     levels = ",".join(level.format(i=i, prev=i - 1) for i in range(1, iterations + 1))
     return f"""
         WITH edges AS (
-            SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS src,
-                            CAST(s_nationkey AS BIGINT) AS dst
-            FROM lineitem
-            JOIN orders ON l_orderkey = o_orderkey
-            JOIN customer ON o_custkey = c_custkey
-            JOIN supplier ON l_suppkey = s_suppkey
+            SELECT src, dst FROM (
+                SELECT CAST(c_nationkey AS BIGINT) AS src,
+                       CAST(s_nationkey AS BIGINT) AS dst,
+                       COUNT(*) AS n
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                GROUP BY 1, 2
+            ) WHERE n >= 140
         ),
         nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
         outdeg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
@@ -1115,21 +1150,7 @@ EXTENSION_ORACLES = {
     SELECT src AS doc_id, LEAST(src, MIN(dst)) AS keep_id
     FROM reach GROUP BY src ORDER BY doc_id
     """,
-    "d3_simhash": """
-        WITH toks AS (
-            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-        ),
-        votes AS (
-            SELECT doc_id, t.b,
-                   SUM(CASE WHEN strpos('89abcdef', substring(md5(tok), t.b + 1, 1)) > 0
-                            THEN 1 ELSE -1 END) AS score
-            FROM toks CROSS JOIN generate_series(0, 15) t(b)
-            GROUP BY doc_id, t.b
-        )
-        SELECT doc_id,
-               CAST(SUM(CASE WHEN score > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS simhash
-        FROM votes GROUP BY doc_id ORDER BY doc_id
-    """,
+    "d3_simhash": _D3_SIMHASH_SQL,
     # the oracle pairs by brute force (fine at oracle scale); the engine
     # must reach the identical set through the neighborhood-key join
     "d8_simhash_pairs": """
@@ -1222,21 +1243,7 @@ EXTENSION_ORACLES = {
     # CTE levels, all arithmetic in BIGINT integer division
     "g1_pagerank": _pagerank_oracle(5),
     # the stream must quiesce to exactly d3's batch signature table
-    "s18_stream_simhash": """
-        WITH toks AS (
-            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-        ),
-        votes AS (
-            SELECT doc_id, t.b,
-                   SUM(CASE WHEN strpos('89abcdef', substring(md5(tok), t.b + 1, 1)) > 0
-                            THEN 1 ELSE -1 END) AS score
-            FROM toks CROSS JOIN generate_series(0, 15) t(b)
-            GROUP BY doc_id, t.b
-        )
-        SELECT doc_id,
-               CAST(SUM(CASE WHEN score > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS simhash
-        FROM votes GROUP BY doc_id ORDER BY doc_id
-    """,
+    "s18_stream_simhash": _D3_SIMHASH_SQL,
     "smp3_group_sample": """
         WITH h AS (
             SELECT c_mktsegment, c_custkey,
@@ -1250,19 +1257,7 @@ EXTENSION_ORACLES = {
         ORDER BY c_mktsegment, c_custkey
     """,
     # the stream must quiesce to exactly the batch scrub (t8's oracle)
-    "s17_stream_redact": """
-        SELECT c_custkey,
-               CAST(len(regexp_extract_all(c_name, '[0-9]{6,}')) AS BIGINT) AS n_id,
-               CAST(len(regexp_extract_all(c_name,
-                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}')) AS BIGINT) AS n_email,
-               CAST(len(regexp_extract_all(c_name, 'https?://[^ ]+')) AS BIGINT) AS n_url,
-               regexp_replace(
-                   regexp_replace(
-                       regexp_replace(c_name, '[0-9]{6,}', '[ID]', 'g'),
-                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '[EMAIL]', 'g'),
-                   'https?://[^ ]+', '[URL]', 'g') AS redacted
-        FROM customer ORDER BY c_custkey
-    """,
+    "s17_stream_redact": _T8_REDACT_SQL,
     "v1_dq_audit": """
         WITH base AS (
             SELECT COUNT(*) AS n,
@@ -1362,19 +1357,7 @@ EXTENSION_ORACLES = {
     """,
     # counts from the ORIGINAL text, replacements cumulative in
     # pattern order (id -> email -> url), mirroring functions.text.redact
-    "t8_redact": """
-        SELECT c_custkey,
-               CAST(len(regexp_extract_all(c_name, '[0-9]{6,}')) AS BIGINT) AS n_id,
-               CAST(len(regexp_extract_all(c_name,
-                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}')) AS BIGINT) AS n_email,
-               CAST(len(regexp_extract_all(c_name, 'https?://[^ ]+')) AS BIGINT) AS n_url,
-               regexp_replace(
-                   regexp_replace(
-                       regexp_replace(c_name, '[0-9]{6,}', '[ID]', 'g'),
-                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '[EMAIL]', 'g'),
-                   'https?://[^ ]+', '[URL]', 'g') AS redacted
-        FROM customer ORDER BY c_custkey
-    """,
+    "t8_redact": _T8_REDACT_SQL,
     "d4_ngram_jaccard_pairs": "WITH "
     + _SHINGLES.format(doc_filter=" WHERE doc_id < 50")
     + """,

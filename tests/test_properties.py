@@ -218,3 +218,24 @@ def test_group_sample_is_partitioning_invariant(spark, parts, k):
     for g, _ in a:
         counts[g] = counts.get(g, 0) + 1
     assert all(c == min(k, 29) or c == min(k, 28) for c in counts.values())
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(parts=st.integers(min_value=1, max_value=13))
+def test_group_sample_duplicate_keys_still_invariant(spark, parts):
+    """Duplicate (group, key) rows with DIFFERENT payloads: the
+    full-row-hash tiebreak must keep the selection identical under any
+    partitioning (the documented contract for hashable schemas)."""
+    from async_pipes_spark.functions.sampling import group_sample
+
+    rows = [(i % 5, i % 11, f"payload-{i}") for i in range(120)]
+    df = spark.createDataFrame(rows, "grp bigint, key bigint, payload string")
+    a = {
+        (r.grp, r.key, r.payload)
+        for r in group_sample(df.repartition(parts), ["grp"], ["key"], 3).collect()
+    }
+    b = {
+        (r.grp, r.key, r.payload)
+        for r in group_sample(df.coalesce(1), ["grp"], ["key"], 3).collect()
+    }
+    assert a == b
