@@ -241,21 +241,26 @@ def s17_stream_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank over the STRONG-TRADE nation graph (customer nation →
-    supplier nation edges with ≥ 140 lineitems — unthresholded, the
-    sf0.01 graph is the complete K25 whose exact fixpoint is the
-    initial rank, which would make the oracle vacuous), 5 exact
-    integer rounds (operators.graph.pagerank_micro). The thresholded
-    graph has varied out-degrees and dangling nodes, so the 5-round
-    trajectory spans 150k…14M micro-units — a real iteration the
-    oracle replays via 5 unrolled CTE levels."""
+    """PageRank over the STRONG-TRADE nation graph: the top-250
+    customer-nation → supplier-nation edges by lineitem count
+    (deterministic total tiebreak on the pair). Unthresholded, every
+    sf's graph is the complete K25 whose exact integer fixpoint equals
+    the initial rank — the oracle would pass vacuously; an absolute or
+    relative weight threshold is scale-brittle (empty at small sf,
+    complete again at large sf where pair weights concentrate). The
+    top-K cut keeps out-degrees varied at EVERY sf (4-16 at sf0.01/
+    sf0.1), driving a real 5-round trajectory the oracle replays via 5
+    unrolled CTE levels. The 625-pair ranking window is bounded by the
+    nation-pair space, never corpus-sized."""
+    from pyspark.sql import Window
+
     from async_pipes_spark.operators.graph import pagerank_micro
 
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     cust = load_table(spark, sf_dir, "customer")
     supp = load_table(spark, sf_dir, "supplier")
-    edges = (
+    weighted = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(supp, li["l_suppkey"] == supp["s_suppkey"])
@@ -264,7 +269,11 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             supp["s_nationkey"].cast("bigint").alias("dst"),
         )
         .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 140)
+    )
+    rk = Window.orderBy(F.col("n").desc(), "src", "dst")
+    edges = (
+        weighted.withColumn("_rk", F.row_number().over(rk))
+        .filter(F.col("_rk") <= 250)
         .select("src", "dst")
     )
     return pagerank_micro(edges, iterations=5).orderBy("node")
@@ -1097,17 +1106,22 @@ def _pagerank_oracle(iterations: int) -> str:
         )"""
     levels = ",".join(level.format(i=i, prev=i - 1) for i in range(1, iterations + 1))
     return f"""
-        WITH edges AS (
+        WITH weighted AS (
+            SELECT CAST(c_nationkey AS BIGINT) AS src,
+                   CAST(s_nationkey AS BIGINT) AS dst,
+                   COUNT(*) AS n
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY 1, 2
+        ),
+        edges AS (
             SELECT src, dst FROM (
-                SELECT CAST(c_nationkey AS BIGINT) AS src,
-                       CAST(s_nationkey AS BIGINT) AS dst,
-                       COUNT(*) AS n
-                FROM lineitem
-                JOIN orders ON l_orderkey = o_orderkey
-                JOIN customer ON o_custkey = c_custkey
-                JOIN supplier ON l_suppkey = s_suppkey
-                GROUP BY 1, 2
-            ) WHERE n >= 140
+                SELECT src, dst,
+                       ROW_NUMBER() OVER (ORDER BY n DESC, src, dst) AS rk
+                FROM weighted
+            ) WHERE rk <= 250
         ),
         nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
         outdeg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
