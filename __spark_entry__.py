@@ -43,17 +43,17 @@ def entry(spark: SparkSession) -> DataFrame:
 #: at entry #50), so dict order IS driver coverage. Policy: queries new
 #: this round and queries without a fresh driver row come FIRST; queries
 #: with an r04 green row rotate toward the tail. Round-5 window (the
-#: cut lands exactly after x6, verified by replaying _ordered): the 12
-#: queries NEW this round (d9, t7-t10, k4, v1, smp3, s17, s18, g1,
-#: r15), the 23 whose last driver row is r2/r3 (r1-r14, a2-a4, k1,
-#: smp1/2, mm1-mm3 — judge-verified green in the r4 audit), then the
-#: core declared contract (p*, x*) fill the window to 50. Everything
-#: from j1 on — j*, k2/k3, a1/a5, b1/b2, the remaining s*/d*/t1-t6 —
-#: is r04-green and holds the tail this round; round 6 rotates it
-#: back in. Every query keeps its oracle regardless of position.
+#: cut lands after x5, verified by replaying _ordered): the 13 queries
+#: NEW this round (d9, t7-t10, k4, v1, smp3, s17-s19, g1, r15), the 23
+#: whose last driver row is r2/r3 (r1-r14, a2-a4, k1, smp1/2, mm1-mm3
+#: — judge-verified green in the r4 audit), then the core declared
+#: contract (p*, x1-x5) fill the window to 50. Everything from x6 on —
+#: x6, j*, k2/k3, a1/a5, b1/b2, the remaining s*/d*/t1-t6 — is
+#: r04-green and holds the tail this round; round 6 rotates it back
+#: in. Every query keeps its oracle regardless of position.
 _PRIORITY = [
     # new in round 5 — first driver row needed
-    "d9_", "t7_", "t8_", "t9_", "t10_", "k4_", "v1_", "smp3_", "s17_", "s18_", "g1_",
+    "d9_", "t7_", "t8_", "t9_", "t10_", "k4_", "v1_", "smp3_", "s17_", "s18_", "s19_", "g1_",
     # last driver row is r2/r3 (judge re-verified green in the r4
     # audit); r15 is new this round
     *[f"r{i}_" for i in range(1, 16)],
@@ -61,7 +61,7 @@ _PRIORITY = [
     # core declared contract (p/x) — the reference's own shapes
     *[f"p{i}_" for i in range(1, 10)],
     "x1_", "x2_", "x3_", "x4_", "x5_", "x6_",
-    # r04-green tail starts here (the window cuts after x6)
+    # r04-green tail starts at x6 (the window cuts after x5)
     "j1_", "j2_", "j3_", "j4_", "j5_",
     "k2_", "k3_", "a1_", "a5_", "b1_", "b2_",
     # r04-green tail (fresh rows last round): streaming, dedup, text

@@ -924,6 +924,35 @@ def s16_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(joined, output_mode="complete").orderBy("c_mktsegment")
 
 
+def s19_stream_dedup_against_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-crawl dedup gate: a STREAM of new documents
+    (doc_id ≥ 250) anti-joins the STATIC lake's fingerprint set
+    (doc_id < 250, broadcast per micro-batch) — only documents whose
+    canonical token-set fingerprint is unseen pass, counted per
+    source. No state store: the seen-set is the static side, the
+    stream is append-only — the shape a production crawler uses to
+    drop already-ingested pages before they ever hit the lake.
+    availableNow quiescence ≡ the batch anti join."""
+    from async_pipes_spark.functions.text import fingerprint
+    from async_pipes_spark.streaming.run import run_available_now, stream_table
+
+    seen = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 250)
+        .select(fingerprint("text").alias("fp"))
+        .distinct()
+    )
+    fresh = (
+        stream_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") >= 250)
+        .withColumn("fp", fingerprint("text"))
+        .join(F.broadcast(seen), "fp", "left_anti")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    return run_available_now(fresh, output_mode="complete").orderBy("source")
+
+
 EXTENSION_QUERIES = {
     "d1_minhash_signatures": d1_minhash_signatures,
     "d2_minhash_lsh_pairs": d2_minhash_lsh_pairs,
@@ -944,6 +973,7 @@ EXTENSION_QUERIES = {
     "smp3_group_sample": smp3_group_sample,
     "s17_stream_redact": s17_stream_redact,
     "s18_stream_simhash": s18_stream_simhash,
+    "s19_stream_dedup_against_static": s19_stream_dedup_against_static,
     "g1_pagerank": g1_pagerank,
     "a1_ann_top3": a1_ann_top3,
     "a2_ivf_top1": a2_ivf_top1,
@@ -1252,6 +1282,20 @@ EXTENSION_ORACLES = {
                CAST(FLOOR(SUM(p_micro) / COUNT(*) + 0.5) AS BIGINT) AS avg_p_micro
         FROM bg JOIN scored USING (shingle)
         GROUP BY bg.doc_id ORDER BY bg.doc_id
+    """,
+    # the batch twin of the incremental-crawl gate: new docs whose
+    # canonical fingerprint exists in the doc_id<250 lake are dropped
+    "s19_stream_dedup_against_static": """
+        WITH fp AS (
+            SELECT doc_id, source,
+                   md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+            FROM documents
+        ),
+        seen AS (SELECT DISTINCT fp FROM fp WHERE doc_id < 250)
+        SELECT source, COUNT(*) AS n_new
+        FROM fp
+        WHERE doc_id >= 250 AND fp NOT IN (SELECT fp FROM seen)
+        GROUP BY source ORDER BY source
     """,
     # replays pagerank_micro's exact integer trajectory: 5 unrolled
     # CTE levels, all arithmetic in BIGINT integer division

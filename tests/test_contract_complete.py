@@ -35,7 +35,7 @@ def test_stale_and_new_queries_inside_coverage_window():
     missing = [
         k
         for k in entry.queries()
-        if re.match(r"^(r\d+|a[234]|k1|smp\d+|mm\d+|d9|t[789]|t10|k4|v1|s1[78]|g1)_", k) and k not in first50
+        if re.match(r"^(r\d+|a[234]|k1|smp\d+|mm\d+|d9|t[789]|t10|k4|v1|s1[789]|g1)_", k) and k not in first50
     ]
     assert not missing, f"driver window misses: {missing}"
 
