@@ -46,7 +46,9 @@ def prefix_sum(
     single-partition window: per-partition local windows (keyed by the
     range-partition id, so each window task sees one partition's rows)
     plus driver-prefixed offsets. The only driver data is one
-    (pid, total) row per partition."""
+    (pid, total) row per partition. NULL order keys are rejected —
+    Spark's window default orders them first, most SQL engines' last,
+    so a running sum over nullable keys has no portable meaning."""
     sess = df.sparkSession
     n = num_partitions or sess.sparkContext.defaultParallelism
     # localCheckpoint PINS the range partitioning: the totals collect
@@ -61,12 +63,24 @@ def prefix_sum(
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
-    # bounded collect: one row per partition (pid, min_key, total)
+    # bounded collect: one row per partition (pid, min_key, total).
+    # count vs count(order_col) also flags NULL keys without an extra
+    # pass — min() skips them, so an all-NULL partition's _lo is None
+    # and the offset sort would crash; better to fail with the contract.
     totals = (
         ranged.groupBy("_pid")
-        .agg(F.min(order_col).alias("_lo"), F.sum(value_col).alias("_tot"))
+        .agg(
+            F.min(order_col).alias("_lo"),
+            F.sum(value_col).alias("_tot"),
+            (F.count(F.lit(1)) - F.count(order_col)).alias("_nulls"),
+        )
         .collect()
     )
+    if any(r["_nulls"] for r in totals):
+        raise ValueError(
+            f"prefix_sum requires non-null {order_col!r} keys (engines "
+            "disagree on where NULLs sort in a running sum)"
+        )
     offsets: dict[int, int] = {}
     acc = 0
     for r in sorted(totals, key=lambda r: r["_lo"]):

@@ -33,13 +33,31 @@ from pyspark.sql import SparkSession
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 
-def _unique_name(prefix: str) -> str:
-    """A fresh registry name per producer. DataSource registration is
-    name-keyed and LAST-WRITE-WINS: under a fixed name, creating a
-    second producer rebinds the name, and a first stream that hasn't
-    started yet silently reads the SECOND producer's closure. A uuid
-    suffix gives every closure its own binding."""
-    return f"{prefix}_{uuid.uuid4().hex[:12]}"
+#: closure → registered source name (the closure object is the key, so
+#: it stays alive with its registration). Spark's DataSource registry
+#: has no unregister API, so every distinct closure costs one
+#: registration for the session's lifetime; re-registering the SAME
+#: closure object (producers built in a loop around one fn) reuses its
+#: name instead of leaking a new entry per call.
+_NAME_BY_CLOSURE: dict[object, str] = {}
+
+
+def _unique_name(prefix: str, key) -> str:
+    """A registry name per (closure, parameterization). DataSource
+    registration is name-keyed and LAST-WRITE-WINS: under one fixed
+    name, creating a second producer rebinds the name, and a first
+    stream that hasn't started yet silently reads the SECOND
+    producer's closure. A uuid suffix gives every distinct
+    (fn, params) its own binding; the memo bounds registry growth by
+    distinct configurations, not call count. The params belong in the
+    key because the registered class closes over them — reusing the
+    name for the same fn at a different batch size would rebind that
+    too."""
+    name = _NAME_BY_CLOSURE.get(key)
+    if name is None:
+        name = f"{prefix}_{uuid.uuid4().hex[:12]}"
+        _NAME_BY_CLOSURE[key] = name
+    return name
 
 
 def make_producer_datasource(
@@ -48,7 +66,7 @@ def make_producer_datasource(
 ):
     """Build a DataSource class around a partitioned generator fn."""
 
-    source_name = _unique_name("async_pipes_producer")
+    source_name = _unique_name("async_pipes_producer", (fn, num_partitions))
 
     class _Reader(DataSourceReader):
         def partitions(self):
@@ -113,7 +131,7 @@ def make_stream_producer_datasource(
 
     from pyspark.sql.datasource import SimpleDataSourceStreamReader
 
-    source_name = _unique_name("async_pipes_stream_producer")
+    source_name = _unique_name("async_pipes_stream_producer", (fn, rows_per_batch))
 
     class _StreamReader(SimpleDataSourceStreamReader):
         def initialOffset(self) -> dict:

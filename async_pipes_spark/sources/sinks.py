@@ -82,6 +82,42 @@ def _swap_directories(target_path: str, staging: str) -> None:
     shutil.rmtree(backup)
 
 
+_PART_SAFE = set("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789._-")
+
+
+def _partition_subdir(partition_by, row) -> str:
+    """`col=value/...` subdir for one partition tuple, Spark's naming:
+    NULL → __HIVE_DEFAULT_PARTITION__; values needing Spark's
+    path-escaping (chars outside [A-Za-z0-9._-]) are rejected rather
+    than guessed at."""
+    parts = []
+    for c in partition_by:
+        v = row[c]
+        if v is None:
+            s = "__HIVE_DEFAULT_PARTITION__"
+        else:
+            s = str(v)
+            if not set(s) <= _PART_SAFE:
+                raise ValueError(
+                    f"partition value {s!r} needs path escaping; emptied-"
+                    "partition cleanup supports plain alphanumeric values"
+                )
+        parts.append(f"{c}={s}")
+    return "/".join(parts)
+
+
+def _delete_partition_dir(spark, target_path: str, partition_by, row) -> None:
+    """Remove one partition directory through the Hadoop FileSystem —
+    the same API Spark's own commit protocol uses, so it works on
+    file:// and object stores alike."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(
+        f"{target_path}/{_partition_subdir(partition_by, row)}"
+    )
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(p, True)
+
+
 def merge_upsert(
     spark,
     target_path: str,
@@ -164,12 +200,31 @@ def merge_upsert(
         )
         keep = existing.filter(pred).join(up_keys, list(key_cols), "left_anti")
         merged = keep.unionByName(updates)
+        # Dynamic overwrite replaces only partitions that RECEIVE rows:
+        # a touched partition whose every row moved away gets no output
+        # and would keep its stale files. Find those EMPTIED partitions
+        # before the write (merged reads the target, so afterwards is
+        # too late) and delete their directories post-commit via the
+        # Hadoop FileSystem (one code path for file:// and object
+        # stores). The deletion is idempotent — a crash between write
+        # and delete leaves stale rows that re-running the same merge
+        # removes.
+        merged_parts = {
+            tuple(r[c] for c in partition_by)
+            for r in merged.select(*partition_by).distinct().collect()
+        }
+        emptied = [
+            r for r in touched
+            if tuple(r[c] for c in partition_by) not in merged_parts
+        ]
         (
             merged.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(*partition_by)
             .parquet(target_path)
         )
+        for r in emptied:
+            _delete_partition_dir(spark, target_path, partition_by, r)
         return
 
     keep = existing.join(updates.select(*key_cols), list(key_cols), "left_anti")

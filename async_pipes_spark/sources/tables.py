@@ -32,7 +32,9 @@ TABLES = (
 #: immutable lazy plan; caching it reuses the resolved file index and
 #: schema across queries — the analogue of the oracle's pre-registered
 #: DuckDB views (per-query relisting would bill fixed setup cost to
-#: every query at any scale).
+#: every query at any scale). OPT-IN (``SPARK_GRAFT_BLOCK_CACHE=1``,
+#: set by bench.py over the immutable testdata): the pinned file
+#: listing goes stale if the directory is rewritten mid-application.
 _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
@@ -45,16 +47,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     DuckDB's ``CAST(ts AS TIMESTAMP)`` performs, so oracle comparisons
     line up.
     """
+    import os
+
+    use_cache = os.environ.get("SPARK_GRAFT_BLOCK_CACHE") == "1"
     key = (spark.sparkContext.applicationId, sf_dir, name)
-    cached = _TABLE_CACHE.get(key)
-    if cached is not None:
-        return cached
+    if use_cache:
+        cached = _TABLE_CACHE.get(key)
+        if cached is not None:
+            return cached
     ensure_engine_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     df = normalize_ntz(df)
-    _TABLE_CACHE[key] = df
+    if use_cache:
+        _TABLE_CACHE[key] = df
     return df
 
 

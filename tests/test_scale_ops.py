@@ -630,3 +630,15 @@ def test_pagerank_micro_exact_trajectory(spark):
 
     with _pytest.raises(ValueError, match="iterations"):
         pagerank_micro(edges, iterations=0)
+
+
+def test_prefix_sum_rejects_null_order_keys(spark):
+    import pytest as _pytest
+
+    from async_pipes_spark.operators.scan import prefix_sum
+
+    df = spark.createDataFrame(
+        [(1, 5), (None, 7), (3, 9)], "k bigint, v bigint"
+    )
+    with _pytest.raises(ValueError, match="non-null"):
+        prefix_sum(df, "k", "v").collect()

@@ -459,3 +459,42 @@ def test_stream_producer_exactly_once_across_restart(spark, tmp_path):
     assert rows == list(range(n_total)), (
         f"n={len(rows)} uniq={len(set(rows))} head={rows[:5]} tail={rows[-5:]}"
     )
+
+
+def test_merge_upsert_emptied_partition_is_removed(spark, tmp_path):
+    """A key that is its partition's ONLY row moving elsewhere: dynamic
+    overwrite writes no rows into the old partition, so the emptied
+    directory must be explicitly removed — otherwise the stale row
+    survives as a duplicate key."""
+    from async_pipes_spark.sources.sinks import merge_upsert
+
+    tgt = str(tmp_path / "emptytbl")
+    spark.createDataFrame(
+        [(1, 1, 10), (2, 2, 20)], "k bigint, p bigint, v bigint"
+    ).write.partitionBy("p").parquet(tgt)
+
+    merge_upsert(
+        spark,
+        tgt,
+        spark.createDataFrame([(1, 2, 99)], "k bigint, p bigint, v bigint"),
+        ["k"],
+        partition_by=["p"],
+    )
+    got = sorted((r.k, r.p, r.v) for r in spark.read.parquet(tgt).collect())
+    assert got == [(1, 2, 99), (2, 2, 20)]  # no stale (1,1,10)
+    assert not (tmp_path / "emptytbl" / "p=1").exists()
+
+
+def test_producer_registry_reuses_name_per_closure(spark):
+    """Building many producers around the SAME closure+params must not
+    grow the DataSource registry: one registration per distinct
+    configuration; a different parameterization gets its own name."""
+    from async_pipes_spark.sources.pyproducer import (
+        make_stream_producer_datasource,
+    )
+
+    fn = lambda i: (i,) if i < 5 else None  # noqa: E731
+    names = {make_stream_producer_datasource(fn, 10).name() for _ in range(25)}
+    assert len(names) == 1
+    other = make_stream_producer_datasource(fn, 20).name()
+    assert other not in names  # different batch size -> own binding

@@ -147,7 +147,9 @@ def test_backpressure_bounds_offsets_per_trigger(spark, tmp_path):
         q.stop()
     assert len(batch_sizes) >= 4
     assert all(b == 7 for b in batch_sizes[:4]), batch_sizes[:4]
-    assert sorted(seen)[: 4 * 7] == list(range(4 * 7))  # gapless offset prefix
+    # gapless offset prefix; foreachBatch may REPLAY a batch on retry
+    # (side effects are at-least-once), so dedupe before comparing
+    assert sorted(set(seen))[: 4 * 7] == list(range(4 * 7))
 
 
 def test_backpressure_bounds_files_per_trigger(spark, tmp_path):
