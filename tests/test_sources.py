@@ -498,3 +498,27 @@ def test_producer_registry_reuses_name_per_closure(spark):
     assert len(names) == 1
     other = make_stream_producer_datasource(fn, 20).name()
     assert other not in names  # different batch size -> own binding
+
+
+def test_merge_upsert_multi_column_partitions(spark, tmp_path):
+    """Two partition columns: key moves across the (p, q) lattice must
+    rewrite both ends, and an emptied leaf directory is removed."""
+    from async_pipes_spark.sources.sinks import merge_upsert
+
+    tgt = str(tmp_path / "mc")
+    spark.createDataFrame(
+        [(1, 1, 10, 100), (2, 1, 20, 200), (3, 2, 20, 300)],
+        "k bigint, p bigint, q bigint, v bigint",
+    ).write.partitionBy("p", "q").parquet(tgt)
+
+    # key 3 moves (2,20) -> (1,10); (2,20) becomes empty
+    merge_upsert(
+        spark,
+        tgt,
+        spark.createDataFrame([(3, 1, 10, 999)], "k bigint, p bigint, q bigint, v bigint"),
+        ["k"],
+        partition_by=["p", "q"],
+    )
+    got = sorted((r.k, r.p, r.q, r.v) for r in spark.read.parquet(tgt).collect())
+    assert got == [(1, 1, 10, 100), (2, 1, 20, 200), (3, 1, 10, 999)]
+    assert not (tmp_path / "mc" / "p=2" / "q=20").exists()
