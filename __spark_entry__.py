@@ -43,16 +43,21 @@ def entry(spark: SparkSession) -> DataFrame:
 #: at entry #50), so dict order IS driver coverage. Policy: queries new
 #: this round and queries without a fresh driver row come FIRST; queries
 #: with an r04 green row rotate toward the tail. Round-5 window (the
-#: cut lands after x5, verified by replaying _ordered): the 13 queries
-#: NEW this round (d9, t7-t10, k4, v1, smp3, s17-s19, g1, r15), the 23
-#: whose last driver row is r2/r3 (r1-r14, a2-a4, k1, smp1/2, mm1-mm3
-#: — judge-verified green in the r4 audit), then the core declared
-#: contract (p*, x1-x5) fill the window to 50. Everything from x6 on —
-#: x6, j*, k2/k3, a1/a5, b1/b2, the remaining s*/d*/t1-t6 — is
-#: r04-green and holds the tail this round; round 6 rotates it back
-#: in. Every query keeps its oracle regardless of position.
+#: cut lands after p6, verified by replaying _ordered): the 21 queries
+#: NEW this round (wave 1: d9, t7-t10, k4, v1, smp3, s17-s19, g1, r15;
+#: wave 2: d10, t11-t13, v2, smp4, r16, s20), the 23 whose last driver
+#: row is r2/r3 (r1-r14, a2-a4, k1, smp1/2, mm1-mm3 — judge-verified
+#: green in the r4 audit), then the core declared contract (p1-p6)
+#: fills the window to 50. Everything after — p7-p9, x*, j*, k2/k3,
+#: a1/a5, b1/b2, the remaining s*/d*/t1-t6 — is r04-green and holds
+#: the tail this round; round 6 rotates it back in. Every query keeps
+#: its oracle regardless of position.
 _PRIORITY = [
-    # new in round 5 — first driver row needed
+    # new in round 5 wave 2 — first driver row needed ("d10_" must
+    # precede the tail's "d1_", and "t11_"-"t13_" the tail's "t1_":
+    # rank() takes the FIRST matching prefix)
+    "d10_", "t11_", "t12_", "t13_", "v2_", "smp4_", "r16_", "s20_",
+    # new in round 5 wave 1 — first driver row needed
     "d9_", "t7_", "t8_", "t9_", "t10_", "k4_", "v1_", "smp3_", "s17_", "s18_", "s19_", "g1_",
     # last driver row is r2/r3 (judge re-verified green in the r4
     # audit); r15 is new this round

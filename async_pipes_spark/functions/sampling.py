@@ -50,6 +50,75 @@ def stratified_sample(
     return df.filter(hash_hex(*cols) < threshold)
 
 
+#: first-N-hex-chars width used for the NUMERIC threshold form
+#: (rate_ppm · 16^10 ÷ 1e6 stays far inside int64; the 12-char string
+#: form of ``_threshold_hex`` would overflow the multiply)
+_NUM_HEX_WIDTH = 10
+_NUM_HEX_SPACE = 16**_NUM_HEX_WIDTH  # 1099511627776
+
+
+def weighted_mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    weight_ppm: dict[str, int],
+    token_col: str,
+    budget_tokens: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """Budget-driven mixture sampling: split a global token budget
+    across strata by target weights, derive each stratum's keep rate
+    FROM THE OBSERVED DATA (rate_ppm = stratum budget ÷ stratum
+    tokens, exact integer arithmetic, capped at 100%), then keep rows
+    via the deterministic md5 threshold — the corpus-mixture pass
+    ("30% en, 17.5% each of de/es/fr/zh, ~6k tokens total") that must
+    reproduce identically on any engine, partitioning, or scale.
+
+    Unlike :func:`stratified_sample` (caller-fixed rates), the rates
+    here are data-dependent, so the hex threshold is computed INSIDE
+    the plan: ``printf('%010x', rate_ppm · 16^10 ÷ 1e6)`` — integer
+    ops only, bit-identical on any engine. A stratum whose budget
+    covers it entirely (rate ≥ 100%) keeps every row (its 11-hex-char
+    threshold would compare wrongly against 10-char hashes, so the
+    predicate short-circuits on ``rate_ppm ≥ 1e6``). Strata without a
+    weight get rate 0 (dropped).
+
+    Scale shape: pass 1 reduces per-stratum token totals (tiny);
+    pass 2 re-scans with a map-side hash filter against the broadcast
+    rate table — row payloads never shuffle. Returns the kept rows
+    with their stratum's ``rate_ppm`` attached."""
+    if not 0 < budget_tokens:
+        raise ValueError("budget_tokens must be positive")
+    bad = {s: w for s, w in weight_ppm.items() if not 0 <= w <= PPM}
+    if bad:
+        raise ValueError(f"weights must be in [0, {PPM}] ppm: {bad}")
+    w_col: Column = F.lit(0)
+    for stratum, w in weight_ppm.items():
+        w_col = F.when(F.col(strata_col) == stratum, F.lit(w)).otherwise(w_col)
+    # all-integer arithmetic (SQL `div`, never float division — a
+    # double quotient can round UP across an integer boundary and
+    # diverge from the oracle's exact `//`)
+    rates = (
+        df.groupBy(strata_col)
+        .agg(F.sum(F.col(token_col)).cast("bigint").alias("_tok_total"))
+        .withColumn("_w_ppm", w_col.cast("bigint"))
+        .selectExpr(
+            strata_col,
+            f"least(CAST({PPM} AS BIGINT), "
+            f"((CAST({budget_tokens} AS BIGINT) * _w_ppm) div {PPM})"
+            f" * CAST({PPM} AS BIGINT) div _tok_total) AS rate_ppm",
+        )
+    )
+    kept = df.join(F.broadcast(rates), strata_col)
+    hash10 = F.substring(hash_hex(*key_cols), 1, _NUM_HEX_WIDTH)
+    threshold = F.expr(
+        f"format_string('%0{_NUM_HEX_WIDTH}x',"
+        f" rate_ppm * {_NUM_HEX_SPACE} div {PPM})"
+    )
+    return kept.filter(
+        (F.col("rate_ppm") >= F.lit(PPM)) | (hash10 < threshold)
+    )
+
+
 def group_sample(
     df: DataFrame,
     group_cols: list[str],

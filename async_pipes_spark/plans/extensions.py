@@ -10,6 +10,8 @@ casts).
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -315,6 +317,236 @@ def v1_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ri = referential_check(orders, customer, "o_custkey", "c_custkey")
     return base.unionByName(ri).orderBy("check")
+
+
+def v2_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style table profile: null counts, exact NDV, min/max for
+    four lineitem columns in ONE scan (functions.validate.column_stats
+    — Expand + a single partial-aggregated reduction, never a job per
+    column). The profile a CBO or drift monitor reads; at 100 TB the
+    NDVs swap to approx_count_distinct with the same plan shape."""
+    from async_pipes_spark.functions.validate import column_stats
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_linestatus",
+    )
+    return column_stats(
+        li, ["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"]
+    ).orderBy("column")
+
+
+#: BM25 constants (k1, b) and the fixed query-term set for t11 —
+#: shared with the oracle so both engines compute the identical
+#: expression tree. Chosen binary-EXACT (1.25, 0.75: dyadic rationals)
+#: so every derived constant (k1+1 = 2.25, 1-b = 0.25) is exactly
+#: representable — no constant-rounding divergence is even possible.
+BM25_K1 = 1.25
+BM25_B = 0.75
+BM25_TERMS = ("spark", "vector", "merge")
+
+
+def t11_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-style relevance ranking of the corpus against a fixed query
+    term set — the retrieval scorer of a data-curation stack (surface
+    the documents most about X), all in whole-stage codegen.
+
+    Scale shape: per-doc term frequencies are zero-shuffle expressions
+    over the token array; the corpus constants (N, avgdl, per-term
+    document frequencies) reduce in ONE tiny aggregation whose single
+    row is broadcast back over the corpus (a BroadcastNestedLoopJoin of
+    a 1-row build side — free); top-10 is a TakeOrdered, no full sort.
+
+    Exactness across engines: the idf is the rational Robertson form
+    (N - df + 0.5)/(df + 0.5) WITHOUT the log — log is monotone, so
+    ranking is unchanged, but +,-,*,/ are IEEE-exactly-rounded while
+    ln is not, letting the oracle match bit-for-bit. Each term's
+    partial score is floored to integer micro-units BEFORE the per-doc
+    sum (integer addition commutes; the t7 pattern)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.split(F.col("text"), " ").alias("toks"),
+    ).select(
+        "doc_id",
+        F.expr("size(filter(toks, x -> x <> ''))").cast("double").alias("dl"),
+        *[
+            F.expr(f"size(filter(toks, x -> x = '{t}'))")
+            .cast("double")
+            .alias(f"tf_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+    stats = toks.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("double")).alias(f"df_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+    term_scores = [
+        F.floor(
+            (
+                (F.col("n_docs") - F.col(f"df_{t}") + F.lit(0.5))
+                / (F.col(f"df_{t}") + F.lit(0.5))
+            )
+            * (
+                (F.col(f"tf_{t}") * F.lit(BM25_K1 + 1.0))
+                / (
+                    F.col(f"tf_{t}")
+                    + F.lit(BM25_K1)
+                    * (
+                        F.lit(1.0 - BM25_B)
+                        + F.lit(BM25_B) * (F.col("dl") / F.col("avgdl"))
+                    )
+                )
+            )
+            * F.lit(1_000_000.0)
+        ).cast("bigint")
+        for t in BM25_TERMS
+    ]
+    scored = toks.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        reduce(lambda a, b: a + b, term_scores).alias("score_micro"),
+    )
+    return scored.orderBy(F.desc("score_micro"), "doc_id").limit(10)
+
+
+def t12_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by tf-idf — the keyword extractor of a
+    topic/routing stage. Integer weighting: score = tf · 1e6 ÷ df
+    (BIGINT division; division by document frequency is the idf
+    ordering without a float log in sight).
+
+    Scale shape: one explode + one (doc, term) count, one per-term
+    document-frequency reduction joined back on the term key (vocab
+    table — broadcast when it fits, shuffle join otherwise; AQE
+    decides), then the r7/smp3 WindowGroupLimit top-k: the rank-3
+    cutoff applies map-side below the exchange, so only ~3 rows per
+    doc per partition shuffle."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = terms.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    scored = terms.join(df_t, "term").select(
+        "doc_id",
+        "term",
+        F.expr("CAST(tf * 1000000 AS BIGINT) div df").alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("doc_id", "rnk")
+    )
+
+
+def t13_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum binning: rank the corpus by an integer quality proxy
+    (document length), cut it into 4 ntile buckets, and report each
+    bin's doc count, token mass, and language spread — the mixture
+    table a staged training curriculum consumes.
+
+    ntile needs a TOTAL order ((n_chars, doc_id) — deterministic on
+    any engine). Scale note: a global ntile is a single-partition sort
+    in Spark; at corpus scale you'd bin by PRE-COMPUTED quantile cut
+    points (r9's approx path) instead — this query is the exact,
+    oracle-checkable form of that contract at driver-window size."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.orderBy("n_chars", "doc_id")
+    binned = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        token_count_ws("text").cast("bigint").alias("toks"),
+        F.ntile(4).over(w).cast("bigint").alias("bin"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").alias("total_tokens"),
+            F.count_distinct("lang").alias("n_langs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("bin")
+    )
+
+
+def smp4_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-driven mixture sampling: allocate a global token budget
+    across languages by target weights, derive each language's keep
+    rate FROM THE DATA (rate = budget ÷ observed tokens, exact integer
+    ppm, capped at 100%), then select documents with the deterministic
+    md5-threshold sampler — the 'hit 30% en / 17.5% each else' mixture
+    pass of corpus construction, reproducible on any engine or
+    partitioning (functions.sampling.weighted_mixture_sample).
+
+    Scale shape: pass 1 is a tiny per-language token reduction; pass 2
+    re-scans with a pure map-side hash filter against the broadcast
+    5-row rate table. No shuffle touches document payloads."""
+    from async_pipes_spark.functions.sampling import weighted_mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = weighted_mixture_sample(
+        docs.withColumn("toks", token_count_ws("text").cast("bigint")),
+        strata_col="lang",
+        weight_ppm={
+            "en": 300_000,
+            "de": 175_000,
+            "es": 175_000,
+            "fr": 175_000,
+            "zh": 175_000,
+        },
+        token_col="toks",
+        budget_tokens=6_000,
+        key_cols=["doc_id"],
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").alias("kept_tokens"),
+            F.min("rate_ppm").alias("rate_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+def d10_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's ACTUAL OUTPUT: the corpus after near-dup
+    removal. d2's LSH pairs resolve to components (d7), each component
+    keeps its minimum doc_id as canonical, and every other member is
+    dropped — survivors = (docs never paired) ∪ (component canonicals).
+
+    Scale shape: the group table is dup-cluster-sized (tiny next to
+    the corpus); the removal is a keys-only broadcast anti-join, so
+    corpus payloads never shuffle. This is the query a user runs to
+    MATERIALIZE the deduplicated lake, not just inspect pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    groups = dedup_group_labels(minhash_lsh_pairs(minhash_signatures(docs)))
+    doomed = groups.filter(F.col("doc_id") != F.col("keep_id")).select("doc_id")
+    return (
+        docs.join(F.broadcast(doomed), "doc_id", "left_anti")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
 
 
 def t7_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -953,6 +1185,77 @@ def s19_stream_dedup_against_static(spark: SparkSession, sf_dir: str) -> DataFra
     return run_available_now(fresh, output_mode="complete").orderBy("source")
 
 
+def s20_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC into the lake: a per-user latest-state table
+    maintained by foreachBatch conditional MERGE (sources.sinks.
+    merge_upsert with version_cols — last-writer-wins on
+    (ts, event_id)).
+
+    The lake is seeded from the historical half of events; the rest
+    arrives as a 4-file stream drained one file per micro-batch
+    (WorkerOptions backpressure), each batch merging into the lake.
+    Because the versioned merge is COMMUTATIVE over batch order, the
+    final table equals the global per-user argmax however the file
+    source happens to slice or order the batches — the property that
+    lets a production CDC sink survive out-of-order delivery and
+    replays. Oracle: one window rank over the whole event history."""
+    import tempfile
+
+    from async_pipes_spark.pipeline.options import WorkerOptions
+    from async_pipes_spark.sources.sinks import merge_upsert
+    from async_pipes_spark.streaming.run import stream_table
+
+    base = tempfile.mkdtemp(prefix="s20_cdc_")
+    lake = f"{base}/lake"
+    cols = ["user_id", "ts", "event_id", "event_type", "value"]
+
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(*cols)
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    seed = (
+        ev.filter(F.col("event_id") < 5000)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    seed.write.mode("overwrite").parquet(lake)
+
+    # the live half, staged as a 4-file directory so the file source
+    # actually produces several micro-batches (user_id-hash split:
+    # which rows share a batch is irrelevant — the merge commutes)
+    incoming = f"{base}/incoming"
+    ev.filter(F.col("event_id") >= 5000).repartition(4, "user_id").write.mode(
+        "overwrite"
+    ).parquet(incoming)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(incoming).schema)
+        .option("maxFilesPerTrigger", str(WorkerOptions(pipe_buffer_size=1).pipe_buffer_size))
+        .parquet(incoming)
+    )
+
+    def upsert(batch: DataFrame, _batch_id: int) -> None:
+        merge_upsert(
+            batch.sparkSession,
+            lake,
+            batch,
+            key_cols=["user_id"],
+            version_cols=["ts", "event_id"],
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", f"{base}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(lake).select(*cols).orderBy("user_id")
+
+
 EXTENSION_QUERIES = {
     "d1_minhash_signatures": d1_minhash_signatures,
     "d2_minhash_lsh_pairs": d2_minhash_lsh_pairs,
@@ -963,6 +1266,7 @@ EXTENSION_QUERIES = {
     "d7_dedup_groups": d7_dedup_groups,
     "d8_simhash_pairs": d8_simhash_pairs,
     "d9_simhash64_pairs_r3": d9_simhash64_pairs_r3,
+    "d10_dedup_survivors": d10_dedup_survivors,
     "t6_repetition": t6_repetition,
     "t7_bigram_lm": t7_bigram_lm,
     "t8_redact": t8_redact,
@@ -970,10 +1274,16 @@ EXTENSION_QUERIES = {
     "t10_sequence_pack": t10_sequence_pack,
     "k4_bloom_prune_join": k4_bloom_prune_join,
     "v1_dq_audit": v1_dq_audit,
+    "v2_column_stats": v2_column_stats,
+    "t11_bm25_rank": t11_bm25_rank,
+    "t12_tfidf_top_terms": t12_tfidf_top_terms,
+    "t13_curriculum_bins": t13_curriculum_bins,
     "smp3_group_sample": smp3_group_sample,
+    "smp4_weighted_mixture": smp4_weighted_mixture,
     "s17_stream_redact": s17_stream_redact,
     "s18_stream_simhash": s18_stream_simhash,
     "s19_stream_dedup_against_static": s19_stream_dedup_against_static,
+    "s20_stream_cdc_upsert": s20_stream_cdc_upsert,
     "g1_pagerank": g1_pagerank,
     "a1_ann_top3": a1_ann_top3,
     "a2_ivf_top1": a2_ivf_top1,
@@ -1194,6 +1504,32 @@ EXTENSION_ORACLES = {
     SELECT src AS doc_id, LEAST(src, MIN(dst)) AS keep_id
     FROM reach GROUP BY src ORDER BY doc_id
     """,
+    # the dedup pipeline's OUTPUT: d7's component labels, non-canonical
+    # members removed from the corpus
+    "d10_dedup_survivors": _MINHASH_BANDS.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """,
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    labels AS (
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS keep_id
+        FROM reach GROUP BY src
+    )
+    SELECT d.doc_id, d.source FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM labels WHERE doc_id <> keep_id)
+    ORDER BY d.doc_id
+    """,
     "d3_simhash": _D3_SIMHASH_SQL,
     # the oracle pairs by brute force (fine at oracle scale); the engine
     # must reach the identical set through the neighborhood-key join
@@ -1297,6 +1633,16 @@ EXTENSION_ORACLES = {
         WHERE doc_id >= 250 AND fp NOT IN (SELECT fp FROM seen)
         GROUP BY source ORDER BY source
     """,
+    # the versioned merge commutes over batch order, so quiescence is
+    # exactly the global per-user argmax of (ts, event_id)
+    "s20_stream_cdc_upsert": """
+        SELECT user_id, ts, event_id, event_type, value
+        FROM (SELECT user_id, ts, event_id, event_type, value,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events)
+        WHERE rn = 1 ORDER BY user_id
+    """,
     # replays pagerank_micro's exact integer trajectory: 5 unrolled
     # CTE levels, all arithmetic in BIGINT integer division
     "g1_pagerank": _pagerank_oracle(5),
@@ -1341,6 +1687,134 @@ EXTENSION_ORACLES = {
                CAST(n_checked AS BIGINT) AS n_checked,
                n_violations = 0 AS ok
         FROM rows ORDER BY "check"
+    """,
+    "v2_column_stats": """
+        SELECT 'l_orderkey' AS "column", COUNT(*) AS n_rows,
+               COUNT(*) - COUNT(l_orderkey) AS n_null,
+               CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+               CAST(MIN(l_orderkey) AS VARCHAR) AS min_val,
+               CAST(MAX(l_orderkey) AS VARCHAR) AS max_val
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_linenumber', COUNT(*), COUNT(*) - COUNT(l_linenumber),
+               CAST(COUNT(DISTINCT l_linenumber) AS BIGINT),
+               CAST(MIN(l_linenumber) AS VARCHAR),
+               CAST(MAX(l_linenumber) AS VARCHAR)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_returnflag', COUNT(*), COUNT(*) - COUNT(l_returnflag),
+               CAST(COUNT(DISTINCT l_returnflag) AS BIGINT),
+               MIN(l_returnflag), MAX(l_returnflag)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_linestatus', COUNT(*), COUNT(*) - COUNT(l_linestatus),
+               CAST(COUNT(DISTINCT l_linestatus) AS BIGINT),
+               MIN(l_linestatus), MAX(l_linestatus)
+        FROM lineitem
+        ORDER BY "column"
+    """,
+    # rational Robertson idf (no log — monotone, IEEE-exact) and
+    # per-term micro-unit flooring BEFORE the per-doc sum; constants
+    # are dyadic (2.25, 1.25, 0.75, 0.25, 0.5) so no literal rounds
+    "t11_bm25_rank": """
+        WITH toks AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS DOUBLE) AS dl,
+                   CAST(len(list_filter(string_split(text, ' '), x -> x = 'spark')) AS DOUBLE) AS tf_spark,
+                   CAST(len(list_filter(string_split(text, ' '), x -> x = 'vector')) AS DOUBLE) AS tf_vector,
+                   CAST(len(list_filter(string_split(text, ' '), x -> x = 'merge')) AS DOUBLE) AS tf_merge
+            FROM documents
+        ),
+        stats AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                   SUM(dl) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+                   SUM(CASE WHEN tf_spark > 0 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) AS df_spark,
+                   SUM(CASE WHEN tf_vector > 0 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) AS df_vector,
+                   SUM(CASE WHEN tf_merge > 0 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) AS df_merge
+            FROM toks
+        )
+        SELECT doc_id,
+               CAST(FLOOR(((n_docs - df_spark + 0.5) / (df_spark + 0.5))
+                    * ((tf_spark * 2.25) / (tf_spark + 1.25 * (0.25 + 0.75 * (dl / avgdl))))
+                    * 1000000.0) AS BIGINT)
+             + CAST(FLOOR(((n_docs - df_vector + 0.5) / (df_vector + 0.5))
+                    * ((tf_vector * 2.25) / (tf_vector + 1.25 * (0.25 + 0.75 * (dl / avgdl))))
+                    * 1000000.0) AS BIGINT)
+             + CAST(FLOOR(((n_docs - df_merge + 0.5) / (df_merge + 0.5))
+                    * ((tf_merge * 2.25) / (tf_merge + 1.25 * (0.25 + 0.75 * (dl / avgdl))))
+                    * 1000000.0) AS BIGINT) AS score_micro
+        FROM toks CROSS JOIN stats
+        ORDER BY score_micro DESC, doc_id LIMIT 10
+    """,
+    # integer tf-idf weighting (tf · 1e6 ÷ df, BIGINT division): the
+    # idf ORDERING without a float log anywhere
+    "t12_tfidf_top_terms": """
+        WITH terms AS (
+            SELECT doc_id, term, COUNT(*) AS tf
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                  FROM documents)
+            WHERE term <> ''
+            GROUP BY doc_id, term
+        ),
+        dfq AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+            FROM terms GROUP BY term
+        ),
+        scored AS (
+            SELECT t.doc_id, t.term, (t.tf * 1000000) // d.df AS score
+            FROM terms t JOIN dfq d USING (term)
+        )
+        SELECT doc_id, term, score, CAST(rnk AS BIGINT) AS rnk
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+              FROM scored)
+        WHERE rnk <= 3 ORDER BY doc_id, rnk
+    """,
+    "t13_curriculum_bins": """
+        WITH binned AS (
+            SELECT doc_id, lang, n_chars,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+                   CAST(ntile(4) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS bin
+            FROM documents
+        )
+        SELECT bin, COUNT(*) AS n_docs, SUM(toks) AS total_tokens,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        FROM binned GROUP BY bin ORDER BY bin
+    """,
+    # data-derived keep rates, all-integer; the hash threshold is
+    # computed in-plan (printf hex) — see functions.sampling
+    "smp4_weighted_mixture": """
+        WITH d AS (
+            SELECT doc_id, lang,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+            FROM documents
+        ),
+        t AS (SELECT lang, CAST(SUM(toks) AS BIGINT) AS tok_total
+              FROM d GROUP BY lang),
+        r AS (
+            SELECT lang,
+                   LEAST(CAST(1000000 AS BIGINT),
+                         ((CAST(6000 AS BIGINT) *
+                           (CASE lang WHEN 'en' THEN 300000
+                                      WHEN 'de' THEN 175000
+                                      WHEN 'es' THEN 175000
+                                      WHEN 'fr' THEN 175000
+                                      WHEN 'zh' THEN 175000
+                                      ELSE 0 END)) // 1000000)
+                         * CAST(1000000 AS BIGINT) // tok_total) AS rate_ppm
+            FROM t
+        ),
+        kept AS (
+            SELECT d.lang, d.toks, r.rate_ppm
+            FROM d JOIN r USING (lang)
+            WHERE r.rate_ppm >= 1000000
+               OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 10)
+                  < printf('%010x', r.rate_ppm * 1099511627776 // 1000000)
+        )
+        SELECT lang, COUNT(*) AS n_docs, SUM(toks) AS kept_tokens,
+               MIN(rate_ppm) AS rate_ppm
+        FROM kept GROUP BY lang ORDER BY lang
     """,
     # 1-based inclusive list_slice == Spark slice(arr, start, len) with
     # both clamping at the array end; chunk count is integer-exact

@@ -325,6 +325,25 @@ def r15_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "bucket")
 
 
+def r16_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS — the lattice rollup/cube can't express:
+    exactly ((status, priority), (priority), ()) in ONE pass. Rollup
+    would add (status) and cube all four; grouping sets computes only
+    the analyst-chosen levels, still a single shuffle with map-side
+    expansion. ``grouping_id`` disambiguates a genuine NULL group key
+    from a subtotal row (bit i set ⇔ column i aggregated away)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents("o_totalprice")).alias("total_cents"),
+        F.grouping_id().cast("bigint").alias("gid"),
+    )
+
+
 RELATIONAL_QUERIES = {
     "r1_rollup": r1_rollup,
     "r2_set_ops": r2_set_ops,
@@ -341,6 +360,7 @@ RELATIONAL_QUERIES = {
     "r13_hll_distinct_check": r13_hll_distinct_check,
     "r14_interval_frame": r14_interval_frame,
     "r15_resample_ffill": r15_resample_ffill,
+    "r16_grouping_sets": r16_grouping_sets,
 }
 
 _APPROX_CHECK_ORACLES = {
@@ -487,6 +507,15 @@ RELATIONAL_ORACLES = {
                      CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c
               FROM orders)
         GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "r16_grouping_sets": """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
+               CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderpriority), ())
+        ORDER BY gid, o_orderstatus, o_orderpriority
     """,
     **_APPROX_CHECK_ORACLES,
     **_R14_ORACLE,

@@ -125,10 +125,23 @@ def merge_upsert(
     key_cols: Sequence[str],
     partition_by: Sequence[str] | None = None,
     keys_partition_stable: bool = False,
+    version_cols: Sequence[str] | None = None,
 ) -> None:
     """Keyed upsert into a parquet directory (MERGE semantics without a
     table format): rows in ``updates`` replace target rows with the
     same key; unmatched target rows survive; new keys append.
+
+    ``version_cols`` turns the unconditional replace into LAST-WRITER-
+    WINS CDC resolution: for a matched key, the row with the GREATER
+    version tuple survives — whether it came from the target or the
+    updates (ties prefer the update; multiple update rows per key
+    self-resolve the same way; version NULLs sort last). This makes
+    the merge COMMUTATIVE over batch order: out-of-order micro-batches
+    (a streaming foreachBatch sink, a backfill racing live traffic)
+    converge to the same final table as in-order delivery — the
+    property an unconditional upsert cannot give. Cost: contested keys
+    run through one window (rank-1 per key) instead of a plain union;
+    uncontested target rows still move via the anti-join only.
 
     Commit protocol — two paths:
 
@@ -163,6 +176,34 @@ def merge_upsert(
     missing = set(updates.columns) ^ set(existing.columns)
     if missing:
         raise ValueError(f"update schema mismatch on columns: {sorted(missing)}")
+    if version_cols:
+        bad = [c for c in version_cols if c not in updates.columns]
+        if bad:
+            raise ValueError(f"version_cols not in schema: {bad}")
+
+    def _merge(existing_subset: DataFrame) -> DataFrame:
+        """Resolve updates against a target subset: plain replace, or
+        last-writer-wins per key when version_cols is set."""
+        up_keys = updates.select(*key_cols).distinct()
+        keep = existing_subset.join(up_keys, list(key_cols), "left_anti")
+        if not version_cols:
+            return keep.unionByName(updates)
+        from pyspark.sql import Window
+
+        contested = (
+            existing_subset.join(up_keys, list(key_cols), "left_semi")
+            .withColumn("_upd", F.lit(0))
+            .unionByName(updates.withColumn("_upd", F.lit(1)))
+        )
+        w = Window.partitionBy(*key_cols).orderBy(
+            *[F.col(c).desc() for c in version_cols], F.col("_upd").desc()
+        )
+        winners = (
+            contested.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_upd")
+        )
+        return keep.unionByName(winners)
 
     if partition_by:
         # Touched partitions = partitions the UPDATES land in, PLUS the
@@ -198,8 +239,7 @@ def merge_upsert(
                 for r in touched
             ],
         )
-        keep = existing.filter(pred).join(up_keys, list(key_cols), "left_anti")
-        merged = keep.unionByName(updates)
+        merged = _merge(existing.filter(pred))
         # Dynamic overwrite replaces only partitions that RECEIVE rows:
         # a touched partition whose every row moved away gets no output
         # and would keep its stale files. Find those EMPTIED partitions
@@ -227,8 +267,7 @@ def merge_upsert(
             _delete_partition_dir(spark, target_path, partition_by, r)
         return
 
-    keep = existing.join(updates.select(*key_cols), list(key_cols), "left_anti")
-    merged = keep.unionByName(updates)
+    merged = _merge(existing)
     staging = f"{target_path}__staging_{uuid.uuid4().hex[:8]}"
     try:
         merged.write.mode("overwrite").parquet(staging)

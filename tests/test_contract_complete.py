@@ -26,8 +26,9 @@ def test_queries_and_oracles_share_order():
 def test_stale_and_new_queries_inside_coverage_window():
     """Rotation policy, round 5: every query whose last driver row is
     r2/r3 (r*, a2-a4, k1, smp*, mm* — rotated out of r4's window) plus
-    every query new this round must sit in the first 50 entries — the
-    driver's observed per-round correctness window. The r4-green
+    every query new this round (both waves: d9/d10, t7-t13, k4, v1/v2,
+    smp3/smp4, s17-s20, g1, r15/r16) must sit in the first 50 entries —
+    the driver's observed per-round correctness window. The r4-green
     streaming/dedup/text families hold the tail this round."""
     import re
 
@@ -35,7 +36,11 @@ def test_stale_and_new_queries_inside_coverage_window():
     missing = [
         k
         for k in entry.queries()
-        if re.match(r"^(r\d+|a[234]|k1|smp\d+|mm\d+|d9|t[789]|t10|k4|v1|s1[789]|g1)_", k) and k not in first50
+        if re.match(
+            r"^(r\d+|a[234]|k1|smp\d+|mm\d+|d9|d10|t[789]|t1[0-3]|k4|v[12]|s1[789]|s20|g1)_",
+            k,
+        )
+        and k not in first50
     ]
     assert not missing, f"driver window misses: {missing}"
 

@@ -239,3 +239,104 @@ def test_group_sample_duplicate_keys_still_invariant(spark, parts):
         for r in group_sample(df.coalesce(1), ["grp"], ["key"], 3).collect()
     }
     assert a == b
+
+
+def test_weighted_mixture_rates_and_invariance(spark):
+    """weighted_mixture_sample: a stratum whose budget covers it keeps
+    every row (rate capped at 100%); a zero/absent weight drops the
+    stratum; selection is identical under any input partitioning."""
+    from async_pipes_spark.functions.sampling import weighted_mixture_sample
+
+    rows = [(i, "big" if i % 4 else "rare", 10) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, toks bigint")
+    kept = weighted_mixture_sample(
+        df,
+        strata_col="lang",
+        # rare: 100 docs * 10 tokens = 1000 tokens, budget 50000*0.5
+        # covers it -> rate 100%; big: 3000 tokens vs 25000 -> capped too?
+        # no: budget_big = 50000*0.1//1e6... use explicit numbers below
+        weight_ppm={"rare": 500_000, "big": 20_000},
+        token_col="toks",
+        budget_tokens=50_000,
+        key_cols=["doc_id"],
+    )
+    got = {r.lang: r for r in kept.groupBy("lang").count().collect()}
+    # rare: budget = 50000*0.5 = 25000 tokens >= its 1000 -> all 100 kept
+    assert got["rare"]["count"] == 100
+    # big: budget = 50000*0.02 = 1000 tokens over 3000 -> rate 333333ppm
+    assert 0 < got["big"]["count"] < 300
+    sel1 = sorted(r.doc_id for r in kept.collect())
+    kept2 = weighted_mixture_sample(
+        df.repartition(7),
+        strata_col="lang",
+        weight_ppm={"rare": 500_000, "big": 20_000},
+        token_col="toks",
+        budget_tokens=50_000,
+        key_cols=["doc_id"],
+    )
+    assert sorted(r.doc_id for r in kept2.collect()) == sel1
+    # unweighted stratum -> dropped entirely
+    none_kept = weighted_mixture_sample(
+        df,
+        strata_col="lang",
+        weight_ppm={"rare": 1_000_000},
+        token_col="toks",
+        budget_tokens=50_000,
+        key_cols=["doc_id"],
+    )
+    assert none_kept.filter("lang = 'big'").count() == 0
+
+
+def test_weighted_mixture_rejects_bad_args(spark):
+    import pytest as _pytest
+
+    from async_pipes_spark.functions.sampling import weighted_mixture_sample
+
+    df = spark.createDataFrame([(1, "en", 5)], "doc_id bigint, lang string, toks bigint")
+    with _pytest.raises(ValueError, match="budget_tokens"):
+        weighted_mixture_sample(df, "lang", {"en": 1}, "toks", 0, ["doc_id"])
+    with _pytest.raises(ValueError, match="weights"):
+        weighted_mixture_sample(df, "lang", {"en": 2_000_000}, "toks", 10, ["doc_id"])
+
+
+def test_column_stats_one_scan_and_values(spark):
+    """column_stats: exact profile values (nulls, NDV, min/max) and the
+    one-scan plan contract — a single parquet/file scan feeds every
+    column's stats (Expand, not one job per column)."""
+    from async_pipes_spark.functions.validate import column_stats
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, "b")],
+        "k bigint, s string",
+    )
+    got = {r["column"]: r for r in column_stats(df, ["k", "s"]).collect()}
+    assert got["k"]["n_rows"] == 4 and got["k"]["n_null"] == 1
+    assert got["k"]["n_distinct"] == 2
+    assert (got["k"]["min_val"], got["k"]["max_val"]) == ("1", "2")
+    assert got["s"]["n_null"] == 1 and got["s"]["n_distinct"] == 2
+    assert (got["s"]["min_val"], got["s"]["max_val"]) == ("a", "b")
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no columns"):
+        column_stats(df, [])
+    with _pytest.raises(ValueError, match="not in frame"):
+        column_stats(df, ["nope"])
+
+
+def test_column_stats_single_scan_plan(spark, tmp_path):
+    """The profile of N columns must read the source ONCE: the physical
+    plan contains exactly one file scan (the union legs all read the
+    same aggregated single row)."""
+    from async_pipes_spark.functions.validate import column_stats
+
+    p = str(tmp_path / "cs")
+    spark.range(100).selectExpr("id AS a", "id % 7 AS b").write.parquet(p)
+    df = spark.read.parquet(p)
+    plan = (
+        column_stats(df, ["a", "b"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") == 1, plan

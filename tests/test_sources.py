@@ -522,3 +522,105 @@ def test_merge_upsert_multi_column_partitions(spark, tmp_path):
     got = sorted((r.k, r.p, r.q, r.v) for r in spark.read.parquet(tgt).collect())
     assert got == [(1, 1, 10, 100), (2, 1, 20, 200), (3, 1, 10, 999)]
     assert not (tmp_path / "mc" / "p=2" / "q=20").exists()
+
+
+def test_merge_upsert_versioned_last_writer_wins(spark, tmp_path):
+    """version_cols CDC resolution: a matched key keeps whichever row
+    has the greater version tuple — target or update — and equal
+    versions prefer the update; multiple update rows for one key
+    self-resolve; NULL versions lose to any non-NULL."""
+    from async_pipes_spark.sources.sinks import merge_upsert
+
+    tgt = str(tmp_path / "v")
+    spark.createDataFrame(
+        [(1, 5, "old1"), (2, 5, "old2"), (3, 5, "old3"), (4, None, "old4")],
+        "k bigint, ver bigint, s string",
+    ).coalesce(1).write.parquet(tgt)
+    updates = spark.createDataFrame(
+        [
+            (1, 9, "new1"),      # newer -> update wins
+            (2, 3, "stale2"),    # older -> target survives
+            (3, 5, "tie3"),      # tie -> update wins
+            (4, 1, "new4"),      # target version NULL -> update wins
+            (5, 2, "first5a"),   # new key, two rows in one batch:
+            (5, 7, "first5b"),   # greater version wins
+        ],
+        "k bigint, ver bigint, s string",
+    )
+    merge_upsert(spark, tgt, updates, ["k"], version_cols=["ver"])
+    got = sorted((r.k, r.s) for r in spark.read.parquet(tgt).collect())
+    assert got == [
+        (1, "new1"), (2, "old2"), (3, "tie3"), (4, "new4"), (5, "first5b"),
+    ]
+
+
+def test_merge_upsert_versioned_commutes_over_batch_order(spark, tmp_path):
+    """The versioned merge's defining property: applying the same set
+    of update batches in ANY order converges to the same final table —
+    what lets a streaming foreachBatch sink survive out-of-order
+    delivery and replays (s20's contract)."""
+    import itertools
+
+    from async_pipes_spark.sources.sinks import merge_upsert
+
+    batches = [
+        [(1, 10, "a1"), (2, 20, "a2")],
+        [(1, 30, "b1"), (3, 5, "b3")],
+        [(2, 15, "c2"), (3, 25, "c3"), (4, 1, "c4")],
+    ]
+    finals = []
+    for i, order in enumerate(itertools.permutations(range(3))):
+        tgt = str(tmp_path / f"o{i}")
+        spark.createDataFrame(
+            [(1, 0, "seed1")], "k bigint, ver bigint, s string"
+        ).coalesce(1).write.parquet(tgt)
+        for bi in order:
+            updates = spark.createDataFrame(
+                batches[bi], "k bigint, ver bigint, s string"
+            )
+            merge_upsert(spark, tgt, updates, ["k"], version_cols=["ver"])
+        finals.append(sorted(tuple(r) for r in spark.read.parquet(tgt).collect()))
+    assert all(f == finals[0] for f in finals[1:])
+    assert finals[0] == [(1, 30, "b1"), (2, 20, "a2"), (3, 25, "c3"), (4, 1, "c4")]
+
+
+def test_merge_upsert_versioned_partitioned_stale_move_ignored(spark, tmp_path):
+    """Partitioned + versioned: a STALE update that would move a key to
+    another partition must lose — the existing row stays in its
+    partition and the update's target partition gains nothing (and is
+    removed if it only existed for the loser)."""
+    from async_pipes_spark.sources.sinks import merge_upsert
+
+    tgt = str(tmp_path / "pv")
+    spark.createDataFrame(
+        [(1, "x", 9, "cur"), (2, "y", 1, "other")],
+        "k bigint, p string, ver bigint, s string",
+    ).coalesce(1).write.partitionBy("p").parquet(tgt)
+    # stale update tries to move k=1 from p=x to p=z
+    merge_upsert(
+        spark,
+        tgt,
+        spark.createDataFrame(
+            [(1, "z", 3, "stale")], "k bigint, p string, ver bigint, s string"
+        ),
+        ["k"],
+        partition_by=["p"],
+        version_cols=["ver"],
+    )
+    got = sorted((r.k, r.p, r.ver, r.s) for r in spark.read.parquet(tgt).collect())
+    assert got == [(1, "x", 9, "cur"), (2, "y", 1, "other")]
+    assert not (tmp_path / "pv" / "p=z").exists()
+    # and a FRESH move does relocate the row
+    merge_upsert(
+        spark,
+        tgt,
+        spark.createDataFrame(
+            [(1, "z", 12, "moved")], "k bigint, p string, ver bigint, s string"
+        ),
+        ["k"],
+        partition_by=["p"],
+        version_cols=["ver"],
+    )
+    got = sorted((r.k, r.p, r.s) for r in spark.read.parquet(tgt).collect())
+    assert got == [(1, "z", "moved"), (2, "y", "other")]
+    assert not (tmp_path / "pv" / "p=x").exists()
