@@ -1202,8 +1202,8 @@ def s20_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from async_pipes_spark.pipeline.options import WorkerOptions
+    from async_pipes_spark.session import ensure_engine_confs
     from async_pipes_spark.sources.sinks import merge_upsert
-    from async_pipes_spark.streaming.run import stream_table
 
     base = tempfile.mkdtemp(prefix="s20_cdc_")
     lake = f"{base}/lake"
@@ -1211,7 +1211,15 @@ def s20_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events").select(*cols)
+    # cloned session with few shuffle partitions pinned (the
+    # stream_table idiom): every per-batch merge runs a key window over
+    # a state-table-sized frame — 32-wide shuffles would be pure task
+    # overhead here, and nothing global may be mutated
+    session = spark.newSession()
+    ensure_engine_confs(session)
+    session.conf.set("spark.sql.shuffle.partitions", "8")
+
+    ev = load_table(session, sf_dir, "events").select(*cols)
     w = Window.partitionBy("user_id").orderBy(
         F.desc("ts"), F.desc("event_id")
     )
@@ -1232,7 +1240,7 @@ def s20_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).parquet(incoming)
 
     stream = (
-        spark.readStream.schema(spark.read.parquet(incoming).schema)
+        session.readStream.schema(session.read.parquet(incoming).schema)
         .option("maxFilesPerTrigger", str(WorkerOptions(pipe_buffer_size=1).pipe_buffer_size))
         .parquet(incoming)
     )
@@ -1253,7 +1261,7 @@ def s20_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(lake).select(*cols).orderBy("user_id")
+    return session.read.parquet(lake).select(*cols).orderBy("user_id")
 
 
 EXTENSION_QUERIES = {
