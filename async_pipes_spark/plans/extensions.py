@@ -529,6 +529,51 @@ def smp4_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t14_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction with cumulative corpus coverage: the
+    top-20 terms by frequency, each with the fraction of all token
+    mass (ppm) a vocabulary truncated AT that term would cover — the
+    table that decides a tokenizer's vocab size.
+
+    Scale shape: the cumulative sum over the global (n DESC, term)
+    order runs through operators.scan.prefix_sum — the two-phase
+    distributed scan — NOT ``sum() OVER (ORDER BY)``, whose empty
+    partitionBy funnels the whole vocabulary through one task. The
+    composite order rides a single sortable key (zero-padded
+    descending-count prefix + term), keys are unique, so the scan's
+    RANGE-frame ties equal ROWS semantics exactly. Top-20 is a
+    TakeOrdered; coverage is integer ppm (cum · 1e6 ÷ total)."""
+    from async_pipes_spark.operators.scan import prefix_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "okey",
+            F.concat(
+                F.format_string("%019d", F.lit(10**18) - F.col("n")),
+                F.col("term"),
+            ),
+        )
+    )
+    total = vocab.agg(F.sum("n").alias("total"))
+    ranked = prefix_sum(vocab, "okey", "n", "cum").crossJoin(F.broadcast(total))
+    return (
+        ranked.select(
+            "term",
+            "n",
+            F.expr("cum * 1000000 div total").alias("cum_ppm"),
+            "okey",
+        )
+        .orderBy("okey")
+        .limit(20)
+        .drop("okey")
+    )
+
+
 def d10_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup pipeline's ACTUAL OUTPUT: the corpus after near-dup
     removal. d2's LSH pairs resolve to components (d7), each component
@@ -1264,6 +1309,71 @@ def s20_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session.read.parquet(lake).select(*cols).orderBy("user_id")
 
 
+def s21_stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a per-(user, day)
+    spend rollup kept current under streaming appends. Each micro-batch
+    reduces to its own partial aggregate (tiny — touched keys only),
+    combines with the view's current values for those keys, and MERGEs
+    the combined rows back (sources.sinks.merge_upsert) — the standard
+    delta-maintenance shape for any commutative-monoid aggregate
+    (count/sum here), which makes the refresh batch-order-invariant:
+    quiescence equals the one-shot batch GROUP BY over all history.
+    Never a full recompute: per batch, work is O(touched keys), not
+    O(view). Oracle: the plain GROUP BY."""
+    import tempfile
+
+    from async_pipes_spark.functions.money import cents
+    from async_pipes_spark.session import ensure_engine_confs
+    from async_pipes_spark.sources.sinks import merge_upsert
+
+    base = tempfile.mkdtemp(prefix="s21_mv_")
+    view = f"{base}/view"
+
+    session = spark.newSession()
+    ensure_engine_confs(session)
+    session.conf.set("spark.sql.shuffle.partitions", "8")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "user_id", F.date_trunc("day", F.col("ts")).alias("bucket")
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents("value")).alias("day_cents"),
+        )
+
+    ev = load_table(session, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    rollup(ev.filter(F.col("event_id") < 5000)).write.mode("overwrite").parquet(view)
+
+    incoming = f"{base}/incoming"
+    ev.filter(F.col("event_id") >= 5000).repartition(3, "user_id").write.mode(
+        "overwrite"
+    ).parquet(incoming)
+
+    def refresh(batch: DataFrame, _batch_id: int) -> None:
+        sess = batch.sparkSession
+        delta = rollup(batch).alias("d")
+        cur = sess.read.parquet(view).alias("v")
+        keys = ["user_id", "bucket"]
+        combined = delta.join(cur, keys, "left").select(
+            *keys,
+            (F.col("d.n_events") + F.coalesce(F.col("v.n_events"), F.lit(0))).alias("n_events"),
+            (F.col("d.day_cents") + F.coalesce(F.col("v.day_cents"), F.lit(0))).alias("day_cents"),
+        )
+        merge_upsert(sess, view, combined, key_cols=keys)
+
+    q = (
+        session.readStream.schema(session.read.parquet(incoming).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(incoming)
+        .writeStream.foreachBatch(refresh)
+        .option("checkpointLocation", f"{base}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return session.read.parquet(view).orderBy("user_id", "bucket")
+
+
 EXTENSION_QUERIES = {
     "d1_minhash_signatures": d1_minhash_signatures,
     "d2_minhash_lsh_pairs": d2_minhash_lsh_pairs,
@@ -1286,12 +1396,14 @@ EXTENSION_QUERIES = {
     "t11_bm25_rank": t11_bm25_rank,
     "t12_tfidf_top_terms": t12_tfidf_top_terms,
     "t13_curriculum_bins": t13_curriculum_bins,
+    "t14_vocab_coverage": t14_vocab_coverage,
     "smp3_group_sample": smp3_group_sample,
     "smp4_weighted_mixture": smp4_weighted_mixture,
     "s17_stream_redact": s17_stream_redact,
     "s18_stream_simhash": s18_stream_simhash,
     "s19_stream_dedup_against_static": s19_stream_dedup_against_static,
     "s20_stream_cdc_upsert": s20_stream_cdc_upsert,
+    "s21_stream_incremental_rollup": s21_stream_incremental_rollup,
     "g1_pagerank": g1_pagerank,
     "a1_ann_top3": a1_ann_top3,
     "a2_ivf_top1": a2_ivf_top1,
@@ -1777,6 +1889,35 @@ EXTENSION_ORACLES = {
                   PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
               FROM scored)
         WHERE rnk <= 3 ORDER BY doc_id, rnk
+    """,
+    # composite (n DESC, term) order as one sortable key on both
+    # engines; ROWS cumsum == the scan's RANGE semantics (keys unique)
+    "t14_vocab_coverage": """
+        WITH t AS (
+            SELECT term, COUNT(*) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS term
+                  FROM documents)
+            WHERE term <> '' GROUP BY term
+        ),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM t),
+        o AS (
+            SELECT term, n,
+                   printf('%019d', 1000000000000000000 - n) || term AS okey,
+                   CAST(SUM(n) OVER (
+                       ORDER BY printf('%019d', 1000000000000000000 - n) || term
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+            FROM t
+        )
+        SELECT term, n, cum * 1000000 // total AS cum_ppm
+        FROM o CROSS JOIN tot ORDER BY okey LIMIT 20
+    """,
+    # delta-maintained view quiesces to the one-shot GROUP BY
+    "s21_stream_incremental_rollup": """
+        SELECT user_id,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS bucket,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS day_cents
+        FROM events GROUP BY 1, 2 ORDER BY user_id, bucket
     """,
     "t13_curriculum_bins": """
         WITH binned AS (
