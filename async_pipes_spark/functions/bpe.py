@@ -1,0 +1,164 @@
+"""Distributed BPE (byte-pair-encoding) merge learning — the
+tokenizer-training step of an LLM data pipeline, run as Spark
+aggregations over the corpus word-frequency table.
+
+Algorithm (Sennrich et al. 2016, the standard subword tokenizer):
+start from character symbols, repeatedly (1) count adjacent symbol
+pairs weighted by word frequency, (2) take the most frequent pair,
+(3) merge that pair into one symbol everywhere; the sequence of merges
+IS the tokenizer.
+
+Scale shape per iteration: ONE pair-count aggregation over the word
+table (explode of adjacent-pair arrays → groupBy sum, map-side
+partial), ONE driver collect of exactly one row (the argmax pair — the
+same bounded-collect shape as the PageRank loop), and a map-only merge
+application. The word table is vocabulary-sized (distinct words ×
+frequency), not corpus-sized: the corpus is reduced once up front.
+K iterations = K tiny jobs; no join, no growing state.
+
+Engine-exact contract: a word's symbol sequence is carried as a
+space-delimited STRING (`" a b c "`), and a merge is applied as the
+SAME fixed two-pass leftmost non-overlapping string replace on every
+engine (`replace(replace(s, " a b ", " ab "), ...)`). Two passes are
+applied unconditionally: one pass misses adjacent occurrences whose
+boundary space the previous match consumed (`" a b a b "` →
+`" ab a b "`), the second catches them. This replace-pass semantics is
+deterministic and identical across engines by construction (classic
+greedy-fold BPE can order interior runs differently, e.g. `aaaaa` →
+[aa, aa, a] vs [aa, a, aa]; the contract here is the replace form).
+Pair argmax ties break on (count DESC, left ASC, right ASC).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, cnt) over whitespace tokens — the corpus reduction BPE
+    trains on (one shuffle, map-side combined)."""
+    return (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def _initial_seq() -> F.Column:
+    """word → ``" w o r d "``: one space-separated symbol per char.
+    regexp_replace('(.)', ' $1') is engine-portable (same output as
+    DuckDB's ``regexp_replace(w, '(.)', ' \\1', 'g')``)."""
+    return F.concat(
+        F.regexp_replace(F.col("word"), "(.)", " $1"), F.lit(" ")
+    )
+
+
+def _merge_once(seq: F.Column, left: str, right: str) -> F.Column:
+    """One deterministic merge application: two passes of leftmost
+    non-overlapping literal replace (see module docstring)."""
+    pat = F.lit(f" {left} {right} ")
+    rep = F.lit(f" {left}{right} ")
+    return F.replace(F.replace(seq, pat, rep), pat, rep)
+
+
+def learn_bpe_merges(
+    docs: DataFrame, k: int, text_col: str = "text"
+) -> DataFrame:
+    """Learn the first ``k`` BPE merges from the corpus; returns the
+    merge table (step, left, right, merged, pair_count) — the
+    tokenizer artifact, in learned order.
+
+    Driver involvement per iteration is ONE row (the argmax pair);
+    everything else is distributed aggregation over the vocabulary
+    table. ``k`` is the only driver-side loop bound (like the
+    PageRank iteration count)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    spark = docs.sparkSession
+    # pin the corpus reduction ONCE: without the checkpoint, iteration
+    # i's pair-count job re-runs the full corpus scan + word shuffle
+    # through the lineage — k corpus scans instead of 1 (at 100 TB the
+    # difference between the loop costing k tiny vocab jobs and k full
+    # passes). The checkpointed table is vocabulary-sized.
+    words = (
+        word_frequencies(docs, text_col)
+        .withColumn("seq", _initial_seq())
+        .localCheckpoint(eager=True)
+    )
+    merges = []
+    for step in range(1, k + 1):
+        toks = F.split(F.trim(F.col("seq")), " ")
+        pairs = (
+            words.filter(F.size(toks) > 1)
+            .select(
+                "cnt",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice(toks, 1, F.size(toks) - 1).alias("a"),
+                        F.slice(toks, 2, F.size(toks) - 1).alias("b"),
+                    )
+                ).alias("z"),
+            )
+            .groupBy(F.col("z.a").alias("a"), F.col("z.b").alias("b"))
+            .agg(F.sum("cnt").alias("n"))
+        )
+        best = pairs.orderBy(F.desc("n"), "a", "b").limit(1).collect()
+        if not best:
+            break
+        a, b, n = best[0]["a"], best[0]["b"], best[0]["n"]
+        merges.append((step, a, b, a + b, n))
+        words = words.withColumn("seq", _merge_once(F.col("seq"), a, b))
+    return spark.createDataFrame(
+        merges, "step bigint, left string, right string, merged string, pair_count bigint"
+    )
+
+
+def bpe_oracle_sql(k: int) -> str:
+    """DuckDB SQL replaying the identical k merges (unrolled CTE per
+    iteration, same pair counting, same argmax tie-break, same two-pass
+    replace application) — used by the driver-contract oracle."""
+    ctes = [
+        """
+        w0 AS (
+            SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
+                   regexp_replace(word, '(.)', ' \\1', 'g') || ' ' AS seq
+            FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+            WHERE word <> '' GROUP BY word
+        )"""
+    ]
+    for i in range(1, k + 1):
+        p = i - 1
+        ctes.append(
+            f"""
+        l{i} AS (
+            SELECT cnt, string_split(trim(seq), ' ') AS t FROM w{p}
+        ),
+        pairs{i} AS (
+            SELECT t[g] AS a, t[g + 1] AS b, CAST(SUM(cnt) AS BIGINT) AS n
+            FROM (SELECT cnt, t, unnest(generate_series(1, len(t) - 1)) AS g
+                  FROM l{i} WHERE len(t) > 1)
+            GROUP BY 1, 2
+        ),
+        best{i} AS (
+            SELECT a, b, n FROM pairs{i} ORDER BY n DESC, a, b LIMIT 1
+        ),
+        w{i} AS (
+            SELECT w.word, w.cnt,
+                   replace(replace(w.seq, ' ' || b.a || ' ' || b.b || ' ',
+                                          ' ' || b.a || b.b || ' '),
+                           ' ' || b.a || ' ' || b.b || ' ',
+                           ' ' || b.a || b.b || ' ') AS seq
+            FROM w{p} w CROSS JOIN best{i} b
+        )"""
+        )
+    selects = "\n        UNION ALL ".join(
+        f'SELECT {i} AS step, a AS "left", b AS "right", a || b AS merged, n AS pair_count FROM best{i}'
+        for i in range(1, k + 1)
+    )
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f'\n        SELECT CAST(step AS BIGINT) AS step, "left", "right", merged, pair_count FROM ({selects}) ORDER BY step'
+    )

@@ -15,6 +15,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from async_pipes_spark.functions.bpe import bpe_oracle_sql as _bpe_oracle
 from async_pipes_spark.functions.sampling import _threshold_hex
 from async_pipes_spark.functions.dedup import (
     cross_source_contamination,
@@ -527,6 +528,18 @@ def smp4_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def bpe1_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training on the engine: the first 6 BPE merges learned
+    from the corpus word-frequency table (functions.bpe — Sennrich
+    subword merges as K tiny aggregation jobs, one argmax row to the
+    driver per iteration, engine-exact two-pass replace application).
+    Oracle: the identical 6 iterations unrolled as CTE levels."""
+    from async_pipes_spark.functions.bpe import learn_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    return learn_bpe_merges(docs, k=6)
 
 
 def t14_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1397,6 +1410,7 @@ EXTENSION_QUERIES = {
     "t12_tfidf_top_terms": t12_tfidf_top_terms,
     "t13_curriculum_bins": t13_curriculum_bins,
     "t14_vocab_coverage": t14_vocab_coverage,
+    "bpe1_learn_merges": bpe1_learn_merges,
     "smp3_group_sample": smp3_group_sample,
     "smp4_weighted_mixture": smp4_weighted_mixture,
     "s17_stream_redact": s17_stream_redact,
@@ -1890,6 +1904,9 @@ EXTENSION_ORACLES = {
               FROM scored)
         WHERE rnk <= 3 ORDER BY doc_id, rnk
     """,
+    # 6 unrolled BPE iterations: same pair counting, same argmax
+    # tie-break, same two-pass replace application (functions.bpe)
+    "bpe1_learn_merges": _bpe_oracle(6),
     # composite (n DESC, term) order as one sortable key on both
     # engines; ROWS cumsum == the scan's RANGE semantics (keys unique)
     "t14_vocab_coverage": """

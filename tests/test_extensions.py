@@ -199,3 +199,28 @@ def test_async_map_empty_batch_with_nested_schema(spark):
     )
     assert out.count() == 0
     assert out.columns == ["pairs"]
+
+
+def test_bpe_learns_hand_computed_merges(spark):
+    """learn_bpe_merges on a tiny corpus with hand-derivable answers,
+    including the two-pass replace edge: ' a a a a ' must fully merge
+    to ' aa aa ' in one iteration (pass 1 alone leaves ' aa a a ' —
+    the boundary space of the first match hides the second)."""
+    from async_pipes_spark.functions.bpe import learn_bpe_merges
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab ab"), (2, "abc")], "doc_id bigint, text string"
+    )
+    got = [tuple(r) for r in learn_bpe_merges(docs, 2).collect()]
+    assert got == [(1, "a", "b", "ab", 4), (2, "ab", "c", "abc", 1)]
+
+    runs = spark.createDataFrame([(1, "aaaa aaaa")], "doc_id bigint, text string")
+    got = [tuple(r) for r in learn_bpe_merges(runs, 2).collect()]
+    # iter1: (a,a) appears 3x per word occurrence * 2 = 6; both words
+    # collapse to ' aa aa ' only if BOTH replace passes run
+    assert got == [(1, "a", "a", "aa", 6), (2, "aa", "aa", "aaaa", 2)]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be"):
+        learn_bpe_merges(docs, 0)
