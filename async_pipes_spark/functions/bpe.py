@@ -115,10 +115,46 @@ def learn_bpe_merges(
     )
 
 
-def bpe_oracle_sql(k: int) -> str:
-    """DuckDB SQL replaying the identical k merges (unrolled CTE per
-    iteration, same pair counting, same argmax tie-break, same two-pass
-    replace application) — used by the driver-contract oracle."""
+def tokenized_lengths(
+    docs: DataFrame, k: int, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Apply the first ``k`` learned merges to the corpus and return
+    per-document subword statistics (doc_id, n_words, n_subwords) —
+    the encode step of the tokenizer, and the number that actually
+    matters downstream (sequence lengths / packing budgets).
+
+    Scale shape: training reduces the corpus once (see
+    :func:`learn_bpe_merges`); ENCODING never re-runs the merge loop
+    per document — each distinct word is segmented once in the
+    vocabulary table, and the corpus maps against that table via a
+    broadcast join on the word key (vocab ≪ corpus; drop the hint and
+    let AQE shuffle-join if a tokenizer vocab ever outgrows memory)."""
+    merges = learn_bpe_merges(docs, k, text_col)
+    seg = word_frequencies(docs, text_col).withColumn("seq", _initial_seq())
+    for r in merges.collect():
+        seg = seg.withColumn(
+            "seq", _merge_once(F.col("seq"), r["left"], r["right"])
+        )
+    vocab = seg.select(
+        "word", F.size(F.split(F.trim(F.col("seq")), " ")).alias("n_sub")
+    )
+    return (
+        docs.select(
+            F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .join(F.broadcast(vocab), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sub").alias("n_subwords"),
+        )
+    )
+
+
+def _bpe_ctes(k: int) -> str:
+    """The shared unrolled-CTE chain: w0 (char-split vocab) through
+    w{k} (vocab after k merges), with pairs{i}/best{i} per level."""
     ctes = [
         """
         w0 AS (
@@ -153,12 +189,42 @@ def bpe_oracle_sql(k: int) -> str:
             FROM w{p} w CROSS JOIN best{i} b
         )"""
         )
+    return "WITH " + ",".join(ctes)
+
+
+def bpe_oracle_sql(k: int) -> str:
+    """DuckDB SQL replaying the identical k merges (unrolled CTE per
+    iteration, same pair counting, same argmax tie-break, same two-pass
+    replace application) — used by the driver-contract oracle."""
     selects = "\n        UNION ALL ".join(
         f'SELECT {i} AS step, a AS "left", b AS "right", a || b AS merged, n AS pair_count FROM best{i}'
         for i in range(1, k + 1)
     )
     return (
-        "WITH "
-        + ",".join(ctes)
+        _bpe_ctes(k)
         + f'\n        SELECT CAST(step AS BIGINT) AS step, "left", "right", merged, pair_count FROM ({selects}) ORDER BY step'
+    )
+
+
+def bpe_encode_oracle_sql(k: int) -> str:
+    """DuckDB SQL for :func:`tokenized_lengths`: segment the vocab with
+    the same k merges, then per-doc word/subword counts."""
+    return (
+        _bpe_ctes(k)
+        + f""",
+        vocab AS (
+            SELECT word,
+                   CAST(len(string_split(trim(seq), ' ')) AS BIGINT) AS n_sub
+            FROM w{k}
+        ),
+        dw AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents
+        )
+        SELECT doc_id, COUNT(*) AS n_words,
+               CAST(SUM(n_sub) AS BIGINT) AS n_subwords
+        FROM dw JOIN vocab USING (word)
+        WHERE word <> ''
+        GROUP BY doc_id ORDER BY doc_id
+    """
     )

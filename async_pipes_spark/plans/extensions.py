@@ -15,6 +15,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from async_pipes_spark.functions.bpe import bpe_encode_oracle_sql as _bpe_encode_oracle
 from async_pipes_spark.functions.bpe import bpe_oracle_sql as _bpe_oracle
 from async_pipes_spark.functions.sampling import _threshold_hex
 from async_pipes_spark.functions.dedup import (
@@ -540,6 +541,18 @@ def bpe1_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return learn_bpe_merges(docs, k=6)
+
+
+def bpe2_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer APPLIED: per-document word and subword counts
+    under the 6 learned merges (functions.bpe.tokenized_lengths —
+    each distinct word segmented once in the vocab table, corpus
+    mapped via broadcast join; the number sequence-packing budgets
+    actually need)."""
+    from async_pipes_spark.functions.bpe import tokenized_lengths
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tokenized_lengths(docs, k=6).orderBy("doc_id")
 
 
 def t14_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1411,6 +1424,7 @@ EXTENSION_QUERIES = {
     "t13_curriculum_bins": t13_curriculum_bins,
     "t14_vocab_coverage": t14_vocab_coverage,
     "bpe1_learn_merges": bpe1_learn_merges,
+    "bpe2_tokenize_corpus": bpe2_tokenize_corpus,
     "smp3_group_sample": smp3_group_sample,
     "smp4_weighted_mixture": smp4_weighted_mixture,
     "s17_stream_redact": s17_stream_redact,
@@ -1907,6 +1921,7 @@ EXTENSION_ORACLES = {
     # 6 unrolled BPE iterations: same pair counting, same argmax
     # tie-break, same two-pass replace application (functions.bpe)
     "bpe1_learn_merges": _bpe_oracle(6),
+    "bpe2_tokenize_corpus": _bpe_encode_oracle(6),
     # composite (n DESC, term) order as one sortable key on both
     # engines; ROWS cumsum == the scan's RANGE semantics (keys unique)
     "t14_vocab_coverage": """
