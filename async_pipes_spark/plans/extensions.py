@@ -543,6 +543,65 @@ def bpe1_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return learn_bpe_merges(docs, k=6)
 
 
+def pipe1_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as ONE composed plan — the shape a
+    real corpus build runs nightly: quality gate → exact-dup removal →
+    budget-driven mixture sampling → per-language accounting.
+
+    Stage shapes (all library operators, one lazy plan end-to-end, so
+    Catalyst pushes the quality predicates into the scan underneath
+    the dedup shuffle): (1) length/token-count gate — map-side filter;
+    (2) exact dedup keeping min doc_id per md5(text) — the one
+    corpus-wide shuffle; (3) weighted_mixture_sample — tiny token
+    reduction + map-side hash filter over the SURVIVING mass (rates
+    derive from post-dedup tokens, as a real budget pass must);
+    (4) fold to the 5-row mixture report."""
+    from pyspark.sql import Window
+
+    from async_pipes_spark.functions.sampling import weighted_mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    gated = (
+        docs.filter(F.col("n_chars") >= 50)
+        .select(
+            "doc_id",
+            "lang",
+            "text",
+            token_count_ws("text").cast("bigint").alias("toks"),
+        )
+        .filter(F.col("toks") >= 20)
+    )
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    deduped = (
+        gated.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    kept = weighted_mixture_sample(
+        deduped,
+        strata_col="lang",
+        weight_ppm={
+            "en": 300_000,
+            "de": 175_000,
+            "es": 175_000,
+            "fr": 175_000,
+            "zh": 175_000,
+        },
+        token_col="toks",
+        budget_tokens=5_000,
+        key_cols=["doc_id"],
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").alias("kept_tokens"),
+            F.min("rate_ppm").alias("rate_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
 def bpe2_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The tokenizer APPLIED: per-document word and subword counts
     under the 6 learned merges (functions.bpe.tokenized_lengths —
@@ -1425,6 +1484,7 @@ EXTENSION_QUERIES = {
     "t14_vocab_coverage": t14_vocab_coverage,
     "bpe1_learn_merges": bpe1_learn_merges,
     "bpe2_tokenize_corpus": bpe2_tokenize_corpus,
+    "pipe1_curation_pipeline": pipe1_curation_pipeline,
     "smp3_group_sample": smp3_group_sample,
     "smp4_weighted_mixture": smp4_weighted_mixture,
     "s17_stream_redact": s17_stream_redact,
@@ -1922,6 +1982,48 @@ EXTENSION_ORACLES = {
     # tie-break, same two-pass replace application (functions.bpe)
     "bpe1_learn_merges": _bpe_oracle(6),
     "bpe2_tokenize_corpus": _bpe_encode_oracle(6),
+    # the composed nightly corpus build: gate → exact dedup (min id per
+    # md5) → mixture rates over the SURVIVING token mass → accounting
+    "pipe1_curation_pipeline": """
+        WITH gated AS (
+            SELECT doc_id, lang, text,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+            FROM documents
+            WHERE n_chars >= 50 AND len(string_split(text, ' ')) >= 20
+        ),
+        deduped AS (
+            SELECT doc_id, lang, toks
+            FROM (SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                  FROM gated)
+            WHERE rn = 1
+        ),
+        t AS (SELECT lang, CAST(SUM(toks) AS BIGINT) AS tok_total
+              FROM deduped GROUP BY lang),
+        r AS (
+            SELECT lang,
+                   LEAST(CAST(1000000 AS BIGINT),
+                         ((CAST(5000 AS BIGINT) *
+                           (CASE lang WHEN 'en' THEN 300000
+                                      WHEN 'de' THEN 175000
+                                      WHEN 'es' THEN 175000
+                                      WHEN 'fr' THEN 175000
+                                      WHEN 'zh' THEN 175000
+                                      ELSE 0 END)) // 1000000)
+                         * CAST(1000000 AS BIGINT) // tok_total) AS rate_ppm
+            FROM t
+        ),
+        kept AS (
+            SELECT d.lang, d.toks, r.rate_ppm
+            FROM deduped d JOIN r USING (lang)
+            WHERE r.rate_ppm >= 1000000
+               OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 10)
+                  < printf('%010x', r.rate_ppm * 1099511627776 // 1000000)
+        )
+        SELECT lang, COUNT(*) AS n_docs, SUM(toks) AS kept_tokens,
+               MIN(rate_ppm) AS rate_ppm
+        FROM kept GROUP BY lang ORDER BY lang
+    """,
     # composite (n DESC, term) order as one sortable key on both
     # engines; ROWS cumsum == the scan's RANGE semantics (keys unique)
     "t14_vocab_coverage": """
