@@ -76,17 +76,29 @@ def learn_bpe_merges(
     PageRank iteration count)."""
     if k < 1:
         raise ValueError("k must be >= 1")
-    spark = docs.sparkSession
-    # pin the corpus reduction ONCE: without the checkpoint, iteration
-    # i's pair-count job re-runs the full corpus scan + word shuffle
-    # through the lineage — k corpus scans instead of 1 (at 100 TB the
-    # difference between the loop costing k tiny vocab jobs and k full
-    # passes). The checkpointed table is vocabulary-sized.
-    words = (
+    merges, _ = _learn(_checkpointed_words(docs, text_col), k)
+    return docs.sparkSession.createDataFrame(
+        merges, "step bigint, left string, right string, merged string, pair_count bigint"
+    )
+
+
+def _checkpointed_words(docs: DataFrame, text_col: str) -> DataFrame:
+    """The corpus reduction, pinned ONCE: without the checkpoint,
+    iteration i's pair-count job re-runs the full corpus scan + word
+    shuffle through the lineage — k corpus scans instead of 1 (at
+    100 TB the difference between the loop costing k tiny vocab jobs
+    and k full passes). The checkpointed table is vocabulary-sized."""
+    return (
         word_frequencies(docs, text_col)
         .withColumn("seq", _initial_seq())
         .localCheckpoint(eager=True)
     )
+
+
+def _learn(words: DataFrame, k: int):
+    """Run the merge loop over a checkpointed (word, cnt, seq) frame.
+    Returns (merge tuples, the words frame with every learned merge
+    applied) so encoding can reuse the same single corpus reduction."""
     merges = []
     for step in range(1, k + 1):
         toks = F.split(F.trim(F.col("seq")), " ")
@@ -110,9 +122,7 @@ def learn_bpe_merges(
         a, b, n = best[0]["a"], best[0]["b"], best[0]["n"]
         merges.append((step, a, b, a + b, n))
         words = words.withColumn("seq", _merge_once(F.col("seq"), a, b))
-    return spark.createDataFrame(
-        merges, "step bigint, left string, right string, merged string, pair_count bigint"
-    )
+    return merges, words
 
 
 def tokenized_lengths(
@@ -123,18 +133,17 @@ def tokenized_lengths(
     the encode step of the tokenizer, and the number that actually
     matters downstream (sequence lengths / packing budgets).
 
-    Scale shape: training reduces the corpus once (see
-    :func:`learn_bpe_merges`); ENCODING never re-runs the merge loop
-    per document — each distinct word is segmented once in the
-    vocabulary table, and the corpus maps against that table via a
-    broadcast join on the word key (vocab ≪ corpus; drop the hint and
-    let AQE shuffle-join if a tokenizer vocab ever outgrows memory)."""
-    merges = learn_bpe_merges(docs, k, text_col)
-    seg = word_frequencies(docs, text_col).withColumn("seq", _initial_seq())
-    for r in merges.collect():
-        seg = seg.withColumn(
-            "seq", _merge_once(F.col("seq"), r["left"], r["right"])
-        )
+    Scale shape: training reduces the corpus once and pins the vocab
+    table (:func:`_checkpointed_words`); ENCODING reuses that SAME
+    frame — the merge loop already applied every learned merge to it,
+    so no second corpus scan happens. Each distinct word is segmented
+    once in the vocabulary table, and the corpus maps against that
+    table via a broadcast join on the word key (vocab ≪ corpus; drop
+    the hint and let AQE shuffle-join if a tokenizer vocab ever
+    outgrows memory)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    _, seg = _learn(_checkpointed_words(docs, text_col), k)
     vocab = seg.select(
         "word", F.size(F.split(F.trim(F.col("seq")), " ")).alias("n_sub")
     )
@@ -181,12 +190,17 @@ def _bpe_ctes(k: int) -> str:
             SELECT a, b, n FROM pairs{i} ORDER BY n DESC, a, b LIMIT 1
         ),
         w{i} AS (
+            -- LEFT JOIN ON TRUE, not CROSS JOIN: when the corpus
+            -- exhausts its pairs before k merges, best{i} is EMPTY and
+            -- a cross join would annihilate the vocab (the engine
+            -- simply stops merging); COALESCE passes seq through
             SELECT w.word, w.cnt,
-                   replace(replace(w.seq, ' ' || b.a || ' ' || b.b || ' ',
-                                          ' ' || b.a || b.b || ' '),
-                           ' ' || b.a || ' ' || b.b || ' ',
-                           ' ' || b.a || b.b || ' ') AS seq
-            FROM w{p} w CROSS JOIN best{i} b
+                   COALESCE(replace(replace(w.seq,
+                                            ' ' || b.a || ' ' || b.b || ' ',
+                                            ' ' || b.a || b.b || ' '),
+                                    ' ' || b.a || ' ' || b.b || ' ',
+                                    ' ' || b.a || b.b || ' '), w.seq) AS seq
+            FROM w{p} w LEFT JOIN best{i} b ON TRUE
         )"""
         )
     return "WITH " + ",".join(ctes)

@@ -103,9 +103,15 @@ def weighted_mixture_sample(
         .withColumn("_w_ppm", w_col.cast("bigint"))
         .selectExpr(
             strata_col,
-            f"least(CAST({PPM} AS BIGINT), "
+            # a stratum with ZERO observed tokens can't divide: any
+            # positive weight's budget trivially covers it (keep all);
+            # zero weight drops it — never a DIVIDE_BY_ZERO job kill
+            f"CASE WHEN _tok_total = 0 THEN "
+            f"  CASE WHEN _w_ppm > 0 THEN CAST({PPM} AS BIGINT)"
+            f"       ELSE CAST(0 AS BIGINT) END "
+            f"ELSE least(CAST({PPM} AS BIGINT), "
             f"((CAST({budget_tokens} AS BIGINT) * _w_ppm) div {PPM})"
-            f" * CAST({PPM} AS BIGINT) div _tok_total) AS rate_ppm",
+            f" * CAST({PPM} AS BIGINT) div _tok_total) END AS rate_ppm",
         )
     )
     kept = df.join(F.broadcast(rates), strata_col)

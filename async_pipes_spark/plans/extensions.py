@@ -644,8 +644,12 @@ def t14_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    total = vocab.agg(F.sum("n").alias("total"))
-    ranked = prefix_sum(vocab, "okey", "n", "cum").crossJoin(F.broadcast(total))
+    # prefix_sum materializes (localCheckpoint) the vocab; the grand
+    # total is the LAST cumulative value — max(cum) over the pinned
+    # output, never a second explode+count pass over the corpus
+    ranked = prefix_sum(vocab, "okey", "n", "cum")
+    total = ranked.agg(F.max("cum").alias("total"))
+    ranked = ranked.crossJoin(F.broadcast(total))
     return (
         ranked.select(
             "term",
@@ -1329,9 +1333,9 @@ def s20_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     source happens to slice or order the batches — the property that
     lets a production CDC sink survive out-of-order delivery and
     replays. Oracle: one window rank over the whole event history."""
+    import shutil
     import tempfile
 
-    from async_pipes_spark.pipeline.options import WorkerOptions
     from async_pipes_spark.session import ensure_engine_confs
     from async_pipes_spark.sources.sinks import merge_upsert
 
@@ -1369,9 +1373,12 @@ def s20_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "overwrite"
     ).parquet(incoming)
 
+    # 1 file per trigger (the WorkerOptions.pipe_buffer_size knob for
+    # file sources — see streaming.run.stream_table — hard-wired here
+    # so the query always exercises multi-batch merging)
     stream = (
         session.readStream.schema(session.read.parquet(incoming).schema)
-        .option("maxFilesPerTrigger", str(WorkerOptions(pipe_buffer_size=1).pipe_buffer_size))
+        .option("maxFilesPerTrigger", "1")
         .parquet(incoming)
     )
 
@@ -1391,7 +1398,17 @@ def s20_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return session.read.parquet(lake).select(*cols).orderBy("user_id")
+    # pin the result (localCheckpoint) so the working dirs — lake,
+    # incoming files, stream checkpoint — can be removed NOW instead of
+    # leaking a copy of the table per invocation
+    out = (
+        session.read.parquet(lake)
+        .select(*cols)
+        .orderBy("user_id")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return out
 
 
 def s21_stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1405,6 +1422,7 @@ def s21_stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
     quiescence equals the one-shot batch GROUP BY over all history.
     Never a full recompute: per batch, work is O(touched keys), not
     O(view). Oracle: the plain GROUP BY."""
+    import shutil
     import tempfile
 
     from async_pipes_spark.functions.money import cents
@@ -1456,7 +1474,13 @@ def s21_stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
         .start()
     )
     q.awaitTermination()
-    return session.read.parquet(view).orderBy("user_id", "bucket")
+    out = (
+        session.read.parquet(view)
+        .orderBy("user_id", "bucket")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return out
 
 
 EXTENSION_QUERIES = {
@@ -1678,6 +1702,26 @@ def _pagerank_oracle(iterations: int) -> str:
     """
 
 
+#: shared d7/d10 component-labeling chain over the LSH pair set —
+#: transitive closure via recursive CTE (one definition so the two
+#: oracles can't drift)
+_COMPONENT_CTES = """,
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )"""
+
+
 EXTENSION_ORACLES = {
     "d1_minhash_signatures": _MINHASH_BANDS
     + """
@@ -1694,42 +1738,17 @@ EXTENSION_ORACLES = {
     # transitive closure over the SAME pair set as d2; WITH RECURSIVE
     # prefixes the shared band CTE chain
     "d7_dedup_groups": _MINHASH_BANDS.replace("WITH ", "WITH RECURSIVE ", 1)
-    + """,
-    pairs AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a
-        JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-    ),
-    edges AS (
-        SELECT doc_a AS src, doc_b AS dst FROM pairs
-        UNION SELECT doc_b, doc_a FROM pairs
-    ),
-    reach(src, dst) AS (
-        SELECT src, dst FROM edges
-        UNION
-        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-    )
+    + _COMPONENT_CTES
+    + """
     SELECT src AS doc_id, LEAST(src, MIN(dst)) AS keep_id
     FROM reach GROUP BY src ORDER BY doc_id
     """,
     # the dedup pipeline's OUTPUT: d7's component labels, non-canonical
-    # members removed from the corpus
+    # members removed from the corpus (shares _COMPONENT_CTES with d7
+    # so the two labelings cannot drift)
     "d10_dedup_survivors": _MINHASH_BANDS.replace("WITH ", "WITH RECURSIVE ", 1)
+    + _COMPONENT_CTES
     + """,
-    pairs AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a
-        JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-    ),
-    edges AS (
-        SELECT doc_a AS src, doc_b AS dst FROM pairs
-        UNION SELECT doc_b, doc_a FROM pairs
-    ),
-    reach(src, dst) AS (
-        SELECT src, dst FROM edges
-        UNION
-        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-    ),
     labels AS (
         SELECT src AS doc_id, LEAST(src, MIN(dst)) AS keep_id
         FROM reach GROUP BY src
@@ -2002,7 +2021,8 @@ EXTENSION_ORACLES = {
               FROM deduped GROUP BY lang),
         r AS (
             SELECT lang,
-                   LEAST(CAST(1000000 AS BIGINT),
+                   CASE WHEN tok_total = 0 THEN CAST(1000000 AS BIGINT)
+                   ELSE LEAST(CAST(1000000 AS BIGINT),
                          ((CAST(5000 AS BIGINT) *
                            (CASE lang WHEN 'en' THEN 300000
                                       WHEN 'de' THEN 175000
@@ -2010,7 +2030,7 @@ EXTENSION_ORACLES = {
                                       WHEN 'fr' THEN 175000
                                       WHEN 'zh' THEN 175000
                                       ELSE 0 END)) // 1000000)
-                         * CAST(1000000 AS BIGINT) // tok_total) AS rate_ppm
+                         * CAST(1000000 AS BIGINT) // tok_total) END AS rate_ppm
             FROM t
         ),
         kept AS (
@@ -2077,7 +2097,8 @@ EXTENSION_ORACLES = {
               FROM d GROUP BY lang),
         r AS (
             SELECT lang,
-                   LEAST(CAST(1000000 AS BIGINT),
+                   CASE WHEN tok_total = 0 THEN CAST(1000000 AS BIGINT)
+                   ELSE LEAST(CAST(1000000 AS BIGINT),
                          ((CAST(6000 AS BIGINT) *
                            (CASE lang WHEN 'en' THEN 300000
                                       WHEN 'de' THEN 175000
@@ -2085,7 +2106,7 @@ EXTENSION_ORACLES = {
                                       WHEN 'fr' THEN 175000
                                       WHEN 'zh' THEN 175000
                                       ELSE 0 END)) // 1000000)
-                         * CAST(1000000 AS BIGINT) // tok_total) AS rate_ppm
+                         * CAST(1000000 AS BIGINT) // tok_total) END AS rate_ppm
             FROM t
         ),
         kept AS (

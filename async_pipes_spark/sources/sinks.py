@@ -181,10 +181,11 @@ def merge_upsert(
         if bad:
             raise ValueError(f"version_cols not in schema: {bad}")
 
+    up_keys = updates.select(*key_cols).distinct()
+
     def _merge(existing_subset: DataFrame) -> DataFrame:
         """Resolve updates against a target subset: plain replace, or
         last-writer-wins per key when version_cols is set."""
-        up_keys = updates.select(*key_cols).distinct()
         keep = existing_subset.join(up_keys, list(key_cols), "left_anti")
         if not version_cols:
             return keep.unionByName(updates)
@@ -195,8 +196,19 @@ def merge_upsert(
             .withColumn("_upd", F.lit(0))
             .unionByName(updates.withColumn("_upd", F.lit(1)))
         )
+        # full-row-hash tiebreak (the group_sample idiom): two update
+        # rows with EQUAL version tuples but different payloads must
+        # resolve the same way on every run/partitioning, or a replay
+        # after a crash could produce a different table; only fully
+        # identical rows remain interchangeable. Skipped when a map
+        # column makes the row unhashable.
+        tiebreak = []
+        if not any("map<" in t for _, t in updates.dtypes):
+            tiebreak = [F.hash(F.struct(*updates.columns)).desc()]
         w = Window.partitionBy(*key_cols).orderBy(
-            *[F.col(c).desc() for c in version_cols], F.col("_upd").desc()
+            *[F.col(c).desc() for c in version_cols],
+            F.col("_upd").desc(),
+            *tiebreak,
         )
         winners = (
             contested.withColumn("_rn", F.row_number().over(w))
@@ -216,7 +228,6 @@ def merge_upsert(
         # ``keys_partition_stable=True`` and prune purely from updates.
         from functools import reduce
 
-        up_keys = updates.select(*key_cols).distinct()
         touched_df = updates.select(*partition_by)
         if not keys_partition_stable:
             moved = existing.join(up_keys, list(key_cols), "left_semi").select(

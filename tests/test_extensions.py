@@ -224,3 +224,31 @@ def test_bpe_learns_hand_computed_merges(spark):
 
     with _pytest.raises(ValueError, match="k must be"):
         learn_bpe_merges(docs, 0)
+
+
+def test_bpe_oracle_survives_merge_exhaustion(spark):
+    """A corpus with fewer than k possible merges: the engine stops
+    early and still tokenizes; the encode oracle must NOT annihilate
+    its vocab through an empty best{i} (LEFT JOIN, not CROSS JOIN)."""
+    import duckdb
+
+    from async_pipes_spark.functions.bpe import (
+        bpe_encode_oracle_sql,
+        bpe_oracle_sql,
+        tokenized_lengths,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "ab"), (2, "ab")], "doc_id bigint, text string"
+    )
+    got = sorted(tuple(r) for r in tokenized_lengths(docs, 3).collect())
+    assert got == [(1, 1, 1), (2, 1, 1)]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES (1, 'ab'), (2, 'ab'))"
+        " t(doc_id, text)"
+    )
+    assert con.execute(bpe_encode_oracle_sql(3)).fetchall() == [(1, 1, 1), (2, 1, 1)]
+    # merge table itself also agrees: only 1 learnable merge
+    assert con.execute(bpe_oracle_sql(3)).fetchall() == [(1, "a", "b", "ab", 2)]

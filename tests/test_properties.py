@@ -340,3 +340,24 @@ def test_column_stats_single_scan_plan(spark, tmp_path):
         .toString()
     )
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_weighted_mixture_zero_token_stratum_survives(spark):
+    """A stratum whose token total is 0 must not DIVIDE_BY_ZERO-kill
+    the job: positive weight -> trivially covered (keep all rows),
+    zero/absent weight -> dropped."""
+    from async_pipes_spark.functions.sampling import weighted_mixture_sample
+
+    df = spark.createDataFrame(
+        [(1, "en", 0), (2, "en", 0), (3, "de", 10)],
+        "doc_id bigint, lang string, toks bigint",
+    )
+    kept = weighted_mixture_sample(
+        df, "lang", {"en": 500_000, "de": 500_000}, "toks", 100, ["doc_id"]
+    )
+    got = {r.lang: r["count"] for r in kept.groupBy("lang").count().collect()}
+    assert got.get("en") == 2  # zero tokens, positive weight -> all kept
+    none = weighted_mixture_sample(
+        df, "lang", {"de": 1_000_000}, "toks", 100, ["doc_id"]
+    )
+    assert none.filter("lang = 'en'").count() == 0

@@ -624,3 +624,25 @@ def test_merge_upsert_versioned_partitioned_stale_move_ignored(spark, tmp_path):
     got = sorted((r.k, r.p, r.s) for r in spark.read.parquet(tgt).collect())
     assert got == [(1, "z", "moved"), (2, "y", "other")]
     assert not (tmp_path / "pv" / "p=x").exists()
+
+
+def test_merge_upsert_versioned_equal_version_tiebreak_deterministic(spark, tmp_path):
+    """Two update rows with EQUAL version tuples but different payloads
+    must resolve identically on every run and partitioning (full-row
+    hash tiebreak) — replay safety for at-least-once delivery."""
+    from async_pipes_spark.sources.sinks import merge_upsert
+
+    results = []
+    for i, parts in enumerate([1, 7]):
+        tgt = str(tmp_path / f"t{i}")
+        spark.createDataFrame(
+            [(1, 0, "seed")], "k bigint, ver bigint, s string"
+        ).coalesce(1).write.parquet(tgt)
+        updates = spark.createDataFrame(
+            [(1, 5, "payloadA"), (1, 5, "payloadB")],
+            "k bigint, ver bigint, s string",
+        ).repartition(parts)
+        merge_upsert(spark, tgt, updates, ["k"], version_cols=["ver"])
+        results.append(sorted(tuple(r) for r in spark.read.parquet(tgt).collect()))
+    assert results[0] == results[1]
+    assert len(results[0]) == 1
