@@ -175,3 +175,47 @@ def test_t8_redact_plan_stays_in_codegen(spark):
     # exactly one exchange — the output sort; the scrub itself is
     # a Project sitting directly on the scan
     assert txt.count("(3) Exchange") >= 1 and "rangepartitioning" in txt, txt
+
+
+def test_t12_topk_terms_uses_window_group_limit(spark):
+    """t12: the per-doc rank-3 cutoff must apply BELOW the window
+    exchange (WindowGroupLimit partial pushdown, the r7/smp3 shape) —
+    only ~3 rows per doc per input partition shuffle, not every
+    (doc, term, score) row."""
+    from async_pipes_spark.plans.extensions import t12_tfidf_top_terms
+
+    txt = plan_text(t12_tfidf_top_terms(spark, SF_SMOKE), "formatted")
+    assert "WindowGroupLimit" in txt, txt
+
+
+def test_pipe1_quality_gate_pushes_into_scan(spark):
+    """pipe1: the curation pipeline's length gate must reach the
+    parquet scan (PushedFilters), not run above the dedup shuffle —
+    at 100 TB this is the difference between scanning the gated subset
+    and the whole corpus."""
+    from async_pipes_spark.plans.extensions import pipe1_curation_pipeline
+
+    txt = plan_text(pipe1_curation_pipeline(spark, SF_SMOKE), "formatted")
+    assert "GreaterThanOrEqual(n_chars,50)" in txt, txt
+    # one corpus-wide shuffle for the dedup window; the mixture filter
+    # itself adds no shuffle of document payloads
+    assert "CartesianProduct" not in txt, txt
+
+
+def test_d10_survivor_removal_is_broadcast_anti_join(spark):
+    """d10: the doomed-id set is dup-cluster-sized, so corpus removal
+    must be a broadcast LeftAnti — corpus payloads never shuffle for
+    the join."""
+    from async_pipes_spark.plans.extensions import d10_dedup_survivors
+
+    txt = plan_text(d10_dedup_survivors(spark, SF_SMOKE), "formatted")
+    assert "BroadcastHashJoin LeftAnti BuildRight" in txt, txt
+
+
+def test_bpe2_encode_is_broadcast_vocab_join(spark):
+    """bpe2: encoding joins the corpus against the once-segmented
+    vocab via broadcast — the corpus side must not shuffle."""
+    from async_pipes_spark.plans.extensions import bpe2_tokenize_corpus
+
+    txt = plan_text(bpe2_tokenize_corpus(spark, SF_SMOKE), "formatted")
+    assert "BroadcastHashJoin" in txt, txt
