@@ -56,7 +56,7 @@ _PRIORITY = [
     # new in round 5 wave 2 — first driver row needed ("d10_" must
     # precede the tail's "d1_", and "t11_"-"t13_" the tail's "t1_":
     # rank() takes the FIRST matching prefix)
-    "d10_", "t11_", "t12_", "t13_", "t14_", "v2_", "smp4_", "r16_", "s20_", "s21_", "bpe1_", "bpe2_", "pipe1_",
+    "d10_", "t11_", "t12_", "t13_", "t14_", "v2_", "v3_", "smp4_", "r16_", "s20_", "s21_", "bpe1_", "bpe2_", "pipe1_",
     # new in round 5 wave 1 — first driver row needed
     "d9_", "t7_", "t8_", "t9_", "t10_", "k4_", "v1_", "smp3_", "s17_", "s18_", "s19_", "g1_",
     # last driver row is r2/r3 (judge re-verified green in the r4

@@ -340,6 +340,44 @@ def v2_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("column")
 
 
+def v3_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of lineitem's extended price in 10 buckets
+    — the distribution profile a CBO's selectivity estimates and a
+    drift monitor's divergence checks consume (v2's companion).
+
+    Plan: one reduction finds the data range (broadcast back as a
+    single row), one pass buckets and counts — all integer arithmetic
+    on exact cents (`least(9, (c-min)·10 div (max-min+1))`), so any
+    engine reproduces the same histogram bit-for-bit. Empty buckets
+    are emitted with n=0 via a right join against the bucket index
+    (a histogram with holes silently dropped misleads every reader)."""
+    from async_pipes_spark.functions.money import cents
+
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.select(cents("l_extendedprice").alias("c"))
+    rng = c.agg(F.min("c").alias("lo"), F.max("c").alias("hi"))
+    bucketed = (
+        c.crossJoin(F.broadcast(rng))
+        .selectExpr(
+            "least(CAST(9 AS BIGINT), (c - lo) * 10 div (hi - lo + 1)) AS bucket"
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    idx = spark.range(10).select(F.col("id").alias("bucket"))
+    return (
+        idx.crossJoin(F.broadcast(rng))
+        .join(F.broadcast(bucketed), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.col("lo").alias("lo_cents"),
+            F.col("hi").alias("hi_cents"),
+        )
+        .orderBy("bucket")
+    )
+
+
 #: BM25 constants (k1, b) and the fixed query-term set for t11 —
 #: shared with the oracle so both engines compute the identical
 #: expression tree. Chosen binary-EXACT (1.25, 0.75: dyadic rationals)
@@ -1502,6 +1540,7 @@ EXTENSION_QUERIES = {
     "k4_bloom_prune_join": k4_bloom_prune_join,
     "v1_dq_audit": v1_dq_audit,
     "v2_column_stats": v2_column_stats,
+    "v3_histogram": v3_histogram,
     "t11_bm25_rank": t11_bm25_rank,
     "t12_tfidf_top_terms": t12_tfidf_top_terms,
     "t13_curriculum_bins": t13_curriculum_bins,
@@ -1939,6 +1978,23 @@ EXTENSION_ORACLES = {
                MIN(l_linestatus), MAX(l_linestatus)
         FROM lineitem
         ORDER BY "column"
+    """,
+    # exact-cents integer bucketing; empty buckets emitted with n=0
+    "v3_histogram": """
+        WITH c AS (
+            SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+            FROM lineitem
+        ),
+        r AS (SELECT MIN(c) AS lo, MAX(c) AS hi FROM c),
+        b AS (
+            SELECT LEAST(CAST(9 AS BIGINT), (c - lo) * 10 // (hi - lo + 1)) AS bucket,
+                   COUNT(*) AS n
+            FROM c CROSS JOIN r GROUP BY 1
+        )
+        SELECT i.bucket, COALESCE(b.n, 0) AS n, r.lo AS lo_cents, r.hi AS hi_cents
+        FROM (SELECT unnest(generate_series(0, 9)) AS bucket) i
+        CROSS JOIN r LEFT JOIN b USING (bucket)
+        ORDER BY i.bucket
     """,
     # rational Robertson idf (no log — monotone, IEEE-exact) and
     # per-term micro-unit flooring BEFORE the per-doc sum; constants

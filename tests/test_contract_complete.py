@@ -37,7 +37,7 @@ def test_stale_and_new_queries_inside_coverage_window():
         k
         for k in entry.queries()
         if re.match(
-            r"^(r\d+|a[234]|k1|smp\d+|mm\d+|d9|d10|t[789]|t1[0-4]|k4|v[12]|s1[789]|s2[01]|g1|bpe[12]|pipe1)_",
+            r"^(r\d+|a[234]|k1|smp\d+|mm\d+|d9|d10|t[789]|t1[0-4]|k4|v[123]|s1[789]|s2[01]|g1|bpe[12]|pipe1)_",
             k,
         )
         and k not in first50
