@@ -126,10 +126,37 @@ def merge_upsert(
     partition_by: Sequence[str] | None = None,
     keys_partition_stable: bool = False,
     version_cols: Sequence[str] | None = None,
+    tombstone_col: str | None = None,
+    retain_tombstones: bool = True,
 ) -> None:
     """Keyed upsert into a parquet directory (MERGE semantics without a
     table format): rows in ``updates`` replace target rows with the
     same key; unmatched target rows survive; new keys append.
+
+    ``tombstone_col`` (requires ``version_cols``) completes the CDC
+    triad with DELETES: an update row whose tombstone flag is true
+    deletes the matching key — but only if it WINS the version
+    resolution, so a late tombstone cannot erase data newer than it,
+    and a tombstone older than a racing upsert loses symmetrically
+    (the delete participates in exactly the same last-writer-wins
+    window as any other change). NULL flags count as live.
+
+    With ``retain_tombstones=True`` (the default) a winning delete is
+    stored as a SOFT tombstone row — the flag becomes a real column of
+    the table and readers filter it with ``coalesce(flag, false)``:
+    stored NULL ≡ live, because a partitioned table's UNTOUCHED
+    partitions keep their pre-tombstone file schema (only rewritten
+    partitions gain the column; parquet schema merge reads the old
+    files as NULL). Retention is what makes deletes
+    COMMUTE across batches: a hard delete forgets its version, so a
+    stale upsert replayed after it would silently resurrect the key
+    (this failure was caught by the permutation test, not theorized).
+    ``retain_tombstones=False`` removes the row outright — smaller
+    table, but delete/upsert convergence then holds only for changes
+    already stored, not against later-arriving stale batches; use it
+    only when the source is in-order or replay-free, and purge
+    retained tombstones past your out-of-orderness horizon with a
+    periodic compaction instead.
 
     ``version_cols`` turns the unconditional replace into LAST-WRITER-
     WINS CDC resolution: for a matched key, the row with the GREATER
@@ -173,9 +200,22 @@ def merge_upsert(
     from pyspark.sql import functions as F
 
     existing = spark.read.parquet(target_path)
-    missing = set(updates.columns) ^ set(existing.columns)
+    if tombstone_col:
+        if not version_cols:
+            # without versions, "does the delete or the racing upsert
+            # win" is batch-order-dependent — exactly the ambiguity the
+            # versioned merge exists to remove
+            raise ValueError("tombstone_col requires version_cols")
+        if tombstone_col not in updates.columns:
+            raise ValueError(f"tombstone_col not in updates: {tombstone_col}")
+    flag = {tombstone_col} if tombstone_col else set()
+    missing = (set(updates.columns) - flag) ^ (set(existing.columns) - flag)
     if missing:
         raise ValueError(f"update schema mismatch on columns: {sorted(missing)}")
+    if tombstone_col and retain_tombstones and tombstone_col not in existing.columns:
+        # first use on a pre-tombstone table: the flag becomes a real
+        # column; every stored row is live
+        existing = existing.withColumn(tombstone_col, F.lit(False))
     if version_cols:
         bad = [c for c in version_cols if c not in updates.columns]
         if bad:
@@ -191,10 +231,12 @@ def merge_upsert(
             return keep.unionByName(updates)
         from pyspark.sql import Window
 
-        contested = (
-            existing_subset.join(up_keys, list(key_cols), "left_semi")
-            .withColumn("_upd", F.lit(0))
-            .unionByName(updates.withColumn("_upd", F.lit(1)))
+        matched = existing_subset.join(up_keys, list(key_cols), "left_semi")
+        if tombstone_col and not retain_tombstones:
+            # hard mode stores no flag: target rows compete as live
+            matched = matched.withColumn(tombstone_col, F.lit(False))
+        contested = matched.withColumn("_upd", F.lit(0)).unionByName(
+            updates.withColumn("_upd", F.lit(1))
         )
         # full-row-hash tiebreak (the group_sample idiom): two update
         # rows with EQUAL version tuples but different payloads must
@@ -215,6 +257,18 @@ def merge_upsert(
             .filter(F.col("_rn") == 1)
             .drop("_rn", "_upd")
         )
+        if tombstone_col and retain_tombstones:
+            # soft delete: the winning row is stored, flag normalized
+            # (NULL = live); readers filter — and the tombstone keeps
+            # its version so later stale upserts still lose
+            winners = winners.withColumn(
+                tombstone_col, F.coalesce(F.col(tombstone_col), F.lit(False))
+            )
+        elif tombstone_col:
+            # hard delete: the key vanishes (NULL flag = live)
+            winners = winners.filter(
+                ~F.coalesce(F.col(tombstone_col), F.lit(False))
+            ).drop(tombstone_col)
         return keep.unionByName(winners)
 
     if partition_by:

@@ -646,3 +646,94 @@ def test_merge_upsert_versioned_equal_version_tiebreak_deterministic(spark, tmp_
         results.append(sorted(tuple(r) for r in spark.read.parquet(tgt).collect()))
     assert results[0] == results[1]
     assert len(results[0]) == 1
+
+
+def test_merge_upsert_tombstone_deletes_with_version_resolution(spark, tmp_path):
+    """CDC deletes: a winning tombstone removes the key; a STALE
+    tombstone loses to newer data; a tombstone for an absent key is a
+    no-op; the flag column never reaches the stored table; NULL flags
+    count as live; tombstones without version_cols are rejected."""
+    import pytest as _pytest
+
+    from async_pipes_spark.sources.sinks import merge_upsert
+
+    tgt = str(tmp_path / "cdc")
+    spark.createDataFrame(
+        [(1, 5, "a"), (2, 5, "b"), (3, 5, "c")], "k bigint, ver bigint, s string"
+    ).coalesce(1).write.parquet(tgt)
+    updates = spark.createDataFrame(
+        [
+            (1, 9, "x", True),     # newer tombstone -> k=1 deleted
+            (2, 3, "y", True),     # stale tombstone -> k=2 survives as 'b'
+            (3, 9, "z", None),     # NULL flag = live upsert
+            (4, 1, "w", True),     # delete of absent key -> no-op
+            (5, 2, "v", False),    # plain insert
+        ],
+        "k bigint, ver bigint, s string, dead boolean",
+    )
+    # hard mode: the key vanishes and no flag column is stored
+    merge_upsert(
+        spark, tgt, updates, ["k"], version_cols=["ver"],
+        tombstone_col="dead", retain_tombstones=False,
+    )
+    out = spark.read.parquet(tgt)
+    assert "dead" not in out.columns
+    got = sorted((r.k, r.s) for r in out.collect())
+    assert got == [(2, "b"), (3, "z"), (5, "v")]
+
+    with _pytest.raises(ValueError, match="tombstone_col requires version_cols"):
+        merge_upsert(spark, tgt, updates, ["k"], tombstone_col="dead")
+
+
+def test_merge_upsert_tombstone_commutes_and_partitioned(spark, tmp_path):
+    """Delete/upsert races converge to the same table in ANY batch
+    order — the property that needs RETAINED tombstones: a hard delete
+    forgets its version, so a stale upsert replayed after it would
+    resurrect the key (that exact divergence was observed before
+    retention existed). Runs the partitioned path, including a stale
+    cross-partition move losing to the delete."""
+    import itertools
+
+    from async_pipes_spark.sources.sinks import merge_upsert
+
+    batches = [
+        [(1, "x", 10, "up1", False)],
+        [(1, "x", 20, None, True)],    # delete at ver 20
+        [(1, "y", 15, "up2", False)],  # stale move must LOSE to the delete
+    ]
+    finals = []
+    for i, order in enumerate(itertools.permutations(range(3))):
+        tgt = str(tmp_path / f"o{i}")
+        spark.createDataFrame(
+            [(1, "x", 0, "seed"), (2, "y", 0, "other")],
+            "k bigint, p string, ver bigint, s string",
+        ).coalesce(1).write.partitionBy("p").parquet(tgt)
+        for bi in order:
+            merge_upsert(
+                spark,
+                tgt,
+                spark.createDataFrame(
+                    batches[bi], "k bigint, p string, ver bigint, s string, dead boolean"
+                ),
+                ["k"],
+                partition_by=["p"],
+                version_cols=["ver"],
+                tombstone_col="dead",
+            )
+        # stored NULL flag == live (untouched partitions keep their
+        # pre-tombstone file schema) — normalize like a reader would
+        finals.append(
+            sorted((r.k, r.p, r.ver, r.s, bool(r.dead))
+                   for r in spark.read.parquet(tgt).collect())
+        )
+    assert all(f == finals[0] for f in finals[1:]), finals
+    # k=1 survives only as its ver-20 soft tombstone; k=2 untouched
+    assert finals[0] == [
+        (1, "x", 20, None, True),
+        (2, "y", 0, "other", False),
+    ]
+    # the live view readers consume
+    live = spark.read.parquet(str(tmp_path / "o0")).filter(
+        "NOT coalesce(dead, false)"
+    )
+    assert [r.k for r in live.collect()] == [2]
