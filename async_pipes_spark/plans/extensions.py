@@ -1449,6 +1449,78 @@ def s20_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def s22_stream_cdc_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC with DELETES: s20's streaming lake merge where an 'error'
+    event tombstones the user's state (merge_upsert with
+    tombstone_col + retained soft tombstones). Because the delete
+    rides the same last-writer-wins window and keeps its version, the
+    live view at quiescence equals "users whose globally-latest event
+    is not an error" — in any batch order. The production shape for
+    account-deletion / right-to-be-forgotten feeds."""
+    import shutil
+    import tempfile
+
+    from async_pipes_spark.session import ensure_engine_confs
+    from async_pipes_spark.sources.sinks import merge_upsert
+
+    base = tempfile.mkdtemp(prefix="s22_cdc_")
+    lake = f"{base}/lake"
+    cols = ["user_id", "ts", "event_id", "event_type", "value"]
+
+    from pyspark.sql import Window
+
+    session = spark.newSession()
+    ensure_engine_confs(session)
+    session.conf.set("spark.sql.shuffle.partitions", "8")
+
+    ev = load_table(session, sf_dir, "events").select(*cols)
+    dead = (F.col("event_type") == "error").alias("dead")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    seed = (
+        ev.filter(F.col("event_id") < 5000)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .withColumn("dead", dead)
+    )
+    seed.write.mode("overwrite").parquet(lake)
+
+    incoming = f"{base}/incoming"
+    ev.filter(F.col("event_id") >= 5000).repartition(4, "user_id").write.mode(
+        "overwrite"
+    ).parquet(incoming)
+
+    def upsert(batch: DataFrame, _batch_id: int) -> None:
+        merge_upsert(
+            batch.sparkSession,
+            lake,
+            batch.withColumn("dead", dead),
+            key_cols=["user_id"],
+            version_cols=["ts", "event_id"],
+            tombstone_col="dead",
+        )
+
+    q = (
+        session.readStream.schema(session.read.parquet(incoming).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(incoming)
+        .writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", f"{base}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = (
+        session.read.parquet(lake)
+        .filter(~F.coalesce(F.col("dead"), F.lit(False)))
+        .select(*cols)
+        .orderBy("user_id")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def s21_stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance: a per-(user, day)
     spend rollup kept current under streaming appends. Each micro-batch
@@ -1555,6 +1627,7 @@ EXTENSION_QUERIES = {
     "s19_stream_dedup_against_static": s19_stream_dedup_against_static,
     "s20_stream_cdc_upsert": s20_stream_cdc_upsert,
     "s21_stream_incremental_rollup": s21_stream_incremental_rollup,
+    "s22_stream_cdc_deletes": s22_stream_cdc_deletes,
     "g1_pagerank": g1_pagerank,
     "a1_ann_top3": a1_ann_top3,
     "a2_ivf_top1": a2_ivf_top1,
@@ -2120,6 +2193,16 @@ EXTENSION_ORACLES = {
         )
         SELECT term, n, cum * 1000000 // total AS cum_ppm
         FROM o CROSS JOIN tot ORDER BY okey LIMIT 20
+    """,
+    # deletes ride the same argmax: live view = users whose latest
+    # event is not an error
+    "s22_stream_cdc_deletes": """
+        SELECT user_id, ts, event_id, event_type, value
+        FROM (SELECT user_id, ts, event_id, event_type, value,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events)
+        WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id
     """,
     # delta-maintained view quiesces to the one-shot GROUP BY
     "s21_stream_incremental_rollup": """

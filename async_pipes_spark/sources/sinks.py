@@ -19,6 +19,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 
 def write_files(
@@ -340,6 +341,44 @@ def merge_upsert(
         shutil.rmtree(staging, ignore_errors=True)
         raise
     _swap_directories(target_path, staging)
+
+
+def purge_tombstones(
+    spark,
+    path: str,
+    tombstone_col: str,
+    horizon: "Column | None" = None,
+) -> int:
+    """Drop retained soft tombstones from a CDC table — the periodic
+    compaction that bounds a ``merge_upsert(retain_tombstones=True)``
+    lake. Purge ONLY tombstones older than your out-of-orderness
+    horizon (pass ``horizon`` as a boolean Column over the row, e.g.
+    ``col('ts') < lit(cutoff)``): purging a younger tombstone reopens
+    the resurrection window the retained flag exists to close — a
+    stale upsert replayed after the purge would reinsert the key.
+    Stored NULL flags are live and always kept. Copy-on-write staging
+    + swap (same commit caveats as :func:`compact_small_files`);
+    returns the number of rows purged."""
+    import shutil
+    import uuid
+
+    df = spark.read.parquet(path)
+    if tombstone_col not in df.columns:
+        raise ValueError(f"tombstone_col not in table: {tombstone_col}")
+    doomed = F.coalesce(F.col(tombstone_col), F.lit(False))
+    if horizon is not None:
+        doomed = doomed & horizon
+    purged = df.filter(doomed).count()
+    if purged == 0:
+        return 0
+    staging = f"{path}__staging_{uuid.uuid4().hex[:8]}"
+    try:
+        df.filter(~doomed).write.mode("overwrite").parquet(staging)
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    _swap_directories(path, staging)
+    return purged
 
 
 def compact_small_files(

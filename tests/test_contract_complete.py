@@ -37,12 +37,17 @@ def test_stale_and_new_queries_inside_coverage_window():
         k
         for k in entry.queries()
         if re.match(
-            r"^(r\d+|a[234]|k1|smp\d+|mm\d+|d9|d10|t[789]|t1[0-4]|k4|v[123]|s1[789]|s2[01]|g1|bpe[12]|pipe1)_",
+            r"^(r\d+|a[234]|k1|smp\d+|mm[12]|d9|d10|t[789]|t1[0-4]|k4|v[123]|s1[789]|s2[012]|g1|bpe[12]|pipe1)_",
             k,
         )
         and k not in first50
     ]
     assert not missing, f"driver window misses: {missing}"
+    # 51 queries qualify for 50 slots this round; mm3 is the chosen
+    # casualty (judge-verified green in the r4 audit, driver rows in
+    # r2/r3) so that s22 — which has never had ANY driver row — gets
+    # its first one. Round 6 rotates mm3 back in.
+    assert "mm3_bmp_decode" == list(entry.queries())[50]
 
 
 def test_priority_list_covers_all_keys():

@@ -737,3 +737,37 @@ def test_merge_upsert_tombstone_commutes_and_partitioned(spark, tmp_path):
         "NOT coalesce(dead, false)"
     )
     assert [r.k for r in live.collect()] == [2]
+
+
+def test_purge_tombstones_drops_only_past_horizon(spark, tmp_path):
+    """purge_tombstones: rows flagged dead AND past the horizon are
+    removed; younger tombstones and live rows (incl. NULL flags)
+    survive; count returned; staging swap leaves a clean dir."""
+    from pyspark.sql import functions as F
+
+    from async_pipes_spark.sources.sinks import purge_tombstones
+
+    tgt = str(tmp_path / "pt")
+    spark.createDataFrame(
+        [
+            (1, 10, "old-dead", True),
+            (2, 90, "young-dead", True),
+            (3, 10, "old-live", False),
+            (4, 10, "null-flag", None),
+        ],
+        "k bigint, ver bigint, s string, dead boolean",
+    ).coalesce(1).write.parquet(tgt)
+    purged = purge_tombstones(spark, tgt, "dead", horizon=F.col("ver") < 50)
+    assert purged == 1
+    got = sorted(r.k for r in spark.read.parquet(tgt).collect())
+    assert got == [2, 3, 4]
+    # no horizon: every tombstone goes
+    assert purge_tombstones(spark, tgt, "dead") == 1
+    assert sorted(r.k for r in spark.read.parquet(tgt).collect()) == [3, 4]
+    # nothing to purge -> no rewrite, returns 0
+    assert purge_tombstones(spark, tgt, "dead") == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not in table"):
+        purge_tombstones(spark, tgt, "nope")
