@@ -147,8 +147,10 @@ def merge_upsert(
     the table and readers filter it with ``coalesce(flag, false)``:
     stored NULL ≡ live, because a partitioned table's UNTOUCHED
     partitions keep their pre-tombstone file schema (only rewritten
-    partitions gain the column; parquet schema merge reads the old
-    files as NULL). Retention is what makes deletes
+    partitions gain the column). Readers of such a table MUST read
+    with ``mergeSchema=true`` or a declared schema — Spark's default
+    single-footer inference can pick a pre-tombstone file and drop the
+    flag column entirely; the engine's own reads here do so. Retention is what makes deletes
     COMMUTE across batches: a hard delete forgets its version, so a
     stale upsert replayed after it would silently resurrect the key
     (this failure was caught by the permutation test, not theorized).
@@ -198,9 +200,6 @@ def merge_upsert(
     import shutil
     import uuid
 
-    from pyspark.sql import functions as F
-
-    existing = spark.read.parquet(target_path)
     if tombstone_col:
         if not version_cols:
             # without versions, "does the delete or the racing upsert
@@ -209,6 +208,15 @@ def merge_upsert(
             raise ValueError("tombstone_col requires version_cols")
         if tombstone_col not in updates.columns:
             raise ValueError(f"tombstone_col not in updates: {tombstone_col}")
+        # mergeSchema is MANDATORY here: after the pruned partitioned
+        # rewrite, only touched partitions carry the flag column, and
+        # Spark's default single-footer schema inference can pick an
+        # old file — the flag would vanish from the read, the bootstrap
+        # branch would stamp every stored tombstone LIVE, and deleted
+        # keys would resurrect (caught by live repro, not theory)
+        existing = spark.read.option("mergeSchema", "true").parquet(target_path)
+    else:
+        existing = spark.read.parquet(target_path)
     flag = {tombstone_col} if tombstone_col else set()
     missing = (set(updates.columns) - flag) ^ (set(existing.columns) - flag)
     if missing:
@@ -233,8 +241,12 @@ def merge_upsert(
         from pyspark.sql import Window
 
         matched = existing_subset.join(up_keys, list(key_cols), "left_semi")
-        if tombstone_col and not retain_tombstones:
-            # hard mode stores no flag: target rows compete as live
+        if tombstone_col and tombstone_col not in matched.columns:
+            # flag column absent from the stored table (hard mode, or
+            # never bootstrapped): target rows compete as live. When
+            # the table DOES carry the column, stored flags are
+            # preserved — overwriting them to live would resurrect
+            # stored soft tombstones
             matched = matched.withColumn(tombstone_col, F.lit(False))
         contested = matched.withColumn("_upd", F.lit(0)).unionByName(
             updates.withColumn("_upd", F.lit(1))
@@ -266,10 +278,22 @@ def merge_upsert(
                 tombstone_col, F.coalesce(F.col(tombstone_col), F.lit(False))
             )
         elif tombstone_col:
-            # hard delete: the key vanishes (NULL flag = live)
+            # hard delete: the key vanishes (NULL flag = live). If the
+            # stored table already carries the flag column (built in
+            # soft mode earlier), the output keeps that column so the
+            # union with the uncontested keep-side stays resolvable —
+            # stored soft tombstones outside this batch's keys remain
+            # until purge_tombstones
             winners = winners.filter(
                 ~F.coalesce(F.col(tombstone_col), F.lit(False))
-            ).drop(tombstone_col)
+            )
+            if tombstone_col in existing.columns:
+                winners = winners.withColumn(
+                    tombstone_col,
+                    F.coalesce(F.col(tombstone_col), F.lit(False)),
+                )
+            else:
+                winners = winners.drop(tombstone_col)
         return keep.unionByName(winners)
 
     if partition_by:
@@ -348,6 +372,7 @@ def purge_tombstones(
     path: str,
     tombstone_col: str,
     horizon: "Column | None" = None,
+    partition_by: Sequence[str] | None = None,
 ) -> int:
     """Drop retained soft tombstones from a CDC table — the periodic
     compaction that bounds a ``merge_upsert(retain_tombstones=True)``
@@ -355,22 +380,64 @@ def purge_tombstones(
     horizon (pass ``horizon`` as a boolean Column over the row, e.g.
     ``col('ts') < lit(cutoff)``): purging a younger tombstone reopens
     the resurrection window the retained flag exists to close — a
-    stale upsert replayed after the purge would reinsert the key.
-    Stored NULL flags are live and always kept. Copy-on-write staging
-    + swap (same commit caveats as :func:`compact_small_files`);
-    returns the number of rows purged."""
+    stale upsert replayed after the purge would reinsert the key. A
+    tombstone whose horizon evaluates to NULL is KEPT (can't prove
+    it's past the horizon ⇒ not purgeable) and not counted. Stored
+    NULL flags are live and always kept.
+
+    Pass the SAME ``partition_by`` the merges use: the purge then
+    rewrites only the partitions that actually hold purgeable rows
+    (pruned dynamic overwrite, partitions emptied by the purge have
+    their directories removed) and the table keeps its layout — a
+    layout-blind flat rewrite would leave files where partition
+    discovery never finds them again. Unpartitioned tables use
+    copy-on-write staging + swap (commit caveats as
+    :func:`compact_small_files`). Returns the number of rows purged."""
     import shutil
     import uuid
 
-    df = spark.read.parquet(path)
+    df = spark.read.option("mergeSchema", "true").parquet(path)
     if tombstone_col not in df.columns:
         raise ValueError(f"tombstone_col not in table: {tombstone_col}")
     doomed = F.coalesce(F.col(tombstone_col), F.lit(False))
     if horizon is not None:
-        doomed = doomed & horizon
+        doomed = doomed & F.coalesce(horizon, F.lit(False))
     purged = df.filter(doomed).count()
     if purged == 0:
         return 0
+
+    if partition_by:
+        from functools import reduce
+
+        affected = df.filter(doomed).select(*partition_by).distinct().collect()
+        pred = reduce(
+            Column.__or__,
+            [
+                reduce(
+                    Column.__and__,
+                    [F.col(c).eqNullSafe(F.lit(r[c])) for c in partition_by],
+                )
+                for r in affected
+            ],
+        )
+        survivors = df.filter(pred).filter(~doomed)
+        emptied = {
+            tuple(r[c] for c in partition_by) for r in affected
+        } - {
+            tuple(r[c] for c in partition_by)
+            for r in survivors.select(*partition_by).distinct().collect()
+        }
+        (
+            survivors.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_by)
+            .parquet(path)
+        )
+        for r in affected:
+            if tuple(r[c] for c in partition_by) in emptied:
+                _delete_partition_dir(spark, path, partition_by, r)
+        return purged
+
     staging = f"{path}__staging_{uuid.uuid4().hex[:8]}"
     try:
         df.filter(~doomed).write.mode("overwrite").parquet(staging)

@@ -771,3 +771,145 @@ def test_purge_tombstones_drops_only_past_horizon(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="not in table"):
         purge_tombstones(spark, tgt, "nope")
+
+
+def test_merge_upsert_tombstone_survives_schema_inference_order(spark, tmp_path):
+    """Finding from live repro: when the untouched pre-tombstone
+    partition sorts BEFORE the rewritten one, default parquet schema
+    inference drops the flag column and the next merge resurrects the
+    deleted key as live. The engine must read with mergeSchema."""
+    from async_pipes_spark.sources.sinks import merge_upsert
+
+    tgt = str(tmp_path / "si")
+    spark.createDataFrame(
+        [(1, "a", 0, "seed-a"), (2, "z", 0, "seed-z")],
+        "k bigint, p string, ver bigint, s string",
+    ).coalesce(1).write.partitionBy("p").parquet(tgt)
+    # delete k=2 (partition z — sorts AFTER untouched a)
+    merge_upsert(
+        spark,
+        tgt,
+        spark.createDataFrame(
+            [(2, "z", 20, None, True)],
+            "k bigint, p string, ver bigint, s string, dead boolean",
+        ),
+        ["k"],
+        partition_by=["p"],
+        version_cols=["ver"],
+        tombstone_col="dead",
+    )
+    # a later unrelated merge must NOT stamp the stored tombstone live
+    merge_upsert(
+        spark,
+        tgt,
+        spark.createDataFrame(
+            [(3, "a", 1, "new", False)],
+            "k bigint, p string, ver bigint, s string, dead boolean",
+        ),
+        ["k"],
+        partition_by=["p"],
+        version_cols=["ver"],
+        tombstone_col="dead",
+    )
+    out = spark.read.option("mergeSchema", "true").parquet(tgt)
+    live = sorted(
+        r.k for r in out.filter("NOT coalesce(dead, false)").collect()
+    )
+    assert live == [1, 3]
+    # the ver-20 tombstone is still stored and still wins a stale replay
+    merge_upsert(
+        spark,
+        tgt,
+        spark.createDataFrame(
+            [(2, "z", 15, "stale", False)],
+            "k bigint, p string, ver bigint, s string, dead boolean",
+        ),
+        ["k"],
+        partition_by=["p"],
+        version_cols=["ver"],
+        tombstone_col="dead",
+    )
+    out = spark.read.option("mergeSchema", "true").parquet(tgt)
+    assert sorted(
+        r.k for r in out.filter("NOT coalesce(dead, false)").collect()
+    ) == [1, 3]
+
+
+def test_purge_tombstones_keeps_partition_layout(spark, tmp_path):
+    """Finding from live repro: a layout-blind purge flattened the
+    table and the next partitioned merge silently dropped every
+    unmerged row. Purge must rewrite only affected partitions and keep
+    the layout."""
+    from async_pipes_spark.sources.sinks import merge_upsert, purge_tombstones
+
+    tgt = str(tmp_path / "pl")
+    spark.createDataFrame(
+        [(1, "x", 5, "dead1", True), (2, "y", 5, "live2", False)],
+        "k bigint, p string, ver bigint, s string, dead boolean",
+    ).coalesce(1).write.partitionBy("p").parquet(tgt)
+    assert purge_tombstones(spark, tgt, "dead", partition_by=["p"]) == 1
+    # partition x emptied -> directory removed; y untouched
+    assert not (tmp_path / "pl" / "p=x").exists()
+    assert (tmp_path / "pl" / "p=y").exists()
+    # the next partitioned merge still sees k=2
+    merge_upsert(
+        spark,
+        tgt,
+        spark.createDataFrame(
+            [(3, "x", 1, "new", False)],
+            "k bigint, p string, ver bigint, s string, dead boolean",
+        ),
+        ["k"],
+        partition_by=["p"],
+        version_cols=["ver"],
+        tombstone_col="dead",
+    )
+    got = sorted(r.k for r in spark.read.parquet(tgt).collect())
+    assert got == [2, 3]
+
+
+def test_purge_tombstones_null_horizon_is_kept(spark, tmp_path):
+    """Finding from live repro: a tombstone whose horizon predicate is
+    NULL must be KEPT (can't prove it's past the horizon), not
+    silently dropped outside the purged count."""
+    from pyspark.sql import functions as F
+
+    from async_pipes_spark.sources.sinks import purge_tombstones
+
+    tgt = str(tmp_path / "nh")
+    spark.createDataFrame(
+        [(1, None, True), (2, 10, True), (3, 90, True), (4, 10, False)],
+        "k bigint, ver bigint, dead boolean",
+    ).coalesce(1).write.parquet(tgt)
+    assert purge_tombstones(spark, tgt, "dead", horizon=F.col("ver") < 50) == 1
+    assert sorted(r.k for r in spark.read.parquet(tgt).collect()) == [1, 3, 4]
+
+
+def test_merge_upsert_hard_mode_on_soft_table(spark, tmp_path):
+    """Finding from live repro: retain_tombstones=False on a table that
+    already carries the flag column crashed on unionByName. It must
+    keep the column, preserve stored flags outside the batch, and
+    hard-delete the batch's winning tombstones."""
+    from async_pipes_spark.sources.sinks import merge_upsert
+
+    tgt = str(tmp_path / "hs")
+    spark.createDataFrame(
+        [(1, 5, "a", False), (2, 5, "b", True), (3, 5, "c", False)],
+        "k bigint, ver bigint, s string, dead boolean",
+    ).coalesce(1).write.parquet(tgt)
+    merge_upsert(
+        spark,
+        tgt,
+        spark.createDataFrame(
+            [(3, 9, None, True), (4, 1, "d", False)],
+            "k bigint, ver bigint, s string, dead boolean",
+        ),
+        ["k"],
+        version_cols=["ver"],
+        tombstone_col="dead",
+        retain_tombstones=False,
+    )
+    out = spark.read.parquet(tgt)
+    rows = sorted((r.k, bool(r.dead)) for r in out.collect())
+    # k=3 hard-deleted; k=2's STORED soft tombstone untouched
+    assert rows == [(1, False), (2, True), (4, False)]
