@@ -43,21 +43,22 @@ def entry(spark: SparkSession) -> DataFrame:
 #: at entry #50), so dict order IS driver coverage. Policy: queries new
 #: this round and queries without a fresh driver row come FIRST; queries
 #: with an r04 green row rotate toward the tail. Round-5 window (the
-#: cut lands after mm2 — replay _ordered to confirm): the 28 queries
+#: cut lands after mm1 — replay _ordered to confirm): the 29 queries
 #: NEW this round (wave 1: d9, t7-t10, k4, v1, smp3, s17-s19, g1, r15;
-#: wave 2: d10, t11-t14, v2, v3, smp4, r16, s20-s22, bpe1, bpe2,
-#: pipe1) and 22 of the 23 r2/r3-stale ones fill the 50 slots; mm3 is
-#: the one casualty (51 candidates for 50 slots — it holds r2/r3
-#: driver rows AND the judge's r4 re-verification, so it cedes its
-#: slot to s22, which has never had a driver row; round 6 rotates it
-#: back). Everything after — mm3, p*, x*, j*, k2/k3, a1/a5, b1/b2,
-#: the remaining s*/d*/t1-t6 — is green on prior evidence and holds
-#: the tail. Every query keeps its oracle regardless of position.
+#: wave 2: d10, t11-t14, v2, v3, smp4, r16, s20-s22, g2, bpe1, bpe2,
+#: pipe1) and 21 of the 23 r2/r3-stale ones fill the 50 slots;
+#: mm2/mm3 are the casualties (52 candidates for 50 slots — they hold
+#: r2/r3 driver rows AND the judge's r4 re-verification, so they cede
+#: their slots to s22/g2, which have never had a driver row; round 6
+#: rotates them back). Everything after — mm2, mm3, p*, x*, j*,
+#: k2/k3, a1/a5, b1/b2, the remaining s*/d*/t1-t6 — is green on prior
+#: evidence and holds the tail. Every query keeps its oracle
+#: regardless of position.
 _PRIORITY = [
     # new in round 5 wave 2 — first driver row needed ("d10_" must
     # precede the tail's "d1_", and "t11_"-"t13_" the tail's "t1_":
     # rank() takes the FIRST matching prefix)
-    "d10_", "t11_", "t12_", "t13_", "t14_", "v2_", "v3_", "smp4_", "r16_", "s20_", "s21_", "s22_", "bpe1_", "bpe2_", "pipe1_",
+    "d10_", "t11_", "t12_", "t13_", "t14_", "v2_", "v3_", "smp4_", "r16_", "s20_", "s21_", "s22_", "bpe1_", "bpe2_", "pipe1_", "g2_",
     # new in round 5 wave 1 — first driver row needed
     "d9_", "t7_", "t8_", "t9_", "t10_", "k4_", "v1_", "smp3_", "s17_", "s18_", "s19_", "g1_",
     # last driver row is r2/r3 (judge re-verified green in the r4

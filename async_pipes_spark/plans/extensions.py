@@ -256,9 +256,19 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1), driving a real 5-round trajectory the oracle replays via 5
     unrolled CTE levels. The 625-pair ranking window is bounded by the
     nation-pair space, never corpus-sized."""
-    from pyspark.sql import Window
-
     from async_pipes_spark.operators.graph import pagerank_micro
+
+    return pagerank_micro(_trade_edges(spark, sf_dir), iterations=5).orderBy(
+        "node"
+    )
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared g* graph: top-250 customer-nation → supplier-nation
+    edges by lineitem count (see g1's docstring for why top-K and not
+    a threshold). One definition for every graph query so the engine
+    and the `_TRADE_EDGE_CTES` oracle twin cannot drift."""
+    from pyspark.sql import Window
 
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -275,12 +285,21 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     rk = Window.orderBy(F.col("n").desc(), "src", "dst")
-    edges = (
+    return (
         weighted.withColumn("_rk", F.row_number().over(rk))
         .filter(F.col("_rk") <= 250)
         .select("src", "dst")
     )
-    return pagerank_micro(edges, iterations=5).orderBy("node")
+
+
+def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation triangle counts over the undirected strong-trade
+    graph (operators.graph.triangle_counts — canonical-orientation
+    wedge join closed by a semi join; the cohesion signal that marks
+    link rings in a web graph). Same edge set as g1."""
+    from async_pipes_spark.operators.graph import triangle_counts
+
+    return triangle_counts(_trade_edges(spark, sf_dir)).orderBy("node")
 
 
 def s18_stream_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1629,6 +1648,7 @@ EXTENSION_QUERIES = {
     "s21_stream_incremental_rollup": s21_stream_incremental_rollup,
     "s22_stream_cdc_deletes": s22_stream_cdc_deletes,
     "g1_pagerank": g1_pagerank,
+    "g2_triangle_count": g2_triangle_count,
     "a1_ann_top3": a1_ann_top3,
     "a2_ivf_top1": a2_ivf_top1,
     "a5_ivf_recall_check": a5_ivf_recall_check,
@@ -1790,7 +1810,17 @@ def _pagerank_oracle(iterations: int) -> str:
         )"""
     levels = ",".join(level.format(i=i, prev=i - 1) for i in range(1, iterations + 1))
     return f"""
-        WITH weighted AS (
+        {_TRADE_EDGE_CTES},
+        nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        outdeg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+        p0 AS (SELECT node, 1000000::BIGINT AS r FROM nodes),{levels}
+        SELECT node, r AS rank_micro FROM p{iterations} ORDER BY node
+    """
+
+
+#: the g* oracle twin of _trade_edges — one definition for every graph
+#: oracle so the edge sets cannot drift
+_TRADE_EDGE_CTES = """WITH weighted AS (
             SELECT CAST(c_nationkey AS BIGINT) AS src,
                    CAST(s_nationkey AS BIGINT) AS dst,
                    COUNT(*) AS n
@@ -1806,11 +1836,33 @@ def _pagerank_oracle(iterations: int) -> str:
                        ROW_NUMBER() OVER (ORDER BY n DESC, src, dst) AS rk
                 FROM weighted
             ) WHERE rk <= 250
+        )"""
+
+
+def _triangle_oracle() -> str:
+    """DuckDB twin of operators.graph.triangle_counts over the trade
+    graph: canonical a<b<c enumeration, 3 node rows per triangle,
+    zero-filled nodes."""
+    return f"""
+        {_TRADE_EDGE_CTES},
+        und AS (
+            SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+            FROM edges WHERE src <> dst
         ),
-        nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
-        outdeg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
-        p0 AS (SELECT node, 1000000::BIGINT AS r FROM nodes),{levels}
-        SELECT node, r AS rank_micro FROM p{iterations} ORDER BY node
+        tri AS (
+            SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM und e1
+            JOIN und e2 ON e1.v = e2.u
+            JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+        ),
+        nodes AS (SELECT u AS node FROM und UNION SELECT v FROM und),
+        per AS (
+            SELECT node, COUNT(*) AS n
+            FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+            GROUP BY node
+        )
+        SELECT n.node, COALESCE(p.n, 0) AS n_triangles
+        FROM nodes n LEFT JOIN per p USING (node) ORDER BY n.node
     """
 
 
@@ -1985,6 +2037,7 @@ EXTENSION_ORACLES = {
     # replays pagerank_micro's exact integer trajectory: 5 unrolled
     # CTE levels, all arithmetic in BIGINT integer division
     "g1_pagerank": _pagerank_oracle(5),
+    "g2_triangle_count": _triangle_oracle(),
     # the stream must quiesce to exactly d3's batch signature table
     "s18_stream_simhash": _D3_SIMHASH_SQL,
     "smp3_group_sample": """
