@@ -129,6 +129,7 @@ def merge_upsert(
     version_cols: Sequence[str] | None = None,
     tombstone_col: str | None = None,
     retain_tombstones: bool = True,
+    allow_schema_evolution: bool = False,
 ) -> None:
     """Keyed upsert into a parquet directory (MERGE semantics without a
     table format): rows in ``updates`` replace target rows with the
@@ -193,6 +194,15 @@ def merge_upsert(
       only, see its caveat). A failure during the write — the long
       part — leaves the target untouched; staging is removed on error.
 
+    ``allow_schema_evolution`` admits ADDITIVE schema change: columns
+    present in ``updates`` but not in the table are added (NULL on all
+    stored rows). It is strictly additive — an update batch MISSING an
+    existing column still errors, because silently nulling the payload
+    of every replaced row is a bug, not evolution. An evolved
+    partitioned table carries mixed file schemas until every partition
+    is rewritten; the engine reads it with ``mergeSchema`` (as must
+    external readers — or declare the schema).
+
     Scale notes: the anti-join shuffles on the key unless the update
     set is broadcastable (it usually is — updates are small relative to
     the lake; AQE broadcasts under the threshold automatically).
@@ -208,16 +218,28 @@ def merge_upsert(
             raise ValueError("tombstone_col requires version_cols")
         if tombstone_col not in updates.columns:
             raise ValueError(f"tombstone_col not in updates: {tombstone_col}")
-        # mergeSchema is MANDATORY here: after the pruned partitioned
-        # rewrite, only touched partitions carry the flag column, and
-        # Spark's default single-footer schema inference can pick an
-        # old file — the flag would vanish from the read, the bootstrap
-        # branch would stamp every stored tombstone LIVE, and deleted
-        # keys would resurrect (caught by live repro, not theory)
+    # mergeSchema is MANDATORY when the table's files can carry
+    # different schemas (tombstone bootstrap, additive evolution — both
+    # rewrite only touched partitions): Spark's default single-footer
+    # inference can pick an old file and silently drop the newer
+    # columns — for tombstones that resurrected deleted keys (caught
+    # by live repro, not theory)
+    if tombstone_col or allow_schema_evolution:
         existing = spark.read.option("mergeSchema", "true").parquet(target_path)
     else:
         existing = spark.read.parquet(target_path)
     flag = {tombstone_col} if tombstone_col else set()
+    added = (set(updates.columns) - flag) - set(existing.columns)
+    if allow_schema_evolution and added:
+        # ADDITIVE evolution only: new update columns join the table as
+        # NULL on all stored rows; updates missing an existing column
+        # still error (silently nulling replaced rows' payload is a
+        # bug, not evolution)
+        upd_schema = dict(zip(updates.schema.names, updates.schema.fields))
+        for c in sorted(added):
+            existing = existing.withColumn(
+                c, F.lit(None).cast(upd_schema[c].dataType)
+            )
     missing = (set(updates.columns) - flag) ^ (set(existing.columns) - flag)
     if missing:
         raise ValueError(f"update schema mismatch on columns: {sorted(missing)}")

@@ -913,3 +913,54 @@ def test_merge_upsert_hard_mode_on_soft_table(spark, tmp_path):
     rows = sorted((r.k, bool(r.dead)) for r in out.collect())
     # k=3 hard-deleted; k=2's STORED soft tombstone untouched
     assert rows == [(1, False), (2, True), (4, False)]
+
+
+def test_merge_upsert_additive_schema_evolution(spark, tmp_path):
+    """allow_schema_evolution: a new update column joins the table as
+    NULL on stored rows — strictly additive (an update batch missing an
+    existing column still errors); works through the partitioned path
+    where old partitions keep their old file schema; without the flag
+    the new column is rejected."""
+    import pytest as _pytest
+
+    from async_pipes_spark.sources.sinks import merge_upsert
+
+    tgt = str(tmp_path / "ev")
+    spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y")], "k bigint, s string, p string"
+    ).coalesce(1).write.partitionBy("p").parquet(tgt)
+    updates = spark.createDataFrame(
+        [(2, "B", "y", 7), (3, "c", "x", 9)],
+        "k bigint, s string, p string, extra bigint",
+    )
+    with _pytest.raises(ValueError, match="schema mismatch"):
+        merge_upsert(spark, tgt, updates, ["k"], partition_by=["p"])
+    merge_upsert(
+        spark, tgt, updates, ["k"], partition_by=["p"], allow_schema_evolution=True
+    )
+    out = spark.read.option("mergeSchema", "true").parquet(tgt)
+    got = sorted((r.k, r.s, r.extra) for r in out.collect())
+    assert got == [(1, "a", None), (2, "B", 7), (3, "c", 9)]
+    # a later batch must see the evolved schema (mergeSchema read) and
+    # must NOT be allowed to silently drop the evolved column
+    with _pytest.raises(ValueError, match="schema mismatch"):
+        merge_upsert(
+            spark,
+            tgt,
+            spark.createDataFrame([(4, "d", "x")], "k bigint, s string, p string"),
+            ["k"],
+            partition_by=["p"],
+            allow_schema_evolution=True,
+        )
+    merge_upsert(
+        spark,
+        tgt,
+        spark.createDataFrame(
+            [(4, "d", "x", None)], "k bigint, s string, p string, extra bigint"
+        ),
+        ["k"],
+        partition_by=["p"],
+        allow_schema_evolution=True,
+    )
+    out = spark.read.option("mergeSchema", "true").parquet(tgt)
+    assert sorted(r.k for r in out.collect()) == [1, 2, 3, 4]
