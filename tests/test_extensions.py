@@ -252,3 +252,23 @@ def test_bpe_oracle_survives_merge_exhaustion(spark):
     assert con.execute(bpe_encode_oracle_sql(3)).fetchall() == [(1, 1, 1), (2, 1, 1)]
     # merge table itself also agrees: only 1 learnable merge
     assert con.execute(bpe_oracle_sql(3)).fetchall() == [(1, "a", "b", "ab", 2)]
+
+
+def test_triangle_counts_hand_graph(spark):
+    """triangle_counts on a hand-checkable graph: K4 minus one edge has
+    two triangles sharing an edge; direction/duplicate/self-loop noise
+    must not change the counts; a path node counts zero."""
+    from async_pipes_spark.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 1),       # triangle 123
+            (2, 4), (4, 3),               # triangle 234 (shares 2-3)
+            (3, 2),                       # reverse duplicate
+            (4, 4),                       # self loop (ignored)
+            (4, 5),                       # pendant: 5 in no triangle
+        ],
+        "src bigint, dst bigint",
+    )
+    got = {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
+    assert got == {1: 1, 2: 2, 3: 2, 4: 1, 5: 0}
