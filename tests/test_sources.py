@@ -964,3 +964,74 @@ def test_merge_upsert_additive_schema_evolution(spark, tmp_path):
     )
     out = spark.read.option("mergeSchema", "true").parquet(tgt)
     assert sorted(r.k for r in out.collect()) == [1, 2, 3, 4]
+
+
+def test_cdc_merge_sink_recovers_across_restart(spark, tmp_path):
+    """Kill-and-restart recovery for the foreachBatch CDC merge sink
+    (s20/s22's shape): stop the stream after it has merged a strict
+    subset of the files, restart from the SAME checkpoint, and drain.
+    Batch replay at the boundary is harmless BECAUSE the versioned
+    merge is idempotent (same rows, same versions -> same winners), so
+    the final lake equals the global per-key argmax."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from async_pipes_spark.sources.sinks import merge_upsert
+
+    lake = str(tmp_path / "lake")
+    incoming = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+
+    rows = [(k, v, f"s{k}v{v}") for k in range(20) for v in (1, 2, 3)]
+    src = spark.createDataFrame(rows, "k bigint, ver bigint, s string")
+    src.filter("ver = 1").coalesce(1).write.parquet(lake)
+    # 6 single-row-group files so the throttled stream has real batches
+    src.filter("ver >= 2").repartition(6, "k").write.parquet(incoming)
+
+    def start():
+        stream = (
+            spark.readStream.schema(spark.read.parquet(incoming).schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(incoming)
+        )
+        return (
+            stream.writeStream.foreachBatch(
+                lambda b, _id: merge_upsert(
+                    b.sparkSession, lake, b, ["k"], version_cols=["ver"]
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+
+    q = start()
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        done = len(q.recentProgress)
+        if any(p["numInputRows"] > 0 for p in q.recentProgress or []):
+            break
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+    mid = spark.read.parquet(lake).count()
+    assert mid <= 20 * 1  # never more than one row per key
+
+    q2 = (
+        spark.readStream.schema(spark.read.parquet(incoming).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(incoming)
+        .writeStream.foreachBatch(
+            lambda b, _id: merge_upsert(
+                b.sparkSession, lake, b, ["k"], version_cols=["ver"]
+            )
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    final = spark.read.parquet(lake)
+    got = sorted((r.k, r.ver, r.s) for r in final.collect())
+    assert got == [(k, 3, f"s{k}v3") for k in range(20)]
