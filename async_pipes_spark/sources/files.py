@@ -45,3 +45,20 @@ def read_json(spark: SparkSession, path: str, schema: str | None = None) -> Data
     if schema:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """ORC scan — same pushdown/pruning properties as parquet (both
+    columnar with embedded min/max stats; Catalyst treats them alike)."""
+    ensure_engine_confs(spark)
+    reader = spark.read
+    if schema:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """Line-oriented text scan: one `value: string` row per line — the
+    raw-corpus ingest format (each line a document/record to parse
+    downstream with the engine's text/JSON functions)."""
+    return spark.read.text(path)

@@ -1035,3 +1035,79 @@ def test_cdc_merge_sink_recovers_across_restart(spark, tmp_path):
     final = spark.read.parquet(lake)
     got = sorted((r.k, r.ver, r.s) for r in final.collect())
     assert got == [(k, 3, f"s{k}v3") for k in range(20)]
+
+
+def test_orc_and_text_roundtrip(spark, tmp_path):
+    """ORC roundtrips like parquet; text writes one line per row and
+    reads back as value:string — the raw-corpus ingest path."""
+    from async_pipes_spark.sources.files import read_orc, read_text
+    from async_pipes_spark.sources.sinks import write_files
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, "c", None)],
+        "id: bigint, s: string, x: double",
+    )
+    p = str(tmp_path / "orc")
+    write_files(df, p, fmt="orc")
+    back = read_orc(spark, p, schema="id bigint, s string, x double")
+    assert sorted((r.id, r.s, r.x) for r in back.collect()) == sorted(
+        (r.id, r.s, r.x) for r in df.collect()
+    )
+
+    t = str(tmp_path / "txt")
+    df.select(F.concat_ws("|", "id", "s").alias("value")).coalesce(1).write.text(t)
+    lines = sorted(r.value for r in read_text(spark, t).collect())
+    assert lines == ["1|a", "2|b", "3|c"]
+
+
+def test_cdc_merge_randomized_against_python_model(spark, tmp_path):
+    """Randomized property: any partition of a CDC changelog
+    (upserts + deletes, unique versions) into batches, applied in any
+    order, converges to a simple Python model's answer (argmax per key;
+    deleted keys = tombstones in the live view). Seeded, 3 trials."""
+    import random
+
+    from async_pipes_spark.sources.sinks import merge_upsert
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        changes = []
+        ver = 0
+        for _ in range(60):
+            ver += 1
+            changes.append(
+                (rng.randrange(12), ver, f"v{ver}", rng.random() < 0.25)
+            )
+        # Python model: per-key argmax by version; dead keys excluded
+        latest = {}
+        for k, v, s, dead in changes:
+            if k not in latest or v > latest[k][0]:
+                latest[k] = (v, s, dead)
+        want = sorted(
+            (k, v, s) for k, (v, s, dead) in latest.items() if not dead
+        )
+
+        rng.shuffle(changes)
+        n_batches = rng.randrange(2, 6)
+        batches = [changes[i::n_batches] for i in range(n_batches)]
+        tgt = str(tmp_path / f"r{seed}")
+        spark.createDataFrame(
+            [], "k bigint, ver bigint, s string, dead boolean"
+        ).write.parquet(tgt)
+        for b in batches:
+            merge_upsert(
+                spark,
+                tgt,
+                spark.createDataFrame(b, "k bigint, ver bigint, s string, dead boolean"),
+                ["k"],
+                version_cols=["ver"],
+                tombstone_col="dead",
+            )
+        got = sorted(
+            (r.k, r.ver, r.s)
+            for r in spark.read.option("mergeSchema", "true")
+            .parquet(tgt)
+            .filter("NOT coalesce(dead, false)")
+            .collect()
+        )
+        assert got == want, (seed, got, want)
