@@ -573,6 +573,15 @@ def simhash_pairs(
         # the fixed 2^33 stride keeps block id ranges disjoint).
         # shiftrightunsigned handles the bits=64 sign bit.
         nblocks = radius + 1
+        if nblocks > bits:
+            # a zero-width block's value is 0 for EVERY signature — one
+            # global bucket that either hits the hot-bucket cap (empty
+            # result) or expands all-pairs; and radius ≥ bits means
+            # every pair is trivially within radius anyway
+            raise ValueError(
+                f"radius + 1 ({nblocks}) exceeds signature bits ({bits}); "
+                "at radius >= bits every pair matches — filter directly"
+            )
         base, rem = divmod(bits, nblocks)
         widths = [base + (1 if i < rem else 0) for i in range(nblocks)]
         offsets = [sum(widths[:i]) for i in range(nblocks)]

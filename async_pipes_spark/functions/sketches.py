@@ -76,6 +76,10 @@ def _bloom_positions(cols: list[str], num_bits: int, num_hashes: int):
 #: bits saturates (FPR → 1) past ~10^5 keys.
 BLOOM_BITS_PER_KEY = 16
 BLOOM_MIN_BITS = 1 << 16
+#: adaptive-sizing ceiling (16 MB of filter): keeps the driver collect
+#: and the task-shipped bitset bounded no matter the corpus (see
+#: bloom_build); beyond ~2^23 keys the filter saturates gracefully
+BLOOM_MAX_BITS = 1 << 27
 
 
 def bloom_build(
@@ -112,7 +116,19 @@ def bloom_build(
     if num_bits is None:
         key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols])
         est = df.agg(F.approx_count_distinct(key).alias("d")).head()[0] or 0
-        num_bits = max(BLOOM_MIN_BITS, -(-est * BLOOM_BITS_PER_KEY // 8) * 8)
+        # adaptive sizing is CAPPED: 16 bits/key but never beyond
+        # BLOOM_MAX_BITS (default 2^27 = 16 MB of filter). Uncapped,
+        # a 1e9-distinct-key corpus would size the filter at 16e9
+        # bits, making the "bounded by num_bits" driver collect and
+        # the task-shipped bitset effectively O(keys) — the exact
+        # unboundedness the sketch exists to avoid. At the cap the
+        # filter saturates gracefully (FPR rises, never a false
+        # negative); callers needing lower FPR at that scale should
+        # partition the key space into multiple filters.
+        num_bits = min(
+            BLOOM_MAX_BITS,
+            max(BLOOM_MIN_BITS, -(-est * BLOOM_BITS_PER_KEY // 8) * 8),
+        )
     if num_bits % 8:
         # positions are taken mod num_bits but the bitset holds whole
         # bytes; a ragged tail would either IndexError on build or make

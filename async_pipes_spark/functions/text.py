@@ -288,7 +288,11 @@ def redact(
     red = F.col(col)
     for label, pat in patterns.items():
         out = out.withColumn(f"n_{label}", F.regexp_count(F.col(col), F.lit(pat)))
-        red = F.regexp_replace(red, pat, f"[{label.upper()}]")
+        # the replacement string is a Matcher template: '$' and '\' are
+        # group-reference metacharacters, so a label like 'us$' would
+        # throw (or silently substitute capture text) unescaped
+        repl = f"[{label.upper()}]".replace("\\", "\\\\").replace("$", "\\$")
+        red = F.regexp_replace(red, pat, repl)
     return out.withColumn(out_col, red)
 
 

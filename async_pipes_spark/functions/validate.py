@@ -32,6 +32,11 @@ def dq_audit(
     count as violations (``count(*) - count(distinct keys)``)."""
     if not checks and not unique_keys:
         raise ValueError("no checks registered")
+    bad_names = [
+        n for n in list(checks) + list(unique_keys or {}) if "`" in n
+    ]
+    if bad_names:
+        raise ValueError(f"check names cannot contain backticks: {bad_names}")
     dup_names = set(checks) & set(unique_keys or {})
     if dup_names:
         raise ValueError(
@@ -51,7 +56,9 @@ def dq_audit(
     rows = [
         wide.select(
             F.lit(name).alias("check"),
-            F.coalesce(F.col(f"_v_{name}"), F.lit(0)).alias("n_violations"),
+            # backtick-quoted: a check name containing '.' must read
+            # back as one flat column, not a struct-field path
+            F.coalesce(F.col(f"`_v_{name}`"), F.lit(0)).alias("n_violations"),
             F.col("_n").alias("n_checked"),
         )
         for name in list(checks) + list(unique_keys or {})

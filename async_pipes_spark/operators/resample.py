@@ -40,16 +40,34 @@ def resample_ffill(
     ``agg_cols`` (name → aggregate expression over the bucket's rows)
     and forward-filling the ``fill_cols`` subset across gap buckets
     (non-fill aggregates are left NULL on gaps — count-like columns
-    should be coalesced to 0 by the caller if desired). ``unit`` is
-    any ``date_trunc`` unit ('hour', 'day', 'week', ...).
+    should be coalesced to 0 by the caller if desired). ``unit`` is a
+    calendar unit that BOTH ``date_trunc`` and the grid's interval
+    step understand: year, quarter (stepped as 3 months — Spark's
+    interval grammar has no QUARTER), month, week, day, hour, minute,
+    second. date_trunc's shorthand aliases ('mon', 'dd', ...) are
+    rejected rather than guessed at.
 
     Returns one row per (key, bucket): ``key_col``, ``bucket``, and
     the aggregate columns."""
+    steps = {
+        "year": "interval 1 year",
+        "quarter": "interval 3 month",
+        "month": "interval 1 month",
+        "week": "interval 1 week",
+        "day": "interval 1 day",
+        "hour": "interval 1 hour",
+        "minute": "interval 1 minute",
+        "second": "interval 1 second",
+    }
+    if unit not in steps:
+        raise ValueError(
+            f"unit must be one of {sorted(steps)}, got {unit!r}"
+        )
     bucket = F.date_trunc(unit, F.col(ts_col)).alias("bucket")
     obs = df.groupBy(F.col(key_col), bucket).agg(
         *[expr.alias(name) for name, expr in agg_cols.items()]
     )
-    step = F.expr(f"interval 1 {unit}")
+    step = F.expr(steps[unit])
     grid = (
         obs.groupBy(key_col)
         .agg(F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi"))

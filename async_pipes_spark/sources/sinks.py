@@ -88,14 +88,19 @@ _PART_SAFE = set("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789
 
 def _partition_subdir(partition_by, row) -> str:
     """`col=value/...` subdir for one partition tuple, Spark's naming:
-    NULL → __HIVE_DEFAULT_PARTITION__; values needing Spark's
-    path-escaping (chars outside [A-Za-z0-9._-]) are rejected rather
-    than guessed at."""
+    NULL and EMPTY STRING → __HIVE_DEFAULT_PARTITION__ (Spark writes
+    both there); booleans → lowercase true/false (str(True) is 'True'
+    — deleting 'p=True' would silently no-op and leave the stale
+    duplicate this cleanup exists to remove); other values needing
+    Spark's path-escaping (chars outside [A-Za-z0-9._-]) are rejected
+    rather than guessed at."""
     parts = []
     for c in partition_by:
         v = row[c]
-        if v is None:
+        if v is None or v == "":
             s = "__HIVE_DEFAULT_PARTITION__"
+        elif isinstance(v, bool):
+            s = "true" if v else "false"
         else:
             s = str(v)
             if not set(s) <= _PART_SAFE:
@@ -338,43 +343,78 @@ def merge_upsert(
         touched = touched_df.distinct().collect()
         if not touched:
             return
-        # null-safe per-partition predicate: isin() would evaluate NULL
-        # for a NULL partition value, silently dropping that partition's
-        # surviving rows from `keep` before the dynamic overwrite
-        pred = reduce(
-            Column.__or__,
-            [
-                reduce(
-                    Column.__and__,
-                    [F.col(c).eqNullSafe(F.lit(r[c])) for c in partition_by],
-                )
-                for r in touched
-            ],
-        )
-        merged = _merge(existing.filter(pred))
-        # Dynamic overwrite replaces only partitions that RECEIVE rows:
-        # a touched partition whose every row moved away gets no output
-        # and would keep its stale files. Find those EMPTIED partitions
-        # before the write (merged reads the target, so afterwards is
-        # too late) and delete their directories post-commit via the
-        # Hadoop FileSystem (one code path for file:// and object
-        # stores). The deletion is idempotent — a crash between write
-        # and delete leaves stale rows that re-running the same merge
-        # removes.
-        merged_parts = {
-            tuple(r[c] for c in partition_by)
-            for r in merged.select(*partition_by).distinct().collect()
-        }
-        emptied = [
-            r for r in touched
-            if tuple(r[c] for c in partition_by) not in merged_parts
-        ]
-        (
-            merged.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(*partition_by)
-            .parquet(target_path)
-        )
+        # every touched partition's subdir must be expressible BEFORE
+        # anything mutates the lake: an unescapable value should fail
+        # the merge up front, not after the dynamic overwrite committed
+        for r in touched:
+            _partition_subdir(partition_by, r)
+        if len(touched) <= 64:
+            # null-safe per-partition predicate: isin() would evaluate
+            # NULL for a NULL partition value, silently dropping that
+            # partition's surviving rows from `keep` before the
+            # overwrite. A literal OR-chain statically prunes the scan
+            # to the touched partitions — but is a driver-built
+            # expression tree linear in partition count, so past a few
+            # dozen it switches to a broadcast null-safe semi join
+            # (O(1) plan size; dynamic pruning where available)
+            pred = reduce(
+                Column.__or__,
+                [
+                    reduce(
+                        Column.__and__,
+                        [
+                            F.col(c).eqNullSafe(F.lit(r[c]))
+                            for c in partition_by
+                        ],
+                    )
+                    for r in touched
+                ],
+            )
+            pruned = existing.filter(pred)
+        else:
+            tk = (
+                touched_df.distinct()
+                .toDF(*[f"_tk_{c}" for c in partition_by])
+            )
+            cond = reduce(
+                Column.__and__,
+                [
+                    F.col(c).eqNullSafe(F.col(f"_tk_{c}"))
+                    for c in partition_by
+                ],
+            )
+            pruned = existing.join(F.broadcast(tk), cond, "left_semi")
+        merged = _merge(pruned)
+        # one execution for both consumers below: without the pin, the
+        # emptied-partition collect and the write would each run the
+        # whole touched-partition read + anti-join
+        merged.persist()
+        try:
+            # Dynamic overwrite replaces only partitions that RECEIVE
+            # rows: a touched partition whose every row moved away gets
+            # no output and would keep its stale files. Find those
+            # EMPTIED partitions before the write (merged reads the
+            # target, so afterwards is too late) and delete their
+            # directories post-commit via the Hadoop FileSystem (one
+            # code path for file:// and object stores). The deletion is
+            # idempotent — a crash between write and delete leaves
+            # stale rows that re-running the same merge removes.
+            merged_parts = {
+                tuple(r[c] for c in partition_by)
+                for r in merged.select(*partition_by).distinct().collect()
+            }
+            emptied = [
+                r for r in touched
+                if tuple(r[c] for c in partition_by) not in merged_parts
+            ]
+            (
+                merged.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(*partition_by)
+                .parquet(target_path)
+            )
+        finally:
+            merged.unpersist()
         for r in emptied:
             _delete_partition_dir(spark, target_path, partition_by, r)
         return

@@ -272,3 +272,72 @@ def test_triangle_counts_hand_graph(spark):
     )
     got = {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
     assert got == {1: 1, 2: 2, 3: 2, 4: 1, 5: 0}
+
+
+def test_redact_label_with_metacharacters(spark):
+    """A redaction label containing '$' or '\\' must not be treated as
+    a Matcher group reference in the replacement."""
+    from async_pipes_spark.functions.text import redact
+
+    df = spark.createDataFrame([(1, "price 123456 end")], "id bigint, text string")
+    out = redact(df, "text", {"us$": "[0-9]{6,}"}).collect()[0]
+    assert out.redacted == "price [US$] end"
+    assert out["n_us$"] == 1
+
+
+def test_dq_audit_dotted_check_name(spark):
+    """Check names containing '.' must resolve as flat columns, and
+    backticked names are rejected up front."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from async_pipes_spark.functions.validate import dq_audit
+
+    df = spark.createDataFrame([(1, 5.0), (2, -1.0)], "id bigint, price double")
+    got = {r["check"]: r.n_violations for r in dq_audit(
+        df, checks={"price.positive": F.col("price") <= 0}
+    ).collect()}
+    assert got == {"price.positive": 1}
+    with _pytest.raises(ValueError, match="backtick"):
+        dq_audit(df, checks={"a`b": F.col("price") <= 0})
+
+
+def test_simhash_pairs_rejects_radius_exceeding_bits(spark):
+    import pytest as _pytest
+
+    from async_pipes_spark.functions.dedup import simhash, simhash_pairs
+
+    docs = spark.createDataFrame([(1, "a b"), (2, "a c")], "doc_id bigint, text string")
+    sigs = simhash(docs, bits=16)
+    with _pytest.raises(ValueError, match="exceeds signature bits"):
+        simhash_pairs(sigs, radius=20, bits=16)
+
+
+def test_resample_quarter_unit_and_alias_rejection(spark):
+    """'quarter' steps as 3 months; date_trunc shorthand aliases are
+    rejected instead of producing a broken interval."""
+    import datetime
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from async_pipes_spark.operators.resample import resample_ffill
+
+    rows = [
+        (1, datetime.datetime(2024, 1, 15), 10),
+        (1, datetime.datetime(2024, 7, 2), 30),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, v bigint")
+    out = resample_ffill(
+        df, ts_col="ts", key_col="user_id",
+        agg_cols={"total": F.sum("v")}, fill_cols=["total"], unit="quarter",
+    ).collect()
+    # Q1 observed, Q2 gap-filled (carried 10), Q3 observed
+    assert [(r.bucket.month, r.total) for r in sorted(out, key=lambda r: r.bucket)] == [
+        (1, 10), (4, 10), (7, 30),
+    ]
+    with _pytest.raises(ValueError, match="unit must be one of"):
+        resample_ffill(
+            df, ts_col="ts", key_col="user_id",
+            agg_cols={"total": F.sum("v")}, fill_cols=["total"], unit="dd",
+        )

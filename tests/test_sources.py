@@ -1111,3 +1111,50 @@ def test_cdc_merge_randomized_against_python_model(spark, tmp_path):
             .collect()
         )
         assert got == want, (seed, got, want)
+
+
+def test_merge_upsert_boolean_partition_emptied_dir_removed(spark, tmp_path):
+    """Boolean partition values write as p=true/p=false; the emptied-
+    partition cleanup must hit those exact paths (str(True) is 'True'
+    — a silent no-op delete would leave the stale duplicate)."""
+    from async_pipes_spark.sources.sinks import merge_upsert
+
+    tgt = str(tmp_path / "bp")
+    spark.createDataFrame(
+        [(1, True, "a"), (2, False, "b")], "k bigint, p boolean, s string"
+    ).coalesce(1).write.partitionBy("p").parquet(tgt)
+    # move k=1 from p=true to p=false -> p=true empties
+    merge_upsert(
+        spark,
+        tgt,
+        spark.createDataFrame([(1, False, "a2")], "k bigint, p boolean, s string"),
+        ["k"],
+        partition_by=["p"],
+    )
+    # partition columns read back as strings (Spark's partition-type
+    # inference has no boolean); the values must be lowercase
+    got = sorted((r.k, str(r.p).lower(), r.s) for r in spark.read.parquet(tgt).collect())
+    assert got == [(1, "false", "a2"), (2, "false", "b")]
+    assert not (tmp_path / "bp" / "p=true").exists()
+
+
+def test_merge_upsert_many_partitions_uses_join_pruning(spark, tmp_path):
+    """Past the OR-chain threshold (>64 touched partitions) the merge
+    switches to broadcast semi-join pruning — same result, O(1) plan
+    size in partition count."""
+    from async_pipes_spark.sources.sinks import merge_upsert
+
+    tgt = str(tmp_path / "mp")
+    rows = [(i, f"p{i:03d}", "old") for i in range(100)]
+    spark.createDataFrame(rows, "k bigint, p string, s string").repartition(
+        4
+    ).write.partitionBy("p").parquet(tgt)
+    updates = spark.createDataFrame(
+        [(i, f"p{i:03d}", "new") for i in range(80)], "k bigint, p string, s string"
+    )
+    merge_upsert(spark, tgt, updates, ["k"], partition_by=["p"],
+                 keys_partition_stable=True)
+    out = {r.k: r.s for r in spark.read.parquet(tgt).collect()}
+    assert len(out) == 100
+    assert all(out[k] == "new" for k in range(80))
+    assert all(out[k] == "old" for k in range(80, 100))
