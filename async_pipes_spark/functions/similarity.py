@@ -178,6 +178,14 @@ def ivf_assign(
         _collect_block(centroids.select(id_col, vec_col), "centroid"),
         key=lambda r: r[0],
     )
+    if not cent_rows:
+        # same guard as ivf_topk, BEFORE building Cm: an empty block is
+        # a 1-d array and the dot kernels index shape[1] (IndexError);
+        # assignment with zero cells has no meaningful output
+        raise ValueError(
+            "no centroid rows to assign against; pass kmeans_centroids(...) "
+            "or a non-empty centroid frame"
+        )
     cent_ids = np.array([r[0] for r in cent_rows], dtype=np.int64)
     Cm = np.array([np.asarray(r[1], dtype=np.float32) for r in cent_rows])
     cn = np.sqrt(seq_f32_self_dots(Cm).astype(np.float64))
@@ -243,11 +251,17 @@ def kmeans_centroids(
     denom = 1_000_000_000
     frac = min(1.0, (max_sample * 1.05) / n)
     thresh = max(1, math.ceil(frac * denom))
+    # truncate the ~5% oversample in HASH order, not id order: id-order
+    # truncation would systematically exclude the top of the id range
+    # (the newest data, when ids track ingestion) from centroid
+    # training; hash order keeps the cut unbiased and deterministic
+    hv = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(denom))
     rows = (
-        corpus.select(id_col, vec_col)
-        .filter(F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(denom)) < thresh)
-        .orderBy(id_col)
+        corpus.select(id_col, vec_col, hv.alias("_hv"))
+        .filter(F.col("_hv") < thresh)
+        .orderBy("_hv", id_col)
         .limit(max_sample)
+        .select(id_col, vec_col)
         .collect()
     )
     X = np.array([np.asarray(r[1], dtype=np.float32) for r in rows], dtype=np.float32)

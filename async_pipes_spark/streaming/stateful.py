@@ -38,8 +38,15 @@ def stateful_fold_per_user(events: DataFrame) -> DataFrame:
         for pdf in batches:
             n += len(pdf)
             # integer-cents accumulation: exact & order-independent
-            # (floor(x*100 + 0.5) — the shared micro-units formula)
-            cents += int(np.floor(pdf["value"].to_numpy() * 100.0 + 0.5).astype("int64").sum())
+            # (floor(x*100 + 0.5) — the shared micro-units formula).
+            # NULL values arrive as NaN, and floor(NaN).astype(int64)
+            # is INT64_MIN garbage that would permanently corrupt the
+            # checkpointed total — mask them out, matching the
+            # null-skipping SUM of the batch-fold oracle (n still
+            # counts the row, like COUNT(*))
+            vals = pdf["value"].to_numpy(dtype="float64")
+            vals = vals[~np.isnan(vals)]
+            cents += int(np.floor(vals * 100.0 + 0.5).astype("int64").sum())
         state.update((n, cents))
         yield pd.DataFrame({"user_id": [key[0]], "n": [n], "cents": [cents]})
 

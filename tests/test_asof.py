@@ -104,3 +104,86 @@ def test_asof_rejects_column_collision(spark, frames):
     trades, quotes = frames
     with pytest.raises(ValueError, match="collide"):
         asof_join(trades, quotes.withColumnRenamed("px", "qty"), on="ts", by="sym")
+
+
+def test_asof_match_is_one_row_not_per_column_carry(spark):
+    """The matched payload must come from ONE right row: with sparse
+    payload columns, per-column carries would assemble x from an older
+    row and y from a newer one — a row that never existed."""
+    import datetime as dt
+
+    from async_pipes_spark.operators.asof import asof_join
+
+    t = dt.datetime
+    right = spark.createDataFrame(
+        [("A", t(2024, 1, 1, 10, 0, 0), 1, None),
+         ("A", t(2024, 1, 1, 10, 0, 2), None, 2)],
+        "sym string, ts timestamp, x bigint, y bigint",
+    )
+    left = spark.createDataFrame(
+        [("A", t(2024, 1, 1, 10, 0, 3))], "sym string, ts timestamp"
+    )
+    row = asof_join(left, right, on="ts", by="sym").collect()[0]
+    # correct as-of (pandas/DuckDB): the 10:00:02 row — x NULL, y 2
+    assert (row.x, row.y) == (None, 2)
+
+
+def test_asof_null_right_timestamp_never_matches(spark):
+    """A right row with NULL timestamp must not be reported as a match
+    (nulls-first sort would put it at the head of every window); a left
+    row with NULL timestamp gets a NULL match."""
+    import datetime as dt
+
+    from async_pipes_spark.operators.asof import asof_join
+
+    t = dt.datetime
+    right = spark.createDataFrame(
+        [("A", None, 7.0), ("A", t(2024, 1, 1, 10, 0, 5), 10.5)],
+        "sym string, ts timestamp, px double",
+    )
+    left = spark.createDataFrame(
+        [("A", t(2024, 1, 1, 10, 0, 1)), ("A", None)],
+        "sym string, ts timestamp",
+    )
+    got = {r.ts: r.px for r in asof_join(left, right, on="ts", by="sym").collect()}
+    assert got[t(2024, 1, 1, 10, 0, 1)] is None   # no quote at/before
+    assert got[None] is None                       # null left ts: no match
+
+
+def test_asof_duplicate_instant_tiebreak_is_partition_invariant(spark):
+    """Duplicate right rows at one (by, on) instant resolve identically
+    under any partitioning (full-row-hash tie-break)."""
+    import datetime as dt
+
+    from async_pipes_spark.operators.asof import asof_join
+
+    t = dt.datetime
+    rows = [("A", t(2024, 1, 1, 10, 0, 0), float(p)) for p in (1, 2, 3)]
+    left = spark.createDataFrame(
+        [("A", t(2024, 1, 1, 10, 0, 1))], "sym string, ts timestamp"
+    )
+    picks = set()
+    for parts in (1, 3, 7):
+        right = spark.createDataFrame(
+            rows, "sym string, ts timestamp, px double"
+        ).repartition(parts)
+        picks.add(asof_join(left, right, on="ts", by="sym").collect()[0].px)
+    assert len(picks) == 1
+
+
+def test_asof_rejects_reserved_columns(spark):
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from async_pipes_spark.operators.asof import asof_join
+
+    t = dt.datetime
+    left = spark.createDataFrame(
+        [("A", t(2024, 1, 1), 1)], "sym string, ts timestamp, _src bigint"
+    )
+    right = spark.createDataFrame(
+        [("A", t(2024, 1, 1), 1.0)], "sym string, ts timestamp, px double"
+    )
+    with _pytest.raises(ValueError, match="reserved"):
+        asof_join(left, right, on="ts", by="sym")
