@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from async_pipes_spark.session import pin as _pin
+
 
 def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, cnt) over whitespace tokens — the corpus reduction BPE
@@ -91,7 +93,7 @@ def _checkpointed_words(docs: DataFrame, text_col: str) -> DataFrame:
     return (
         word_frequencies(docs, text_col)
         .withColumn("seq", _initial_seq())
-        .localCheckpoint(eager=True)
+        .transform(_pin)
     )
 
 

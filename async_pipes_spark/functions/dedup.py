@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from async_pipes_spark.session import pin as _pin
+
 from async_pipes_spark.functions.text import fingerprint
 from async_pipes_spark.functions.vectors import micro_units
 from async_pipes_spark.operators.partitioning import fan_out
@@ -467,10 +469,10 @@ def dedup_group_labels(
     edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
+    ).transform(_pin)
     labels = edges.select(F.col("src").alias("v")).distinct().select(
         "v", F.col("v").alias("lbl")
-    ).localCheckpoint(eager=True)
+    ).transform(_pin)
 
     for _ in range(max_iterations):
         nbr_min = (
@@ -485,7 +487,7 @@ def dedup_group_labels(
                 F.col("lbl").alias("old"),
                 F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"),
             )
-            .localCheckpoint(eager=True)
+            .transform(_pin)
         )
         if proposed.filter(F.col("lbl") < F.col("old")).isEmpty():
             break
@@ -648,7 +650,7 @@ def connected_components_star(
     e = pairs.select(
         F.greatest(F.col(a_col), F.col(b_col)).alias("u"),
         F.least(F.col(a_col), F.col(b_col)).alias("v"),
-    ).filter(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=True)
+    ).filter(F.col("u") != F.col("v")).distinct().transform(_pin)
 
     def large_star(edges: DataFrame) -> DataFrame:
         sym = edges.unionByName(
@@ -683,7 +685,7 @@ def connected_components_star(
             large_star(e).select(
                 F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
             )
-        ).localCheckpoint(eager=True)
+        ).transform(_pin)
         stable = (
             after.exceptAll(e).isEmpty() and e.exceptAll(after).isEmpty()
         )

@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from async_pipes_spark.session import pin as _pin
+
 
 def pagerank_micro(
     edges: DataFrame,
@@ -51,10 +53,10 @@ def pagerank_micro(
         e.select(F.col("_s").alias("node"))
         .unionByName(e.select(F.col("_t").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(_pin)
     )
     outdeg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_d"))
-    e = e.join(outdeg, "_s").localCheckpoint(eager=True)
+    e = e.join(outdeg, "_s").transform(_pin)
 
     ranks = nodes.select("node", F.lit(1_000_000).cast("bigint").alias("rank_micro"))
     for _ in range(iterations):
@@ -75,7 +77,7 @@ def pagerank_micro(
                 .cast("bigint")
                 .alias("rank_micro"),
             )
-            .localCheckpoint(eager=True)
+            .transform(_pin)
         )
     return ranks
 
@@ -101,7 +103,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(_pin)
     )
     e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
     wedges = e1.join(e2, F.col("e1.v") == F.col("e2.u")).select(

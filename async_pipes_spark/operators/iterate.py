@@ -9,9 +9,12 @@ to a shrinking frontier DataFrame and stops when the frontier is empty —
 the exact analogue of "zero records in flight".
 
 Scale notes (100 TB):
-- ``localCheckpoint`` each iteration truncates lineage so plans don't
-  grow unboundedly; on a real cluster prefer ``checkpoint()`` with a
-  reliable checkpoint dir (localCheckpoint dies with an executor).
+- every iteration materializes through :func:`session.pin`, which
+  truncates lineage so plans don't grow unboundedly. The default is
+  ``localCheckpoint`` (fast, executor-local); call
+  ``session.enable_reliable_checkpoints(spark, dir)`` before a long
+  run to switch EVERY engine loop to reliable ``checkpoint()`` so an
+  executor loss mid-iteration can't kill the job.
 - The frontier stays distributed; nothing is collected to the driver.
   ``isEmpty`` is a cheap limit-1 job.
 - ``max_iterations`` is a guard against non-contracting bodies, like the
@@ -25,13 +28,17 @@ from functools import reduce
 
 from pyspark.sql import DataFrame
 
+from async_pipes_spark.session import pin as _pin
+
 DEFAULT_MAX_ITERATIONS = 200
 
 
 def _materialize(df: DataFrame, eager: bool) -> DataFrame:
-    # localCheckpoint(eager=True) both truncates lineage and caches the
-    # iteration result so isEmpty + the next step don't recompute.
-    return df.localCheckpoint(eager=eager)
+    # pin() both truncates lineage and caches the iteration result so
+    # isEmpty + the next step don't recompute (localCheckpoint, or
+    # reliable checkpoint when the session opted in).
+    del eager  # always eager — lazy pins defeat the emptiness probe
+    return _pin(df)
 
 
 def iterate(

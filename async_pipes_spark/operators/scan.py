@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from async_pipes_spark.session import pin as _pin
+
 
 def prefix_sum(
     df: DataFrame,
@@ -61,7 +63,7 @@ def prefix_sum(
     ranged = (
         df.repartitionByRange(n, order_col)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .transform(_pin)
     )
     # bounded collect: one row per partition (pid, min_key, total).
     # count vs count(order_col) also flags NULL keys without an extra

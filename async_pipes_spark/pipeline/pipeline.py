@@ -22,6 +22,9 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
+from async_pipes_spark.session import pin as _pin
+
+
 from async_pipes_spark.pipeline.builder import NoOutput, Stage
 
 MAX_CYCLE_ITERATIONS = 1000
@@ -282,7 +285,7 @@ class Pipeline:
         for p in internal_pipes:
             df = self._pipe_df(p)
             if df is not None:
-                frontier[p] = df.localCheckpoint(eager=True)
+                frontier[p] = df.transform(_pin)
 
         for _ in range(MAX_CYCLE_ITERATIONS):
             live = {p: df for p, df in frontier.items() if not df.isEmpty()}
@@ -301,10 +304,10 @@ class Pipeline:
                         nxt.setdefault(pipe, []).append(df)
                     else:
                         self._contrib.setdefault(pipe, []).append(
-                            df.localCheckpoint(eager=True)
+                            df.transform(_pin)
                         )
             frontier = {
-                p: _union_all(dfs).localCheckpoint(eager=True) for p, dfs in nxt.items()
+                p: _union_all(dfs).transform(_pin) for p, dfs in nxt.items()
             }
         else:
             raise RuntimeError(

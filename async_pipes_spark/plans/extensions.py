@@ -15,6 +15,8 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from async_pipes_spark.session import pin as _pin
+
 from async_pipes_spark.functions.bpe import bpe_encode_oracle_sql as _bpe_encode_oracle
 from async_pipes_spark.functions.bpe import bpe_oracle_sql as _bpe_oracle
 from async_pipes_spark.functions.sampling import _threshold_hex
@@ -520,20 +522,42 @@ def t13_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     table a staged training curriculum consumes.
 
     ntile needs a TOTAL order ((n_chars, doc_id) — deterministic on
-    any engine). Scale note: a global ntile is a single-partition sort
-    in Spark; at corpus scale you'd bin by PRE-COMPUTED quantile cut
-    points (r9's approx path) instead — this query is the exact,
-    oracle-checkable form of that contract at driver-window size."""
-    docs = load_table(spark, sf_dir, "documents")
-    from pyspark.sql import Window
+    any engine), but a global ``ntile() OVER (ORDER BY ...)`` is a
+    single-partition window — the whole corpus through ONE task. The
+    scale path used here: global ranks from the distributed two-phase
+    prefix scan (operators.scan.prefix_sum — range partitioning +
+    per-partition windows + driver-prefixed offsets; the only window
+    is partitioned by the range-partition id), then the EXACT ntile
+    bucket computed arithmetically from (rank, N): the first N mod 4
+    buckets take ceil(N/4) rows, the rest floor(N/4) — bit-identical
+    to the oracle's ntile(4) at any partitioning (plan-tested: no
+    unpartitioned window, no ntile)."""
+    from async_pipes_spark.operators.scan import prefix_sum
 
-    w = Window.orderBy("n_chars", "doc_id")
-    binned = docs.select(
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
         "doc_id",
         "lang",
         "n_chars",
         token_count_ws("text").cast("bigint").alias("toks"),
-        F.ntile(4).over(w).cast("bigint").alias("bin"),
+        # one sortable composite key == ORDER BY (n_chars, doc_id)
+        # (both BIGINT and non-negative in this corpus; t14's idiom)
+        F.format_string("%019d%019d", "n_chars", "doc_id").alias("_okey"),
+        F.lit(1).cast("bigint").alias("_one"),
+    )
+    ranked = prefix_sum(base, "_okey", "_one", out_col="_rank")
+    n_row = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("_N"))
+    # ntile(4) closed form: base = N div 4, rem = N mod 4; the ELSE
+    # branch is unreachable when base = 0 (rank <= N = rem there), and
+    # greatest(base, 1) keeps it crash-proof under ANSI regardless
+    binned = ranked.crossJoin(F.broadcast(n_row)).selectExpr(
+        "lang",
+        "n_chars",
+        "toks",
+        "CASE WHEN _rank <= (_N % 4) * ((_N div 4) + 1) "
+        "THEN (_rank - 1) div ((_N div 4) + 1) + 1 "
+        "ELSE (_N % 4) + (_rank - 1 - (_N % 4) * ((_N div 4) + 1))"
+        " div greatest(_N div 4, 1) + 1 END AS bin",
     )
     return (
         binned.groupBy("bin")
@@ -1462,7 +1486,7 @@ def s20_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         session.read.parquet(lake)
         .select(*cols)
         .orderBy("user_id")
-        .localCheckpoint(eager=True)
+        .transform(_pin)
     )
     shutil.rmtree(base, ignore_errors=True)
     return out
@@ -1534,7 +1558,7 @@ def s22_stream_cdc_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(~F.coalesce(F.col("dead"), F.lit(False)))
         .select(*cols)
         .orderBy("user_id")
-        .localCheckpoint(eager=True)
+        .transform(_pin)
     )
     shutil.rmtree(base, ignore_errors=True)
     return out
@@ -1606,7 +1630,7 @@ def s21_stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
     out = (
         session.read.parquet(view)
         .orderBy("user_id", "bucket")
-        .localCheckpoint(eager=True)
+        .transform(_pin)
     )
     shutil.rmtree(base, ignore_errors=True)
     return out
@@ -2199,19 +2223,21 @@ EXTENSION_ORACLES = {
                   FROM gated)
             WHERE rn = 1
         ),
-        t AS (SELECT lang, CAST(SUM(toks) AS BIGINT) AS tok_total
+        t AS (SELECT lang, CAST(SUM(toks) AS BIGINT) AS tok_total,
+                     CAST(CASE lang WHEN 'en' THEN 300000
+                                    WHEN 'de' THEN 175000
+                                    WHEN 'es' THEN 175000
+                                    WHEN 'fr' THEN 175000
+                                    WHEN 'zh' THEN 175000
+                                    ELSE 0 END AS BIGINT) AS w_ppm
               FROM deduped GROUP BY lang),
         r AS (
             SELECT lang,
-                   CASE WHEN tok_total = 0 THEN CAST(1000000 AS BIGINT)
+                   CASE WHEN tok_total = 0 THEN
+                       CASE WHEN w_ppm > 0 THEN CAST(1000000 AS BIGINT)
+                            ELSE CAST(0 AS BIGINT) END
                    ELSE LEAST(CAST(1000000 AS BIGINT),
-                         ((CAST(5000 AS BIGINT) *
-                           (CASE lang WHEN 'en' THEN 300000
-                                      WHEN 'de' THEN 175000
-                                      WHEN 'es' THEN 175000
-                                      WHEN 'fr' THEN 175000
-                                      WHEN 'zh' THEN 175000
-                                      ELSE 0 END)) // 1000000)
+                         ((CAST(5000 AS BIGINT) * w_ppm) // 1000000)
                          * CAST(1000000 AS BIGINT) // tok_total) END AS rate_ppm
             FROM t
         ),
@@ -2222,7 +2248,7 @@ EXTENSION_ORACLES = {
                OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 10)
                   < printf('%010x', r.rate_ppm * 1099511627776 // 1000000)
         )
-        SELECT lang, COUNT(*) AS n_docs, SUM(toks) AS kept_tokens,
+        SELECT lang, COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS kept_tokens,
                MIN(rate_ppm) AS rate_ppm
         FROM kept GROUP BY lang ORDER BY lang
     """,
@@ -2272,7 +2298,8 @@ EXTENSION_ORACLES = {
                    CAST(ntile(4) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS bin
             FROM documents
         )
-        SELECT bin, COUNT(*) AS n_docs, SUM(toks) AS total_tokens,
+        SELECT bin, COUNT(*) AS n_docs,
+               CAST(SUM(toks) AS BIGINT) AS total_tokens,
                CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
                MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
         FROM binned GROUP BY bin ORDER BY bin
@@ -2285,19 +2312,21 @@ EXTENSION_ORACLES = {
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
             FROM documents
         ),
-        t AS (SELECT lang, CAST(SUM(toks) AS BIGINT) AS tok_total
+        t AS (SELECT lang, CAST(SUM(toks) AS BIGINT) AS tok_total,
+                     CAST(CASE lang WHEN 'en' THEN 300000
+                                    WHEN 'de' THEN 175000
+                                    WHEN 'es' THEN 175000
+                                    WHEN 'fr' THEN 175000
+                                    WHEN 'zh' THEN 175000
+                                    ELSE 0 END AS BIGINT) AS w_ppm
               FROM d GROUP BY lang),
         r AS (
             SELECT lang,
-                   CASE WHEN tok_total = 0 THEN CAST(1000000 AS BIGINT)
+                   CASE WHEN tok_total = 0 THEN
+                       CASE WHEN w_ppm > 0 THEN CAST(1000000 AS BIGINT)
+                            ELSE CAST(0 AS BIGINT) END
                    ELSE LEAST(CAST(1000000 AS BIGINT),
-                         ((CAST(6000 AS BIGINT) *
-                           (CASE lang WHEN 'en' THEN 300000
-                                      WHEN 'de' THEN 175000
-                                      WHEN 'es' THEN 175000
-                                      WHEN 'fr' THEN 175000
-                                      WHEN 'zh' THEN 175000
-                                      ELSE 0 END)) // 1000000)
+                         ((CAST(6000 AS BIGINT) * w_ppm) // 1000000)
                          * CAST(1000000 AS BIGINT) // tok_total) END AS rate_ppm
             FROM t
         ),
@@ -2308,7 +2337,7 @@ EXTENSION_ORACLES = {
                OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 10)
                   < printf('%010x', r.rate_ppm * 1099511627776 // 1000000)
         )
-        SELECT lang, COUNT(*) AS n_docs, SUM(toks) AS kept_tokens,
+        SELECT lang, COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS kept_tokens,
                MIN(rate_ppm) AS rate_ppm
         FROM kept GROUP BY lang ORDER BY lang
     """,

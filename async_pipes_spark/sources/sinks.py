@@ -454,7 +454,14 @@ def purge_tombstones(
     layout-blind flat rewrite would leave files where partition
     discovery never finds them again. Unpartitioned tables use
     copy-on-write staging + swap (commit caveats as
-    :func:`compact_small_files`). Returns the number of rows purged."""
+    :func:`compact_small_files`). Returns the number of rows purged.
+
+    Scale shape (partitioned): one column-pruned stats aggregation
+    gives the driver purged/affected/emptied in a single bounded
+    collect, then ONE pruned read feeds the dynamic overwrite —
+    affected-partition pruning switches from a literal predicate to a
+    broadcast semi join past 64 partitions, exactly as
+    :func:`merge_upsert` does."""
     import shutil
     import uuid
 
@@ -464,31 +471,68 @@ def purge_tombstones(
     doomed = F.coalesce(F.col(tombstone_col), F.lit(False))
     if horizon is not None:
         doomed = doomed & F.coalesce(horizon, F.lit(False))
-    purged = df.filter(doomed).count()
-    if purged == 0:
-        return 0
 
     if partition_by:
         from functools import reduce
 
-        affected = df.filter(doomed).select(*partition_by).distinct().collect()
-        pred = reduce(
-            Column.__or__,
-            [
-                reduce(
-                    Column.__and__,
-                    [F.col(c).eqNullSafe(F.lit(r[c])) for c in partition_by],
-                )
-                for r in affected
-            ],
+        # ONE column-pruned stats scan (partition cols + the flag/
+        # horizon columns only) yields everything the driver needs —
+        # purged count, affected partitions, partitions the purge
+        # EMPTIES — as one bounded collect (≤ one row per affected
+        # partition). The old shape read the full table three times
+        # (doomed count, affected collect, survivor-partition collect)
+        # before the write even started.
+        stats = (
+            df.groupBy(*partition_by)
+            .agg(
+                F.sum(F.when(doomed, 1).otherwise(0)).alias("_doomed"),
+                F.sum(F.when(~doomed, 1).otherwise(0)).alias("_live"),
+            )
+            .filter(F.col("_doomed") > 0)
+            .collect()
         )
-        survivors = df.filter(pred).filter(~doomed)
+        purged = sum(r["_doomed"] for r in stats)
+        if purged == 0:
+            return 0
+        affected = stats
         emptied = {
-            tuple(r[c] for c in partition_by) for r in affected
-        } - {
             tuple(r[c] for c in partition_by)
-            for r in survivors.select(*partition_by).distinct().collect()
+            for r in stats
+            if r["_live"] == 0
         }
+        if len(affected) <= 64:
+            # null-safe literal OR-chain statically prunes the scan to
+            # the affected partitions; past a few dozen the driver-built
+            # expression tree is replaced by a broadcast null-safe semi
+            # join (O(1) plan size) — the same switch merge_upsert uses
+            pred = reduce(
+                Column.__or__,
+                [
+                    reduce(
+                        Column.__and__,
+                        [
+                            F.col(c).eqNullSafe(F.lit(r[c]))
+                            for c in partition_by
+                        ],
+                    )
+                    for r in affected
+                ],
+            )
+            pruned = df.filter(pred)
+        else:
+            ak = spark.createDataFrame(
+                [tuple(r[c] for c in partition_by) for r in affected],
+                df.select(*partition_by).schema,
+            ).toDF(*[f"_ak_{c}" for c in partition_by])
+            cond = reduce(
+                Column.__and__,
+                [
+                    F.col(c).eqNullSafe(F.col(f"_ak_{c}"))
+                    for c in partition_by
+                ],
+            )
+            pruned = df.join(F.broadcast(ak), cond, "left_semi")
+        survivors = pruned.filter(~doomed)
         (
             survivors.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -499,6 +543,10 @@ def purge_tombstones(
             if tuple(r[c] for c in partition_by) in emptied:
                 _delete_partition_dir(spark, path, partition_by, r)
         return purged
+
+    purged = df.filter(doomed).count()
+    if purged == 0:
+        return 0
 
     staging = f"{path}__staging_{uuid.uuid4().hex[:8]}"
     try:

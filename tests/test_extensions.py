@@ -341,3 +341,57 @@ def test_resample_quarter_unit_and_alias_rejection(spark):
             df, ts_col="ts", key_col="user_id",
             agg_cols={"total": F.sum("v")}, fill_cols=["total"], unit="dd",
         )
+
+
+def test_ntile_closed_form_matches_spark_ntile(spark):
+    """t13's arithmetic bin assignment must reproduce ntile(4) EXACTLY
+    for every corpus size shape: rem = 0, rem > 0, and N < buckets
+    (where floor(N/4) = 0 and the closed form's ELSE branch must stay
+    unreachable). One job: each N is a window partition."""
+    sizes = [1, 2, 3, 4, 5, 7, 8, 11, 103, 500]
+    rows = [(n, r) for n in sizes for r in range(1, n + 1)]
+    df = spark.createDataFrame(rows, "grp bigint, rank bigint")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("grp").orderBy("rank")
+    got = (
+        df.withColumn("want", F.ntile(4).over(w).cast("bigint"))
+        .selectExpr(
+            "grp",
+            "rank",
+            "want",
+            "CASE WHEN rank <= (grp % 4) * ((grp div 4) + 1) "
+            "THEN (rank - 1) div ((grp div 4) + 1) + 1 "
+            "ELSE (grp % 4) + (rank - 1 - (grp % 4) * ((grp div 4) + 1))"
+            " div greatest(grp div 4, 1) + 1 END AS formula",
+        )
+        .filter("formula <> want")
+        .count()
+    )
+    assert got == 0
+
+
+def test_reliable_checkpoint_opt_in(spark, tmp_path):
+    """enable_reliable_checkpoints flips every engine iteration loop
+    from localCheckpoint to reliable checkpoint(): the loop still
+    converges to the same result AND its per-round state lands in the
+    configured directory (what survives an executor loss)."""
+    from pathlib import Path
+
+    from async_pipes_spark.operators.iterate import iterate
+    from async_pipes_spark.session import (
+        disable_reliable_checkpoints,
+        enable_reliable_checkpoints,
+    )
+
+    ckdir = tmp_path / "ck"
+    enable_reliable_checkpoints(spark, str(ckdir))
+    try:
+        start = spark.createDataFrame([(1,)], "n bigint")
+        out = iterate(start, lambda f: f.selectExpr("n * 2 AS n").filter("n < 20"))
+        assert sorted(r.n for r in out.collect()) == [1, 2, 4, 8, 16]
+        assert any(p.is_file() for p in Path(ckdir).rglob("*")), (
+            "reliable checkpoint wrote nothing to the configured dir"
+        )
+    finally:
+        disable_reliable_checkpoints(spark)

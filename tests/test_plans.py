@@ -212,6 +212,23 @@ def test_d10_survivor_removal_is_broadcast_anti_join(spark):
     assert "BroadcastHashJoin LeftAnti BuildRight" in txt, txt
 
 
+def test_t13_bins_have_no_global_window(spark):
+    """t13: curriculum binning must NOT run the corpus through a
+    single-partition ntile window — ranks come from the distributed
+    prefix scan, whose only window is partitioned by the range-
+    partition id. The whole-corpus-through-one-task funnel is the
+    classic 100 TB killer this pin guards against."""
+    from async_pipes_spark.plans.extensions import t13_curriculum_bins
+
+    txt = plan_text(t13_curriculum_bins(spark, SF_SMOKE), "formatted")
+    assert "ntile" not in txt, txt
+    # every windowspec is keyed by the scan's _pid partition column
+    specs = [l for l in txt.splitlines() if "windowspecdefinition(" in l]
+    assert specs, txt
+    for line in specs:
+        assert "_pid" in line, line
+
+
 def test_bpe2_encode_is_broadcast_vocab_join(spark):
     """bpe2: encoding joins the corpus against the once-segmented
     vocab via broadcast — the corpus side must not shuffle."""

@@ -1158,3 +1158,30 @@ def test_merge_upsert_many_partitions_uses_join_pruning(spark, tmp_path):
     assert len(out) == 100
     assert all(out[k] == "new" for k in range(80))
     assert all(out[k] == "old" for k in range(80, 100))
+
+
+def test_purge_tombstones_many_partitions_uses_join_pruning(spark, tmp_path):
+    """Past the OR-chain threshold (>64 affected partitions) the purge
+    switches to broadcast semi-join pruning — same result, O(1) plan
+    size in partition count — mirroring merge_upsert's switch."""
+    from async_pipes_spark.sources.sinks import purge_tombstones
+
+    tgt = str(tmp_path / "pp")
+    # 100 partitions; the first 80 hold a tombstone each, 40 of those
+    # hold nothing else (purge empties them)
+    rows = []
+    for i in range(100):
+        if i < 80:
+            rows.append((1000 + i, f"p{i:03d}", 1, True))
+        if i >= 40:
+            rows.append((i, f"p{i:03d}", 1, False))
+    spark.createDataFrame(
+        rows, "k bigint, p string, ver bigint, dead boolean"
+    ).repartition(4).write.partitionBy("p").parquet(tgt)
+    assert purge_tombstones(spark, tgt, "dead", partition_by=["p"]) == 80
+    out = spark.read.option("mergeSchema", "true").parquet(tgt)
+    assert out.filter("coalesce(dead, false)").count() == 0
+    assert sorted(r.k for r in out.collect()) == list(range(40, 100))
+    # partitions emptied by the purge lose their directories
+    assert not (tmp_path / "pp" / "p=p000").exists()
+    assert (tmp_path / "pp" / "p=p040").exists()
