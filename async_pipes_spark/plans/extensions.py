@@ -735,7 +735,14 @@ def t14_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.select(
             "term",
             "n",
-            F.expr("cum * 1000000 div total").alias("cum_ppm"),
+            # cum·1e6 overflows int64 once total corpus tokens pass
+            # ~9.2e12 (a day's crawl at 100 TB scale) — route the
+            # multiply through DECIMAL(38,0) (≈1e32 headroom; the
+            # oracle's HUGEINT path is the same exact integer floor)
+            F.expr(
+                "CAST((CAST(cum AS DECIMAL(38,0)) * 1000000)"
+                " div total AS BIGINT)"
+            ).alias("cum_ppm"),
             "okey",
         )
         .orderBy("okey")
@@ -1617,11 +1624,16 @@ def s21_stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         merge_upsert(sess, view, combined, key_cols=keys)
 
+    # the additive increment is NOT idempotent (unlike s20/s22's
+    # versioned merges), so a foreachBatch replay after a crash would
+    # double-count — batch-id markers make replays no-ops
+    from async_pipes_spark.streaming.run import once_per_batch
+
     q = (
         session.readStream.schema(session.read.parquet(incoming).schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(incoming)
-        .writeStream.foreachBatch(refresh)
+        .writeStream.foreachBatch(once_per_batch(refresh, f"{base}/_applied"))
         .option("checkpointLocation", f"{base}/_checkpoint")
         .trigger(availableNow=True)
         .start()
@@ -2270,7 +2282,9 @@ EXTENSION_ORACLES = {
                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
             FROM t
         )
-        SELECT term, n, cum * 1000000 // total AS cum_ppm
+        SELECT term, n,
+               CAST((CAST(cum AS HUGEINT) * 1000000) // total AS BIGINT)
+                   AS cum_ppm
         FROM o CROSS JOIN tot ORDER BY okey LIMIT 20
     """,
     # deletes ride the same argmax: live view = users whose latest

@@ -64,14 +64,26 @@ def _swap_directories(target_path: str, staging: str) -> None:
     directory, so this is two renames with a microsecond window between
     them; the long-running part (the write) never touches the target,
     and staging/backup are cleaned up whether or not the swap runs.
-    On object stores (S3/HDFS) directory rename is copy-or-unsupported —
+    On object stores (S3/HDFS) directory rename is copy-or-unsupported,
+    so non-local URIs are REJECTED here — unpartitioned tables on an
+    object store must be manifest tables (:func:`write_manifest_table`:
+    immutable versioned data dirs + a single-object pointer commit), or
     use the partitioned dynamic-overwrite path of :func:`merge_upsert`
-    (Spark's commit protocol handles staging there) or a real table
-    format (Delta/Iceberg) instead."""
+    (Spark's commit protocol handles staging there)."""
     import os
     import shutil
     import uuid
 
+    scheme = target_path.split("://", 1)[0] if "://" in target_path else ""
+    if scheme and scheme != "file":
+        raise ValueError(
+            f"directory-swap commit requires a local filesystem, got "
+            f"{scheme}:// — create the table with write_manifest_table() "
+            "(pointer-file commit, object-store-safe) or partition it "
+            "(dynamic-overwrite commit)"
+        )
+    target_path = target_path.removeprefix("file://")
+    staging = staging.removeprefix("file://")
     backup = f"{target_path}__old_{uuid.uuid4().hex[:8]}"
     os.rename(target_path, backup)
     try:
@@ -81,6 +93,106 @@ def _swap_directories(target_path: str, staging: str) -> None:
         os.rename(backup, target_path)
         raise
     shutil.rmtree(backup)
+
+
+#: pointer file naming the live data version of a manifest table
+_MANIFEST = "_MANIFEST"
+
+
+def _hadoop_fs(spark, path_str: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path_str)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p, jvm
+
+
+def manifest_version(spark, path: str) -> str | None:
+    """The live data version of a manifest table, or None if ``path``
+    is not one (no ``_MANIFEST`` pointer present)."""
+    fs, p, jvm = _hadoop_fs(spark, f"{path}/{_MANIFEST}")
+    if not fs.exists(p):
+        return None
+    # read through the Hadoop stream: Spark's own readers skip
+    # underscore-prefixed files (which is exactly why the pointer and
+    # the _data dir are underscore-named — a plain read of the table
+    # root never sees them)
+    stream = fs.open(p)
+    try:
+        content = jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+    return content.strip()
+
+
+def _resolve_table_path(spark, path: str) -> str:
+    """Data directory to READ for a table path: the live version dir of
+    a manifest table, or the path itself for a plain parquet dir."""
+    v = manifest_version(spark, path)
+    return f"{path}/_data/{v}" if v else path
+
+
+def _manifest_commit(spark, path: str, df: DataFrame) -> None:
+    """Commit ``df`` as the new live version of a manifest table.
+
+    Object-store-safe copy-on-write: the data lands in a fresh
+    IMMUTABLE ``_data/v_<uuid>`` directory (never touching live data —
+    a failure mid-write leaves an orphan dir, not a broken table), then
+    a tiny pointer file is replaced. On a real object store the pointer
+    PUT is atomic; on HDFS the tmp-write + rename is atomic; on the
+    tiny delete→rename window of other filesystems a crash leaves the
+    pointer MISSING — visible and recoverable (repoint at the newest
+    version dir), never silent data loss, because version dirs are
+    immutable. Versions older than the previous one are garbage-
+    collected AFTER the commit, so in-flight readers that resolved the
+    prior version finish against intact files."""
+    import uuid
+
+    version = f"v_{uuid.uuid4().hex[:12]}"
+    df.write.mode("error").parquet(f"{path}/_data/{version}")
+    prev = manifest_version(spark, path)
+    fs, man_p, jvm = _hadoop_fs(spark, f"{path}/{_MANIFEST}")
+    tmp_p = jvm.org.apache.hadoop.fs.Path(
+        f"{path}/{_MANIFEST}.tmp.{uuid.uuid4().hex[:8]}"
+    )
+    out = fs.create(tmp_p, True)
+    try:
+        out.write(bytearray(f"{version}\n".encode()))
+    finally:
+        out.close()
+    fs.delete(man_p, False)
+    if not fs.rename(tmp_p, man_p):
+        raise OSError(f"manifest pointer rename failed for {path}")
+    # GC: keep the new live version and its predecessor (one full
+    # commit cycle of grace for concurrent readers); drop older ones
+    keep = {version, prev} - {None}
+    data_p = jvm.org.apache.hadoop.fs.Path(f"{path}/_data")
+    for st in fs.listStatus(data_p):
+        name = st.getPath().getName()
+        if name not in keep:
+            fs.delete(st.getPath(), True)
+
+
+def write_manifest_table(spark, df: DataFrame, path: str) -> None:
+    """Create (or fully rewrite) an UNPARTITIONED manifest table: data
+    lives in immutable ``_data/v_*`` dirs, a ``_MANIFEST`` pointer file
+    names the live one, and every commit is a single-object pointer
+    replace — the object-store-safe alternative to the local-FS
+    directory swap. :func:`merge_upsert`, :func:`purge_tombstones` and
+    :func:`compact_small_files` detect the pointer automatically and
+    commit through it; read the table via :func:`read_manifest_table`
+    (plain ``spark.read.parquet`` on the root would see every
+    version)."""
+    _manifest_commit(spark, path, df)
+
+
+def read_manifest_table(spark, path: str) -> DataFrame:
+    """Read the live version of a manifest table (mergeSchema, matching
+    the engine's CDC read discipline)."""
+    v = manifest_version(spark, path)
+    if v is None:
+        raise ValueError(f"not a manifest table (no {_MANIFEST}): {path}")
+    return spark.read.option("mergeSchema", "true").parquet(f"{path}/_data/{v}")
 
 
 _PART_SAFE = set("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789._-")
@@ -229,10 +341,18 @@ def merge_upsert(
     # inference can pick an old file and silently drop the newer
     # columns — for tombstones that resurrected deleted keys (caught
     # by live repro, not theory)
-    if tombstone_col or allow_schema_evolution:
-        existing = spark.read.option("mergeSchema", "true").parquet(target_path)
+    read_path = _resolve_table_path(spark, target_path)
+    is_manifest = read_path != target_path
+    if is_manifest and partition_by:
+        raise ValueError(
+            "manifest tables are unpartitioned (their commit unit is the "
+            "whole version); partitioned lakes use dynamic overwrite, "
+            "which is already object-store-safe"
+        )
+    if tombstone_col or allow_schema_evolution or is_manifest:
+        existing = spark.read.option("mergeSchema", "true").parquet(read_path)
     else:
-        existing = spark.read.parquet(target_path)
+        existing = spark.read.parquet(read_path)
     flag = {tombstone_col} if tombstone_col else set()
     added = (set(updates.columns) - flag) - set(existing.columns)
     if allow_schema_evolution and added:
@@ -420,6 +540,10 @@ def merge_upsert(
         return
 
     merged = _merge(existing)
+    if is_manifest:
+        # object-store-safe: new immutable version dir + pointer commit
+        _manifest_commit(spark, target_path, merged)
+        return
     staging = f"{target_path}__staging_{uuid.uuid4().hex[:8]}"
     try:
         merged.write.mode("overwrite").parquet(staging)
@@ -465,7 +589,11 @@ def purge_tombstones(
     import shutil
     import uuid
 
-    df = spark.read.option("mergeSchema", "true").parquet(path)
+    read_path = _resolve_table_path(spark, path)
+    is_manifest = read_path != path
+    if is_manifest and partition_by:
+        raise ValueError("manifest tables are unpartitioned")
+    df = spark.read.option("mergeSchema", "true").parquet(read_path)
     if tombstone_col not in df.columns:
         raise ValueError(f"tombstone_col not in table: {tombstone_col}")
     doomed = F.coalesce(F.col(tombstone_col), F.lit(False))
@@ -548,6 +676,9 @@ def purge_tombstones(
     if purged == 0:
         return 0
 
+    if is_manifest:
+        _manifest_commit(spark, path, df.filter(~doomed))
+        return purged
     staging = f"{path}__staging_{uuid.uuid4().hex[:8]}"
     try:
         df.filter(~doomed).write.mode("overwrite").parquet(staging)
@@ -577,9 +708,17 @@ def compact_small_files(
     import shutil
     import uuid
 
-    df = spark.read.parquet(path)
+    read_path = _resolve_table_path(spark, path)
+    df = spark.read.parquet(read_path)
     n = df.count()
     files = max(1, math.ceil(n / target_rows_per_file))
+    if read_path != path:
+        _manifest_commit(spark, path, df.repartition(files))
+        live = _resolve_table_path(spark, path).removeprefix("file://")
+        return sum(
+            1 for f in os.listdir(live)
+            if f.endswith(".parquet") and f.startswith("part-")
+        )
     staging = f"{path}__staging_{uuid.uuid4().hex[:8]}"
     try:
         df.repartition(files).write.mode("overwrite").parquet(staging)

@@ -196,3 +196,35 @@ def run_foreach_batch_routes(df: DataFrame, routes: dict, base_dir: str) -> dict
     )
     q.awaitTermination()
     return paths
+
+
+def once_per_batch(fn, marker_dir: str):
+    """Make a non-idempotent ``foreachBatch`` body effectively
+    exactly-once: ``foreachBatch`` is AT-LEAST-ONCE (a batch whose
+    writer crashed after committing but before the checkpoint advanced
+    is re-executed on restart), which double-applies any ADDITIVE
+    refresh — a versioned/idempotent merge shrugs off the replay, an
+    increment does not. The standard guard (the one Spark's own
+    foreachBatch docs prescribe) is batch-id dedup: a marker file per
+    applied batch id; replays of recorded batches become no-ops.
+
+    Markers go through the Hadoop FileSystem, so file:// and object
+    stores behave alike. The marker is written AFTER ``fn`` returns —
+    a crash inside the window between the body's own commit and the
+    marker leaves one batch replayable (the window is the marker
+    write, not the whole batch). Closing even that requires committing
+    data + batch id in ONE atomic operation (a versioned merge keyed
+    on batch id, or a transactional table format).
+    """
+
+    def wrapped(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        jvm = spark._jvm
+        marker = jvm.org.apache.hadoop.fs.Path(f"{marker_dir}/batch_{batch_id}")
+        fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(marker):
+            return
+        fn(batch, batch_id)
+        fs.create(marker, True).close()
+
+    return wrapped

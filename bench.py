@@ -107,16 +107,23 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf_dir
+    # key order matters: the verification driver records only the LAST
+    # 2000 characters of stdout, so the round-over-round comparables —
+    # the declared per-query timings and the suite totals — go at the
+    # END of the (single) JSON line; the big all-query dict goes first
+    # and may be truncated in the driver's record (it is still complete
+    # here on stdout for local use)
     print(
         json.dumps(
             {
-                "metric": "declared_query_suite_wall_clock",
-                "value": declared_total,
-                "unit": "sec",
                 "queries": timings,
+                "metric": "declared_query_suite_wall_clock",
+                "unit": "sec",
+                "sf": sf_val,
                 "extensions_sec": ext_total,
                 "declared_prepared_sec": round(sum(prepared.values()), 4),
-                "sf": sf_val,
+                "declared": {q: timings[q] for q in DECLARED_QUERIES},
+                "value": declared_total,
             }
         )
     )

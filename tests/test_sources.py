@@ -1185,3 +1185,178 @@ def test_purge_tombstones_many_partitions_uses_join_pruning(spark, tmp_path):
     # partitions emptied by the purge lose their directories
     assert not (tmp_path / "pp" / "p=p000").exists()
     assert (tmp_path / "pp" / "p=p040").exists()
+
+
+def test_manifest_table_merge_commit_and_gc(spark, tmp_path):
+    """Manifest tables: merge commits through the pointer file (never a
+    directory rename — the object-store-safe path), the live version
+    reads back correctly, and version GC keeps exactly live+previous."""
+    from async_pipes_spark.sources.sinks import (
+        manifest_version,
+        merge_upsert,
+        read_manifest_table,
+        write_manifest_table,
+    )
+
+    tgt = str(tmp_path / "mt")
+    write_manifest_table(
+        spark,
+        spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, s string"),
+        tgt,
+    )
+    v0 = manifest_version(spark, tgt)
+    merge_upsert(
+        spark, tgt,
+        spark.createDataFrame([(2, "B"), (3, "c")], "k bigint, s string"),
+        ["k"],
+    )
+    v1 = manifest_version(spark, tgt)
+    assert v1 != v0
+    got = {r.k: r.s for r in read_manifest_table(spark, tgt).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+    merge_upsert(
+        spark, tgt,
+        spark.createDataFrame([(4, "d")], "k bigint, s string"),
+        ["k"],
+    )
+    # GC keeps live + previous only; v0 is gone
+    versions = {p.name for p in (tmp_path / "mt" / "_data").iterdir()}
+    assert manifest_version(spark, tgt) in versions
+    assert v1 in versions and v0 not in versions
+    assert len(versions) == 2
+    assert read_manifest_table(spark, tgt).count() == 4
+
+
+def test_manifest_table_crash_during_write_leaves_table_intact(spark, tmp_path):
+    """Crash injection: an update batch that dies mid-write must leave
+    the pointer on the old version and the old data fully readable —
+    immutable version dirs mean a failed commit is an orphan dir, not a
+    broken table."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from async_pipes_spark.sources.sinks import (
+        manifest_version,
+        merge_upsert,
+        read_manifest_table,
+        write_manifest_table,
+    )
+
+    tgt = str(tmp_path / "mc")
+    write_manifest_table(
+        spark, spark.createDataFrame([(1, "a")], "k bigint, s string"), tgt
+    )
+    v0 = manifest_version(spark, tgt)
+    boom = F.udf(lambda s: exec('raise RuntimeError("boom")'), "string")
+    bad = spark.createDataFrame([(1, "x")], "k bigint, s string").select(
+        "k", boom("s").alias("s")
+    )
+    with _pytest.raises(Exception):
+        merge_upsert(spark, tgt, bad, ["k"])
+    assert manifest_version(spark, tgt) == v0
+    assert [tuple(r) for r in read_manifest_table(spark, tgt).collect()] == [(1, "a")]
+
+
+def test_swap_rejects_object_store_uri(tmp_path):
+    """The local-FS directory swap must refuse non-file URIs with
+    guidance instead of failing obscurely (or copying) on an object
+    store."""
+    import pytest as _pytest
+
+    from async_pipes_spark.sources.sinks import _swap_directories
+
+    with _pytest.raises(ValueError, match="manifest"):
+        _swap_directories("s3://bucket/table", "s3://bucket/table__staging")
+
+
+def test_manifest_purge_and_compact(spark, tmp_path):
+    """purge_tombstones and compact_small_files detect the pointer and
+    commit new versions instead of swapping directories."""
+    from async_pipes_spark.sources.sinks import (
+        compact_small_files,
+        purge_tombstones,
+        read_manifest_table,
+        write_manifest_table,
+    )
+
+    tgt = str(tmp_path / "mp2")
+    write_manifest_table(
+        spark,
+        spark.createDataFrame(
+            [(1, True), (2, False), (3, None)], "k bigint, dead boolean"
+        ),
+        tgt,
+    )
+    assert purge_tombstones(spark, tgt, "dead") == 1
+    assert sorted(r.k for r in read_manifest_table(spark, tgt).collect()) == [2, 3]
+    assert compact_small_files(spark, tgt, target_rows_per_file=10) == 1
+    assert sorted(r.k for r in read_manifest_table(spark, tgt).collect()) == [2, 3]
+
+
+def test_cdc_upsert_delete_evolve_randomized_model(spark, tmp_path):
+    """Randomized property over the FULL CDC feature set interleaved:
+    a changelog whose later half carries a new column (additive schema
+    evolution), with deletes mixed in, partitioned into batches and
+    applied in any order, converges to the Python model's per-key
+    argmax — evolution, tombstones and versioned resolution compose.
+    Batches lacking the evolved column that replay after evolution are
+    conformed with NULL (the engine errors on missing columns by
+    design; the replayer owns the upcast)."""
+    import random
+
+    from async_pipes_spark.sources.sinks import merge_upsert
+
+    for seed in (5, 41):
+        rng = random.Random(seed)
+        changes = []
+        ver = 0
+        for _ in range(60):
+            ver += 1
+            has_extra = ver > 30
+            extra = f"e{ver}" if has_extra else None
+            changes.append(
+                (rng.randrange(10), ver, f"v{ver}", rng.random() < 0.25,
+                 extra, has_extra)
+            )
+        latest = {}
+        for k, v, s, dead, extra, _he in changes:
+            if k not in latest or v > latest[k][0]:
+                latest[k] = (v, s, dead, extra)
+        want = sorted(
+            (k, v, s, e) for k, (v, s, dead, e) in latest.items() if not dead
+        )
+
+        rng.shuffle(changes)
+        nb = rng.randrange(3, 6)
+        batches = [changes[i::nb] for i in range(nb)]
+        tgt = str(tmp_path / f"ev{seed}")
+        spark.createDataFrame(
+            [], "k bigint, ver bigint, s string, dead boolean"
+        ).write.parquet(tgt)
+        evolved = False
+        for b in batches:
+            carries = any(he for *_x, he in b)
+            if carries or evolved:
+                rows = [(k, v, s, d, e) for k, v, s, d, e, _he in b]
+                df = spark.createDataFrame(
+                    rows, "k bigint, ver bigint, s string, dead boolean, extra string"
+                )
+                evolved = True
+            else:
+                rows = [(k, v, s, d) for k, v, s, d, _e, _he in b]
+                df = spark.createDataFrame(
+                    rows, "k bigint, ver bigint, s string, dead boolean"
+                )
+            merge_upsert(
+                spark, tgt, df, ["k"],
+                version_cols=["ver"], tombstone_col="dead",
+                allow_schema_evolution=True,
+            )
+        out = spark.read.option("mergeSchema", "true").parquet(tgt)
+        if "extra" not in out.columns:
+            out = out.withColumn("extra", F.lit(None).cast("string"))
+        got = sorted(
+            (r.k, r.ver, r.s, r.extra)
+            for r in out.filter("NOT coalesce(dead, false)").collect()
+        )
+        assert got == want, (seed, got, want)

@@ -318,3 +318,18 @@ def test_stream_stream_join_bounds_state(spark, tmp_path):
     assert max(state_rows) <= total_rows // 2, (
         f"join state grew to {max(state_rows)} of {total_rows} rows — no eviction"
     )
+
+
+def test_once_per_batch_dedups_replays(spark, tmp_path):
+    """foreachBatch is at-least-once; once_per_batch must turn a
+    replayed (batch_id already marked) invocation into a no-op while
+    letting new batch ids through."""
+    from async_pipes_spark.streaming.run import once_per_batch
+
+    calls = []
+    wrapped = once_per_batch(lambda b, bid: calls.append(bid), str(tmp_path / "m"))
+    df = spark.createDataFrame([(1,)], "a bigint")
+    wrapped(df, 0)
+    wrapped(df, 0)  # crash-replay of an applied batch
+    wrapped(df, 1)
+    assert calls == [0, 1]
