@@ -39,42 +39,43 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 #: Driver-contract ordering. The verification driver records correctness
-#: rows for the FIRST 50 ``queries()`` entries per round (r02-r04 all cut
-#: at entry #50), so dict order IS driver coverage. Policy: queries new
-#: this round and queries without a fresh driver row come FIRST; queries
-#: with an r04 green row rotate toward the tail. Round-5 window (the
-#: cut lands after mm1 — replay _ordered to confirm): the 29 queries
-#: NEW this round (wave 1: d9, t7-t10, k4, v1, smp3, s17-s19, g1, r15;
-#: wave 2: d10, t11-t14, v2, v3, smp4, r16, s20-s22, g2, bpe1, bpe2,
-#: pipe1) and 21 of the 23 r2/r3-stale ones fill the 50 slots;
-#: mm2/mm3 are the casualties (52 candidates for 50 slots — they hold
-#: r2/r3 driver rows AND the judge's r4 re-verification, so they cede
-#: their slots to s22/g2, which have never had a driver row; round 6
-#: rotates them back). Everything after — mm2, mm3, p*, x*, j*,
-#: k2/k3, a1/a5, b1/b2, the remaining s*/d*/t1-t6 — is green on prior
-#: evidence and holds the tail. Every query keeps its oracle
-#: regardless of position.
+#: rows for the FIRST 50 ``queries()`` entries per round (r02-r05 all
+#: cut at entry #50), so dict order IS driver coverage. Policy: queries
+#: new this round and queries without a fresh driver row come FIRST;
+#: the freshest greens rotate to the tail. Round-6 window: the 4 NEW
+#: queries (a6 knn-join, d11 decontamination, smp5 epoch shuffle, s23
+#: manifest CDC), mm2/mm3 (last driver rows r03 — the promised
+#: rotation back in), and 44 of the 50 r04-green queries fill the 50
+#: slots exactly; p3/p5/p6/x1/x3/b2 (green r01-r04, the most prior
+#: evidence) defer to round 7. The r05-green families hold the tail.
+#: Every query keeps its oracle regardless of position.
 _PRIORITY = [
-    # new in round 5 wave 2 — first driver row needed ("d10_" must
-    # precede the tail's "d1_", and "t11_"-"t13_" the tail's "t1_":
-    # rank() takes the FIRST matching prefix)
-    "d10_", "t11_", "t12_", "t13_", "t14_", "v2_", "v3_", "smp4_", "r16_", "s20_", "s21_", "s22_", "bpe1_", "bpe2_", "pipe1_", "g2_",
-    # new in round 5 wave 1 — first driver row needed
-    "d9_", "t7_", "t8_", "t9_", "t10_", "k4_", "v1_", "smp3_", "s17_", "s18_", "s19_", "g1_",
-    # last driver row is r2/r3 (judge re-verified green in the r4
-    # audit); r15 is new this round
-    *[f"r{i}_" for i in range(1, 16)],
-    "a2_", "a3_", "a4_", "k1_", "smp1_", "smp2_", "mm1_", "mm2_", "mm3_",
-    # core declared contract (p/x) — the reference's own shapes
-    *[f"p{i}_" for i in range(1, 10)],
-    "x1_", "x2_", "x3_", "x4_", "x5_", "x6_",
-    # r04-green tail starts at x6 (the window cuts after x5)
+    # new in round 6 — first driver row needed
+    "a6_", "d11_", "smp5_", "s23_",
+    # only queries without an r4+ driver row (r03 rows + the judge's
+    # r5 re-verification)
+    "mm2_", "mm3_",
+    # r04-green rows due a refresh, minus the six deferred below
+    "p1_", "p2_", "p4_", "p7_", "p8_", "p9_",
+    "x2_", "x4_", "x5_", "x6_",
     "j1_", "j2_", "j3_", "j4_", "j5_",
-    "k2_", "k3_", "a1_", "a5_", "b1_", "b2_",
-    # r04-green tail (fresh rows last round): streaming, dedup, text
+    "k2_", "k3_", "a1_", "a5_", "b1_",
     "s4_", "s5_", "s9_", "s10_", "s11_", "s12_", "s13_", "s14_", "s15_", "s16_",
     "d1_", "d2_", "d3_", "d4_", "d5_", "d6_", "d7_", "d8_",
     "t1_", "t2_", "t3_", "t4_", "t5_", "t6_",
+    # deferred to round 7 (r04-green, repeatedly verified since r01)
+    "p3_", "p5_", "p6_", "x1_", "x3_", "b2_",
+    # r05-green tail ("d10_" must precede "d1_" if both present in a
+    # group, and "t11_"-"t14_" precede "t1_": rank() takes the FIRST
+    # matching prefix — here the r04 families already matched above)
+    *[f"r{i}_" for i in range(1, 17)],
+    "a2_", "a3_", "a4_", "k1_", "k4_",
+    "smp1_", "smp2_", "smp3_", "smp4_", "mm1_",
+    "v1_", "v2_", "v3_",
+    "d9_", "d10_",
+    "t7_", "t8_", "t9_", "t10_", "t11_", "t12_", "t13_", "t14_",
+    "s17_", "s18_", "s19_", "s20_", "s21_", "s22_",
+    "g1_", "g2_", "bpe1_", "bpe2_", "pipe1_",
 ]
 
 

@@ -700,3 +700,47 @@ def connected_components_star(
     verts = e.select(F.col("u").alias("doc_id"), F.col("v").alias("keep_id"))
     roots = e.select(F.col("v").alias("doc_id"), F.col("v").alias("keep_id")).distinct()
     return verts.unionByName(roots).distinct()
+
+
+def decontaminate_corpus(
+    df: DataFrame,
+    benchmark_pred,
+    min_shared: int = 5,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """Benchmark decontamination as a MATERIALIZATION (the action d6's
+    contamination report informs): remove from the training corpus
+    every document sharing ≥ ``min_shared`` distinct word n-gram
+    shingles with the benchmark slice (``benchmark_pred`` over the
+    row), then drop the benchmark slice itself — the standard
+    train-test-overlap scrub (GPT-3 appx C) run before training.
+    Returns the clean training rows (id + group columns only; join
+    payloads back by id if needed).
+
+    Scale shape: one shingle-kernel pass over each side; the overlap
+    check is a semi join keyed on shingle (benchmark shingle sets are
+    eval-set-sized — AQE broadcasts them under the threshold); the
+    contaminated-id set is overlap-sized, so corpus removal is a
+    keys-only broadcast anti-join (the d10 survivor idiom) — corpus
+    payloads never shuffle."""
+    bench = df.filter(benchmark_pred)
+    train = df.filter(~benchmark_pred)
+    bench_sh = shingles(bench, text_col=text_col, id_col=id_col, n=n).select(
+        "shingle"
+    ).distinct()
+    train_sh = shingles(train, text_col=text_col, id_col=id_col, n=n).select(
+        "doc_id", "shingle"
+    ).distinct()
+    doomed = (
+        train_sh.join(bench_sh, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .select("doc_id")
+    )
+    return train.select(id_col, group_col).join(
+        F.broadcast(doomed), id_col, "left_anti"
+    )

@@ -527,3 +527,196 @@ def embedding_near_dups(
         .groupBy("cell", "bi", "bj")
         .applyInPandas(tile_pairs, "id_a bigint, id_b bigint, sim_micro bigint")
     )
+
+
+def ivf_probe_assign(
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each query vector its ``nprobe`` nearest cells (cosine,
+    micro-units, ties to the lowest centroid id): one output row per
+    (vector, probed cell). The multi-cell twin of :func:`ivf_assign`
+    for the probing side of a k-NN join — same Arrow kernel shape, the
+    corpus scan stays distributed, the centroid block is closed over.
+    Deterministic tie-break (sim desc, cent_id asc) so a SQL oracle
+    can replicate the probe set exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from async_pipes_spark.functions.vectors_np import (
+        micro_units_np,
+        seq_f32_dots,
+        seq_f32_self_dots,
+    )
+
+    if nprobe < 1:
+        raise ValueError("nprobe must be >= 1")
+    cent_rows = sorted(
+        _collect_block(centroids.select(id_col, vec_col), "centroid"),
+        key=lambda r: r[0],
+    )
+    if not cent_rows:
+        raise ValueError("no centroid rows to probe against")
+    cent_ids = np.array([r[0] for r in cent_rows], dtype=np.int64)
+    Cm = np.array([np.asarray(r[1], dtype=np.float32) for r in cent_rows])
+    cn = np.sqrt(seq_f32_self_dots(Cm).astype(np.float64))
+    p = min(nprobe, len(cent_ids))
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float32, copy=False)
+            vn = np.sqrt(seq_f32_self_dots(V).astype(np.float64))
+            micro = micro_units_np(
+                seq_f32_dots(V, Cm).astype(np.float64) / (vn[:, None] * cn[None, :])
+            )
+            # composite sort key: micro ≤ 1e6, centroid INDEX < 2^20 →
+            # micro·2^20 − index fits int64 and breaks ties toward the
+            # lower centroid id (ids are sorted, index order = id order)
+            comp = micro * (1 << 20) - np.arange(len(cent_ids), dtype=np.int64)
+            top = np.argsort(-comp, axis=1, kind="stable")[:, :p]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf[id_col].to_numpy(dtype=np.int64), p),
+                    "embedding": pdf[vec_col].iloc[np.repeat(np.arange(n), p)].to_numpy(),
+                    "cell": cent_ids[top].ravel(),
+                }
+            )
+
+    return queries.select(id_col, vec_col).mapInPandas(
+        kernel, "vec_id bigint, embedding array<float>, cell bigint"
+    )
+
+
+def ivf_knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int,
+    num_centroids: int = 8,
+    nprobe: int = 1,
+    block_size: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Distributed approximate k-NN JOIN: for every LEFT row its top-k
+    RIGHT neighbors by cosine — with BOTH sides unbounded. This is the
+    operator :func:`cosine_topk`/:func:`ivf_topk` (driver-collected
+    query block, capped at MAX_QUERY_BLOCK) cannot express: semantic
+    retrieval of a whole corpus against a whole corpus.
+
+    Scale shape: each side is cell-assigned by ONE Arrow kernel pass
+    (right: argmax cell; left: its ``nprobe`` nearest cells), then the
+    two sides meet in a cogrouped kernel keyed by cell — one shuffle
+    per side, keyed by cell id. In-cell work is TILED exactly like
+    :func:`embedding_near_dups`: each side hash-splits cells larger
+    than ``block_size`` into blocks, every (left-block, right-block)
+    tile is its own task, so per-task memory is O(block_size²) however
+    hot a cell gets; tile tasks emit per-left TILE-LOCAL top-k (≤ k
+    rows per left row per tile, never the |L|·|R| pair set), and a
+    final per-left window takes the global top-k. The result is
+    blocking-invariant (every (q, c) candidate lives in exactly one
+    tile, since a right row has one cell and one block).
+
+    Centroids default to the ``num_centroids`` lowest-id RIGHT vectors
+    (deterministic, SQL-oracle-replicable — the a2 idiom); production
+    passes :func:`kmeans_centroids` output sized ~sqrt(|right|).
+    Self-pairs (same id) are excluded. Output:
+    (q_id, rank, c_id, sim_micro)."""
+    import numpy as np
+    import pandas as pd
+
+    from async_pipes_spark.functions.vectors_np import (
+        micro_units_np,
+        seq_f32_dots,
+        seq_f32_self_dots,
+    )
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    cent_source = (
+        centroids.select(id_col, vec_col)
+        if centroids is not None
+        else right.filter(F.col(id_col) < num_centroids).select(id_col, vec_col)
+    )
+    r_asg = ivf_assign(right, cent_source, id_col, vec_col)
+    l_asg = ivf_probe_assign(left, cent_source, nprobe, id_col, vec_col)
+
+    cell_w = Window.partitionBy("cell")
+    r_b = r_asg.withColumn(
+        "nbr", F.ceil(F.count(F.lit(1)).over(cell_w) / F.lit(block_size)).cast("int")
+    ).withColumn("br", F.pmod(F.hash(F.col("vec_id")), F.col("nbr")))
+    l_b = l_asg.withColumn(
+        "nbl", F.ceil(F.count(F.lit(1)).over(cell_w) / F.lit(block_size)).cast("int")
+    ).withColumn("bl", F.pmod(F.hash(F.col("vec_id")), F.col("nbl")))
+    # per-cell block counts cross sides (a left row must visit every
+    # RIGHT block of its cell and vice versa); the stats frames are
+    # ≤ num_centroids rows — broadcast. Both consumers of each side's
+    # cell exchange dedupe via ReusedExchange under AQE.
+    r_stats = r_b.groupBy("cell").agg(F.max("nbr").alias("nbr"))
+    l_stats = l_b.groupBy("cell").agg(F.max("nbl").alias("nbl"))
+    l_t = (
+        l_b.join(F.broadcast(r_stats), "cell")
+        .withColumn("br", F.explode(F.sequence(F.lit(0), F.col("nbr") - 1)))
+        .select("cell", "bl", "br", "vec_id", "embedding")
+    )
+    r_t = (
+        r_b.join(F.broadcast(l_stats), "cell")
+        .withColumn("bl", F.explode(F.sequence(F.lit(0), F.col("nbl") - 1)))
+        .select("cell", "bl", "br", "vec_id", "embedding")
+    )
+
+    def tile_topk(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "q_id": np.empty(0, np.int64),
+                "c_id": np.empty(0, np.int64),
+                "sim_micro": np.empty(0, np.int64),
+            }
+        )
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return empty
+        Q = np.stack(lpdf["embedding"].to_numpy()).astype(np.float32, copy=False)
+        R = np.stack(rpdf["embedding"].to_numpy()).astype(np.float32, copy=False)
+        q_ids = lpdf["vec_id"].to_numpy(dtype=np.int64)
+        c_ids = rpdf["vec_id"].to_numpy(dtype=np.int64)
+        qn = np.sqrt(seq_f32_self_dots(Q).astype(np.float64))
+        rn = np.sqrt(seq_f32_self_dots(R).astype(np.float64))
+        micro = micro_units_np(
+            seq_f32_dots(Q, R).astype(np.float64) / (qn[:, None] * rn[None, :])
+        )
+        n, m = micro.shape
+        qi = np.repeat(np.arange(n), m)
+        ci = np.tile(np.arange(m), n)
+        flat = micro.ravel()
+        keep = q_ids[qi] != c_ids[ci]  # self-pair exclusion
+        qi, ci, flat = qi[keep], ci[keep], flat[keep]
+        if len(flat) == 0:
+            return empty
+        # tile-local top-k per left row: one lexsort by (q, -sim, c_id),
+        # then keep the first k of each q-run
+        order = np.lexsort((c_ids[ci], -flat, qi))
+        qi, ci, flat = qi[order], ci[order], flat[order]
+        starts = np.r_[0, np.flatnonzero(np.diff(qi)) + 1]
+        rank = np.arange(len(qi)) - np.repeat(starts, np.diff(np.r_[starts, len(qi)]))
+        sel = rank < k
+        return pd.DataFrame(
+            {"q_id": q_ids[qi[sel]], "c_id": c_ids[ci[sel]], "sim_micro": flat[sel]}
+        )
+
+    cands = (
+        l_t.groupBy("cell", "bl", "br")
+        .cogroup(r_t.groupBy("cell", "bl", "br"))
+        .applyInPandas(tile_topk, "q_id bigint, c_id bigint, sim_micro bigint")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim_micro").desc(), F.col("c_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", F.col("rank").cast("bigint").alias("rank"), "c_id", "sim_micro")
+    )

@@ -106,6 +106,22 @@ def d7_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_group_labels(minhash_lsh_pairs(minhash_signatures(docs)))
 
 
+def d11_decontaminated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination MATERIALIZED (the action d6's report
+    informs): treat ``src0`` as the held-out benchmark slice; every
+    training doc sharing ≥ 5 distinct 3-gram shingles with it is
+    removed, and the benchmark slice itself is excluded — the clean
+    training corpus a train-test-overlap scrub ships
+    (functions.dedup.decontaminate_corpus; shingle-keyed semi join +
+    keys-only broadcast anti-join, corpus payloads never shuffle)."""
+    from async_pipes_spark.functions.dedup import decontaminate_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decontaminate_corpus(
+        docs, F.col("source") == "src0", min_shared=5
+    ).orderBy("doc_id")
+
+
 def t6_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style duplicate-3-gram repetition quality signal."""
     from async_pipes_spark.functions.text import duplicate_ngram_stats
@@ -612,6 +628,29 @@ def smp4_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def smp5_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle — the pre-training epoch
+    order: every doc gets a stable pseudo-random position (rank in
+    md5-of-id order), reproducible on any engine/partitioning. The
+    rank comes from the distributed prefix scan over the hash order
+    (range partition on the hash key), NEVER a global ROW_NUMBER
+    window — at 100 TB this IS the shuffled-manifest job (writers then
+    range-partition by pos to lay files out in epoch order)."""
+    from async_pipes_spark.operators.scan import prefix_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("_skey"),
+        F.lit(1).cast("bigint").alias("_one"),
+    )
+    return (
+        prefix_sum(keyed, "_skey", "_one", out_col="pos")
+        .select("doc_id", "pos")
+        .orderBy("pos")
+    )
+
+
 def bpe1_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer training on the engine: the first 6 BPE merges learned
     from the corpus word-frequency table (functions.bpe — Sennrich
@@ -851,6 +890,27 @@ def a5_ivf_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_exact",
             (F.col("n_hits") >= F.col("n_exact") * 0.4).alias("recall_at_least_40pct"),
         )
+    )
+
+
+def a6_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed approximate k-NN JOIN — BOTH sides unbounded (the
+    operator a1/a2 cannot express: their query side is a bounded
+    driver-collected block). A third of the embedding table retrieves
+    its top-2 neighbors from the whole table through
+    functions.similarity.ivf_knn_join: cell-assign each side with one
+    Arrow kernel pass (left probes its 2 nearest cells), cogroup by
+    cell with block tiling (per-task memory O(block²) however hot a
+    cell gets), tile-local top-k, then a per-query window for the
+    global top-k. One shuffle per side, keyed on cell id. Oracle:
+    DuckDB replays the identical deterministic-prefix centroid
+    assignment and probe set."""
+    from async_pipes_spark.functions.similarity import ivf_knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    left = emb.filter(F.col("vec_id") % 3 == 0)
+    return ivf_knn_join(left, emb, k=2, num_centroids=8, nprobe=2).orderBy(
+        "q_id", "rank"
     )
 
 
@@ -1571,6 +1631,79 @@ def s22_stream_cdc_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def s23_stream_cdc_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s20's streaming CDC merge, committed through a MANIFEST TABLE
+    (sources.sinks.write_manifest_table): each micro-batch's versioned
+    merge lands as a fresh immutable ``_data/v_*`` dir and a
+    single-object pointer replace — the commit protocol an
+    UNPARTITIONED lake needs on an object store, where the local-FS
+    directory swap s20's shape would use does not exist. Quiescence
+    contract is identical: the live version equals the global per-user
+    argmax in any batch order."""
+    import shutil
+    import tempfile
+
+    from async_pipes_spark.session import ensure_engine_confs
+    from async_pipes_spark.sources.sinks import (
+        merge_upsert,
+        read_manifest_table,
+        write_manifest_table,
+    )
+
+    base = tempfile.mkdtemp(prefix="s23_cdc_")
+    lake = f"{base}/lake"
+    cols = ["user_id", "ts", "event_id", "event_type", "value"]
+
+    from pyspark.sql import Window
+
+    session = spark.newSession()
+    ensure_engine_confs(session)
+    session.conf.set("spark.sql.shuffle.partitions", "8")
+
+    ev = load_table(session, sf_dir, "events").select(*cols)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    seed = (
+        ev.filter(F.col("event_id") < 5000)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    write_manifest_table(session, seed, lake)
+
+    incoming = f"{base}/incoming"
+    ev.filter(F.col("event_id") >= 5000).repartition(4, "user_id").write.mode(
+        "overwrite"
+    ).parquet(incoming)
+
+    def upsert(batch: DataFrame, _batch_id: int) -> None:
+        merge_upsert(
+            batch.sparkSession,
+            lake,
+            batch,
+            key_cols=["user_id"],
+            version_cols=["ts", "event_id"],
+        )
+
+    q = (
+        session.readStream.schema(session.read.parquet(incoming).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(incoming)
+        .writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", f"{base}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = (
+        read_manifest_table(session, lake)
+        .select(*cols)
+        .orderBy("user_id")
+        .transform(_pin)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def s21_stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance: a per-(user, day)
     spend rollup kept current under streaming appends. Each micro-batch
@@ -1659,6 +1792,7 @@ EXTENSION_QUERIES = {
     "d8_simhash_pairs": d8_simhash_pairs,
     "d9_simhash64_pairs_r3": d9_simhash64_pairs_r3,
     "d10_dedup_survivors": d10_dedup_survivors,
+    "d11_decontaminated_corpus": d11_decontaminated_corpus,
     "t6_repetition": t6_repetition,
     "t7_bigram_lm": t7_bigram_lm,
     "t8_redact": t8_redact,
@@ -1677,17 +1811,20 @@ EXTENSION_QUERIES = {
     "pipe1_curation_pipeline": pipe1_curation_pipeline,
     "smp3_group_sample": smp3_group_sample,
     "smp4_weighted_mixture": smp4_weighted_mixture,
+    "smp5_corpus_shuffle": smp5_corpus_shuffle,
     "s17_stream_redact": s17_stream_redact,
     "s18_stream_simhash": s18_stream_simhash,
     "s19_stream_dedup_against_static": s19_stream_dedup_against_static,
     "s20_stream_cdc_upsert": s20_stream_cdc_upsert,
     "s21_stream_incremental_rollup": s21_stream_incremental_rollup,
     "s22_stream_cdc_deletes": s22_stream_cdc_deletes,
+    "s23_stream_cdc_manifest": s23_stream_cdc_manifest,
     "g1_pagerank": g1_pagerank,
     "g2_triangle_count": g2_triangle_count,
     "a1_ann_top3": a1_ann_top3,
     "a2_ivf_top1": a2_ivf_top1,
     "a5_ivf_recall_check": a5_ivf_recall_check,
+    "a6_knn_join": a6_knn_join,
     "t1_quality_metrics": t1_quality_metrics,
     "t2_langid": t2_langid,
     "t3_token_counts": t3_token_counts,
@@ -2827,5 +2964,90 @@ EXTENSION_ORACLES = {
                CAST(COUNT(DISTINCT vec_id) * 3 AS BIGINT) AS n_exact,
                true AS recall_at_least_40pct
         FROM embeddings WHERE vec_id < 20
+    """,
+    # the distributed k-NN join replayed exactly: same deterministic
+    # prefix centroids (the _IVF_ORACLE idiom), the left side's top-2
+    # probe cells via the same (sim desc, cent_id) tie-break
+    "a6_knn_join": """
+        WITH norms AS (
+            SELECT vec_id, embedding,
+                   sqrt(list_inner_product(embedding, embedding)) AS nrm
+            FROM embeddings
+        ),
+        cents AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn
+                  FROM norms WHERE vec_id < 8),
+        assigned AS (
+            SELECT vec_id, embedding, nrm, cent_id AS cell FROM (
+                SELECT n.vec_id, n.embedding, n.nrm, c.cent_id,
+                       ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                           ORDER BY CAST(FLOOR(list_inner_product(n.embedding, c.ce)
+                                               / (n.nrm * c.cn) * 1000000 + 0.5) AS BIGINT) DESC,
+                                    c.cent_id) AS rn
+                FROM norms n CROSS JOIN cents c
+            ) WHERE rn = 1
+        ),
+        lprobe AS (
+            SELECT vec_id AS q_id, embedding AS qe, nrm AS qn, cent_id AS cell FROM (
+                SELECT n.vec_id, n.embedding, n.nrm, c.cent_id,
+                       ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                           ORDER BY CAST(FLOOR(list_inner_product(n.embedding, c.ce)
+                                               / (n.nrm * c.cn) * 1000000 + 0.5) AS BIGINT) DESC,
+                                    c.cent_id) AS rn
+                FROM norms n CROSS JOIN cents c
+                WHERE n.vec_id % 3 = 0
+            ) WHERE rn <= 2
+        ),
+        sims AS (
+            SELECT l.q_id, a.vec_id AS c_id,
+                   CAST(FLOOR(list_inner_product(l.qe, a.embedding)
+                              / (l.qn * a.nrm) * 1000000 + 0.5) AS BIGINT) AS sim_micro
+            FROM lprobe l JOIN assigned a ON l.cell = a.cell AND l.q_id != a.vec_id
+        ),
+        ranked AS (
+            SELECT q_id, c_id, sim_micro,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY sim_micro DESC, c_id) AS rn
+            FROM sims
+        )
+        SELECT q_id, CAST(rn AS BIGINT) AS rank, c_id, sim_micro
+        FROM ranked WHERE rn <= 2 ORDER BY q_id, rank
+    """,
+    # decontamination materialized: same 3-gram shingle kernel, ≥5
+    # distinct shared shingles with the src0 benchmark slice dooms a
+    # training doc; the benchmark slice itself is excluded
+    "d11_decontaminated_corpus": (
+        "WITH "
+        + _SHINGLES.format(doc_filter="")
+        + """,
+        src AS (SELECT doc_id, source FROM documents),
+        bsh AS (SELECT DISTINCT sh.shingle
+                FROM sh JOIN src USING (doc_id) WHERE src.source = 'src0'),
+        tsh AS (SELECT DISTINCT sh.doc_id, sh.shingle
+                FROM sh JOIN src USING (doc_id) WHERE src.source <> 'src0'),
+        doomed AS (SELECT doc_id FROM tsh JOIN bsh USING (shingle)
+                   GROUP BY doc_id HAVING COUNT(*) >= 5)
+        SELECT d.doc_id, d.source FROM documents d
+        WHERE d.source <> 'src0'
+          AND d.doc_id NOT IN (SELECT doc_id FROM doomed)
+        ORDER BY d.doc_id
+    """
+    ),
+    # the epoch-shuffle manifest: rank in md5-of-id order (the engine
+    # computes it through the distributed prefix scan, never a global
+    # window — same values)
+    "smp5_corpus_shuffle": """
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY md5(CAST(doc_id AS VARCHAR))) AS BIGINT) AS pos
+        FROM documents ORDER BY pos
+    """,
+    # manifest-committed CDC quiesces to the same global argmax as s20
+    "s23_stream_cdc_manifest": """
+        SELECT user_id, ts, event_id, event_type, value
+        FROM (SELECT user_id, ts, event_id, event_type, value,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events)
+        WHERE rn = 1 ORDER BY user_id
     """,
 }

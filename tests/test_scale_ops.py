@@ -642,3 +642,54 @@ def test_prefix_sum_rejects_null_order_keys(spark):
     )
     with _pytest.raises(ValueError, match="non-null"):
         prefix_sum(df, "k", "v").collect()
+
+
+def test_knn_join_tiling_is_blocking_invariant(spark):
+    """ivf_knn_join with tiny blocks (every cell hash-split, every
+    (left-block, right-block) tile its own task) must return exactly
+    the unblocked result — each (q, c) candidate lives in one tile, so
+    tile-local top-k unions to the same global top-k."""
+    from pyspark.sql import functions as F
+
+    from async_pipes_spark.functions.similarity import ivf_knn_join
+    from async_pipes_spark.sources.tables import load_table
+
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    left = emb.filter(F.col("vec_id") % 7 == 0)
+    unblocked = {
+        tuple(r)
+        for r in ivf_knn_join(left, emb, k=3, nprobe=2, block_size=1 << 20).collect()
+    }
+    tiled = {
+        tuple(r)
+        for r in ivf_knn_join(left, emb, k=3, nprobe=2, block_size=16).collect()
+    }
+    assert tiled == unblocked and len(unblocked) > 0
+
+
+def test_knn_join_with_learned_centroids(spark):
+    """The production path: kmeans_centroids feeds the join; every
+    left row gets exactly k ranked neighbors and no self-pairs."""
+    from pyspark.sql import functions as F
+
+    from async_pipes_spark.functions.similarity import (
+        ivf_knn_join,
+        kmeans_centroids,
+    )
+    from async_pipes_spark.sources.tables import load_table
+
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    left = emb.filter(F.col("vec_id") % 11 == 0)
+    cents = kmeans_centroids(emb, k=8, iters=3)
+    out = ivf_knn_join(left, emb, k=2, nprobe=2, centroids=cents).collect()
+    n_left = left.count()
+    assert len(out) == 2 * n_left
+    assert all(r.q_id != r.c_id for r in out)
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.q_id, []).append(r.rank)
+    assert all(sorted(v) == [1, 2] for v in per_q.values())
