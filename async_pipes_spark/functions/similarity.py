@@ -647,26 +647,31 @@ def ivf_knn_join(
     r_asg = ivf_assign(right, cent_source, id_col, vec_col)
     l_asg = ivf_probe_assign(left, cent_source, nprobe, id_col, vec_col)
 
-    cell_w = Window.partitionBy("cell")
-    r_b = r_asg.withColumn(
-        "nbr", F.ceil(F.count(F.lit(1)).over(cell_w) / F.lit(block_size)).cast("int")
-    ).withColumn("br", F.pmod(F.hash(F.col("vec_id")), F.col("nbr")))
-    l_b = l_asg.withColumn(
-        "nbl", F.ceil(F.count(F.lit(1)).over(cell_w) / F.lit(block_size)).cast("int")
-    ).withColumn("bl", F.pmod(F.hash(F.col("vec_id")), F.col("nbl")))
-    # per-cell block counts cross sides (a left row must visit every
-    # RIGHT block of its cell and vice versa); the stats frames are
-    # ≤ num_centroids rows — broadcast. Both consumers of each side's
-    # cell exchange dedupe via ReusedExchange under AQE.
-    r_stats = r_b.groupBy("cell").agg(F.max("nbr").alias("nbr"))
-    l_stats = l_b.groupBy("cell").agg(F.max("nbl").alias("nbl"))
+    # Per-cell block counts for BOTH sides in one tiny broadcast frame
+    # (≤ one row per cell). This is a second, column-pruned pass over
+    # each side's assignment kernel — deliberately chosen over (a) a
+    # count() OVER (PARTITION BY cell) window, which would shuffle the
+    # full embedding rows on cell *before* the cogroup shuffle does,
+    # and (b) pinning the assignment output, which would materialize a
+    # copy of the corpus. A full outer join keeps one-sided cells: a
+    # NULL opposite-side block count makes sequence() NULL and the
+    # explode drops the row — no tiles where the other side is empty.
+    r_stats = r_asg.groupBy("cell").agg(
+        F.ceil(F.count(F.lit(1)) / F.lit(block_size)).cast("int").alias("nbr")
+    )
+    l_stats = l_asg.groupBy("cell").agg(
+        F.ceil(F.count(F.lit(1)) / F.lit(block_size)).cast("int").alias("nbl")
+    )
+    stats = r_stats.join(l_stats, "cell", "full")
     l_t = (
-        l_b.join(F.broadcast(r_stats), "cell")
+        l_asg.join(F.broadcast(stats), "cell")
+        .withColumn("bl", F.pmod(F.hash(F.col("vec_id")), F.col("nbl")))
         .withColumn("br", F.explode(F.sequence(F.lit(0), F.col("nbr") - 1)))
         .select("cell", "bl", "br", "vec_id", "embedding")
     )
     r_t = (
-        r_b.join(F.broadcast(l_stats), "cell")
+        r_asg.join(F.broadcast(stats), "cell")
+        .withColumn("br", F.pmod(F.hash(F.col("vec_id")), F.col("nbr")))
         .withColumn("bl", F.explode(F.sequence(F.lit(0), F.col("nbl") - 1)))
         .select("cell", "bl", "br", "vec_id", "embedding")
     )
