@@ -286,8 +286,6 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges by lineitem count (see g1's docstring for why top-K and not
     a threshold). One definition for every graph query so the engine
     and the `_TRADE_EDGE_CTES` oracle twin cannot drift."""
-    from pyspark.sql import Window
-
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     cust = load_table(spark, sf_dir, "customer")
@@ -302,10 +300,13 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    rk = Window.orderBy(F.col("n").desc(), "src", "dst")
+    # top-250 under a TOTAL order: orderBy + limit compiles to
+    # TakeOrderedAndProject (per-partition partial top-k, no
+    # single-partition row_number window — the frame is nation-pair-
+    # bounded anyway, but the warning-free plan is also the right one)
     return (
-        weighted.withColumn("_rk", F.row_number().over(rk))
-        .filter(F.col("_rk") <= 250)
+        weighted.orderBy(F.col("n").desc(), "src", "dst")
+        .limit(250)
         .select("src", "dst")
     )
 
