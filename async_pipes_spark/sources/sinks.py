@@ -714,10 +714,14 @@ def compact_small_files(
     files = max(1, math.ceil(n / target_rows_per_file))
     if read_path != path:
         _manifest_commit(spark, path, df.repartition(files))
-        live = _resolve_table_path(spark, path).removeprefix("file://")
+        # count through the Hadoop FS — a manifest table may live on an
+        # object store where os.listdir has no meaning
+        fs, live_p, _ = _hadoop_fs(spark, _resolve_table_path(spark, path))
         return sum(
-            1 for f in os.listdir(live)
-            if f.endswith(".parquet") and f.startswith("part-")
+            1
+            for st in fs.listStatus(live_p)
+            if st.getPath().getName().startswith("part-")
+            and st.getPath().getName().endswith(".parquet")
         )
     staging = f"{path}__staging_{uuid.uuid4().hex[:8]}"
     try:
