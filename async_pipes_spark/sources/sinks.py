@@ -186,13 +186,43 @@ def write_manifest_table(spark, df: DataFrame, path: str) -> None:
     _manifest_commit(spark, path, df)
 
 
-def read_manifest_table(spark, path: str) -> DataFrame:
-    """Read the live version of a manifest table (mergeSchema, matching
-    the engine's CDC read discipline)."""
-    v = manifest_version(spark, path)
-    if v is None:
+def manifest_versions(spark, path: str) -> list[str]:
+    """All retained version dirs of a manifest table, live version
+    FIRST. GC keeps live + previous, so this is at most two entries
+    (plus any orphan from a crashed commit, which the next commit
+    removes) — the basis for time travel over the retained window."""
+    live = manifest_version(spark, path)
+    if live is None:
         raise ValueError(f"not a manifest table (no {_MANIFEST}): {path}")
-    return spark.read.option("mergeSchema", "true").parquet(f"{path}/_data/{v}")
+    fs, data_p, _ = _hadoop_fs(spark, f"{path}/_data")
+    others = sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(data_p)
+        if st.getPath().getName() != live
+    )
+    return [live, *others]
+
+
+def read_manifest_table(spark, path: str, version: str | None = None) -> DataFrame:
+    """Read a manifest table (mergeSchema, matching the engine's CDC
+    read discipline): the live version by default, or — TIME TRAVEL
+    over the retained window — any version still listed by
+    :func:`manifest_versions` (GC keeps live + previous, so 'the table
+    as of the last commit' stays readable until the next one)."""
+    if version is None:
+        version = manifest_version(spark, path)
+        if version is None:
+            raise ValueError(f"not a manifest table (no {_MANIFEST}): {path}")
+    else:
+        retained = manifest_versions(spark, path)
+        if version not in retained:
+            raise ValueError(
+                f"version {version!r} not retained (have {retained}); "
+                "manifest GC keeps the live and previous versions only"
+            )
+    return spark.read.option("mergeSchema", "true").parquet(
+        f"{path}/_data/{version}"
+    )
 
 
 _PART_SAFE = set("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789._-")

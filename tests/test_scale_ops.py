@@ -693,3 +693,18 @@ def test_knn_join_with_learned_centroids(spark):
     for r in out:
         per_q.setdefault(r.q_id, []).append(r.rank)
     assert all(sorted(v) == [1, 2] for v in per_q.values())
+
+
+def test_knn_join_empty_left_side(spark):
+    """An empty probe side must yield an empty result (one-sided cells
+    emit no tiles), not a kernel shape error."""
+    from pyspark.sql import functions as F
+
+    from async_pipes_spark.functions.similarity import ivf_knn_join
+    from async_pipes_spark.sources.tables import load_table
+
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    out = ivf_knn_join(emb.filter(F.col("vec_id") < 0), emb, k=2, nprobe=2)
+    assert out.count() == 0

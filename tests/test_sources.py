@@ -1360,3 +1360,32 @@ def test_cdc_upsert_delete_evolve_randomized_model(spark, tmp_path):
             for r in out.filter("NOT coalesce(dead, false)").collect()
         )
         assert got == want, (seed, got, want)
+
+
+def test_manifest_time_travel(spark, tmp_path):
+    """The previous version stays readable after a commit (GC grace
+    window = live + previous); unretained versions error with the
+    retained list."""
+    import pytest as _pytest
+
+    from async_pipes_spark.sources.sinks import (
+        manifest_versions,
+        merge_upsert,
+        read_manifest_table,
+        write_manifest_table,
+    )
+
+    tgt = str(tmp_path / "tt")
+    write_manifest_table(
+        spark, spark.createDataFrame([(1, "a")], "k bigint, s string"), tgt
+    )
+    v0 = manifest_versions(spark, tgt)[0]
+    merge_upsert(
+        spark, tgt, spark.createDataFrame([(2, "b")], "k bigint, s string"), ["k"]
+    )
+    vs = manifest_versions(spark, tgt)
+    assert vs[0] != v0 and v0 in vs
+    assert read_manifest_table(spark, tgt).count() == 2
+    assert read_manifest_table(spark, tgt, version=v0).count() == 1
+    with _pytest.raises(ValueError, match="not retained"):
+        read_manifest_table(spark, tgt, version="v_nope")
