@@ -731,15 +731,19 @@ def decontaminate_corpus(
     bench_sh = shingles(bench, text_col=text_col, id_col=id_col, n=n).select(
         "shingle"
     ).distinct()
-    train_sh = shingles(train, text_col=text_col, id_col=id_col, n=n).select(
-        "doc_id", "shingle"
-    ).distinct()
+    # shingles() always names its id output 'doc_id'; alias it back to
+    # the caller's id_col so the anti-join key lines up for any schema
+    train_sh = (
+        shingles(train, text_col=text_col, id_col=id_col, n=n)
+        .select(F.col("doc_id").alias(id_col), "shingle")
+        .distinct()
+    )
     doomed = (
         train_sh.join(bench_sh, "shingle", "left_semi")
-        .groupBy("doc_id")
+        .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
-        .select("doc_id")
+        .select(id_col)
     )
     return train.select(id_col, group_col).join(
         F.broadcast(doomed), id_col, "left_anti"

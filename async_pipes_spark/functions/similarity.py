@@ -603,12 +603,19 @@ def ivf_knn_join(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Distributed approximate k-NN JOIN: for every LEFT row its top-k
     RIGHT neighbors by cosine — with BOTH sides unbounded. This is the
     operator :func:`cosine_topk`/:func:`ivf_topk` (driver-collected
     query block, capped at MAX_QUERY_BLOCK) cannot express: semantic
     retrieval of a whole corpus against a whole corpus.
+
+    ``exclude_self`` (default True) drops id-equal pairs — correct for
+    the self-join case where left IS a slice of right. Joining two
+    DIFFERENT corpora whose id spaces merely overlap must pass False,
+    or a query would silently lose any neighbor that happens to share
+    its id.
 
     Scale shape: each side is cell-assigned by ONE Arrow kernel pass
     (right: argmax cell; left: its ``nprobe`` nearest cells), then the
@@ -699,8 +706,9 @@ def ivf_knn_join(
         qi = np.repeat(np.arange(n), m)
         ci = np.tile(np.arange(m), n)
         flat = micro.ravel()
-        keep = q_ids[qi] != c_ids[ci]  # self-pair exclusion
-        qi, ci, flat = qi[keep], ci[keep], flat[keep]
+        if exclude_self:  # id-equal pairs (self-join semantics only)
+            keep = q_ids[qi] != c_ids[ci]
+            qi, ci, flat = qi[keep], ci[keep], flat[keep]
         if len(flat) == 0:
             return empty
         # tile-local top-k per left row: one lexsort by (q, -sim, c_id),

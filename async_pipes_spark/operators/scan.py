@@ -37,7 +37,8 @@ def prefix_sum(
     value_col: str,
     out_col: str = "cumsum",
     num_partitions: int | None = None,
-) -> DataFrame:
+    return_total: bool = False,
+):
     """Add ``out_col`` = inclusive running sum of ``value_col`` in
     ``order_col`` order. Ties are well-defined: range partitioning
     co-locates equal keys and the window's default RANGE frame gives
@@ -50,7 +51,13 @@ def prefix_sum(
     plus driver-prefixed offsets. The only driver data is one
     (pid, total) row per partition. NULL order keys are rejected —
     Spark's window default orders them first, most SQL engines' last,
-    so a running sum over nullable keys has no portable meaning."""
+    so a running sum over nullable keys has no portable meaning.
+
+    ``return_total=True`` returns ``(df, grand_total)`` — the totals
+    collect already holds the per-partition sums on the driver, so the
+    overall sum is free; consumers that need N or ΣV (ntile math,
+    coverage denominators) should take it here instead of paying an
+    extra aggregation job over the pinned output."""
     sess = df.sparkSession
     n = num_partitions or sess.sparkContext.defaultParallelism
     # localCheckpoint PINS the range partitioning: the totals collect
@@ -98,7 +105,10 @@ def prefix_sum(
         # (create_map() with no entries is untyped and fails analysis)
         offset = F.lit(0)
     w = Window.partitionBy("_pid").orderBy(order_col)
-    return (
+    out = (
         ranged.withColumn(out_col, F.sum(value_col).over(w) + offset)
         .drop("_pid")
     )
+    if return_total:
+        return out, acc
+    return out

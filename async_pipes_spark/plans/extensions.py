@@ -562,19 +562,22 @@ def t13_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.format_string("%019d%019d", "n_chars", "doc_id").alias("_okey"),
         F.lit(1).cast("bigint").alias("_one"),
     )
-    ranked = prefix_sum(base, "_okey", "_one", out_col="_rank")
-    n_row = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("_N"))
-    # ntile(4) closed form: base = N div 4, rem = N mod 4; the ELSE
-    # branch is unreachable when base = 0 (rank <= N = rem there), and
-    # greatest(base, 1) keeps it crash-proof under ANSI regardless
-    binned = ranked.crossJoin(F.broadcast(n_row)).selectExpr(
+    # the scan's bounded totals collect already yields N on the driver
+    # — no extra count job, and the ntile closed form becomes constant
+    # folding. ntile(4): base = N div 4, rem = N mod 4, first rem
+    # buckets take base+1 rows; max(base,1) keeps the ELSE branch
+    # (unreachable when base = 0: rank <= N = rem there) ANSI-safe.
+    ranked, n_docs = prefix_sum(base, "_okey", "_one", out_col="_rank",
+                                return_total=True)
+    b, rem = max(n_docs // 4, 1), n_docs % 4
+    binned = ranked.selectExpr(
         "lang",
         "n_chars",
         "toks",
-        "CASE WHEN _rank <= (_N % 4) * ((_N div 4) + 1) "
-        "THEN (_rank - 1) div ((_N div 4) + 1) + 1 "
-        "ELSE (_N % 4) + (_rank - 1 - (_N % 4) * ((_N div 4) + 1))"
-        " div greatest(_N div 4, 1) + 1 END AS bin",
+        f"CASE WHEN _rank <= {rem} * ({n_docs // 4} + 1) "
+        f"THEN (_rank - 1) div ({n_docs // 4} + 1) + 1 "
+        f"ELSE {rem} + (_rank - 1 - {rem} * ({n_docs // 4} + 1))"
+        f" div {b} + 1 END AS bin",
     )
     return (
         binned.groupBy("bin")
@@ -765,12 +768,11 @@ def t14_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    # prefix_sum materializes (localCheckpoint) the vocab; the grand
-    # total is the LAST cumulative value — max(cum) over the pinned
-    # output, never a second explode+count pass over the corpus
-    ranked = prefix_sum(vocab, "okey", "n", "cum")
-    total = ranked.agg(F.max("cum").alias("total"))
-    ranked = ranked.crossJoin(F.broadcast(total))
+    # prefix_sum materializes (pin) the vocab AND hands back the grand
+    # total from its bounded totals collect — no max(cum) aggregation
+    # job, no crossJoin; the denominator constant-folds into the plan
+    ranked, total = prefix_sum(vocab, "okey", "n", "cum", return_total=True)
+    total = int(total) or 1  # empty vocab → no rows; avoid a lit div-0
     return (
         ranked.select(
             "term",
@@ -781,7 +783,7 @@ def t14_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             # oracle's HUGEINT path is the same exact integer floor)
             F.expr(
                 "CAST((CAST(cum AS DECIMAL(38,0)) * 1000000)"
-                " div total AS BIGINT)"
+                f" div {total} AS BIGINT)"
             ).alias("cum_ppm"),
             "okey",
         )

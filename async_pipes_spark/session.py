@@ -68,28 +68,36 @@ def get_spark(app_name: str = "async-pipes-spark", cpus: int | None = None) -> S
     return spark
 
 
-#: session conf flag: when "true", :func:`pin` materializes through
-#: RELIABLE ``checkpoint()`` (survives executor loss) instead of
-#: ``localCheckpoint()`` (executor-local blocks — a lost executor kills
-#: the job past the point of recomputation, since lineage is truncated)
+#: informational session conf mirroring the reliable-checkpoint state
+#: (for observability in the Spark UI / conf dumps). The SOURCE OF
+#: TRUTH is the module-level flag below: a SQL conf would not propagate
+#: into cloned sessions (``SparkSession.newSession()``, which several
+#: streaming queries create), silently downgrading their loops back to
+#: localCheckpoint — but the checkpoint dir lives on the process-wide
+#: SparkContext, so the switch must be process-wide too.
 RELIABLE_CHECKPOINT = "spark.async_pipes_spark.reliableCheckpoint"
+
+_RELIABLE_CHECKPOINTS = {"enabled": False}
 
 
 def enable_reliable_checkpoints(spark: SparkSession, checkpoint_dir: str) -> None:
     """Opt every engine iteration loop (connected components, PageRank,
     BPE training, prefix scans, cyclic pipelines) into RELIABLE
     checkpointing at ``checkpoint_dir`` (HDFS/object-store path on a
-    real cluster). Default is ``localCheckpoint`` — faster (no
+    real cluster) — process-wide, so cloned sessions (streaming
+    queries) inherit it. Default is ``localCheckpoint`` — faster (no
     filesystem round-trip) but tied to executor liveness; flip this on
     for long multi-iteration jobs where losing an executor mid-loop
     must not kill the run. Checkpoint files accumulate per iteration;
     set ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (at
     session build time) or clean the directory after the job."""
     spark.sparkContext.setCheckpointDir(checkpoint_dir)
+    _RELIABLE_CHECKPOINTS["enabled"] = True
     spark.conf.set(RELIABLE_CHECKPOINT, "true")
 
 
 def disable_reliable_checkpoints(spark: SparkSession) -> None:
+    _RELIABLE_CHECKPOINTS["enabled"] = False
     spark.conf.set(RELIABLE_CHECKPOINT, "false")
 
 
@@ -97,9 +105,9 @@ def pin(df):
     """Materialize a DataFrame and truncate its lineage — the engine's
     single choke point for every iteration loop's per-round
     checkpoint. ``df.transform(pin)``-friendly. Uses localCheckpoint
-    unless :func:`enable_reliable_checkpoints` switched the session to
+    unless :func:`enable_reliable_checkpoints` switched the process to
     reliable ``checkpoint()``."""
-    if df.sparkSession.conf.get(RELIABLE_CHECKPOINT, "false") == "true":
+    if _RELIABLE_CHECKPOINTS["enabled"]:
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
 

@@ -105,12 +105,12 @@ def _hadoop_fs(spark, path_str: str):
     return p.getFileSystem(spark._jsc.hadoopConfiguration()), p, jvm
 
 
-def manifest_version(spark, path: str) -> str | None:
-    """The live data version of a manifest table, or None if ``path``
-    is not one (no ``_MANIFEST`` pointer present)."""
+def _manifest_lines(spark, path: str) -> list[str]:
+    """The pointer file's lines: [live_version] or [live, previous].
+    Empty list if ``path`` is not a manifest table."""
     fs, p, jvm = _hadoop_fs(spark, f"{path}/{_MANIFEST}")
     if not fs.exists(p):
-        return None
+        return []
     # read through the Hadoop stream: Spark's own readers skip
     # underscore-prefixed files (which is exactly why the pointer and
     # the _data dir are underscore-named — a plain read of the table
@@ -122,7 +122,14 @@ def manifest_version(spark, path: str) -> str | None:
         )
     finally:
         stream.close()
-    return content.strip()
+    return [ln.strip() for ln in content.splitlines() if ln.strip()]
+
+
+def manifest_version(spark, path: str) -> str | None:
+    """The live data version of a manifest table, or None if ``path``
+    is not one (no ``_MANIFEST`` pointer present)."""
+    lines = _manifest_lines(spark, path)
+    return lines[0] if lines else None
 
 
 def _resolve_table_path(spark, path: str) -> str:
@@ -155,9 +162,14 @@ def _manifest_commit(spark, path: str, df: DataFrame) -> None:
     tmp_p = jvm.org.apache.hadoop.fs.Path(
         f"{path}/{_MANIFEST}.tmp.{uuid.uuid4().hex[:8]}"
     )
+    # line 2 records the PREVIOUS committed version: time travel must
+    # distinguish the legitimate predecessor from an orphan dir a
+    # crashed commit left behind (both survive GC until next commit,
+    # and a partially-written orphan would read as silent data loss)
+    body = f"{version}\n{prev}\n" if prev else f"{version}\n"
     out = fs.create(tmp_p, True)
     try:
-        out.write(bytearray(f"{version}\n".encode()))
+        out.write(bytearray(body.encode()))
     finally:
         out.close()
     fs.delete(man_p, False)
@@ -187,20 +199,16 @@ def write_manifest_table(spark, df: DataFrame, path: str) -> None:
 
 
 def manifest_versions(spark, path: str) -> list[str]:
-    """All retained version dirs of a manifest table, live version
-    FIRST. GC keeps live + previous, so this is at most two entries
-    (plus any orphan from a crashed commit, which the next commit
-    removes) — the basis for time travel over the retained window."""
-    live = manifest_version(spark, path)
-    if live is None:
+    """The COMMITTED versions of a manifest table, live first:
+    [live] or [live, previous], straight from the pointer file. An
+    orphan ``_data`` dir left by a crashed commit is deliberately NOT
+    listed — it may be partially written, and reading it would be
+    silent data loss; only versions a pointer replace actually
+    published are time-travelable."""
+    lines = _manifest_lines(spark, path)
+    if not lines:
         raise ValueError(f"not a manifest table (no {_MANIFEST}): {path}")
-    fs, data_p, _ = _hadoop_fs(spark, f"{path}/_data")
-    others = sorted(
-        st.getPath().getName()
-        for st in fs.listStatus(data_p)
-        if st.getPath().getName() != live
-    )
-    return [live, *others]
+    return lines
 
 
 def read_manifest_table(spark, path: str, version: str | None = None) -> DataFrame:
@@ -252,6 +260,41 @@ def _partition_subdir(partition_by, row) -> str:
                 )
         parts.append(f"{c}={s}")
     return "/".join(parts)
+
+
+def _prune_to_partitions(df, rows, partition_by) -> DataFrame:
+    """Restrict ``df`` to the partitions named by collected ``rows`` —
+    the ONE definition of partition pruning shared by merge_upsert and
+    purge_tombstones (so the NULL handling and the 64 threshold can
+    never diverge). Up to 64 partitions: a null-safe literal OR-chain
+    (``isin()`` would evaluate NULL for a NULL partition value and
+    silently drop that partition's rows), statically pruning the scan.
+    Beyond: the driver-built expression tree is linear in partition
+    count, so it switches to a broadcast null-safe semi join (O(1)
+    plan size; dynamic pruning where available)."""
+    from functools import reduce
+
+    if len(rows) <= 64:
+        pred = reduce(
+            Column.__or__,
+            [
+                reduce(
+                    Column.__and__,
+                    [F.col(c).eqNullSafe(F.lit(r[c])) for c in partition_by],
+                )
+                for r in rows
+            ],
+        )
+        return df.filter(pred)
+    pk = df.sparkSession.createDataFrame(
+        [tuple(r[c] for c in partition_by) for r in rows],
+        df.select(*partition_by).schema,
+    ).toDF(*[f"_pk_{c}" for c in partition_by])
+    cond = reduce(
+        Column.__and__,
+        [F.col(c).eqNullSafe(F.col(f"_pk_{c}")) for c in partition_by],
+    )
+    return df.join(F.broadcast(pk), cond, "left_semi")
 
 
 def _delete_partition_dir(spark, target_path: str, partition_by, row) -> None:
@@ -498,42 +541,7 @@ def merge_upsert(
         # the merge up front, not after the dynamic overwrite committed
         for r in touched:
             _partition_subdir(partition_by, r)
-        if len(touched) <= 64:
-            # null-safe per-partition predicate: isin() would evaluate
-            # NULL for a NULL partition value, silently dropping that
-            # partition's surviving rows from `keep` before the
-            # overwrite. A literal OR-chain statically prunes the scan
-            # to the touched partitions — but is a driver-built
-            # expression tree linear in partition count, so past a few
-            # dozen it switches to a broadcast null-safe semi join
-            # (O(1) plan size; dynamic pruning where available)
-            pred = reduce(
-                Column.__or__,
-                [
-                    reduce(
-                        Column.__and__,
-                        [
-                            F.col(c).eqNullSafe(F.lit(r[c]))
-                            for c in partition_by
-                        ],
-                    )
-                    for r in touched
-                ],
-            )
-            pruned = existing.filter(pred)
-        else:
-            tk = (
-                touched_df.distinct()
-                .toDF(*[f"_tk_{c}" for c in partition_by])
-            )
-            cond = reduce(
-                Column.__and__,
-                [
-                    F.col(c).eqNullSafe(F.col(f"_tk_{c}"))
-                    for c in partition_by
-                ],
-            )
-            pruned = existing.join(F.broadcast(tk), cond, "left_semi")
+        pruned = _prune_to_partitions(existing, touched, partition_by)
         merged = _merge(pruned)
         # one execution for both consumers below: without the pin, the
         # emptied-partition collect and the write would each run the
@@ -631,8 +639,6 @@ def purge_tombstones(
         doomed = doomed & F.coalesce(horizon, F.lit(False))
 
     if partition_by:
-        from functools import reduce
-
         # ONE column-pruned stats scan (partition cols + the flag/
         # horizon columns only) yields everything the driver needs —
         # purged count, affected partitions, partitions the purge
@@ -658,38 +664,7 @@ def purge_tombstones(
             for r in stats
             if r["_live"] == 0
         }
-        if len(affected) <= 64:
-            # null-safe literal OR-chain statically prunes the scan to
-            # the affected partitions; past a few dozen the driver-built
-            # expression tree is replaced by a broadcast null-safe semi
-            # join (O(1) plan size) — the same switch merge_upsert uses
-            pred = reduce(
-                Column.__or__,
-                [
-                    reduce(
-                        Column.__and__,
-                        [
-                            F.col(c).eqNullSafe(F.lit(r[c]))
-                            for c in partition_by
-                        ],
-                    )
-                    for r in affected
-                ],
-            )
-            pruned = df.filter(pred)
-        else:
-            ak = spark.createDataFrame(
-                [tuple(r[c] for c in partition_by) for r in affected],
-                df.select(*partition_by).schema,
-            ).toDF(*[f"_ak_{c}" for c in partition_by])
-            cond = reduce(
-                Column.__and__,
-                [
-                    F.col(c).eqNullSafe(F.col(f"_ak_{c}"))
-                    for c in partition_by
-                ],
-            )
-            pruned = df.join(F.broadcast(ak), cond, "left_semi")
+        pruned = _prune_to_partitions(df, affected, partition_by)
         survivors = pruned.filter(~doomed)
         (
             survivors.write.mode("overwrite")

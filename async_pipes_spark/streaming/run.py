@@ -198,7 +198,7 @@ def run_foreach_batch_routes(df: DataFrame, routes: dict, base_dir: str) -> dict
     return paths
 
 
-def once_per_batch(fn, marker_dir: str):
+def once_per_batch(fn, marker_dir: str, keep_last: int = 1000):
     """Make a non-idempotent ``foreachBatch`` body effectively
     exactly-once: ``foreachBatch`` is AT-LEAST-ONCE (a batch whose
     writer crashed after committing but before the checkpoint advanced
@@ -215,6 +215,15 @@ def once_per_batch(fn, marker_dir: str):
     write, not the whole batch). Closing even that requires committing
     data + batch id in ONE atomic operation (a versioned merge keyed
     on batch id, or a transactional table format).
+
+    ``keep_last`` bounds marker accumulation on a long-running stream:
+    after writing batch N's marker, markers below N - keep_last are
+    deleted. Safe because batch ids are monotone and a replay can only
+    be of a batch AFTER the last committed checkpoint offset — ids
+    thousands of batches back can never re-execute; without pruning a
+    months-old stream turns the marker dir into exactly the small-file
+    dust compact_small_files exists to fight. Pass ``keep_last=0`` to
+    retain everything.
     """
 
     def wrapped(batch: DataFrame, batch_id: int) -> None:
@@ -226,5 +235,18 @@ def once_per_batch(fn, marker_dir: str):
             return
         fn(batch, batch_id)
         fs.create(marker, True).close()
+        if keep_last:
+            horizon = batch_id - keep_last
+            if horizon > 0:
+                dir_p = jvm.org.apache.hadoop.fs.Path(marker_dir)
+                for st in fs.listStatus(dir_p):
+                    name = st.getPath().getName()
+                    if name.startswith("batch_"):
+                        try:
+                            old = int(name[len("batch_"):])
+                        except ValueError:
+                            continue
+                        if old < horizon:
+                            fs.delete(st.getPath(), False)
 
     return wrapped

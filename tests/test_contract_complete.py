@@ -37,7 +37,7 @@ def test_stale_and_new_queries_inside_coverage_window():
         k
         for k in entry.queries()
         if re.match(
-            r"^(a6|d11|smp5|s23|mm[23]|p[12479]|x[2456]|j[1-5]|k[23]"
+            r"^(a6|d11|smp5|s23|mm[23]|p[124789]|x[2456]|j[1-5]|k[23]"
             r"|a[15]|b1|s(4|5|9|1[0-6])|d[1-8]|t[1-6])_",
             k,
         )

@@ -395,3 +395,51 @@ def test_reliable_checkpoint_opt_in(spark, tmp_path):
         )
     finally:
         disable_reliable_checkpoints(spark)
+
+
+def test_reliable_checkpoint_inherited_by_cloned_sessions(spark, tmp_path):
+    """enable_reliable_checkpoints is process-wide: a session created
+    with newSession() (the streaming-query idiom) must also pin
+    through reliable checkpoint(), not silently fall back to
+    localCheckpoint."""
+    from pathlib import Path
+
+    from async_pipes_spark.session import (
+        disable_reliable_checkpoints,
+        enable_reliable_checkpoints,
+        pin,
+    )
+
+    ckdir = tmp_path / "ck2"
+    enable_reliable_checkpoints(spark, str(ckdir))
+    try:
+        clone = spark.newSession()
+        pinned = pin(clone.createDataFrame([(1,)], "n bigint"))
+        assert pinned.count() == 1
+        assert any(p.is_file() for p in Path(ckdir).rglob("*")), (
+            "cloned session pinned via localCheckpoint — the reliable "
+            "opt-in did not propagate"
+        )
+    finally:
+        disable_reliable_checkpoints(spark)
+
+
+def test_decontaminate_custom_id_col(spark):
+    """decontaminate_corpus must work for any id column name (the
+    shingle kernel always emits 'doc_id'; the join key must be aliased
+    back)."""
+    from pyspark.sql import functions as F
+
+    from async_pipes_spark.functions.dedup import decontaminate_corpus
+
+    rows = [
+        (1, "bench", "a b c d e f g h"),
+        (2, "train", "a b c d e f g h"),   # shares 6 shingles >= 2 -> doomed
+        (3, "train", "x y z w v u t s"),   # clean
+    ]
+    df = spark.createDataFrame(rows, "my_id bigint, grp string, body string")
+    out = decontaminate_corpus(
+        df, F.col("grp") == "bench", min_shared=2,
+        group_col="grp", text_col="body", id_col="my_id",
+    ).collect()
+    assert [(r.my_id, r.grp) for r in out] == [(3, "train")]

@@ -708,3 +708,26 @@ def test_knn_join_empty_left_side(spark):
     emb = load_table(spark, SF_SMOKE, "embeddings")
     out = ivf_knn_join(emb.filter(F.col("vec_id") < 0), emb, k=2, nprobe=2)
     assert out.count() == 0
+
+
+def test_knn_join_two_corpora_keeps_id_equal_pairs(spark):
+    """Joining two DIFFERENT corpora whose id spaces overlap: with
+    exclude_self=False an id-equal neighbor must be kept (dropping it
+    is only correct for the self-join case)."""
+    from async_pipes_spark.functions.similarity import ivf_knn_join
+
+    # right corpus: 8 near-orthogonal basis-ish vectors (ids 0..7,
+    # also the centroids); left corpus: one query with id 3 whose
+    # nearest right vector is ALSO id 3
+    right = spark.createDataFrame(
+        [(i, [1.0 if j == i else 0.01 for j in range(8)]) for i in range(8)],
+        "vec_id bigint, embedding array<float>",
+    )
+    left = spark.createDataFrame(
+        [(3, [1.0 if j == 3 else 0.02 for j in range(8)])],
+        "vec_id bigint, embedding array<float>",
+    )
+    kept = ivf_knn_join(left, right, k=1, num_centroids=8, exclude_self=False)
+    assert [(r.q_id, r.c_id) for r in kept.collect()] == [(3, 3)]
+    dropped = ivf_knn_join(left, right, k=1, num_centroids=8)
+    assert [(r.q_id, r.c_id) for r in dropped.collect()] != [(3, 3)]

@@ -1389,3 +1389,29 @@ def test_manifest_time_travel(spark, tmp_path):
     assert read_manifest_table(spark, tgt, version=v0).count() == 1
     with _pytest.raises(ValueError, match="not retained"):
         read_manifest_table(spark, tgt, version="v_nope")
+
+
+def test_manifest_orphan_version_not_time_travelable(spark, tmp_path):
+    """A _data dir a crashed commit left behind (pointer never flipped)
+    must NOT be offered for time travel — it may be partially written.
+    Only pointer-published versions are listed."""
+    import pytest as _pytest
+
+    from async_pipes_spark.sources.sinks import (
+        manifest_versions,
+        read_manifest_table,
+        write_manifest_table,
+    )
+
+    tgt = str(tmp_path / "orph")
+    write_manifest_table(
+        spark, spark.createDataFrame([(1,)], "k bigint"), tgt
+    )
+    # simulate a crashed commit: a version dir exists, pointer unchanged
+    orphan = tmp_path / "orph" / "_data" / "v_orphan_crash"
+    orphan.mkdir()
+    (orphan / "part-00000.parquet").write_bytes(b"partial garbage")
+    vs = manifest_versions(spark, tgt)
+    assert "v_orphan_crash" not in vs and len(vs) == 1
+    with _pytest.raises(ValueError, match="not retained"):
+        read_manifest_table(spark, tgt, version="v_orphan_crash")

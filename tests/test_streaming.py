@@ -333,3 +333,20 @@ def test_once_per_batch_dedups_replays(spark, tmp_path):
     wrapped(df, 0)  # crash-replay of an applied batch
     wrapped(df, 1)
     assert calls == [0, 1]
+
+
+def test_once_per_batch_prunes_old_markers(spark, tmp_path):
+    """Markers older than keep_last batches are pruned after each
+    commit (batch ids are monotone; ids behind the checkpoint can
+    never replay), so the marker dir stays bounded."""
+    import os
+
+    from async_pipes_spark.streaming.run import once_per_batch
+
+    mdir = tmp_path / "markers"
+    wrapped = once_per_batch(lambda b, bid: None, str(mdir), keep_last=3)
+    df = spark.createDataFrame([(1,)], "a bigint")
+    for bid in range(8):
+        wrapped(df, bid)
+    names = sorted(n for n in os.listdir(mdir) if not n.startswith("."))
+    assert names == ["batch_4", "batch_5", "batch_6", "batch_7"], names
