@@ -158,3 +158,41 @@ def test_prefix_sum_soak_500k_rows(spark):
         for r in out.filter(F.col("k").isin(probes)).collect()
     }
     assert got == {K: closed_form(K) for K in probes}
+
+
+def test_knn_join_hot_cell_soak(spark, skewed_vecs):
+    """ivf_knn_join against the hot-cell corpus (8k of 20k vectors in
+    one IVF cell) with blocking engaged: the hot cell's tiles stay
+    bounded (block_size² pair work per task) and every query still
+    gets exactly k ranked neighbors; a 1k-vec slice pins blocking
+    invariance exactly."""
+    from async_pipes_spark.functions.similarity import ivf_knn_join
+
+    slice_ = skewed_vecs.filter((F.col("vec_id") % 20) == 0)
+    queries = slice_.filter(F.col("vec_id") % 100 == 0)
+    tiled = {
+        tuple(r)
+        for r in ivf_knn_join(
+            queries, slice_, k=3, num_centroids=8, nprobe=2, block_size=64
+        ).collect()
+    }
+    unblocked = {
+        tuple(r)
+        for r in ivf_knn_join(
+            queries, slice_, k=3, num_centroids=8, nprobe=2, block_size=100_000
+        ).collect()
+    }
+    assert tiled == unblocked and len(tiled) > 0
+
+    # full 20k corpus, 200 queries, blocking engaged on the hot cell
+    q200 = skewed_vecs.filter(F.col("vec_id") % 100 == 0)
+    out = ivf_knn_join(
+        q200, skewed_vecs, k=3, num_centroids=8, nprobe=2, block_size=512
+    )
+    rows = out.collect()
+    n_q = q200.count()
+    assert len(rows) == 3 * n_q
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.q_id, []).append(r.rank)
+    assert all(sorted(v) == [1, 2, 3] for v in per_q.values())
