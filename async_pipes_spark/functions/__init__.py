@@ -1,4 +1,5 @@
 from async_pipes_spark.functions.dedup import (  # noqa: F401
+    decontaminate_corpus,
     exact_dup_groups,
     fingerprint_dup_groups,
     minhash_lsh_pairs,
@@ -8,11 +9,18 @@ from async_pipes_spark.functions.dedup import (  # noqa: F401
 )
 from async_pipes_spark.functions.json import json_get_int  # noqa: F401
 from async_pipes_spark.functions.money import cents, dec2, money_sum, revenue_cents  # noqa: F401
-from async_pipes_spark.functions.sampling import hash_sample, stratified_sample  # noqa: F401
+from async_pipes_spark.functions.sampling import (  # noqa: F401
+    group_sample,
+    hash_sample,
+    stratified_sample,
+    weighted_mixture_sample,
+)
 from async_pipes_spark.functions.similarity import (  # noqa: F401
     cosine_topk,
     embedding_near_dups,
     ivf_assign,
+    ivf_knn_join,
+    ivf_probe_assign,
     ivf_topk,
     kmeans_centroids,
 )

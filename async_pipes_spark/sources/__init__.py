@@ -6,4 +6,14 @@ from async_pipes_spark.sources.files import (  # noqa: F401
     read_parquet,
     read_text,
 )
-from async_pipes_spark.sources.sinks import write_bucketed_table, write_files  # noqa: F401
+from async_pipes_spark.sources.sinks import (  # noqa: F401
+    compact_small_files,
+    manifest_version,
+    manifest_versions,
+    merge_upsert,
+    purge_tombstones,
+    read_manifest_table,
+    write_bucketed_table,
+    write_files,
+    write_manifest_table,
+)

@@ -1,4 +1,5 @@
 from async_pipes_spark.streaming.run import (  # noqa: F401
+    once_per_batch,
     run_available_now,
     run_foreach_batch_routes,
     stream_table,
