@@ -19,10 +19,14 @@ from async_pipes_spark.functions.similarity import (  # noqa: F401
     cosine_topk,
     embedding_near_dups,
     ivf_assign,
+    exact_rerank,
     ivf_knn_join,
     ivf_probe_assign,
     ivf_topk,
     kmeans_centroids,
+    pq_codebooks,
+    pq_encode,
+    pq_topk,
 )
 from async_pipes_spark.functions.sketches import kmv_distinct  # noqa: F401
 from async_pipes_spark.functions.text import (  # noqa: F401

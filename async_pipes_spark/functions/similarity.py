@@ -733,3 +733,267 @@ def ivf_knn_join(
         .filter(F.col("rank") <= k)
         .select("q_id", F.col("rank").cast("bigint").alias("rank"), "c_id", "sim_micro")
     )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_sample: int = 100_000,
+    iters: int = 10,
+    seed: int = 29,
+):
+    """Product-quantization codebooks: split the embedding dimension
+    into ``m`` contiguous subspaces and train a ``k``-centroid KMeans
+    in each — the memory-compression layer of a production 100 TB ANN
+    index (FAISS's IVFPQ shape): a d-dim float32 vector becomes ``m``
+    byte codes (here d=64, m=8, k=16 → 8 bytes vs 256, a 32×
+    compression), and scans run on codes + a per-query lookup table,
+    never the raw vectors.
+
+    Training mirrors :func:`kmeans_centroids`: a deterministic
+    hash-threshold reservoir of ≤ ``max_sample`` vectors, driver-side
+    Lloyd's per subspace (k·m tiny problems), same seed → same books
+    on any partitioning. Returns a numpy array of shape (m, k, d/m)
+    wrapped in a plain list-of-lists (driver-side object, closed over
+    by the encode/scan kernels — it is a few KB)."""
+    import numpy as np
+
+    n = corpus.count()
+    if n == 0:
+        raise ValueError("cannot train codebooks on an empty corpus")
+    if k > 256:
+        raise ValueError("k > 256 breaks the one-byte-per-subspace contract")
+    denom = 1_000_000_000
+    frac = min(1.0, (max_sample * 1.05) / n)
+    thresh = max(1, math.ceil(frac * denom))
+    hv = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(denom))
+    rows = (
+        corpus.select(id_col, vec_col, hv.alias("_hv"))
+        .filter(F.col("_hv") < thresh)
+        .orderBy("_hv", id_col)
+        .limit(max_sample)
+        .select(vec_col)
+        .collect()
+    )
+    X = np.array([np.asarray(r[0], dtype=np.float32) for r in rows])
+    d = X.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    if len(X) < k:
+        raise ValueError(f"sample of {len(X)} vectors cannot seed {k} centroids")
+    sub = d // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, k, sub), dtype=np.float64)
+    for j in range(m):
+        Xj = X[:, j * sub : (j + 1) * sub].astype(np.float64)
+        centers = Xj[rng.choice(len(Xj), size=k, replace=False)].copy()
+        xsq = (Xj**2).sum(axis=1)
+        for _ in range(iters):
+            d2 = xsq[:, None] - 2.0 * (Xj @ centers.T) + (centers**2).sum(axis=1)[None, :]
+            lbl = d2.argmin(axis=1)
+            sums = np.zeros_like(centers)
+            np.add.at(sums, lbl, Xj)
+            counts = np.bincount(lbl, minlength=k).astype(np.float64)
+            nonempty = counts > 0
+            centers[nonempty] = sums[nonempty] / counts[nonempty, None]
+        books[j] = centers
+    return books.tolist()
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as ``m`` one-byte centroid codes (nearest
+    subspace centroid by L2): (vec_id, codes array<int>). One Arrow
+    kernel pass, codebooks closed over; the encoded table is what a
+    100 TB deployment actually stores and scans (32× smaller here)."""
+    import numpy as np
+    import pandas as pd
+
+    books = np.asarray(codebooks, dtype=np.float64)  # (m, k, sub)
+    m, k, sub = books.shape
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            codes = np.empty((len(V), m), dtype=np.int64)
+            for j in range(m):
+                Vj = V[:, j * sub : (j + 1) * sub]
+                d2 = (
+                    (Vj**2).sum(axis=1)[:, None]
+                    - 2.0 * (Vj @ books[j].T)
+                    + (books[j] ** 2).sum(axis=1)[None, :]
+                )
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "codes": list(codes),
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        kernel, "vec_id bigint, codes array<bigint>"
+    )
+
+
+def pq_topk(
+    encoded: DataFrame,
+    queries: DataFrame,
+    codebooks,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k by ASYMMETRIC DISTANCE COMPUTATION over PQ
+    codes: per query, an (m × k) table of exact partial dot products
+    against every subspace centroid; a candidate's approximate score
+    is m table lookups summed — the scan never touches raw vectors,
+    only the byte codes (the compressed-memory path that makes a
+    100 TB index fit a cluster). Emits per-Arrow-batch local top-k per
+    query (bounded rows, like every kernel here), then a global
+    per-query window. Output (q_id, rank, c_id, approx_micro);
+    re-rank the top candidates with :func:`cosine_topk` against the
+    raw vectors when exact order matters."""
+    import numpy as np
+    import pandas as pd
+
+    from async_pipes_spark.functions.vectors_np import (
+        micro_units_np,
+        seq_f32_self_dots,
+    )
+
+    books = np.asarray(codebooks, dtype=np.float64)  # (m, k, sub)
+    m, kk, sub = books.shape
+    q_rows = _collect_block(queries.select(id_col, vec_col), "query")
+    if not q_rows:
+        return encoded.sparkSession.createDataFrame(
+            [], "q_id bigint, rank bigint, c_id bigint, approx_micro bigint"
+        )
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Qm = np.array([np.asarray(r[1], dtype=np.float32) for r in q_rows])
+    qn = np.sqrt(seq_f32_self_dots(Qm).astype(np.float64))
+    # per-query ADC tables: tab[q, j, c] = dot(q_sub_j, centroid_c_j)
+    tab = np.empty((len(Qm), m, kk), dtype=np.float64)
+    for j in range(m):
+        tab[:, j, :] = Qm[:, j * sub : (j + 1) * sub].astype(np.float64) @ books[j].T
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # (n, m)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            # approx dot = sum_j tab[q, j, codes[c, j]] ; normalize by
+            # the QUERY norm only (candidate norm is unknown to a code
+            # scan — standard ADC on unnormalized dots; the synthetic
+            # corpus has near-constant norms, and production usage
+            # re-ranks the shortlist exactly anyway)
+            n = len(ids)
+            scores = np.zeros((len(q_ids), n), dtype=np.float64)
+            for j in range(m):
+                scores += tab[:, j, codes[:, j]]
+            scores /= qn[:, None]
+            top = min(k, n)
+            idx = np.argpartition(-scores, top - 1, axis=1)[:, :top]
+            out_q = np.repeat(q_ids, top)
+            out_c = ids[idx.ravel()]
+            out_s = micro_units_np(np.take_along_axis(scores, idx, axis=1).ravel())
+            df = pd.DataFrame(
+                {"q_id": out_q, "c_id": out_c, "approx_micro": out_s}
+            )
+            yield df[df.q_id != df.c_id]
+
+    sims = encoded.select("vec_id", "codes").mapInPandas(
+        kernel, "q_id bigint, c_id bigint, approx_micro bigint"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("approx_micro").desc(), F.col("c_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "c_id",
+            "approx_micro",
+        )
+    )
+
+
+def exact_rerank(
+    shortlist: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact re-ranking of an ANN shortlist — the second half of the
+    production retrieval pattern (PQ/IVF shortlist → exact top-k): the
+    shortlist's (q_id, c_id) pairs are joined back to raw vectors via
+    a BROADCAST hash join (the shortlist is queries × shortlist_len,
+    small by construction — the corpus scan never shuffles), exact
+    cosine is computed per pair with the same sequential-f32 contract
+    as :func:`cosine_pairs`, and a per-query window keeps the top-k.
+    Output (q_id, rank, c_id, sim_micro) — same schema as
+    :func:`cosine_topk`, so the two are drop-in interchangeable."""
+    import numpy as np
+    import pandas as pd
+
+    from async_pipes_spark.functions.vectors_np import (
+        micro_units_np,
+        seq_f32_dots,
+        seq_f32_self_dots,
+    )
+
+    q_rows = _collect_block(queries.select(id_col, vec_col), "query")
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], "q_id bigint, rank bigint, c_id bigint, sim_micro bigint"
+        )
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_pos = {int(q): i for i, q in enumerate(q_ids)}
+    Qm = np.array([np.asarray(r[1], dtype=np.float32) for r in q_rows])
+    qn = np.sqrt(seq_f32_self_dots(Qm).astype(np.float64))
+
+    pairs = corpus.select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("_vec")
+    ).join(F.broadcast(shortlist.select("q_id", "c_id")), "c_id")
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["_vec"].to_numpy()).astype(np.float32, copy=False)
+            vn = np.sqrt(seq_f32_self_dots(V).astype(np.float64))
+            sim = seq_f32_dots(V, Qm).astype(np.float64) / (vn[:, None] * qn[None, :])
+            micro = micro_units_np(sim)
+            qi = pdf["q_id"].map(q_pos).to_numpy(dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "q_id": pdf["q_id"].to_numpy(dtype=np.int64),
+                    "c_id": pdf["c_id"].to_numpy(dtype=np.int64),
+                    "sim_micro": micro[np.arange(len(pdf)), qi],
+                }
+            )
+
+    sims = pairs.mapInPandas(kernel, "q_id bigint, c_id bigint, sim_micro bigint")
+    w = Window.partitionBy("q_id").orderBy(F.col("sim_micro").desc(), F.col("c_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "c_id",
+            "sim_micro",
+        )
+    )

@@ -731,3 +731,38 @@ def test_knn_join_two_corpora_keeps_id_equal_pairs(spark):
     assert [(r.q_id, r.c_id) for r in kept.collect()] == [(3, 3)]
     dropped = ivf_knn_join(left, right, k=1, num_centroids=8)
     assert [(r.q_id, r.c_id) for r in dropped.collect()] != [(3, 3)]
+
+
+def test_pq_encode_rerank_roundtrip(spark):
+    """PQ plumbing: codes are m bytes in [0, k); exact_rerank over a
+    full shortlist reproduces cosine_topk exactly (the re-rank path is
+    bit-compatible with the exact operator)."""
+    from pyspark.sql import functions as F
+
+    from async_pipes_spark.functions.similarity import (
+        cosine_topk,
+        exact_rerank,
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+    from async_pipes_spark.sources.tables import load_table
+
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    books = pq_codebooks(emb, m=8, k=16)
+    assert len(books) == 8 and len(books[0]) == 16 and len(books[0][0]) == 8
+    enc = pq_encode(emb, books)
+    row = enc.head()
+    assert len(row.codes) == 8 and all(0 <= c < 16 for c in row.codes)
+    assert enc.count() == emb.count()
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    # shortlist = the whole corpus -> rerank must equal the exact operator
+    full_shortlist = pq_topk(enc, queries, books, k=10_000)
+    got = sorted(
+        tuple(r) for r in exact_rerank(full_shortlist, emb, queries, k=3).collect()
+    )
+    want = sorted(tuple(r) for r in cosine_topk(emb, queries, k=3).collect())
+    assert got == want
