@@ -42,17 +42,18 @@ def entry(spark: SparkSession) -> DataFrame:
 #: rows for the FIRST 50 ``queries()`` entries per round (r02-r05 all
 #: cut at entry #50), so dict order IS driver coverage. Policy: queries
 #: new this round and queries without a fresh driver row come FIRST;
-#: the freshest greens rotate to the tail. Round-6 window: the 5 NEW
-#: queries (a6 knn-join, a7 PQ recall, d11 decontamination, smp5
-#: epoch shuffle, s23 manifest CDC), mm2/mm3 (last driver rows r03 —
-#: the promised rotation back in), and 43 of the 50 r04-green queries
-#: fill the 50 slots exactly; p3/p5/p6/x1/x3/b2/t6 (green r01-r04,
-#: the most prior evidence) defer to round 7 and sit first after the
-#: cut. The r05-green families hold the tail. Every query keeps its
-#: oracle regardless of position.
+#: the freshest greens rotate to the tail. Round-6 window: the 6 NEW
+#: queries (a6 knn-join, a7 PQ recall, d11 decontamination, d12
+#: semantic dedup, smp5 epoch shuffle, s23 manifest CDC), mm2/mm3
+#: (last driver rows r03 — the promised rotation back in), and 42 of
+#: the 50 r04-green queries fill the 50 slots exactly;
+#: p3/p5/p6/x1/x3/b2/t5/t6 (green r01-r04, the most prior evidence)
+#: defer to round 7 and sit first after the cut. The r05-green
+#: families hold the tail. Every query keeps its oracle regardless of
+#: position.
 _PRIORITY = [
     # new in round 6 — first driver row needed
-    "a6_", "a7_", "d11_", "smp5_", "s23_",
+    "a6_", "a7_", "d11_", "d12_", "smp5_", "s23_",
     # only queries without an r4+ driver row (r03 rows + the judge's
     # r5 re-verification)
     "mm2_", "mm3_",
@@ -63,10 +64,11 @@ _PRIORITY = [
     "k2_", "k3_", "a1_", "a5_", "b1_",
     "s4_", "s5_", "s9_", "s10_", "s11_", "s12_", "s13_", "s14_", "s15_", "s16_",
     "d1_", "d2_", "d3_", "d4_", "d5_", "d6_", "d7_", "d8_",
-    "t1_", "t2_", "t3_", "t4_", "t5_",
+    "t1_", "t2_", "t3_", "t4_",
     # deferred to round 7 (r04-green, repeatedly verified since r01;
-    # t6 cedes its slot to a7, the 5th round-6 query)
-    "p3_", "p5_", "p6_", "x1_", "x3_", "b2_", "t6_",
+    # t5/t6 cede their slots to a7/d12, the 5th and 6th round-6
+    # queries)
+    "p3_", "p5_", "p6_", "x1_", "x3_", "b2_", "t5_", "t6_",
     # r05-green tail ("d10_" must precede "d1_" if both present in a
     # group, and "t11_"-"t14_" precede "t1_": rank() takes the FIRST
     # matching prefix — here the r04 families already matched above)

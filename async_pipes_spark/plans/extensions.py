@@ -1069,6 +1069,39 @@ def a3_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups(emb, threshold_micro=350_000)
 
 
+def d12_semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup materialized — the embedding-space twin of d10's
+    shingle-LSH pipeline: a3's cosine near-dup pairs (IVF-cell
+    bucketed, block-tiled — never all-pairs) resolve to connected
+    components (the d7 min-label loop), each component keeps its
+    minimum vec_id, and every other member is dropped — survivors =
+    (vectors never paired) ∪ (component canonicals). This is the
+    embedding-cosine dedup a semantic-dedup pass (SemDeDup-style)
+    ships, as the corpus you train on rather than a pair report.
+
+    Scale shape: pairs are cell-bucketed with bounded tiles; the
+    component table is dup-cluster-sized; removal is a keys-only
+    broadcast anti-join — corpus payloads never shuffle."""
+    from async_pipes_spark.functions.dedup import dedup_group_labels
+    from async_pipes_spark.functions.similarity import embedding_near_dups
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dups(emb, threshold_micro=350_000)
+    groups = dedup_group_labels(
+        pairs.select(
+            F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+        )
+    )
+    doomed = groups.filter(F.col("doc_id") != F.col("keep_id")).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    return (
+        emb.select("vec_id", F.col("label").cast("bigint").alias("label"))
+        .join(F.broadcast(doomed), "vec_id", "left_anti")
+        .orderBy("vec_id")
+    )
+
+
 # ---- multimodal -----------------------------------------------------
 
 
@@ -1840,6 +1873,7 @@ EXTENSION_QUERIES = {
     "d9_simhash64_pairs_r3": d9_simhash64_pairs_r3,
     "d10_dedup_survivors": d10_dedup_survivors,
     "d11_decontaminated_corpus": d11_decontaminated_corpus,
+    "d12_semantic_dedup_survivors": d12_semantic_dedup_survivors,
     "t6_repetition": t6_repetition,
     "t7_bigram_lm": t7_bigram_lm,
     "t8_redact": t8_redact,
@@ -3012,6 +3046,52 @@ EXTENSION_ORACLES = {
                CAST(COUNT(DISTINCT vec_id) * 3 AS BIGINT) AS n_exact,
                true AS recall_at_least_40pct
         FROM embeddings WHERE vec_id < 20
+    """,
+    # the semantic-dedup OUTPUT: a3's cell-bucketed pair set (shared
+    # CTE shape) closed transitively, min-id canonicals kept
+    "d12_semantic_dedup_survivors": """
+        WITH RECURSIVE norms AS (
+            SELECT vec_id, embedding,
+                   sqrt(list_inner_product(embedding, embedding)) AS nrm
+            FROM embeddings
+        ),
+        cents AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn
+                  FROM norms WHERE vec_id < 8),
+        assigned AS (
+            SELECT vec_id, embedding, nrm, cent_id AS cell FROM (
+                SELECT n.vec_id, n.embedding, n.nrm, c.cent_id,
+                       ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                           ORDER BY CAST(FLOOR(list_inner_product(n.embedding, c.ce)
+                                               / (n.nrm * c.cn) * 1000000 + 0.5) AS BIGINT) DESC,
+                                    c.cent_id) AS rn
+                FROM norms n CROSS JOIN cents c
+            ) WHERE rn = 1
+        ),
+        pairs AS (
+            SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+            FROM assigned a JOIN assigned b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE CAST(FLOOR(list_inner_product(a.embedding, b.embedding)
+                             / (a.nrm * b.nrm) * 1000000 + 0.5) AS BIGINT) >= 350000
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(src, dst) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ),
+        labels AS (
+            SELECT src AS vec_id, LEAST(src, MIN(dst)) AS keep_id
+            FROM reach GROUP BY src
+        )
+        SELECT e.vec_id, CAST(e.label AS BIGINT) AS label
+        FROM embeddings e
+        WHERE e.vec_id NOT IN
+              (SELECT vec_id FROM labels WHERE vec_id <> keep_id)
+        ORDER BY e.vec_id
     """,
     # learned PQ codebooks are engine-specific; the engine-independent
     # contract is the shortlist+rerank recall floor (the a5 idiom)

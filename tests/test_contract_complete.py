@@ -37,23 +37,24 @@ def test_stale_and_new_queries_inside_coverage_window():
         k
         for k in entry.queries()
         if re.match(
-            r"^(a[67]|d11|smp5|s23|mm[23]|p[124789]|x[2456]|j[1-5]|k[23]"
-            r"|a[15]|b1|s(4|5|9|1[0-6])|d[1-8]|t[1-5])_",
+            r"^(a[67]|d1[12]|smp5|s23|mm[23]|p[124789]|x[2456]|j[1-5]|k[23]"
+            r"|a[15]|b1|s(4|5|9|1[0-6])|d[1-8]|t[1-4])_",
             k,
         )
     ]
     missing = [k for k in must_cover if k not in first50]
     assert not missing, f"driver window misses: {missing}"
-    # 57 candidates for 50 slots; the seven deferred to round 7 are the
+    # 58 candidates for 50 slots; the eight deferred to round 7 are the
     # repeatedly-verified r01-r04 greens and sit immediately after the
     # cut, first in line next round
-    assert list(entry.queries())[50:57] == [
+    assert list(entry.queries())[50:58] == [
         "p3_flatten",
         "p5_fan_in",
         "p6_map_reduce",
         "x1_exact_dedup",
         "x3_text_stats",
         "b2_flatten_positions",
+        "t5_winnow_fingerprint",
         "t6_repetition",
     ]
 
