@@ -236,3 +236,17 @@ def test_bpe2_encode_is_broadcast_vocab_join(spark):
 
     txt = plan_text(bpe2_tokenize_corpus(spark, SF_SMOKE), "formatted")
     assert "BroadcastHashJoin" in txt, txt
+
+
+def test_a6_knn_join_plan_shape(spark):
+    """a6: the k-NN join's final adaptive plan runs ONE cogrouped
+    kernel (tile top-k), with no cartesian shapes — the cell key is
+    the only meeting point of the two sides."""
+    from async_pipes_spark.plans.extensions import a6_knn_join
+
+    df = a6_knn_join(spark, SF_SMOKE)
+    df.collect()  # let AQE finalize
+    final = plan_text(df, "formatted").split("== Initial Plan ==")[0]
+    assert final.count("FlatMapCoGroupsInPandas") == 1, final
+    assert "CartesianProduct" not in final, final
+    assert "BroadcastNestedLoop" not in final, final
