@@ -136,12 +136,18 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     (id, n_bytes, content_hash, width, height)."""
     out_schema = f"{id_col} BIGINT, {FEATURE_FIELDS}"
 
+    feat_cols = ["n_bytes", "content_hash", "width", "height", "mean_px_milli"]
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             feats = [
                 _decode_stub(m["payload"], m["media_type"]) for m in pdf["media"]
             ]
-            fdf = pd.DataFrame(feats)
+            # explicit columns: an EMPTY Arrow batch otherwise builds a
+            # zero-column frame that mismatches the declared schema and
+            # fails the whole task (resize/frame_sample already pass
+            # columns= for the same reason)
+            fdf = pd.DataFrame(feats, columns=feat_cols)
             fdf.insert(0, id_col, pdf[id_col].values)
             yield fdf
 

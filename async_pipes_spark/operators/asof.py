@@ -32,7 +32,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_RESERVED = ("_src", "_m", "_mm")
+#: "_on" is reserved too: the match struct names its timestamp field
+#: _on, and a right payload column with that name would create an
+#: ambiguous duplicate field inside the struct
+_RESERVED = ("_src", "_m", "_mm", "_on")
 
 
 def asof_join(
@@ -97,8 +100,15 @@ def asof_join(
             F.col(on).asc(), F.col("_src").asc(), F.hash(F.col("_m")).asc()
         )
     else:
+        # desc() alone sorts NULLS LAST, which would put a NULL-ts LEFT
+        # row at the window's end where it has seen every right row —
+        # a spurious "earliest right row" match. NULLS FIRST keeps the
+        # docstring's contract: NULL-ts left rows match nothing (the
+        # right side is already NULL-free).
         w = Window.partitionBy(by).orderBy(
-            F.col(on).desc(), F.col("_src").asc(), F.hash(F.col("_m")).asc()
+            F.col(on).desc_nulls_first(),
+            F.col("_src").asc(),
+            F.hash(F.col("_m")).asc(),
         )
     w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 

@@ -38,6 +38,12 @@ def range_join(
     overlap = (set(points.columns) & set(intervals.columns)) - ({by} if by else set())
     if overlap:
         raise ValueError(f"column collision between sides: {sorted(overlap)}")
+    reserved = {"_pb", "_ib"} & (set(points.columns) | set(intervals.columns))
+    if reserved:
+        # withColumn would silently OVERWRITE a same-named user column
+        # and the output would carry the internal bucket value under
+        # the user's name
+        raise ValueError(f"column names reserved by range_join: {sorted(reserved)}")
 
     bucket = lambda c: F.floor(F.unix_micros(c) / (bucket_seconds * 1_000_000))  # noqa: E731
     # Explicit side aliases: both frames often share lineage (two
@@ -45,9 +51,20 @@ def range_join(
     # columns degenerates to an ambiguity-fragile trivially-true
     # predicate in that case. Qualified names are unambiguous.
     p = points.withColumn("_pb", bucket(F.col(point_ts))).alias("_p")
-    i = intervals.withColumn(
-        "_ib", F.explode(F.sequence(bucket(F.col(start_ts)), bucket(F.col(end_ts))))
-    ).alias("_i")
+    # Drop inverted intervals (end < start) BEFORE the explode:
+    # sequence(a, b) with b < a silently generates a DESCENDING
+    # sequence — one dirty epoch-0 end timestamp would explode into
+    # hundreds of thousands of bucket rows that the exact range filter
+    # then guarantees can never match (NULL bounds drop too: they can
+    # contain no point)
+    i = (
+        intervals.filter(F.col(end_ts) >= F.col(start_ts))
+        .withColumn(
+            "_ib",
+            F.explode(F.sequence(bucket(F.col(start_ts)), bucket(F.col(end_ts)))),
+        )
+        .alias("_i")
+    )
     cond = F.col("_p._pb") == F.col("_i._ib")
     if by:
         cond &= F.col(f"_p.{by}") == F.col(f"_i.{by}")

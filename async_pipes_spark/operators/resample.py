@@ -47,6 +47,10 @@ def resample_ffill(
     second. date_trunc's shorthand aliases ('mon', 'dd', ...) are
     rejected rather than guessed at.
 
+    Rows with a NULL ``ts_col`` are EXCLUDED (they belong to no
+    bucket; silently folding them into a dropped NULL-bucket group
+    would lose their values from per-key totals without a trace).
+
     Returns one row per (key, bucket): ``key_col``, ``bucket``, and
     the aggregate columns."""
     steps = {
@@ -63,8 +67,19 @@ def resample_ffill(
         raise ValueError(
             f"unit must be one of {sorted(steps)}, got {unit!r}"
         )
+    bad_names = {"bucket", key_col} & set(agg_cols)
+    if bad_names:
+        # a same-named aggregate would duplicate the grid-join key and
+        # fail deep in the plan with an ambiguous-reference error
+        raise ValueError(f"aggregate names reserved by resample: {sorted(bad_names)}")
+    # NULL timestamps have no bucket: they would aggregate into a NULL
+    # bucket row that the grid join silently drops — losing their
+    # values from per-key totals with no error. Excluding them is the
+    # contract (mirrors prefix_sum's NULL-key stance), stated here
+    # rather than left to the join's accident.
+    obs_src = df.filter(F.col(ts_col).isNotNull())
     bucket = F.date_trunc(unit, F.col(ts_col)).alias("bucket")
-    obs = df.groupBy(F.col(key_col), bucket).agg(
+    obs = obs_src.groupBy(F.col(key_col), bucket).agg(
         *[expr.alias(name) for name, expr in agg_cols.items()]
     )
     step = F.expr(steps[unit])

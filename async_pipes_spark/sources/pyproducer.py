@@ -63,10 +63,19 @@ def _unique_name(prefix: str, key) -> str:
 def make_producer_datasource(
     fn: Callable[[int, int], Iterator[tuple]],
     num_partitions: int = 1,
+    label: str = "",
 ):
-    """Build a DataSource class around a partitioned generator fn."""
+    """Build a DataSource class around a partitioned generator fn.
+    ``label`` (the caller's pipe/source name) becomes part of the
+    registered name — visible in the registry/plans — and of the memo
+    key, so two sources built around the same closure under DIFFERENT
+    names keep separate registrations."""
 
-    source_name = _unique_name("async_pipes_producer", (fn, num_partitions))
+    import re
+
+    safe = re.sub(r"[^A-Za-z0-9_]", "_", label)
+    prefix = f"async_pipes_producer_{safe}" if safe else "async_pipes_producer"
+    source_name = _unique_name(prefix, (fn, num_partitions, label))
 
     class _Reader(DataSourceReader):
         def partitions(self):
@@ -98,8 +107,10 @@ def producer_source(
 ):
     """Register and return a reader for an executor-side producer.
     Returns ``spark.read``-style loader: call ``.load()`` for the
-    DataFrame."""
-    cls = make_producer_datasource(fn, num_partitions)
+    DataFrame. ``name`` labels the registration (it is suffixed with a
+    uuid — registration is name-keyed and last-write-wins, so a bare
+    user name could be silently rebound by a second producer)."""
+    cls = make_producer_datasource(fn, num_partitions, label=name)
     spark.dataSource.register(cls)
     return (
         spark.read.format(cls.name())

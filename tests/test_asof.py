@@ -187,3 +187,46 @@ def test_asof_rejects_reserved_columns(spark):
     )
     with _pytest.raises(ValueError, match="reserved"):
         asof_join(left, right, on="ts", by="sym")
+
+
+def test_asof_forward_null_left_ts_gets_null_match(spark):
+    """Finding from review: desc() sorts NULLS LAST, so a NULL-ts left
+    row used to sit at the forward window's END and 'match' the
+    earliest right row. Both directions must give NULL-ts left rows a
+    NULL match."""
+    import datetime
+
+    from async_pipes_spark.operators.asof import asof_join
+
+    t = lambda s: datetime.datetime(2024, 1, 1, 10, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [("A", t(3)), ("A", None)], "k string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("A", t(0), 1.0), ("A", t(5), 2.0)], "k string, ts timestamp, px double"
+    )
+    for direction, want_matched in [("forward", 2.0), ("backward", 1.0)]:
+        out = {
+            (r.ts is not None): r.px
+            for r in asof_join(left, right, on="ts", by="k", direction=direction).collect()
+        }
+        assert out[True] == want_matched, (direction, out)
+        assert out[False] is None, (direction, out)
+
+
+def test_asof_rejects_reserved_on_column(spark):
+    """A right payload column named '_on' would duplicate the match
+    struct's timestamp field — rejected up front."""
+    import datetime
+
+    import pytest as _pytest
+
+    from async_pipes_spark.operators.asof import asof_join
+
+    t = datetime.datetime(2024, 1, 1)
+    left = spark.createDataFrame([("A", t)], "k string, ts timestamp")
+    right = spark.createDataFrame(
+        [("A", t, "x")], "k string, ts timestamp, _on string"
+    )
+    with _pytest.raises(ValueError, match="reserved"):
+        asof_join(left, right, on="ts", by="k")

@@ -443,3 +443,31 @@ def test_decontaminate_custom_id_col(spark):
         group_col="grp", text_col="body", id_col="my_id",
     ).collect()
     assert [(r.my_id, r.grp) for r in out] == [(3, "train")]
+
+
+def test_resample_excludes_null_ts_and_guards_names(spark):
+    """NULL-ts rows are excluded by contract (not silently folded into
+    a dropped NULL bucket); aggregate names colliding with the grid
+    keys error up front."""
+    import datetime
+
+    import pytest as _pytest
+
+    from async_pipes_spark.operators.resample import resample_ffill
+
+    rows = [
+        (1, datetime.datetime(2024, 1, 1), 10),
+        (1, None, 99),  # excluded: belongs to no bucket
+        (1, datetime.datetime(2024, 1, 3), 30),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, v bigint")
+    out = resample_ffill(
+        df, ts_col="ts", key_col="user_id",
+        agg_cols={"total": F.sum("v")}, fill_cols=["total"], unit="day",
+    ).collect()
+    assert sorted((r.bucket.day, r.total) for r in out) == [(1, 10), (2, 10), (3, 30)]
+    with _pytest.raises(ValueError, match="reserved"):
+        resample_ffill(
+            df, ts_col="ts", key_col="user_id",
+            agg_cols={"bucket": F.sum("v")}, fill_cols=[], unit="day",
+        )

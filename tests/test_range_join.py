@@ -160,3 +160,38 @@ def test_range_join_without_key(spark):
         (r.pid, r.iid) for r in range_join(p, i, "ts", "start", "end").collect()
     )
     assert got == want
+
+
+def test_range_join_drops_inverted_intervals_without_explosion(spark):
+    """An interval with end < start (dirty data: epoch-0 end) must be
+    dropped before the bucket explode — sequence() would otherwise
+    generate a huge DESCENDING bucket list that can never match."""
+    import datetime
+
+    from async_pipes_spark.operators.range_join import range_join
+
+    t = lambda d: datetime.datetime(2024, 1, d, 12)  # noqa: E731
+    points = spark.createDataFrame([(1, t(5))], "pid bigint, ts timestamp")
+    intervals = spark.createDataFrame(
+        [
+            (10, t(4), t(6)),                              # valid, contains the point
+            (11, t(20), datetime.datetime(1970, 1, 1)),    # inverted garbage
+        ],
+        "iid bigint, s timestamp, e timestamp",
+    )
+    out = range_join(points, intervals, "ts", "s", "e", how="left").collect()
+    assert [(r.pid, r.iid) for r in out] == [(1, 10)]
+
+
+def test_range_join_rejects_reserved_bucket_columns(spark):
+    import datetime
+
+    import pytest as _pytest
+
+    from async_pipes_spark.operators.range_join import range_join
+
+    t = datetime.datetime(2024, 1, 1)
+    points = spark.createDataFrame([(1, t, 0)], "pid bigint, ts timestamp, _pb bigint")
+    intervals = spark.createDataFrame([(2, t, t)], "iid bigint, s timestamp, e timestamp")
+    with _pytest.raises(ValueError, match="reserved"):
+        range_join(points, intervals, "ts", "s", "e")

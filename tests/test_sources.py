@@ -1415,3 +1415,20 @@ def test_manifest_orphan_version_not_time_travelable(spark, tmp_path):
     assert "v_orphan_crash" not in vs and len(vs) == 1
     with _pytest.raises(ValueError, match="not retained"):
         read_manifest_table(spark, tgt, version="v_orphan_crash")
+
+
+def test_producer_name_labels_registration(spark):
+    """Two producers around the SAME closure under different names keep
+    separate, name-labeled registrations (the name parameter used to be
+    dead: both silently shared one uuid registration)."""
+    from async_pipes_spark.sources.pyproducer import make_producer_datasource
+
+    def gen(part, n):
+        return iter([(part,)])
+
+    a = make_producer_datasource(gen, 1, label="alpha")
+    b = make_producer_datasource(gen, 1, label="beta")
+    assert a.name() != b.name()
+    assert "alpha" in a.name() and "beta" in b.name()
+    # same closure + same label memoizes to ONE registration
+    assert make_producer_datasource(gen, 1, label="alpha").name() == a.name()
