@@ -50,10 +50,12 @@ def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def _initial_seq() -> F.Column:
     """word → ``" w o r d "``: one space-separated symbol per char.
-    regexp_replace('(.)', ' $1') is engine-portable (same output as
-    DuckDB's ``regexp_replace(w, '(.)', ' \\1', 'g')``)."""
+    DOTALL ('(?s)' / DuckDB flag 's') so a newline inside a word —
+    space-delimited tokenization keeps them — splits into its own
+    symbol like any other character instead of staying fused to its
+    neighbor; both engines verified to produce identical output."""
     return F.concat(
-        F.regexp_replace(F.col("word"), "(.)", " $1"), F.lit(" ")
+        F.regexp_replace(F.col("word"), "(?s)(.)", " $1"), F.lit(" ")
     )
 
 
@@ -124,6 +126,14 @@ def _learn(words: DataFrame, k: int):
         a, b, n = best[0]["a"], best[0]["b"], best[0]["n"]
         merges.append((step, a, b, a + b, n))
         words = words.withColumn("seq", _merge_once(F.col("seq"), a, b))
+        # re-pin periodically: without it the seq expression stacks one
+        # nested replace per iteration — iteration i re-evaluates i-1
+        # replaces (O(k²) work) and the growing plan eventually chokes
+        # Catalyst at realistic merge counts (k in the thousands). The
+        # pin materializes the vocab-sized frame, so the per-iteration
+        # cost stays flat; 8 unpinned steps amortize the pin job.
+        if step % 8 == 0:
+            words = _pin(words)
     return merges, words
 
 
@@ -170,7 +180,7 @@ def _bpe_ctes(k: int) -> str:
         """
         w0 AS (
             SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
-                   regexp_replace(word, '(.)', ' \\1', 'g') || ' ' AS seq
+                   regexp_replace(word, '(.)', ' \\1', 'gs') || ' ' AS seq
             FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
             WHERE word <> '' GROUP BY word
         )"""

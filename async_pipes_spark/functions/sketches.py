@@ -26,11 +26,31 @@ HEX_WIDTH = 12  # 48-bit fractions: exact in doubles, wide enough for ppm rates
 HEX_SPACE = float(16**HEX_WIDTH)
 
 
+def _null_safe_key(cols) -> Column:
+    """Key-column concatenation for hashing: components joined by unit
+    separator 0x1f, with NULL components mapped to a NUL sentinel —
+    ``concat_ws`` SKIPS nulls, so without the sentinel ('a', NULL),
+    (NULL, 'a') and ('a',) would all hash identically and every
+    sketch/sample over nullable keys would silently conflate them.
+    Single-column NON-NULL keys produce exactly ``cast(col as string)``
+    (what the DuckDB oracles replicate); a real value equal to the
+    one-byte NUL string is the only possible collision."""
+    parts = [
+        F.coalesce(
+            (F.col(c) if isinstance(c, str) else c).cast("string"),
+            F.lit("\x00"),
+        )
+        for c in cols
+    ]
+    return F.concat_ws("\x1f", *parts)
+
+
 def hash_hex(*cols: Column | str) -> Column:
     """Uniform 12-hex-char hash of the (concatenated) key columns.
     Components are joined with unit separator 0x1f so ('a','bc') and
-    ('ab','c') hash differently."""
-    return F.substring(F.md5(F.concat_ws("\x1f", *cols)), 1, HEX_WIDTH)
+    ('ab','c') hash differently; NULL components are sentinel-encoded
+    (see _null_safe_key) so they stay distinguishable."""
+    return F.substring(F.md5(_null_safe_key(cols)), 1, HEX_WIDTH)
 
 
 def kmv_distinct(df: DataFrame, cols: list[str], k: int = 256) -> DataFrame:
@@ -58,7 +78,7 @@ def _bloom_positions(cols: list[str], num_bits: int, num_hashes: int):
     whole-stage-codegen (md5/conv/pmod are built-ins) — no Python
     touches a row — and engine-replicable (the same formula is plain
     SQL in DuckDB or anything with md5)."""
-    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols])
+    key = _null_safe_key(cols)
     return [
         F.pmod(
             F.conv(
@@ -114,8 +134,9 @@ def bloom_build(
     (The earlier per-partition-bitset formulation looped Python md5 per
     row — measured 3 s on 150k rows; this shape is pure JVM.)"""
     if num_bits is None:
-        key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols])
-        est = df.agg(F.approx_count_distinct(key).alias("d")).head()[0] or 0
+        est = df.agg(
+            F.approx_count_distinct(_null_safe_key(cols)).alias("d")
+        ).head()[0] or 0
         # adaptive sizing is CAPPED: 16 bits/key but never beyond
         # BLOOM_MAX_BITS (default 2^27 = 16 MB of filter). Uncapped,
         # a 1e9-distinct-key corpus would size the filter at 16e9
@@ -135,15 +156,23 @@ def bloom_build(
         # bloom_probe re-derive a DIFFERENT modulus from len(bitset)*8 —
         # false negatives, violating the hard guarantee
         raise ValueError("num_bits must be a multiple of 8")
+    # Arrow collect (toPandas), not .collect(): at the adaptive cap the
+    # distinct set-bit indexes can approach num_bits (~1.3e8) — as
+    # heavyweight Row objects that is multi-GB on the driver; as one
+    # Arrow int64 column it is ~1 GB worst-case and the bitset assembly
+    # is a vectorized scatter instead of a Python loop
     pos = (
-        df.select(F.explode(F.array(*_bloom_positions(cols, num_bits, num_hashes))).alias("p"))
+        df.select(
+            F.explode(
+                F.array(*_bloom_positions(cols, num_bits, num_hashes))
+            ).alias("p")
+        )
         .distinct()
-        .collect()
+        .toPandas()["p"]
+        .to_numpy(dtype=np.int64)
     )
     bits = np.zeros(num_bits // 8, dtype=np.uint8)
-    for r in pos:
-        p = int(r.p)
-        bits[p >> 3] |= 1 << (p & 7)
+    np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
     return bits.tobytes()
 
 
@@ -156,20 +185,22 @@ def bloom_probe(
 ) -> DataFrame:
     """Probe a bloom_build bitset: adds ``result_col`` (boolean). The
     positions compute JVM-side; the bitset lookup is one vectorized
-    Arrow batch op (numpy fancy-index over the closed-over 8 KiB
-    array, broadcast with the task, never shuffled). False negatives
-    are impossible by construction."""
+    Arrow batch op over the PACKED bytes (closed over and shipped with
+    the task at 1/8 the memory of an unpacked bool array — at the
+    16 MB adaptive cap, unpacking would pin 128 MB per Python worker).
+    False negatives are impossible by construction."""
     from pyspark.sql.functions import pandas_udf
 
     num_bits = len(bitset) * 8
-    bits_bool = np.unpackbits(np.frombuffer(bitset, dtype=np.uint8), bitorder="little").astype(bool)
+    packed = np.frombuffer(bitset, dtype=np.uint8)
 
     @pandas_udf("boolean")
     def _contains(parr: pd.Series) -> pd.Series:
         if len(parr) == 0:
             return pd.Series([], dtype=bool)
         P = np.stack(parr.to_numpy()).astype(np.int64)
-        return pd.Series(bits_bool[P].all(axis=1))
+        hit = (packed[P >> 3] >> (P & 7).astype(np.uint8)) & 1
+        return pd.Series(hit.all(axis=1))
 
     pos_array = F.array(*_bloom_positions(cols, num_bits, num_hashes))
     return df.withColumn(result_col, _contains(pos_array))
@@ -208,12 +239,25 @@ def count_min_lookup(
     """Estimate each item's frequency from a count_min_build sketch:
     min over the depth rows of the item's bucket counts (missing
     bucket = 0). Overestimates only — cms_n >= true count is a hard
-    guarantee (collisions add, never subtract)."""
+    guarantee (collisions add, never subtract). The sketch's published
+    (i, b, cnt) schema is aliased to internal names before the join,
+    so item frames carrying their own 'i'/'b'/'cnt' columns (natural
+    for frequency tables) don't hit ambiguous-reference errors."""
+    clash = {"_cm_i", "_cm_b", "_cm_cnt", result_col} & set(items.columns)
+    if clash:
+        raise ValueError(f"column names reserved by count_min_lookup: {sorted(clash)}")
     pos = _bloom_positions(cols, width, depth)
-    keyed = items.select(*items.columns, F.posexplode(F.array(*pos)).alias("i", "b"))
+    keyed = items.select(
+        *items.columns, F.posexplode(F.array(*pos)).alias("_cm_i", "_cm_b")
+    )
+    sk = sketch.select(
+        F.col("i").alias("_cm_i"),
+        F.col("b").alias("_cm_b"),
+        F.col("cnt").alias("_cm_cnt"),
+    )
     return (
-        keyed.join(sketch, ["i", "b"], "left")
-        .fillna(0, subset=["cnt"])
+        keyed.join(sk, ["_cm_i", "_cm_b"], "left")
+        .fillna(0, subset=["_cm_cnt"])
         .groupBy(*items.columns)
-        .agg(F.min("cnt").cast("bigint").alias(result_col))
+        .agg(F.min("_cm_cnt").cast("bigint").alias(result_col))
     )

@@ -98,11 +98,17 @@ def winnow_fingerprints(
         for pdf in batches:
             ids, fps = [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
+                ids.append(did)
+                if text is None:
+                    # the expression form yields NULL for NULL text
+                    # (substr/md5/array_min propagate) — match it
+                    # instead of crashing the task on len(None)
+                    fps.append(None)
+                    continue
                 n = max(len(text) - window + 1, 1)
                 fps.append(
                     min(md5(text[i : i + window].encode()).hexdigest() for i in range(n))
                 )
-                ids.append(did)
             yield pd.DataFrame({id_col: pd.Series(ids, dtype="int64"), "wfp": fps})
 
     return fan_out(df.select(id_col, text_col)).mapInPandas(
@@ -122,8 +128,14 @@ def quality_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     text = F.col(text_col)
     n_chars = F.length(text).cast("bigint")
     n_alnum = F.length(F.regexp_replace(text, r"[^A-Za-z0-9]", "")).cast("bigint")
+    # stopword set = the head of the shared English profile (one
+    # definition with langid_scores — an inline copy would drift), and
+    # tokens are lowercased like langid does, so sentence-initial
+    # capitals still count
+    stop_set = LANG_PROFILES["en"][:5]
+    lower_toks = ws_tokens(F.lower(text))
     stop_hits = F.size(
-        F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "is"))
+        F.filter(lower_toks, lambda t: t.isin(*stop_set))
     ).cast("bigint")
     return df.select(
         F.col(id_col),
@@ -187,13 +199,13 @@ def duplicate_ngram_stats(
 
     sh = shingles(df, text_col=text_col, id_col=id_col, n=n)
     return (
-        sh.groupBy("doc_id")
+        sh.groupBy(F.col("doc_id").alias(id_col))
         .agg(
             F.count(F.lit(1)).alias("total_ngrams"),
             F.count_distinct("shingle").alias("uniq_ngrams"),
         )
         .select(
-            "doc_id",
+            id_col,
             "total_ngrams",
             "uniq_ngrams",
             micro_units(

@@ -2760,7 +2760,7 @@ EXTENSION_ORACLES = {
                    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types,
                    CAST(length(text) AS BIGINT) AS n_chars,
                    CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS BIGINT) AS n_alnum,
-                   CAST(len(list_filter(string_split(text, ' '),
+                   CAST(len(list_filter(string_split(lower(text), ' '),
                             t -> t IN ('the', 'a', 'of', 'and', 'is'))) AS BIGINT) AS stop_hits
             FROM documents
         )

@@ -17,6 +17,14 @@ from pyspark.sql import SparkSession
 #: sources.tables converts to a microsecond TimestampType column.
 NANOS_AS_LONG = "spark.sql.legacy.parquet.nanosAsLong"
 
+#: Spark's legacy default makes size(NULL) return -1 instead of NULL:
+#: a NULL text row would then flow through quality/langid metrics as
+#: n_tokens = -1 and produce plausible-looking fabricated ratios
+#: (e.g. ttr = (-1)/(-1) = 1.0) instead of NULLs. DuckDB's len(NULL)
+#: is NULL — pinning the modern behavior keeps the twins aligned on
+#: nullable text.
+SIZE_OF_NULL = "spark.sql.legacy.sizeOfNull"
+
 #: The driver's parquet timestamps are written with isAdjustedToUTC=false,
 #: which Spark 4 infers as TIMESTAMP_NTZ by default. NTZ is rejected by
 #: event-time watermarks and unix_micros/unix_timestamp arithmetic, so we
@@ -62,6 +70,7 @@ def get_spark(app_name: str = "async-pipes-spark", cpus: int | None = None) -> S
         .config("spark.ui.enabled", "false")
         .config(NANOS_AS_LONG, "true")
         .config(INFER_NTZ, "false")
+        .config(SIZE_OF_NULL, "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -117,5 +126,6 @@ def ensure_engine_confs(spark: SparkSession) -> SparkSession:
     externally-created session (e.g. the verification driver's)."""
     spark.conf.set(NANOS_AS_LONG, "true")
     spark.conf.set(INFER_NTZ, "false")
+    spark.conf.set(SIZE_OF_NULL, "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark

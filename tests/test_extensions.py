@@ -471,3 +471,68 @@ def test_resample_excludes_null_ts_and_guards_names(spark):
             df, ts_col="ts", key_col="user_id",
             agg_cols={"bucket": F.sum("v")}, fill_cols=[], unit="day",
         )
+
+
+def test_null_text_yields_null_metrics_not_garbage(spark):
+    """NULL text must surface as NULL metrics/fingerprints — not a
+    kernel crash (winnow) and not fabricated scores via the legacy
+    size(NULL) = -1 (quality metrics would read ttr = (-1)/(-1) = 1).
+    Kernel and expression winnow forms must agree on NULL."""
+    from async_pipes_spark.functions.text import (
+        quality_metrics,
+        winnow_fingerprint,
+        winnow_fingerprints,
+    )
+
+    df = spark.createDataFrame([(1, None), (2, "ab cd")], "doc_id bigint, text string")
+    qm = {r.doc_id: r.ttr_micro for r in quality_metrics(df).collect()}
+    assert qm[1] is None and qm[2] is not None
+    kf = {r.doc_id: r.wfp for r in winnow_fingerprints(df).collect()}
+    ef = {
+        r.doc_id: r.wfp
+        for r in df.select("doc_id", winnow_fingerprint("text").alias("wfp")).collect()
+    }
+    assert kf == ef and kf[1] is None and kf[2] is not None
+
+
+def test_hash_hex_distinguishes_null_positions(spark):
+    """concat_ws silently skips NULLs; the sentinel encoding must keep
+    ('a', NULL), (NULL, 'a') and ('a', '') as three distinct keys so
+    sketches and samplers never conflate them — while a single
+    NON-NULL key still hashes as md5(cast(value)) for oracle parity."""
+    from async_pipes_spark.functions.sketches import hash_hex
+
+    df = spark.createDataFrame(
+        [("a", None), (None, "a"), ("a", "")], "c1 string, c2 string"
+    )
+    hashes = [r.h for r in df.select(hash_hex("c1", "c2").alias("h")).collect()]
+    assert len(set(hashes)) == 3
+    import hashlib
+
+    one = spark.createDataFrame([(42,)], "k bigint")
+    got = one.select(hash_hex("k").alias("h")).head().h
+    assert got == hashlib.md5(b"42").hexdigest()[:12]
+
+
+def test_count_min_lookup_survives_colliding_item_columns(spark):
+    """An items frame carrying its own 'cnt'/'i'/'b' columns (natural
+    for a frequency table) must not hit ambiguous-reference errors."""
+    from async_pipes_spark.functions.sketches import count_min_build, count_min_lookup
+
+    data = spark.createDataFrame([("x",), ("x",), ("y",)], "tok string")
+    sketch = count_min_build(data, ["tok"])
+    items = spark.createDataFrame(
+        [("x", 99, 1, 2), ("z", 0, 3, 4)], "tok string, cnt bigint, i bigint, b bigint"
+    )
+    out = {r.tok: r.cms_n for r in count_min_lookup(sketch, items, ["tok"]).collect()}
+    assert out["x"] >= 2 and out["z"] >= 0
+
+
+def test_duplicate_ngram_stats_keeps_caller_id_name(spark):
+    from async_pipes_spark.functions.text import duplicate_ngram_stats
+
+    df = spark.createDataFrame(
+        [(7, "a b c a b c")], "rid bigint, body string"
+    )
+    out = duplicate_ngram_stats(df, text_col="body", id_col="rid").collect()
+    assert out[0].rid == 7 and out[0].total_ngrams == 4
