@@ -27,9 +27,18 @@ def dq_audit(
 ) -> DataFrame:
     """Run named VIOLATION predicates over ``df`` in one scan:
     (check, n_violations, n_checked, ok). ``checks`` maps check name →
-    boolean Column that is true when the ROW VIOLATES the check.
-    ``unique_keys`` maps check name → key column list whose duplicates
-    count as violations (``count(*) - count(distinct keys)``)."""
+    boolean Column that is true when the ROW VIOLATES the check. A
+    predicate that evaluates to NULL counts as NOT violating (the SQL
+    aggregation skips it) — rows where the checked column is NULL pass
+    range/domain checks silently, so register an explicit null check
+    for any column whose nullness matters (as v1 does).
+
+    ``unique_keys`` maps check name → key column list whose DUPLICATES
+    count as violations: rows with every key column non-null, minus
+    their distinct count. Rows with a NULL key column are excluded
+    from the uniqueness arithmetic entirely — ``count_distinct`` drops
+    them, and counting them against ``count(*)`` would report nullness
+    as duplication (they belong to a null check)."""
     if not checks and not unique_keys:
         raise ValueError("no checks registered")
     bad_names = [
@@ -46,28 +55,33 @@ def dq_audit(
     for name, pred in checks.items():
         aggs.append(F.sum(pred.cast("bigint")).alias(f"_v_{name}"))
     for name, keys in (unique_keys or {}).items():
+        all_non_null = reduce(
+            Column.__and__, [F.col(k).isNotNull() for k in keys]
+        )
         aggs.append(
             (
-                F.count(F.lit(1))
+                F.sum(all_non_null.cast("bigint"))
                 - F.count_distinct(*[F.col(k) for k in keys])
             ).alias(f"_v_{name}")
         )
     wide = df.agg(*aggs)
-    rows = [
-        wide.select(
-            F.lit(name).alias("check"),
-            # backtick-quoted: a check name containing '.' must read
-            # back as one flat column, not a struct-field path
-            F.coalesce(F.col(f"`_v_{name}`"), F.lit(0)).alias("n_violations"),
-            F.col("_n").alias("n_checked"),
-        )
-        for name in list(checks) + list(unique_keys or {})
-    ]
-    out = reduce(DataFrame.unionByName, rows)
-    return out.select(
+    # unpivot the single aggregated row with stack — a union of
+    # per-check selects would re-plan the aggregation once per check
+    # (column_stats learned the same lesson); names are backtick-safe
+    # (rejected above) and single quotes are escaped for the literal
+    names = list(checks) + list(unique_keys or {})
+    stack_args = []
+    for name in names:
+        lit_name = name.replace("\\", "\\\\").replace("'", "\\'")
+        stack_args += [f"'{lit_name}'", f"coalesce(`_v_{name}`, 0L)"]
+    return wide.selectExpr(
+        "_n",
+        f"stack({len(names)}, {', '.join(stack_args)})"
+        " AS (check, n_violations)",
+    ).select(
         "check",
         "n_violations",
-        "n_checked",
+        F.col("_n").alias("n_checked"),
         (F.col("n_violations") == 0).alias("ok"),
     )
 
@@ -99,16 +113,22 @@ def column_stats(df: DataFrame, cols: list[str]) -> DataFrame:
     missing = [c for c in cols if c not in df.columns]
     if missing:
         raise ValueError(f"columns not in frame: {missing}")
+    if any("`" in c for c in cols):
+        raise ValueError("column names cannot contain backticks")
+    # backtick-quoted reads: a top-level column literally named 'a.b'
+    # passed the membership check above but bare F.col('a.b') would
+    # misresolve as a struct-field path (the dq_audit lesson)
+    q = lambda c: F.col(f"`{c}`")  # noqa: E731
     hash_aggs = [F.count(F.lit(1)).alias("_n")]
     minmax_aggs = []
     for i, c in enumerate(cols):
         hash_aggs += [
-            F.sum(F.col(c).isNull().cast("bigint")).alias(f"_null_{i}"),
-            F.count_distinct(F.col(c)).alias(f"_ndv_{i}"),
+            F.sum(q(c).isNull().cast("bigint")).alias(f"_null_{i}"),
+            F.count_distinct(q(c)).alias(f"_ndv_{i}"),
         ]
         minmax_aggs += [
-            F.min(F.col(c)).cast("string").alias(f"_min_{i}"),
-            F.max(F.col(c)).cast("string").alias(f"_max_{i}"),
+            F.min(q(c)).cast("string").alias(f"_min_{i}"),
+            F.max(q(c)).cast("string").alias(f"_max_{i}"),
         ]
     wide = df.agg(*hash_aggs).crossJoin(F.broadcast(df.agg(*minmax_aggs)))
     # unpivot the single aggregated row with stack — NOT a union of

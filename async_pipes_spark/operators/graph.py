@@ -114,9 +114,12 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         (F.col("a") == F.col("e3.u")) & (F.col("c") == F.col("e3.v")),
         "left_semi",
     )
+    # node set from the RAW edge list: a node whose only edges are
+    # self-loops would vanish from `und` (the u != v filter) and lose
+    # its promised zero row entirely
     nodes = (
-        und.select(F.col("u").alias("node"))
-        .unionByName(und.select(F.col("v").alias("node")))
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
     per = (

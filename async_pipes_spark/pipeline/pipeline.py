@@ -143,8 +143,31 @@ class Pipeline:
         elif kind == "branching_producer":
             _, task, schemas = stage.task
             buckets: list[list[tuple]] = [[] for _ in stage.outputs]
+            pulls = 0
             round_vals = task()
             while round_vals is not None:
+                # same termination cap as the single-pipe pull loop:
+                # a non-terminating closure must fail actionably, not
+                # hang the driver accumulating buckets
+                pulls += 1
+                if pulls > MAX_PRODUCER_PULLS:
+                    raise RuntimeError(
+                        f"branching producer for pipes {stage.outputs} "
+                        f"exceeded {MAX_PRODUCER_PULLS} pulls without "
+                        "terminating; the driver-side pull protocol is "
+                        "for bounded closures — use streaming sources "
+                        "for unbounded production"
+                    )
+                # a round must name every output pipe (None/NoOutput to
+                # skip one): a short list would silently starve the
+                # trailing pipes, a long one would IndexError obscurely
+                if len(round_vals) != len(stage.outputs):
+                    raise ValueError(
+                        f"branching producer returned {len(round_vals)} "
+                        f"values for {len(stage.outputs)} pipes "
+                        f"{stage.outputs}; every round must provide one "
+                        "value (or None/NoOutput) per pipe"
+                    )
                 for i, v in enumerate(round_vals):
                     if v is None or v is NoOutput:
                         continue
@@ -279,7 +302,11 @@ class Pipeline:
         (on a multi-node cluster, swap for checkpoint()).
         """
         internal_pipes = {p for s in scc_stages for p in s.inputs}
-        consumer_acc: dict[str, list[DataFrame]] = {}
+        # a consumer can never be here: SCC membership (or a self-loop)
+        # requires an outgoing edge, and consumers have no outputs —
+        # assert the invariant rather than carry dead accumulate-and-
+        # run machinery for an impossible case
+        assert all(s.kind != "consumer" for s in scc_stages), scc_stages
 
         frontier: dict[str, DataFrame] = {}
         for p in internal_pipes:
@@ -296,9 +323,6 @@ class Pipeline:
                 in_df = live.get(stage.inputs[0]) if stage.inputs else None
                 if in_df is None:
                     continue
-                if stage.kind == "consumer":
-                    consumer_acc.setdefault(stage.inputs[0], []).append(in_df)
-                    continue
                 for pipe, df in self._apply_stage(stage, in_df).items():
                     if pipe in internal_pipes:
                         nxt.setdefault(pipe, []).append(df)
@@ -313,12 +337,6 @@ class Pipeline:
             raise RuntimeError(
                 f"cyclic pipeline did not quiesce in {MAX_CYCLE_ITERATIONS} iterations"
             )
-
-        for stage in scc_stages:
-            if stage.kind == "consumer":
-                acc = _union_all(consumer_acc.get(stage.inputs[0], []))
-                if acc is not None:
-                    self._results[stage.inputs[0]] = stage.task(acc)
 
     @staticmethod
     def builder(spark: SparkSession | None = None):

@@ -2110,7 +2110,7 @@ def _triangle_oracle() -> str:
             JOIN und e2 ON e1.v = e2.u
             JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
         ),
-        nodes AS (SELECT u AS node FROM und UNION SELECT v FROM und),
+        nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
         per AS (
             SELECT node, COUNT(*) AS n
             FROM (SELECT unnest([a, b, c]) AS node FROM tri)
@@ -2315,7 +2315,7 @@ EXTENSION_ORACLES = {
                    SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS v_status,
                    SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS v_price,
                    SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v_null,
-                   COUNT(*) - COUNT(DISTINCT o_orderkey) AS v_dup
+                   COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS v_dup
             FROM orders
         ),
         ri AS (

@@ -24,9 +24,10 @@ from async_pipes_spark.operators.range_join import range_join
 from async_pipes_spark.sources.tables import load_table
 
 
-def _cents(col: str):
-    # shared money canonicalization (per-row round to integer cents)
-    return F.floor(F.col(col) * 100 + F.lit(0.5)).cast("bigint")
+# shared money canonicalization — ONE definition with the r-series
+# (functions.money.cents), so the two families can never round
+# differently and break oracle parity in only one of them
+from async_pipes_spark.functions.money import cents as _cents
 
 
 def j1_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:

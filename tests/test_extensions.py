@@ -536,3 +536,59 @@ def test_duplicate_ngram_stats_keeps_caller_id_name(spark):
     )
     out = duplicate_ngram_stats(df, text_col="body", id_col="rid").collect()
     assert out[0].rid == 7 and out[0].total_ngrams == 4
+
+
+def test_dq_unique_keys_excludes_null_keys(spark):
+    """NULL-key rows are nullness, not duplication: uniqueness counts
+    only all-keys-non-null rows against their distinct count."""
+    from async_pipes_spark.functions.validate import dq_audit
+
+    df = spark.createDataFrame(
+        [(1,), (2,), (2,), (None,), (None,)], "k bigint"
+    )
+    out = {r.check: r.n_violations for r in dq_audit(
+        df,
+        checks={"k_null": F.col("k").isNull()},
+        unique_keys={"k_unique": ["k"]},
+    ).collect()}
+    assert out == {"k_null": 2, "k_unique": 1}
+
+
+def test_triangle_counts_keeps_self_loop_only_node(spark):
+    """A node whose only edges are self-loops must still get its
+    promised zero row (the node set derives from raw edges, not the
+    self-loop-filtered undirected set)."""
+    from async_pipes_spark.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        [(5, 5), (1, 2), (2, 3), (1, 3)], "src bigint, dst bigint"
+    )
+    got = {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 0}
+
+
+def test_branching_producer_validates_round_shape(spark):
+    """A round returning the wrong number of values must error
+    actionably (a short list used to silently starve trailing pipes),
+    and a never-terminating closure must hit the pull cap."""
+    import pytest as _pytest
+
+    from async_pipes_spark import Pipeline
+
+    state = {"n": 0}
+
+    def bad_round():
+        state["n"] += 1
+        return [state["n"]] if state["n"] <= 2 else None  # 1 value, 2 pipes
+
+    b = (
+        Pipeline.builder(spark)
+        .with_branching_producer(
+            ["x", "y"], bad_round, schemas=["v bigint", "v bigint"]
+        )
+        .with_consumer("x", lambda df: df.count())
+        .with_consumer("y", lambda df: df.count())
+        .build()
+    )
+    with _pytest.raises(ValueError, match="every round must provide"):
+        b.wait()
