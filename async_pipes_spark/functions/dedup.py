@@ -75,6 +75,25 @@ def _drop_hot_groups(rows: DataFrame, group_cols: list[str], cap: int) -> DataFr
     )
 
 
+def _bucket_pairs(buckets: DataFrame, arr_col: str) -> DataFrame:
+    """Expand each bucket's member ARRAY into element pairs
+    (``_pa`` before ``_pb`` in array order) — the ONE in-bucket pair
+    generator shared by the LSH / Jaccard-posting / SimHash families
+    (three hand-rolled copies had already started to drift). Pair
+    generation stays inside the bucket rather than a self-join, so the
+    expensive upstream kernel is evaluated once and every signature
+    row shuffles once. Callers orient, filter and dedupe per their own
+    semantics."""
+    return buckets.select(
+        F.posexplode(arr_col).alias("_pi", "_pa"), arr_col
+    ).select(
+        "_pa",
+        F.explode(
+            F.slice(arr_col, F.col("_pi") + 2, F.size(arr_col) - F.col("_pi") - 1)
+        ).alias("_pb"),
+    )
+
+
 def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup by md5(text): (h, keep_id, dups)."""
     return df.groupBy(F.md5(text_col).alias("h")).agg(
@@ -115,6 +134,8 @@ def shingles(
             carry: dict[str, list] = {c: [] for c in carry_cols}
             for row in zip(pdf[id_col], pdf[text_col], *(pdf[c] for c in carry_cols)):
                 i, text, extras = row[0], row[1], row[2:]
+                if text is None:
+                    continue  # NULL text has no shingles (no row)
                 toks = text.split(" ")
                 for j in range(len(toks) - n + 1):
                     ids.append(i)
@@ -144,9 +165,11 @@ def minhash_signatures(
     """Banded minhash signatures: (doc_id, band, sig).
 
     minhash_i(doc) = min over shingles of md5(i || '|' || shingle);
-    bands concatenate ``band_size`` consecutive minhashes. Partial
-    aggregation keeps the shuffle at one (doc, i, current-min) row per
-    map partition, so the k× hash fan-out never hits the network.
+    bands concatenate ``band_size`` consecutive minhashes. One Arrow
+    kernel does shingle → k hashes → per-doc min → bands in a single
+    pass, so only the num_bands (doc, band, sig) rows per doc ever
+    leave the Python worker — the k× hash fan-out never hits the
+    network. NULL-text docs emit no row.
     """
     # One Arrow kernel does shingle → k hashes → per-doc min → bands in
     # a single pass: nothing but (doc, band, sig) rows ever leave the
@@ -158,6 +181,13 @@ def minhash_signatures(
 
     import pandas as pd
 
+    if num_hashes % band_size:
+        # truncating would silently compute (and pay for) trailing
+        # hashes that never reach a band — lower recall with no error
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by band_size "
+            f"({band_size})"
+        )
     num_bands = num_hashes // band_size
     prefixes = [f"{i}|".encode() for i in range(num_hashes)]
 
@@ -166,6 +196,8 @@ def minhash_signatures(
         for pdf in batches:
             ids, bands, sigs = [], [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue  # NULL text: nothing to sign, no row
                 toks = text.split(" ")
                 if len(toks) < shingle_n:
                     continue
@@ -221,13 +253,8 @@ def minhash_lsh_pairs(
         .filter(F.size("ids") > 1)
     )
     return (
-        buckets.select(F.posexplode("ids").alias("i", "doc_a"), "ids")
-        .select(
-            "doc_a",
-            F.explode(
-                F.slice("ids", F.col("i") + 2, F.size("ids") - F.col("i") - 1)
-            ).alias("doc_b"),
-        )
+        _bucket_pairs(buckets, "ids")
+        .select(F.col("_pa").alias("doc_a"), F.col("_pb").alias("doc_b"))
         .distinct()
     )
 
@@ -277,6 +304,8 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
             tok_bits: dict[str, object] = {}
             ids, hashes = [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue  # NULL text: nothing to sign, no row
                 toks = text.split(" ")
                 rows = []
                 for tok in toks:
@@ -336,6 +365,8 @@ def ngram_jaccard_pairs(
         for pdf in batches:
             ids, out, sizes = [], [], []
             for i, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue  # NULL text has no shingles (no row)
                 toks = text.split(" ")
                 sh = {
                     " ".join(toks[j : j + shingle_n])
@@ -370,20 +401,19 @@ def ngram_jaccard_pairs(
         sh = _drop_hot_groups(sh, ["shingle"], max_posting_len)
     members = (
         sh.groupBy("shingle")
-        .agg(F.sort_array(F.collect_list(F.struct(id_col, "n"))).alias("ms"))
+        # the kernel's id output is always named 'doc_id' whatever
+        # id_col the caller reads from — reference it as such
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("ms"))
         .filter(F.size("ms") > 1)
     )
-    pairs = members.select(F.posexplode("ms").alias("i", "a"), "ms").select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("a.n").alias("na"),
-        F.explode(
-            F.slice("ms", F.col("i") + 2, F.size("ms") - F.col("i") - 1)
-        ).alias("b"),
+    pairs = _bucket_pairs(members, "ms").select(
+        F.col("_pa.doc_id").alias("doc_a"),
+        F.col("_pa.n").alias("na"),
+        F.col("_pb.doc_id").alias("doc_b"),
+        F.col("_pb.n").alias("nb"),
     )
     return (
-        pairs.select(
-            "doc_a", F.col("b.doc_id").alias("doc_b"), "na", F.col("b.n").alias("nb")
-        )
+        pairs
         .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("c"))
         .select(
@@ -606,15 +636,11 @@ def simhash_pairs(
         F.collect_list(F.struct("doc_id", "sig")).alias("members")
     )
     pairs = (
-        buckets.select(F.posexplode("members").alias("i", "a"), "members")
+        _bucket_pairs(buckets, "members")
         .select(
-            "a",
-            F.explode(F.slice("members", F.col("i") + 2, F.size("members"))).alias("b"),
-        )
-        .select(
-            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
-            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
-            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
+            F.least(F.col("_pa.doc_id"), F.col("_pb.doc_id")).alias("doc_a"),
+            F.greatest(F.col("_pa.doc_id"), F.col("_pb.doc_id")).alias("doc_b"),
+            F.bit_count(F.col("_pa.sig").bitwiseXOR(F.col("_pb.sig"))).alias("hamming"),
         )
         .filter(F.col("hamming") <= radius)
         .filter(F.col("doc_a") != F.col("doc_b"))
@@ -726,8 +752,13 @@ def decontaminate_corpus(
     contaminated-id set is overlap-sized, so corpus removal is a
     keys-only broadcast anti-join (the d10 survivor idiom) — corpus
     payloads never shuffle."""
-    bench = df.filter(benchmark_pred)
-    train = df.filter(~benchmark_pred)
+    # NULL-valued predicates route to TRAINING: under three-valued
+    # logic a row where the predicate is NULL would otherwise be
+    # excluded from BOTH filters and silently vanish from the clean
+    # corpus (neither scrubbed nor retained)
+    is_bench = F.coalesce(benchmark_pred, F.lit(False))
+    bench = df.filter(is_bench)
+    train = df.filter(~is_bench)
     bench_sh = shingles(bench, text_col=text_col, id_col=id_col, n=n).select(
         "shingle"
     ).distinct()

@@ -58,7 +58,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_engine_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        # exact integer FLOOR division: bare `div` truncates toward
+        # zero, which would round a pre-epoch nanosecond timestamp UP
+        # by a microsecond relative to the floor conversion the
+        # docstring promises (pmod is non-negative, so subtracting it
+        # makes the dividend exactly divisible)
+        df = df.withColumn(
+            "ts", F.expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)")
+        )
     df = normalize_ntz(df)
     if use_cache:
         _TABLE_CACHE[key] = df

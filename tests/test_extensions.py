@@ -592,3 +592,49 @@ def test_branching_producer_validates_round_shape(spark):
     )
     with _pytest.raises(ValueError, match="every round must provide"):
         b.wait()
+
+
+def test_dedup_kernels_skip_null_text(spark):
+    """NULL-text rows emit nothing from every Arrow dedup kernel
+    (shingles/minhash/simhash/jaccard) instead of killing the task with
+    an AttributeError; decontaminate routes NULL-predicate rows to
+    TRAINING instead of dropping them from both sides."""
+    from async_pipes_spark.functions.dedup import (
+        decontaminate_corpus,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+        shingles,
+        simhash,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None, None), (2, "a b c d", "train"), (3, "a b c d", "train")],
+        "doc_id bigint, text string, source string",
+    )
+    assert shingles(df).filter("doc_id = 1").count() == 0
+    assert minhash_signatures(df).filter("doc_id = 1").count() == 0
+    assert simhash(df).filter("doc_id = 1").count() == 0
+    assert ngram_jaccard_pairs(df).count() == 1  # the 2-3 pair only
+    # NULL source -> NULL predicate -> doc 1 must stay in the corpus
+    out = decontaminate_corpus(
+        df, F.col("source") == "bench", min_shared=1
+    ).collect()
+    assert sorted(r.doc_id for r in out) == [1, 2, 3]
+
+
+def test_jaccard_custom_id_col_and_minhash_divisibility(spark):
+    import pytest as _pytest
+
+    from async_pipes_spark.functions.dedup import (
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(10, "x y z w"), (11, "x y z w")], "rid bigint, body string"
+    )
+    pairs = ngram_jaccard_pairs(df, text_col="body", id_col="rid").collect()
+    assert [(r.doc_a, r.doc_b, r.jac_micro) for r in pairs] == [(10, 11, 1000000)]
+    with _pytest.raises(ValueError, match="divisible"):
+        minhash_signatures(df, text_col="body", id_col="rid",
+                           num_hashes=10, band_size=4)
