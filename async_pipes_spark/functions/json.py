@@ -39,7 +39,18 @@ def json_get_int(col: str | Column, key: str) -> Column:
     Semantics are identical to ``get_json_object(col, '$.key')`` cast to
     int (NULL on missing key / non-integer value / malformed JSON), with
     a regex fast lane for the flat single-key shape ``{"key": N}``.
+
+    ``key`` must be a plain identifier ([A-Za-z0-9_]): a key containing
+    JSONPath metacharacters ('.', '[', '*', quotes) would mean
+    different things to the two lanes — the regex matches it literally
+    while ``$.a.b`` navigates nested fields — so such keys are rejected
+    rather than silently answered inconsistently per row shape.
     """
+    if not re.fullmatch(r"[A-Za-z0-9_]+", key):
+        raise ValueError(
+            f"key must be a plain identifier ([A-Za-z0-9_]+), got {key!r}; "
+            "JSONPath metacharacters make the fast and slow lanes disagree"
+        )
     c = F.col(col) if isinstance(col, str) else col
     # capture only VALID JSON integers (no leading zeros): `{"k": 007}`
     # is malformed JSON and must fall through to get_json_object, which

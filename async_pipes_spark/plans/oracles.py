@@ -141,7 +141,7 @@ DECLARED_ORACLES = {
         FROM g GROUP BY user_id ORDER BY user_id
     """,
     "x5_json_buckets": """
-        SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS bucket,
+        SELECT TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS bucket,
                COUNT(*) AS n
         FROM events GROUP BY 1 ORDER BY 1
     """,

@@ -32,6 +32,7 @@ def read_csv(
     header: bool = True,
     delimiter: str = ",",
 ) -> DataFrame:
+    ensure_engine_confs(spark)
     reader = spark.read.option("header", str(header).lower()).option("delimiter", delimiter)
     if schema:
         reader = reader.schema(schema)
@@ -41,6 +42,10 @@ def read_csv(
 
 
 def read_json(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """JSON scan. With ``schema=None`` Spark runs a FULL inference
+    pass over the data before the real read — small/dev data only;
+    always pass a schema for corpus-scale inputs."""
+    ensure_engine_confs(spark)
     reader = spark.read
     if schema:
         reader = reader.schema(schema)
@@ -61,4 +66,5 @@ def read_text(spark: SparkSession, path: str) -> DataFrame:
     """Line-oriented text scan: one `value: string` row per line — the
     raw-corpus ingest format (each line a document/record to parse
     downstream with the engine's text/JSON functions)."""
+    ensure_engine_confs(spark)
     return spark.read.text(path)

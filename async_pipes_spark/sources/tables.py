@@ -38,6 +38,15 @@ TABLES = (
 _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
+#: the ONE events ns→µs conversion, shared by the batch reader and the
+#: streaming twin (stream_table) so they can never drift: exact integer
+#: FLOOR division — bare `div` truncates toward zero, which would round
+#: a pre-epoch nanosecond timestamp UP a microsecond relative to the
+#: documented floor conversion (pmod is non-negative, so subtracting it
+#: makes the dividend exactly divisible)
+EVENTS_NS_TO_TS = "timestamp_micros((ts - pmod(ts, 1000)) div 1000)"
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table (cached plan per session).
 
@@ -58,14 +67,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_engine_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # exact integer FLOOR division: bare `div` truncates toward
-        # zero, which would round a pre-epoch nanosecond timestamp UP
-        # by a microsecond relative to the floor conversion the
-        # docstring promises (pmod is non-negative, so subtracting it
-        # makes the dividend exactly divisible)
-        df = df.withColumn(
-            "ts", F.expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)")
-        )
+        df = df.withColumn("ts", F.expr(EVENTS_NS_TO_TS))
     df = normalize_ntz(df)
     if use_cache:
         _TABLE_CACHE[key] = df

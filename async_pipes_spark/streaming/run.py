@@ -23,7 +23,8 @@ from pyspark.sql import functions as F
 
 from async_pipes_spark.pipeline.options import WorkerOptions
 from async_pipes_spark.session import ensure_engine_confs
-from async_pipes_spark.sources.tables import normalize_ntz
+from async_pipes_spark.session import pin as _pin
+from async_pipes_spark.sources.tables import EVENTS_NS_TO_TS, normalize_ntz
 
 def stream_table(
     spark: SparkSession,
@@ -74,7 +75,9 @@ def stream_table(
         reader = reader.option("maxFilesPerTrigger", str(options.pipe_buffer_size))
     df = reader.parquet(sf_dir)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        # the SAME floor conversion as the batch reader (shared
+        # constant — a truncating local copy drifted here once)
+        df = df.withColumn("ts", F.expr(EVENTS_NS_TO_TS))
     return normalize_ntz(df)
 
 
@@ -120,7 +123,12 @@ def run_available_now(
 
     State-store width comes from the conf of ``df``'s OWN session
     (``stream_table`` builds streams on a cloned session with few
-    shuffle partitions pinned) — nothing global is mutated here."""
+    shuffle partitions pinned) — nothing global is mutated here.
+
+    The memory sink's temp view is DROPPED before returning (the
+    result is pinned first): a long-lived session running many drains
+    would otherwise retain every result's full row set in driver
+    memory forever — one leaked MemorySink per call."""
     name = query_name or f"q_{uuid.uuid4().hex[:12]}"
     spark = df.sparkSession
     q = (
@@ -131,7 +139,9 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    out = _pin(spark.table(name))
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def stream_to_files(
@@ -175,8 +185,10 @@ def run_foreach_batch_routes(df: DataFrame, routes: dict, base_dir: str) -> dict
 
     Each micro-batch is persisted once so the N route filters scan the
     batch from cache, not the source (the same single-pass guarantee
-    the batch builder gets from ``persist()``). Runs to quiescence
-    (availableNow); returns {route: sink_path}.
+    the batch builder gets from ``persist()``). The appends are NOT
+    idempotent (a replayed batch would duplicate rows in every sink),
+    so the body runs under :func:`once_per_batch` batch-id markers.
+    Runs to quiescence (availableNow); returns {route: sink_path}.
     """
     paths = {name: f"{base_dir}/{name}" for name in routes}
 
@@ -189,7 +201,9 @@ def run_foreach_batch_routes(df: DataFrame, routes: dict, base_dir: str) -> dict
             batch.unpersist()
 
     q = (
-        df.writeStream.foreachBatch(handle)
+        df.writeStream.foreachBatch(
+            once_per_batch(handle, f"{base_dir}/_applied")
+        )
         .option("checkpointLocation", f"{base_dir}/_checkpoint")
         .trigger(availableNow=True)
         .start()

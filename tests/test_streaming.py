@@ -354,3 +354,38 @@ def test_once_per_batch_prunes_old_markers(spark, tmp_path):
         wrapped(df, bid)
     names = sorted(n for n in os.listdir(mdir) if not n.startswith("."))
     assert names == ["batch_4", "batch_5", "batch_6", "batch_7"], names
+
+
+def test_run_available_now_drops_memory_sink_view(spark, tmp_path):
+    """The memory sink's temp view must not leak (a long-lived session
+    running many drains would retain every result's rows forever);
+    the returned frame stays readable after the drop."""
+    from async_pipes_spark.streaming.run import run_available_now, stream_table
+
+    from tests.conftest import SF_SMOKE
+
+    before = {t.name for t in spark.catalog.listTables()}
+    out = run_available_now(
+        stream_table(spark, SF_SMOKE, "region"), output_mode="append"
+    )
+    assert out.count() > 0  # pinned result survives the view drop
+    after = {t.name for t in spark.catalog.listTables()}
+    assert not {n for n in after - before if n.startswith("q_")}
+
+
+def test_foreach_batch_routes_dedups_replayed_batch(spark, tmp_path):
+    """The route sinks append per batch (non-idempotent): a replayed
+    batch id must be a no-op, leaving no duplicate rows."""
+    from async_pipes_spark.streaming.run import once_per_batch
+
+    base = tmp_path / "routes"
+    paths = {"evens": str(base / "evens")}
+
+    def handle(batch, _bid):
+        batch.filter("v % 2 = 0").write.mode("append").parquet(paths["evens"])
+
+    wrapped = once_per_batch(handle, str(base / "_applied"))
+    b = spark.createDataFrame([(2,), (3,), (4,)], "v bigint")
+    wrapped(b, 0)
+    wrapped(b, 0)  # crash-replay
+    assert sorted(r.v for r in spark.read.parquet(paths["evens"]).collect()) == [2, 4]
