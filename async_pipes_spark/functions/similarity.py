@@ -31,6 +31,43 @@ from pyspark.sql import functions as F
 #: The cap turns a silent driver OOM into an actionable error.
 MAX_QUERY_BLOCK = 100_000
 
+#: Cap on the per-task score-matrix size, in float64 CELLS (default
+#: 2^27 = 128M cells ≈ 1 GiB). MAX_QUERY_BLOCK guards the DRIVER
+#: collect, but a 100k-query block composed with a 262k-row Arrow batch
+#: would still allocate a ~200 GB |queries| × |batch| matrix inside the
+#: EXECUTOR kernel; every brute-force/ADC kernel therefore slices its
+#: Arrow batch into row chunks of at most MAX_KERNEL_CELLS/|block| rows
+#: before the matmul. Chunking is result-invariant: pair emission is
+#: row-local, and the per-chunk local top-k is a superset of the
+#: per-batch local top-k, which the final per-query window reduces
+#: identically. Override (e.g. in tests) with SPARK_GRAFT_KERNEL_CELLS;
+#: read at operator-call time on the driver and closed over, so local
+#: and cluster modes behave the same.
+MAX_KERNEL_CELLS = 1 << 27
+
+
+def _kernel_cells_cap() -> int:
+    import os
+
+    raw = os.environ.get("SPARK_GRAFT_KERNEL_CELLS")
+    if raw:
+        try:
+            return max(1, int(raw))
+        except ValueError:
+            pass
+    return MAX_KERNEL_CELLS
+
+
+def _row_chunks(pdf, other_axis: int, cap: int):
+    """Slice an Arrow batch into row chunks so a chunk's score matrix
+    (rows × other_axis) stays under ``cap`` float64 cells."""
+    step = max(1, cap // max(1, other_axis))
+    if len(pdf) <= step:
+        yield pdf
+        return
+    for s in range(0, len(pdf), step):
+        yield pdf.iloc[s : s + step]
+
 
 #: (applicationId, plan semantic hash) → collected block. Query/centroid
 #: blocks are bounded (≤ MAX_QUERY_BLOCK) and the benchmark/driver call
@@ -108,24 +145,29 @@ def cosine_pairs(
     Qm = np.array([np.asarray(r[1], dtype=np.float32) for r in q_rows])
     qn = np.sqrt(seq_f32_self_dots(Qm).astype(np.float64))
 
+    cells_cap = _kernel_cells_cap()
+
     def kernel(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            C = np.stack(pdf[vec_col].to_numpy()).astype(np.float32, copy=False)
-            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            cn = np.sqrt(seq_f32_self_dots(C).astype(np.float64))
-            sim = seq_f32_dots(C, Qm).astype(np.float64) / (cn[:, None] * qn[None, :])
-            micro = micro_units_np(sim)
-            n, m = micro.shape
-            out = pd.DataFrame(
-                {
-                    "q_id": np.tile(q_ids, n),
-                    "c_id": np.repeat(c_ids, m),
-                    "sim_micro": micro.ravel(),
-                }
-            )
-            yield out[out.q_id != out.c_id]
+        for batch in batches:
+            for pdf in _row_chunks(batch, len(q_ids), cells_cap):
+                if len(pdf) == 0:
+                    continue
+                C = np.stack(pdf[vec_col].to_numpy()).astype(np.float32, copy=False)
+                c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+                cn = np.sqrt(seq_f32_self_dots(C).astype(np.float64))
+                sim = seq_f32_dots(C, Qm).astype(np.float64) / (
+                    cn[:, None] * qn[None, :]
+                )
+                micro = micro_units_np(sim)
+                n, m = micro.shape
+                out = pd.DataFrame(
+                    {
+                        "q_id": np.tile(q_ids, n),
+                        "c_id": np.repeat(c_ids, m),
+                        "sim_micro": micro.ravel(),
+                    }
+                )
+                yield out[out.q_id != out.c_id]
 
     return corpus.select(id_col, vec_col).mapInPandas(
         kernel, "q_id bigint, c_id bigint, sim_micro bigint"
@@ -190,21 +232,26 @@ def ivf_assign(
     Cm = np.array([np.asarray(r[1], dtype=np.float32) for r in cent_rows])
     cn = np.sqrt(seq_f32_self_dots(Cm).astype(np.float64))
 
+    cells_cap = _kernel_cells_cap()
+
     def kernel(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float32, copy=False)
-            vn = np.sqrt(seq_f32_self_dots(V).astype(np.float64))
-            sim = seq_f32_dots(V, Cm).astype(np.float64) / (vn[:, None] * cn[None, :])
-            best = micro_units_np(sim).argmax(axis=1)  # first max = lowest cent_id
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf[id_col].to_numpy(dtype=np.int64),
-                    "embedding": pdf[vec_col],
-                    "cell": cent_ids[best],
-                }
-            )
+        for batch in batches:
+            for pdf in _row_chunks(batch, len(cent_ids), cells_cap):
+                if len(pdf) == 0:
+                    continue
+                V = np.stack(pdf[vec_col].to_numpy()).astype(np.float32, copy=False)
+                vn = np.sqrt(seq_f32_self_dots(V).astype(np.float64))
+                sim = seq_f32_dots(V, Cm).astype(np.float64) / (
+                    vn[:, None] * cn[None, :]
+                )
+                best = micro_units_np(sim).argmax(axis=1)  # first max = lowest id
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf[id_col].to_numpy(dtype=np.int64),
+                        "embedding": pdf[vec_col],
+                        "cell": cent_ids[best],
+                    }
+                )
 
     return corpus.select(id_col, vec_col).mapInPandas(
         kernel, "vec_id bigint, embedding array<float>, cell bigint"
@@ -370,26 +417,32 @@ def ivf_topk(
         )
         q_probe = cent_ids[np.argpartition(-qsim, p - 1, axis=1)[:, :p]]
 
+    cells_cap = _kernel_cells_cap()
+    widest = max(len(q_ids), len(cent_ids))
+
     def kernel(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float32, copy=False)
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
-            cells = assign_np(V)
-            vn = np.sqrt(seq_f32_self_dots(V).astype(np.float64))
-            sim = seq_f32_dots(V, Qm).astype(np.float64) / (vn[:, None] * qn[None, :])
-            micro = micro_units_np(sim)
-            same_cell = (cells[:, None, None] == q_probe.T[None, :, :]).any(axis=1)
-            ri, qi = np.nonzero(same_cell)
-            out = pd.DataFrame(
-                {
-                    "q_id": q_ids[qi],
-                    "c_id": ids[ri],
-                    "sim_micro": micro[ri, qi],
-                }
-            )
-            yield out[out.q_id != out.c_id]
+        for batch in batches:
+            for pdf in _row_chunks(batch, widest, cells_cap):
+                if len(pdf) == 0:
+                    continue
+                V = np.stack(pdf[vec_col].to_numpy()).astype(np.float32, copy=False)
+                ids = pdf[id_col].to_numpy(dtype=np.int64)
+                cells = assign_np(V)
+                vn = np.sqrt(seq_f32_self_dots(V).astype(np.float64))
+                sim = seq_f32_dots(V, Qm).astype(np.float64) / (
+                    vn[:, None] * qn[None, :]
+                )
+                micro = micro_units_np(sim)
+                same_cell = (cells[:, None, None] == q_probe.T[None, :, :]).any(axis=1)
+                ri, qi = np.nonzero(same_cell)
+                out = pd.DataFrame(
+                    {
+                        "q_id": q_ids[qi],
+                        "c_id": ids[ri],
+                        "sim_micro": micro[ri, qi],
+                    }
+                )
+                yield out[out.q_id != out.c_id]
 
     sims = corpus.select(id_col, vec_col).mapInPandas(
         kernel, "q_id bigint, c_id bigint, sim_micro bigint"
@@ -565,28 +618,35 @@ def ivf_probe_assign(
     cn = np.sqrt(seq_f32_self_dots(Cm).astype(np.float64))
     p = min(nprobe, len(cent_ids))
 
+    cells_cap = _kernel_cells_cap()
+
     def kernel(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float32, copy=False)
-            vn = np.sqrt(seq_f32_self_dots(V).astype(np.float64))
-            micro = micro_units_np(
-                seq_f32_dots(V, Cm).astype(np.float64) / (vn[:, None] * cn[None, :])
-            )
-            # composite sort key: micro ≤ 1e6, centroid INDEX < 2^20 →
-            # micro·2^20 − index fits int64 and breaks ties toward the
-            # lower centroid id (ids are sorted, index order = id order)
-            comp = micro * (1 << 20) - np.arange(len(cent_ids), dtype=np.int64)
-            top = np.argsort(-comp, axis=1, kind="stable")[:, :p]
-            n = len(pdf)
-            yield pd.DataFrame(
-                {
-                    "vec_id": np.repeat(pdf[id_col].to_numpy(dtype=np.int64), p),
-                    "embedding": pdf[vec_col].iloc[np.repeat(np.arange(n), p)].to_numpy(),
-                    "cell": cent_ids[top].ravel(),
-                }
-            )
+        for batch in batches:
+            for pdf in _row_chunks(batch, len(cent_ids), cells_cap):
+                if len(pdf) == 0:
+                    continue
+                V = np.stack(pdf[vec_col].to_numpy()).astype(np.float32, copy=False)
+                vn = np.sqrt(seq_f32_self_dots(V).astype(np.float64))
+                micro = micro_units_np(
+                    seq_f32_dots(V, Cm).astype(np.float64)
+                    / (vn[:, None] * cn[None, :])
+                )
+                # composite sort key: micro ≤ 1e6, centroid INDEX < 2^20
+                # → micro·2^20 − index fits int64 and breaks ties toward
+                # the lower centroid id (ids sorted, index order = id
+                # order)
+                comp = micro * (1 << 20) - np.arange(len(cent_ids), dtype=np.int64)
+                top = np.argsort(-comp, axis=1, kind="stable")[:, :p]
+                n = len(pdf)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.repeat(pdf[id_col].to_numpy(dtype=np.int64), p),
+                        "embedding": pdf[vec_col]
+                        .iloc[np.repeat(np.arange(n), p)]
+                        .to_numpy(),
+                        "cell": cent_ids[top].ravel(),
+                    }
+                )
 
     return queries.select(id_col, vec_col).mapInPandas(
         kernel, "vec_id bigint, embedding array<float>, cell bigint"
@@ -886,31 +946,47 @@ def pq_topk(
     for j in range(m):
         tab[:, j, :] = Qm[:, j * sub : (j + 1) * sub].astype(np.float64) @ books[j].T
 
+    cells_cap = _kernel_cells_cap()
+
     def kernel(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # (n, m)
-            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            # approx dot = sum_j tab[q, j, codes[c, j]] ; normalize by
-            # the QUERY norm only (candidate norm is unknown to a code
-            # scan — standard ADC on unnormalized dots; the synthetic
-            # corpus has near-constant norms, and production usage
-            # re-ranks the shortlist exactly anyway)
-            n = len(ids)
-            scores = np.zeros((len(q_ids), n), dtype=np.float64)
-            for j in range(m):
-                scores += tab[:, j, codes[:, j]]
-            scores /= qn[:, None]
-            top = min(k, n)
-            idx = np.argpartition(-scores, top - 1, axis=1)[:, :top]
-            out_q = np.repeat(q_ids, top)
-            out_c = ids[idx.ravel()]
-            out_s = micro_units_np(np.take_along_axis(scores, idx, axis=1).ravel())
-            df = pd.DataFrame(
-                {"q_id": out_q, "c_id": out_c, "approx_micro": out_s}
-            )
-            yield df[df.q_id != df.c_id]
+        for batch in batches:
+            for pdf in _row_chunks(batch, len(q_ids), cells_cap):
+                if len(pdf) == 0:
+                    continue
+                codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # (n, m)
+                ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+                # approx dot = sum_j tab[q, j, codes[c, j]] ; normalize
+                # by the QUERY norm only (candidate norm is unknown to a
+                # code scan — standard ADC on unnormalized dots; the
+                # synthetic corpus has near-constant norms, and
+                # production usage re-ranks the shortlist exactly
+                # anyway)
+                n = len(ids)
+                scores = np.zeros((len(q_ids), n), dtype=np.float64)
+                for j in range(m):
+                    scores += tab[:, j, codes[:, j]]
+                scores /= qn[:, None]
+                # mask self-pairs BEFORE selection (tile_topk's exclude-
+                # then-select order): filtering after top-k would let a
+                # chunk containing the query's own vector silently drop
+                # the (top+1)-th candidate, which may belong in the
+                # global top-k
+                self_mask = q_ids[:, None] == ids[None, :]
+                scores[self_mask] = -np.inf
+                top = min(k, n)
+                idx = np.argpartition(-scores, top - 1, axis=1)[:, :top]
+                sel_q = np.repeat(np.arange(len(q_ids)), top)
+                sel_c = idx.ravel()
+                # only masked (self) entries carry -inf; keep the rest
+                keep = ~self_mask[sel_q, sel_c]
+                sel_q, sel_c = sel_q[keep], sel_c[keep]
+                yield pd.DataFrame(
+                    {
+                        "q_id": q_ids[sel_q],
+                        "c_id": ids[sel_c],
+                        "approx_micro": micro_units_np(scores[sel_q, sel_c]),
+                    }
+                )
 
     sims = encoded.select("vec_id", "codes").mapInPandas(
         kernel, "q_id bigint, c_id bigint, approx_micro bigint"
@@ -968,22 +1044,37 @@ def exact_rerank(
         F.col(id_col).alias("c_id"), F.col(vec_col).alias("_vec")
     ).join(F.broadcast(shortlist.select("q_id", "c_id")), "c_id")
 
+    cells_cap = _kernel_cells_cap()
+
     def kernel(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            V = np.stack(pdf["_vec"].to_numpy()).astype(np.float32, copy=False)
-            vn = np.sqrt(seq_f32_self_dots(V).astype(np.float64))
-            sim = seq_f32_dots(V, Qm).astype(np.float64) / (vn[:, None] * qn[None, :])
-            micro = micro_units_np(sim)
-            qi = pdf["q_id"].map(q_pos).to_numpy(dtype=np.int64)
-            yield pd.DataFrame(
-                {
-                    "q_id": pdf["q_id"].to_numpy(dtype=np.int64),
-                    "c_id": pdf["c_id"].to_numpy(dtype=np.int64),
-                    "sim_micro": micro[np.arange(len(pdf)), qi],
-                }
-            )
+        for batch in batches:
+            for pdf in _row_chunks(batch, len(q_ids), cells_cap):
+                if len(pdf) == 0:
+                    continue
+                mapped = pdf["q_id"].map(q_pos)
+                if mapped.isna().any():
+                    # NaN would crash the int64 cast below with an
+                    # opaque executor error (or worse, index garbage);
+                    # name the offending ids instead
+                    unknown = sorted(set(pdf["q_id"][mapped.isna()].tolist()))[:10]
+                    raise ValueError(
+                        "exact_rerank: shortlist q_ids absent from the "
+                        f"queries frame: {unknown}"
+                    )
+                qi = mapped.to_numpy(dtype=np.int64)
+                V = np.stack(pdf["_vec"].to_numpy()).astype(np.float32, copy=False)
+                vn = np.sqrt(seq_f32_self_dots(V).astype(np.float64))
+                sim = seq_f32_dots(V, Qm).astype(np.float64) / (
+                    vn[:, None] * qn[None, :]
+                )
+                micro = micro_units_np(sim)
+                yield pd.DataFrame(
+                    {
+                        "q_id": pdf["q_id"].to_numpy(dtype=np.int64),
+                        "c_id": pdf["c_id"].to_numpy(dtype=np.int64),
+                        "sim_micro": micro[np.arange(len(pdf)), qi],
+                    }
+                )
 
     sims = pairs.mapInPandas(kernel, "q_id bigint, c_id bigint, sim_micro bigint")
     w = Window.partitionBy("q_id").orderBy(F.col("sim_micro").desc(), F.col("c_id"))

@@ -766,3 +766,87 @@ def test_pq_encode_rerank_roundtrip(spark):
     )
     want = sorted(tuple(r) for r in cosine_topk(emb, queries, k=3).collect())
     assert got == want
+
+
+def test_kernel_memory_chunking_is_result_invariant(spark, monkeypatch):
+    """The executor-side score-matrix guard (MAX_KERNEL_CELLS): with the
+    cap forced tiny, every brute-force/ADC kernel slices its Arrow batch
+    into row chunks — and must return exactly the uncapped result
+    (per-chunk pair emission is row-local; per-chunk local top-k is a
+    superset of per-batch local top-k, reduced identically by the final
+    per-query window)."""
+    from async_pipes_spark.functions.similarity import (
+        cosine_topk,
+        exact_rerank,
+        ivf_topk,
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 7)
+    books = pq_codebooks(emb, m=8, k=16)
+    enc = pq_encode(emb, books)
+
+    def run_all():
+        ct = sorted(tuple(r) for r in cosine_topk(emb, queries, k=3).collect())
+        it = sorted(
+            tuple(r)
+            for r in ivf_topk(
+                emb, num_centroids=8, queries_filter=lambda v: v < 7, k=2, nprobe=2
+            ).collect()
+        )
+        short = pq_topk(enc, queries, books, k=12)
+        pt = sorted(tuple(r) for r in short.collect())
+        rr = sorted(tuple(r) for r in exact_rerank(short, emb, queries, k=3).collect())
+        return ct, it, pt, rr
+
+    baseline = run_all()
+    # 64 float64 cells: with 7 queries the chunk is 9 corpus rows — every
+    # kernel is forced through the chunked path
+    monkeypatch.setenv("SPARK_GRAFT_KERNEL_CELLS", "64")
+    capped = run_all()
+    assert capped == baseline
+    assert all(len(part) > 0 for part in baseline)
+
+
+def test_pq_topk_excludes_self_before_selection(spark):
+    """A batch containing the query's own vector: the self-pair must be
+    masked BEFORE top-k selection, or the (top+1)-th candidate — which
+    belongs in the global top-k — is silently lost. With k = n-1 every
+    non-self candidate must come back."""
+    from async_pipes_spark.functions.similarity import (
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+
+    n = 12
+    corpus = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 5 + 1) for j in range(8)]) for i in range(n)],
+        "vec_id bigint, embedding array<float>",
+    ).coalesce(1)  # one partition -> one Arrow batch holding the query itself
+    books = pq_codebooks(corpus, m=2, k=4)
+    enc = pq_encode(corpus, books)
+    queries = corpus.filter(F.col("vec_id") == 3)
+    out = pq_topk(enc, queries, books, k=n - 1).collect()
+    assert len(out) == n - 1
+    assert sorted(r.c_id for r in out) == [i for i in range(n) if i != 3]
+
+
+def test_exact_rerank_rejects_unknown_query_ids(spark):
+    """A shortlist naming a q_id absent from the queries frame must fail
+    with a ValueError naming the id, not an opaque NaN-cast crash inside
+    the executor kernel."""
+    import pytest
+
+    from async_pipes_spark.functions.similarity import exact_rerank
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    shortlist = spark.createDataFrame(
+        [(999_999, 5), (0, 6)], "q_id bigint, c_id bigint"
+    )
+    with pytest.raises(Exception, match="absent from the queries"):
+        exact_rerank(shortlist, emb, queries, k=2).collect()
