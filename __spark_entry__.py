@@ -39,25 +39,40 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 #: Driver-contract ordering. The verification driver records correctness
-#: rows for the FIRST 50 ``queries()`` entries per round (r02-r05 all
+#: rows for the FIRST 50 ``queries()`` entries per round (r02-r06 all
 #: cut at entry #50), so dict order IS driver coverage. Policy: queries
 #: new this round and queries without a fresh driver row come FIRST;
-#: the freshest greens rotate to the tail. Round-6 window: the 6 NEW
-#: queries (a6 knn-join, a7 PQ recall, d11 decontamination, d12
-#: semantic dedup, smp5 epoch shuffle, s23 manifest CDC), mm2/mm3
-#: (last driver rows r03 — the promised rotation back in), and 42 of
-#: the 50 r04-green queries fill the 50 slots exactly;
-#: p3/p5/p6/x1/x3/b2/t5/t6 (green r01-r04, the most prior evidence)
-#: defer to round 7 and sit first after the cut. The r05-green
-#: families hold the tail. Every query keeps its oracle regardless of
+#: the freshest greens rotate to the tail. Round-7 window (the r6
+#: verdict's item 1, executed): the NEW queries (a8 composed IVFPQ,
+#: s24 partitioned-manifest CDC), then the 11 queries whose only
+#: driver rows predate r05's oracle-cast fixes or date to r01-r04
+#: (t13/smp4/pipe1 — r05 hash-red from the since-fixed HUGEINT casts,
+#: judge-re-verified green; p3/p5/p6/x1/x3/b2/t5/t6 — the r6-promised
+#: deferral), then 37 of the 47 r05-green queries. r1-r10 (green since
+#: r01/r02, re-verified r05 — the deepest evidence in the contract)
+#: defer to round 8 and sit first after the cut; the 50 r06-green
+#: queries hold the tail. Every query keeps its oracle regardless of
 #: position.
 _PRIORITY = [
-    # new in round 6 — first driver row needed
-    "a6_", "a7_", "d11_", "d12_", "smp5_", "s23_",
-    # only queries without an r4+ driver row (r03 rows + the judge's
-    # r5 re-verification)
-    "mm2_", "mm3_",
-    # r04-green rows due a refresh, minus the six deferred below
+    # new in round 7 — first driver row needed
+    "a8_", "s24_",
+    # only driver rows are stale (r05 hash-red from oracle casts fixed
+    # in r6, or r01-r04 greens) — the verdict's rotation list
+    "t13_", "smp4_", "pipe1_",
+    "p3_", "p5_", "p6_", "x1_", "x3_", "b2_", "t5_", "t6_",
+    # r05-green rows due a refresh, minus r1_-r10_ deferred below
+    *[f"r{i}_" for i in range(11, 17)],
+    "a2_", "a3_", "a4_", "k1_", "k4_",
+    "smp1_", "smp2_", "smp3_", "mm1_",
+    "v1_", "v2_", "v3_",
+    "d9_", "d10_",
+    "t7_", "t8_", "t9_", "t10_", "t11_", "t12_", "t14_",
+    "s17_", "s18_", "s19_", "s20_", "s21_", "s22_",
+    "g1_", "g2_", "bpe1_", "bpe2_",
+    # deferred to round 8 (r05-green, green every round since r01/r02)
+    *[f"r{i}_" for i in range(1, 11)],
+    # r06-green tail (freshest driver rows in the contract)
+    "a6_", "a7_", "d11_", "d12_", "smp5_", "s23_", "mm2_", "mm3_",
     "p1_", "p2_", "p4_", "p7_", "p8_", "p9_",
     "x2_", "x4_", "x5_", "x6_",
     "j1_", "j2_", "j3_", "j4_", "j5_",
@@ -65,21 +80,6 @@ _PRIORITY = [
     "s4_", "s5_", "s9_", "s10_", "s11_", "s12_", "s13_", "s14_", "s15_", "s16_",
     "d1_", "d2_", "d3_", "d4_", "d5_", "d6_", "d7_", "d8_",
     "t1_", "t2_", "t3_", "t4_",
-    # deferred to round 7 (r04-green, repeatedly verified since r01;
-    # t5/t6 cede their slots to a7/d12, the 5th and 6th round-6
-    # queries)
-    "p3_", "p5_", "p6_", "x1_", "x3_", "b2_", "t5_", "t6_",
-    # r05-green tail ("d10_" must precede "d1_" if both present in a
-    # group, and "t11_"-"t14_" precede "t1_": rank() takes the FIRST
-    # matching prefix — here the r04 families already matched above)
-    *[f"r{i}_" for i in range(1, 17)],
-    "a2_", "a3_", "a4_", "k1_", "k4_",
-    "smp1_", "smp2_", "smp3_", "smp4_", "mm1_",
-    "v1_", "v2_", "v3_",
-    "d9_", "d10_",
-    "t7_", "t8_", "t9_", "t10_", "t11_", "t12_", "t13_", "t14_",
-    "s17_", "s18_", "s19_", "s20_", "s21_", "s22_",
-    "g1_", "g2_", "bpe1_", "bpe2_", "pipe1_",
 ]
 
 

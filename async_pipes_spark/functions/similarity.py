@@ -1088,3 +1088,211 @@ def exact_rerank(
             "sim_micro",
         )
     )
+
+
+def ivf_pq_encode(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Build the IVFPQ index table in ONE Arrow pass: every corpus row
+    gets its coarse IVF cell (nearest centroid by cosine, the
+    :func:`ivf_assign` contract) AND its ``m`` one-byte PQ codes (the
+    :func:`pq_encode` contract) — (vec_id, cell, codes). This is the
+    table a 100 TB deployment stores, written bucketed/partitioned by
+    ``cell`` so a probe touches only its cells' files; raw vectors stay
+    in the base table and are only read by the re-rank join. Fusing the
+    two assignments avoids the vec_id-keyed join (a full corpus
+    shuffle) that composing ivf_assign + pq_encode separately would
+    cost."""
+    import numpy as np
+    import pandas as pd
+
+    from async_pipes_spark.functions.vectors_np import (
+        micro_units_np,
+        seq_f32_dots,
+        seq_f32_self_dots,
+    )
+
+    cent_rows = sorted(
+        _collect_block(centroids.select(id_col, vec_col), "centroid"),
+        key=lambda r: r[0],
+    )
+    if not cent_rows:
+        raise ValueError("no centroid rows to assign against")
+    cent_ids = np.array([r[0] for r in cent_rows], dtype=np.int64)
+    Cm = np.array([np.asarray(r[1], dtype=np.float32) for r in cent_rows])
+    cn = np.sqrt(seq_f32_self_dots(Cm).astype(np.float64))
+    books = np.asarray(codebooks, dtype=np.float64)  # (m, k, sub)
+    m, _, sub = books.shape
+    cells_cap = _kernel_cells_cap()
+
+    def kernel(batches):
+        for batch in batches:
+            for pdf in _row_chunks(batch, len(cent_ids), cells_cap):
+                if len(pdf) == 0:
+                    continue
+                V32 = np.stack(pdf[vec_col].to_numpy()).astype(np.float32, copy=False)
+                vn = np.sqrt(seq_f32_self_dots(V32).astype(np.float64))
+                sim = seq_f32_dots(V32, Cm).astype(np.float64) / (
+                    vn[:, None] * cn[None, :]
+                )
+                best = micro_units_np(sim).argmax(axis=1)  # first max = lowest id
+                V = V32.astype(np.float64)
+                codes = np.empty((len(V), m), dtype=np.int64)
+                for j in range(m):
+                    Vj = V[:, j * sub : (j + 1) * sub]
+                    d2 = (
+                        (Vj**2).sum(axis=1)[:, None]
+                        - 2.0 * (Vj @ books[j].T)
+                        + (books[j] ** 2).sum(axis=1)[None, :]
+                    )
+                    codes[:, j] = d2.argmin(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf[id_col].to_numpy(dtype=np.int64),
+                        "cell": cent_ids[best],
+                        "codes": list(codes),
+                    }
+                )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        kernel, "vec_id bigint, cell bigint, codes array<bigint>"
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    codebooks,
+    shortlist: int = 20,
+    num_centroids: int = 8,
+    nprobe: int = 1,
+    centroids: DataFrame | None = None,
+    encoded: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The COMPOSED production retrieval operator — FAISS's IVFPQ shape
+    as one call: coarse IVF cells prune the scan to ``nprobe`` cells
+    per query, PQ codes compress what is scanned (ADC lookup-table
+    scoring, raw vectors never touched), a ``shortlist`` of candidates
+    per query survives, and an exact broadcast-join re-rank
+    (:func:`exact_rerank`) orders the final top-k. Same output schema
+    as :func:`cosine_topk` — drop-in, approximate, at a fraction of the
+    scan cost and memory.
+
+    Scale shape: ONE kernel pass builds the (vec_id, cell, codes) index
+    (pass ``encoded=ivf_pq_encode(...)`` to reuse a stored index and
+    skip it), one code-only scan with per-query cell masks, and a
+    broadcast join for the re-rank — zero shuffles of the corpus. At
+    100 TB the encoded table is written bucketed by ``cell``, so the
+    probe scan prunes to nprobe buckets instead of masking (the mask
+    formulation here is partition-layout-independent, which is what the
+    correctness tests need); either way per-task memory is bounded by
+    the kernel cell cap.
+
+    Centroids default to the ``num_centroids`` lowest-id corpus vectors
+    (the deterministic a2/a6 idiom); production passes
+    :func:`kmeans_centroids`. Queries are a bounded block (the
+    :func:`cosine_topk` contract — for unbounded query sides use
+    :func:`ivf_knn_join`). Self-pairs are excluded before selection."""
+    import numpy as np
+    import pandas as pd
+
+    from async_pipes_spark.functions.vectors_np import (
+        micro_units_np,
+        seq_f32_dots,
+        seq_f32_self_dots,
+    )
+
+    if k < 1 or shortlist < k:
+        raise ValueError("need shortlist >= k >= 1")
+    cent_source = (
+        centroids.select(id_col, vec_col)
+        if centroids is not None
+        else corpus.filter(F.col(id_col) < num_centroids).select(id_col, vec_col)
+    )
+    cent_rows = sorted(_collect_block(cent_source, "centroid"), key=lambda r: r[0])
+    if not cent_rows:
+        raise ValueError("no centroid rows to probe against")
+    cent_ids = np.array([r[0] for r in cent_rows], dtype=np.int64)
+    Cm = np.array([np.asarray(r[1], dtype=np.float32) for r in cent_rows])
+    cn = np.sqrt(seq_f32_self_dots(Cm).astype(np.float64))
+    if encoded is None:
+        encoded = ivf_pq_encode(corpus, cent_source, codebooks, id_col, vec_col)
+
+    q_rows = _collect_block(queries.select(id_col, vec_col), "query")
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], "q_id bigint, rank bigint, c_id bigint, sim_micro bigint"
+        )
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Qm = np.array([np.asarray(r[1], dtype=np.float32) for r in q_rows])
+    qn = np.sqrt(seq_f32_self_dots(Qm).astype(np.float64))
+
+    # per-query probe set as a (|q| × n_cents) bool matrix over centroid
+    # INDEX (cells map to index via searchsorted on the sorted cent_ids)
+    p = min(max(1, nprobe), len(cent_ids))
+    qsim = micro_units_np(
+        seq_f32_dots(Qm, Cm).astype(np.float64) / (qn[:, None] * cn[None, :])
+    )
+    comp = qsim * (1 << 20) - np.arange(len(cent_ids), dtype=np.int64)
+    probe_idx = np.argsort(-comp, axis=1, kind="stable")[:, :p]
+    probe_member = np.zeros((len(q_ids), len(cent_ids)), dtype=bool)
+    np.put_along_axis(probe_member, probe_idx, True, axis=1)
+
+    books = np.asarray(codebooks, dtype=np.float64)  # (m, kk, sub)
+    m, kk, sub = books.shape
+    tab = np.empty((len(Qm), m, kk), dtype=np.float64)
+    for j in range(m):
+        tab[:, j, :] = Qm[:, j * sub : (j + 1) * sub].astype(np.float64) @ books[j].T
+    cells_cap = _kernel_cells_cap()
+
+    def kernel(batches):
+        for batch in batches:
+            for pdf in _row_chunks(batch, len(q_ids), cells_cap):
+                if len(pdf) == 0:
+                    continue
+                codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+                ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+                cell_idx = np.searchsorted(cent_ids, pdf["cell"].to_numpy())
+                n = len(ids)
+                scores = np.zeros((len(q_ids), n), dtype=np.float64)
+                for j in range(m):
+                    scores += tab[:, j, codes[:, j]]
+                scores /= qn[:, None]
+                # exclude-then-select: rows outside the query's probe
+                # cells AND self-pairs sink before the shortlist cut
+                dead = ~probe_member[:, cell_idx]
+                dead |= q_ids[:, None] == ids[None, :]
+                scores[dead] = -np.inf
+                top = min(shortlist, n)
+                idx = np.argpartition(-scores, top - 1, axis=1)[:, :top]
+                sel_q = np.repeat(np.arange(len(q_ids)), top)
+                sel_c = idx.ravel()
+                keep = ~dead[sel_q, sel_c]
+                sel_q, sel_c = sel_q[keep], sel_c[keep]
+                yield pd.DataFrame(
+                    {
+                        "q_id": q_ids[sel_q],
+                        "c_id": ids[sel_c],
+                        "approx_micro": micro_units_np(scores[sel_q, sel_c]),
+                    }
+                )
+
+    cands = encoded.select("vec_id", "cell", "codes").mapInPandas(
+        kernel, "q_id bigint, c_id bigint, approx_micro bigint"
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("approx_micro").desc(), F.col("c_id")
+    )
+    short = (
+        cands.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= shortlist)
+        .select("q_id", "c_id")
+    )
+    return exact_rerank(short, corpus, queries, k, id_col, vec_col)

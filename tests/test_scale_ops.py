@@ -850,3 +850,56 @@ def test_exact_rerank_rejects_unknown_query_ids(spark):
     )
     with pytest.raises(Exception, match="absent from the queries"):
         exact_rerank(shortlist, emb, queries, k=2).collect()
+
+
+def test_ivfpq_full_probe_full_shortlist_is_exact(spark):
+    """ivf_pq_topk degenerates to the exact operator when nothing is
+    pruned: probing every cell with a whole-corpus shortlist must
+    reproduce cosine_topk bit-for-bit (the composed stack loses recall
+    ONLY through cell pruning and shortlist truncation, never through
+    the rerank)."""
+    from async_pipes_spark.functions.similarity import (
+        cosine_topk,
+        ivf_pq_topk,
+        pq_codebooks,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    books = pq_codebooks(emb, m=8, k=16)
+    n = emb.count()
+    got = sorted(
+        tuple(r)
+        for r in ivf_pq_topk(
+            emb, queries, k=3, codebooks=books, shortlist=n, num_centroids=8, nprobe=8
+        ).collect()
+    )
+    want = sorted(tuple(r) for r in cosine_topk(emb, queries, k=3).collect())
+    assert got == want
+
+
+def test_ivfpq_reuses_stored_index(spark):
+    """Passing a precomputed encoded index (the stored-table path) must
+    give the same result as building it inline."""
+    from async_pipes_spark.functions.similarity import ivf_pq_encode, ivf_pq_topk, pq_codebooks
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    books = pq_codebooks(emb, m=8, k=16)
+    cents = emb.filter(F.col("vec_id") < 8)
+    enc = ivf_pq_encode(emb, cents, books)
+    row = enc.head()
+    assert len(row.codes) == 8 and all(0 <= c < 16 for c in row.codes)
+    inline = sorted(
+        tuple(r)
+        for r in ivf_pq_topk(
+            emb, queries, k=2, codebooks=books, shortlist=10, nprobe=2
+        ).collect()
+    )
+    stored = sorted(
+        tuple(r)
+        for r in ivf_pq_topk(
+            emb, queries, k=2, codebooks=books, shortlist=10, nprobe=2, encoded=enc
+        ).collect()
+    )
+    assert stored == inline and len(inline) > 0
