@@ -1831,6 +1831,85 @@ def s23_stream_cdc_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def s24_stream_cdc_partitioned_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s20's streaming CDC merge against a PARTITIONED lake, committed
+    through the partitioned manifest
+    (sources.sinks.write_partitioned_manifest_table): each micro-batch
+    rewrites ONLY the partitions its keys touch into a fresh immutable
+    ``_data/v_*`` dir and publishes a new generation with one pointer
+    replace — the object-store-safe commit the partitioned MERGE path
+    lacked while it relied on dynamic partition overwrite (directory
+    replacement is not atomic on object stores; VERDICT r6 #4). The
+    lake partitions by ``event_type``, which a user's latest event
+    CHANGES — so every batch exercises the key-moves-partition path
+    (old partition rewritten too, emptied partitions dropped from the
+    mapping). Quiescence contract identical to s20: live generation =
+    global per-user argmax in any batch order."""
+    import shutil
+    import tempfile
+
+    from async_pipes_spark.session import ensure_engine_confs
+    from async_pipes_spark.sources.sinks import (
+        merge_upsert,
+        read_partitioned_manifest,
+        write_partitioned_manifest_table,
+    )
+
+    base = tempfile.mkdtemp(prefix="s24_cdc_")
+    lake = f"{base}/lake"
+    cols = ["user_id", "ts", "event_id", "event_type", "value"]
+
+    from pyspark.sql import Window
+
+    session = spark.newSession()
+    ensure_engine_confs(session)
+    session.conf.set("spark.sql.shuffle.partitions", "8")
+
+    ev = load_table(session, sf_dir, "events").select(*cols)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    seed = (
+        ev.filter(F.col("event_id") < 5000)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    write_partitioned_manifest_table(session, seed, lake, ["event_type"])
+
+    incoming = f"{base}/incoming"
+    ev.filter(F.col("event_id") >= 5000).repartition(4, "user_id").write.mode(
+        "overwrite"
+    ).parquet(incoming)
+
+    def upsert(batch: DataFrame, _batch_id: int) -> None:
+        merge_upsert(
+            batch.sparkSession,
+            lake,
+            batch,
+            key_cols=["user_id"],
+            partition_by=["event_type"],
+            version_cols=["ts", "event_id"],
+        )
+
+    q = (
+        session.readStream.schema(session.read.parquet(incoming).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(incoming)
+        .writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", f"{base}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = (
+        read_partitioned_manifest(session, lake)
+        .select(*cols)
+        .orderBy("user_id")
+        .transform(_pin)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def s21_stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance: a per-(user, day)
     spend rollup kept current under streaming appends. Each micro-batch
@@ -1947,6 +2026,7 @@ EXTENSION_QUERIES = {
     "s21_stream_incremental_rollup": s21_stream_incremental_rollup,
     "s22_stream_cdc_deletes": s22_stream_cdc_deletes,
     "s23_stream_cdc_manifest": s23_stream_cdc_manifest,
+    "s24_stream_cdc_partitioned_manifest": s24_stream_cdc_partitioned_manifest,
     "g1_pagerank": g1_pagerank,
     "g2_triangle_count": g2_triangle_count,
     "a1_ann_top3": a1_ann_top3,
@@ -3236,6 +3316,16 @@ EXTENSION_ORACLES = {
     """,
     # manifest-committed CDC quiesces to the same global argmax as s20
     "s23_stream_cdc_manifest": """
+        SELECT user_id, ts, event_id, event_type, value
+        FROM (SELECT user_id, ts, event_id, event_type, value,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events)
+        WHERE rn = 1 ORDER BY user_id
+    """,
+    # same quiescence contract as s20/s23 — the partitioned-manifest
+    # commit changes the storage protocol, never the merge semantics
+    "s24_stream_cdc_partitioned_manifest": """
         SELECT user_id, ts, event_id, event_type, value
         FROM (SELECT user_id, ts, event_id, event_type, value,
                      ROW_NUMBER() OVER (PARTITION BY user_id

@@ -71,19 +71,31 @@ def _swap_directories(target_path: str, staging: str) -> None:
     use the partitioned dynamic-overwrite path of :func:`merge_upsert`
     (Spark's commit protocol handles staging there)."""
     import os
+    import re
     import shutil
     import uuid
 
-    scheme = target_path.split("://", 1)[0] if "://" in target_path else ""
-    if scheme and scheme != "file":
-        raise ValueError(
-            f"directory-swap commit requires a local filesystem, got "
-            f"{scheme}:// — create the table with write_manifest_table() "
-            "(pointer-file commit, object-store-safe) or partition it "
-            "(dynamic-overwrite commit)"
-        )
-    target_path = target_path.removeprefix("file://")
-    staging = staging.removeprefix("file://")
+    def _local(p: str) -> str:
+        # Hadoop normalizes 'scheme://x' to 'scheme:/x', so BOTH slash
+        # forms must classify: a '://'-only match would let 's3a:/b/t'
+        # bypass the guard and hand os.rename a raw URI string
+        m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*):", p)
+        scheme = m.group(1) if m else ""
+        if scheme and scheme != "file":
+            raise ValueError(
+                f"directory-swap commit requires a local filesystem, got "
+                f"{scheme}: URI {p!r} — create the table with "
+                "write_manifest_table() (pointer-file commit, object-store-"
+                "safe) or partition it (dynamic-overwrite commit)"
+            )
+        if scheme == "file":
+            p = p[len("file:") :]
+            if p.startswith("//"):  # file:///x and file://x -> /x
+                p = p[2:] or "/"
+        return p
+
+    target_path = _local(target_path)
+    staging = _local(staging)
     backup = f"{target_path}__old_{uuid.uuid4().hex[:8]}"
     os.rename(target_path, backup)
     try:
@@ -98,6 +110,10 @@ def _swap_directories(target_path: str, staging: str) -> None:
 #: pointer file naming the live data version of a manifest table
 _MANIFEST = "_MANIFEST"
 
+#: first pointer line marking a PARTITIONED manifest table (generations
+#: of per-partition version mappings instead of flat data versions)
+_PMARK = "#partitioned"
+
 
 def _hadoop_fs(spark, path_str: str):
     jvm = spark._jvm
@@ -106,8 +122,9 @@ def _hadoop_fs(spark, path_str: str):
 
 
 def _manifest_lines(spark, path: str) -> list[str]:
-    """The pointer file's lines: [live_version] or [live, previous].
-    Empty list if ``path`` is not a manifest table."""
+    """The pointer file's raw non-empty lines (version names live-first,
+    plus ``#``-prefixed metadata). Empty list if ``path`` is not a
+    manifest table."""
     fs, p, jvm = _hadoop_fs(spark, f"{path}/{_MANIFEST}")
     if not fs.exists(p):
         return []
@@ -125,11 +142,34 @@ def _manifest_lines(spark, path: str) -> list[str]:
     return [ln.strip() for ln in content.splitlines() if ln.strip()]
 
 
+def _manifest_read(spark, path: str) -> tuple[list[str], int]:
+    """(retained versions live-first, keep_versions) from the pointer.
+    Pointers written before retention was configurable carry no
+    ``#keep=`` line and default to 2 (live + previous — the original
+    hardcoded policy, so existing tables keep their behavior). A
+    PARTITIONED manifest pointer (first line ``#partitioned``) parses
+    as no-versions here — its generations are not flat data versions,
+    and treating them as one would resolve reads to nonexistent dirs;
+    callers route through :func:`_pmanifest_read` first."""
+    lines = _manifest_lines(spark, path)
+    if lines and lines[0] == _PMARK:
+        return [], 2
+    versions = [ln for ln in lines if not ln.startswith("#")]
+    keep = 2
+    for ln in lines:
+        if ln.startswith("#keep="):
+            try:
+                keep = max(1, int(ln[len("#keep=") :]))
+            except ValueError:
+                pass
+    return versions, keep
+
+
 def manifest_version(spark, path: str) -> str | None:
     """The live data version of a manifest table, or None if ``path``
     is not one (no ``_MANIFEST`` pointer present)."""
-    lines = _manifest_lines(spark, path)
-    return lines[0] if lines else None
+    versions, _ = _manifest_read(spark, path)
+    return versions[0] if versions else None
 
 
 def _resolve_table_path(spark, path: str) -> str:
@@ -139,34 +179,18 @@ def _resolve_table_path(spark, path: str) -> str:
     return f"{path}/_data/{v}" if v else path
 
 
-def _manifest_commit(spark, path: str, df: DataFrame) -> None:
-    """Commit ``df`` as the new live version of a manifest table.
-
-    Object-store-safe copy-on-write: the data lands in a fresh
-    IMMUTABLE ``_data/v_<uuid>`` directory (never touching live data —
-    a failure mid-write leaves an orphan dir, not a broken table), then
-    a tiny pointer file is replaced. On a real object store the pointer
-    PUT is atomic; on HDFS the tmp-write + rename is atomic; on the
-    tiny delete→rename window of other filesystems a crash leaves the
-    pointer MISSING — visible and recoverable (repoint at the newest
-    version dir), never silent data loss, because version dirs are
-    immutable. Versions older than the previous one are garbage-
-    collected AFTER the commit, so in-flight readers that resolved the
-    prior version finish against intact files."""
+def _replace_pointer(spark, pointer_path: str, body: str) -> None:
+    """Replace a single pointer file via tmp-write + rename — on a real
+    object store the PUT is atomic; on HDFS the rename is atomic; on
+    the tiny delete→rename window of other filesystems a crash leaves
+    the pointer MISSING — visible and recoverable, never silent loss,
+    because the dirs it names are immutable."""
     import uuid
 
-    version = f"v_{uuid.uuid4().hex[:12]}"
-    df.write.mode("error").parquet(f"{path}/_data/{version}")
-    prev = manifest_version(spark, path)
-    fs, man_p, jvm = _hadoop_fs(spark, f"{path}/{_MANIFEST}")
+    fs, man_p, jvm = _hadoop_fs(spark, pointer_path)
     tmp_p = jvm.org.apache.hadoop.fs.Path(
-        f"{path}/{_MANIFEST}.tmp.{uuid.uuid4().hex[:8]}"
+        f"{pointer_path}.tmp.{uuid.uuid4().hex[:8]}"
     )
-    # line 2 records the PREVIOUS committed version: time travel must
-    # distinguish the legitimate predecessor from an orphan dir a
-    # crashed commit left behind (both survive GC until next commit,
-    # and a partially-written orphan would read as silent data loss)
-    body = f"{version}\n{prev}\n" if prev else f"{version}\n"
     out = fs.create(tmp_p, True)
     try:
         out.write(bytearray(body.encode()))
@@ -174,59 +198,109 @@ def _manifest_commit(spark, path: str, df: DataFrame) -> None:
         out.close()
     fs.delete(man_p, False)
     if not fs.rename(tmp_p, man_p):
-        raise OSError(f"manifest pointer rename failed for {path}")
-    # GC: keep the new live version and its predecessor (one full
-    # commit cycle of grace for concurrent readers); drop older ones
-    keep = {version, prev} - {None}
+        raise OSError(f"pointer rename failed for {pointer_path}")
+
+
+def _manifest_commit(
+    spark, path: str, df: DataFrame, keep_versions: int | None = None
+) -> None:
+    """Commit ``df`` as the new live version of a manifest table.
+
+    Object-store-safe copy-on-write: the data lands in a fresh
+    IMMUTABLE ``_data/v_<uuid>`` directory (never touching live data —
+    a failure mid-write leaves an orphan dir, not a broken table), then
+    the tiny pointer file is replaced (:func:`_replace_pointer`).
+    The pointer lists every RETAINED version live-first plus a
+    ``#keep=N`` metadata line; ``keep_versions=None`` inherits the
+    table's stored retention (default 2 = live + previous). Versions
+    falling off the retained window are garbage-collected AFTER the
+    commit, so in-flight readers that resolved a retained version
+    finish against intact files.
+
+    SINGLE-WRITER assumption: commits are not serialized against each
+    other — two racing commits both read the same predecessor list and
+    one lineage is silently lost (last pointer wins). External
+    serialization (one committer per table — e.g. one streaming query,
+    one maintenance job at a time) is the caller's contract, exactly as
+    with Spark's own dynamic partition overwrite. As a backstop the
+    pointer is RE-READ after the replace and GC is skipped when another
+    writer's pointer superseded ours within the window — so a lost
+    race never deletes the winner's freshly-committed data dirs."""
+    import uuid
+
+    version = f"v_{uuid.uuid4().hex[:12]}"
+    df.write.mode("error").parquet(f"{path}/_data/{version}")
+    prev_versions, prev_keep = _manifest_read(spark, path)
+    keep = prev_keep if keep_versions is None else max(1, keep_versions)
+    retained = ([version] + prev_versions)[:keep]
+    body = "\n".join(retained) + f"\n#keep={keep}\n"
+    _replace_pointer(spark, f"{path}/{_MANIFEST}", body)
+    # GC backstop against a racing writer (see docstring): only the
+    # commit whose pointer is still live may delete version dirs
+    check, _ = _manifest_read(spark, path)
+    if not check or check[0] != version:
+        return
+    fs, _, jvm = _hadoop_fs(spark, f"{path}/{_MANIFEST}")
+    keep_set = set(retained)
     data_p = jvm.org.apache.hadoop.fs.Path(f"{path}/_data")
     for st in fs.listStatus(data_p):
         name = st.getPath().getName()
-        if name not in keep:
+        if name not in keep_set:
             fs.delete(st.getPath(), True)
 
 
-def write_manifest_table(spark, df: DataFrame, path: str) -> None:
+def write_manifest_table(
+    spark, df: DataFrame, path: str, keep_versions: int | None = None
+) -> None:
     """Create (or fully rewrite) an UNPARTITIONED manifest table: data
     lives in immutable ``_data/v_*`` dirs, a ``_MANIFEST`` pointer file
     names the live one, and every commit is a single-object pointer
     replace — the object-store-safe alternative to the local-FS
-    directory swap. :func:`merge_upsert`, :func:`purge_tombstones` and
-    :func:`compact_small_files` detect the pointer automatically and
-    commit through it; read the table via :func:`read_manifest_table`
-    (plain ``spark.read.parquet`` on the root would see every
-    version)."""
-    _manifest_commit(spark, path, df)
+    directory swap. SINGLE WRITER at a time (see
+    :func:`_manifest_commit`). ``keep_versions`` sets the time-travel
+    retention depth (stored in the pointer; later commits through
+    :func:`merge_upsert` / :func:`purge_tombstones` /
+    :func:`compact_small_files` inherit it; default 2 = live +
+    previous). Read the table via :func:`read_manifest_table` (plain
+    ``spark.read.parquet`` on the root would see every version)."""
+    _manifest_commit(spark, path, df, keep_versions)
 
 
 def manifest_versions(spark, path: str) -> list[str]:
-    """The COMMITTED versions of a manifest table, live first:
-    [live] or [live, previous], straight from the pointer file. An
+    """The RETAINED versions of a manifest table, live first (up to the
+    table's ``keep_versions``), straight from the pointer file. An
     orphan ``_data`` dir left by a crashed commit is deliberately NOT
     listed — it may be partially written, and reading it would be
     silent data loss; only versions a pointer replace actually
     published are time-travelable."""
-    lines = _manifest_lines(spark, path)
-    if not lines:
+    versions, _ = _manifest_read(spark, path)
+    if not versions:
         raise ValueError(f"not a manifest table (no {_MANIFEST}): {path}")
-    return lines
+    return versions
 
 
 def read_manifest_table(spark, path: str, version: str | None = None) -> DataFrame:
     """Read a manifest table (mergeSchema, matching the engine's CDC
     read discipline): the live version by default, or — TIME TRAVEL
     over the retained window — any version still listed by
-    :func:`manifest_versions` (GC keeps live + previous, so 'the table
-    as of the last commit' stays readable until the next one)."""
+    :func:`manifest_versions` (GC keeps the newest ``keep_versions``
+    commits, default live + previous, so recent history stays readable
+    until it ages out)."""
     if version is None:
         version = manifest_version(spark, path)
         if version is None:
+            if _pmanifest_read(spark, path) is not None:
+                raise ValueError(
+                    f"{path} is a PARTITIONED manifest table; read it with "
+                    "read_partitioned_manifest()"
+                )
             raise ValueError(f"not a manifest table (no {_MANIFEST}): {path}")
     else:
         retained = manifest_versions(spark, path)
         if version not in retained:
             raise ValueError(
                 f"version {version!r} not retained (have {retained}); "
-                "manifest GC keeps the live and previous versions only"
+                "manifest GC keeps the newest keep_versions commits only"
             )
     return spark.read.option("mergeSchema", "true").parquet(
         f"{path}/_data/{version}"
@@ -307,6 +381,232 @@ def _delete_partition_dir(spark, target_path: str, partition_by, row) -> None:
     )
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
     fs.delete(p, True)
+
+
+# ---- partitioned manifest tables ------------------------------------
+#
+# The object-store-safe commit story for PARTITIONED lakes (the flat
+# manifest's commit unit is the whole table; dynamic partition
+# overwrite replaces partition dirs in place, which is not atomic on
+# object stores). Layout:
+#
+#   path/_MANIFEST            "#partitioned", generations live-first,
+#                             "#keep=N", "#cols=p,q"
+#   path/_gens/g_<uuid>       immutable snapshot: "subdir<TAB>version"
+#                             lines mapping every LIVE partition to the
+#                             version dir holding its current data
+#   path/_data/v_<uuid>/...   immutable version dirs, Hive-partitioned
+#                             inside (col=val subdirs)
+#
+# A merge writes ONLY its touched partitions into a fresh version dir,
+# then commits a new generation whose mapping points touched partitions
+# at the new version and leaves every other partition's mapping alone —
+# one small pointer replace publishes the whole commit, crash-safe for
+# the same reason the flat manifest is (immutable dirs; a failure
+# before the pointer replace leaves orphans, never a broken table).
+# SINGLE WRITER per table, as with the flat manifest.
+
+
+def _read_text(spark, file_path: str) -> str | None:
+    fs, p, jvm = _hadoop_fs(spark, file_path)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+def _pmanifest_read(spark, path: str):
+    """(generations live-first, keep, partition_cols) for a partitioned
+    manifest table, or None if ``path`` is not one."""
+    lines = _manifest_lines(spark, path)
+    if not lines or lines[0] != _PMARK:
+        return None
+    gens = [ln for ln in lines[1:] if not ln.startswith("#")]
+    keep, cols = 2, []
+    for ln in lines:
+        if ln.startswith("#keep="):
+            try:
+                keep = max(1, int(ln[len("#keep=") :]))
+            except ValueError:
+                pass
+        elif ln.startswith("#cols="):
+            cols = [c for c in ln[len("#cols=") :].split(",") if c]
+    return gens, keep, cols
+
+
+def _pmanifest_mapping(spark, path: str, gen: str) -> dict[str, str]:
+    """The {partition_subdir: version} mapping of one generation."""
+    content = _read_text(spark, f"{path}/_gens/{gen}")
+    if content is None:
+        raise ValueError(f"generation file missing: {path}/_gens/{gen}")
+    mapping: dict[str, str] = {}
+    for ln in content.splitlines():
+        ln = ln.strip()
+        if not ln:
+            continue
+        sd, _, v = ln.rpartition("\t")
+        mapping[sd] = v
+    return mapping
+
+
+def _pmanifest_commit(
+    spark,
+    path: str,
+    partition_by: Sequence[str],
+    new_mapping: dict[str, str],
+    keep_versions: int | None = None,
+) -> None:
+    """Publish ``new_mapping`` as the live generation: write an
+    immutable gen file, replace the pointer, then GC generations past
+    the retained window and version dirs no retained generation
+    references. Same race backstop as :func:`_manifest_commit`: GC runs
+    only if our pointer is still live after the replace."""
+    import uuid
+
+    prev = _pmanifest_read(spark, path)
+    gens, stored_keep, stored_cols = prev if prev else ([], 2, [])
+    if stored_cols and list(partition_by) != stored_cols:
+        raise ValueError(
+            f"partition_by {list(partition_by)} != table's partition "
+            f"columns {stored_cols}"
+        )
+    keep = stored_keep if keep_versions is None else max(1, keep_versions)
+    gen = f"g_{uuid.uuid4().hex[:12]}"
+    gen_body = "".join(
+        f"{sd}\t{v}\n" for sd, v in sorted(new_mapping.items())
+    )
+    _replace_pointer(spark, f"{path}/_gens/{gen}", gen_body)
+    retained = ([gen] + gens)[:keep]
+    body = (
+        _PMARK
+        + "\n"
+        + "\n".join(retained)
+        + f"\n#keep={keep}\n#cols={','.join(partition_by)}\n"
+    )
+    _replace_pointer(spark, f"{path}/{_MANIFEST}", body)
+    check = _pmanifest_read(spark, path)
+    if not check or not check[0] or check[0][0] != gen:
+        return
+    referenced = set()
+    for g in retained:
+        referenced.update(_pmanifest_mapping(spark, path, g).values())
+    fs, _, jvm = _hadoop_fs(spark, f"{path}/{_MANIFEST}")
+    gens_p = jvm.org.apache.hadoop.fs.Path(f"{path}/_gens")
+    for st in fs.listStatus(gens_p):
+        if st.getPath().getName() not in set(retained):
+            fs.delete(st.getPath(), True)
+    data_p = jvm.org.apache.hadoop.fs.Path(f"{path}/_data")
+    if fs.exists(data_p):
+        for st in fs.listStatus(data_p):
+            if st.getPath().getName() not in referenced:
+                fs.delete(st.getPath(), True)
+
+
+def _list_partition_subdirs(spark, version_path: str, depth: int) -> list[str]:
+    """The `col=val/...` partition subdirs actually written under one
+    version dir (the authoritative post-write listing — a recomputation
+    of the DataFrame could differ)."""
+    fs, root, jvm = _hadoop_fs(spark, version_path)
+    out: list[str] = []
+
+    def walk(p, d: int, prefix: str) -> None:
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if not st.isDirectory() or "=" not in name:
+                continue
+            sub = f"{prefix}{name}"
+            if d == depth:
+                out.append(sub)
+            else:
+                walk(st.getPath(), d + 1, sub + "/")
+
+    walk(root, 1, "")
+    return out
+
+
+def write_partitioned_manifest_table(
+    spark,
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str],
+    keep_versions: int | None = None,
+) -> None:
+    """Create (or fully rewrite) a PARTITIONED manifest table — the
+    object-store-safe commit for partitioned lakes (dynamic partition
+    overwrite replaces directories in place; this never touches live
+    data). :func:`merge_upsert` / :func:`purge_tombstones` /
+    :func:`compact_small_files` detect the pointer and commit new
+    generations through it, rewriting ONLY touched partitions per
+    merge; read via :func:`read_partitioned_manifest`. SINGLE WRITER
+    at a time. ``keep_versions`` = generation retention for time travel
+    (stored; default 2)."""
+    import uuid
+
+    if not partition_by:
+        raise ValueError("partition_by is required (else use write_manifest_table)")
+    version = f"v_{uuid.uuid4().hex[:12]}"
+    vpath = f"{path}/_data/{version}"
+    df.write.mode("error").partitionBy(*partition_by).parquet(vpath)
+    subdirs = _list_partition_subdirs(spark, vpath, len(partition_by))
+    _pmanifest_commit(
+        spark, path, partition_by, {sd: version for sd in subdirs}, keep_versions
+    )
+
+
+def partitioned_manifest_generations(spark, path: str) -> list[str]:
+    """The retained generations, live first."""
+    info = _pmanifest_read(spark, path)
+    if info is None:
+        raise ValueError(f"not a partitioned manifest table: {path}")
+    return info[0]
+
+
+def read_partitioned_manifest(
+    spark, path: str, generation: str | None = None
+) -> DataFrame:
+    """Read a partitioned manifest table: the live generation by
+    default, or any retained generation (time travel). Each generation
+    maps every live partition to the version dir holding its data, so
+    the read is a union of per-version scans restricted to exactly the
+    mapped partition dirs — partition columns come from the dir names
+    (``basePath``), stale partitions in older version dirs are never
+    touched, and mixed file schemas across versions merge (additive
+    evolution discipline, as everywhere in the CDC path)."""
+    info = _pmanifest_read(spark, path)
+    if info is None:
+        raise ValueError(f"not a partitioned manifest table: {path}")
+    gens, _, _ = info
+    if generation is None:
+        generation = gens[0]
+    elif generation not in gens:
+        raise ValueError(
+            f"generation {generation!r} not retained (have {gens}); "
+            "manifest GC keeps the newest keep_versions generations only"
+        )
+    mapping = _pmanifest_mapping(spark, path, generation)
+    if not mapping:
+        raise ValueError(
+            f"generation {generation!r} of {path} has no live partitions "
+            "(schema unknown for an empty table)"
+        )
+    by_version: dict[str, list[str]] = {}
+    for sd, v in mapping.items():
+        by_version.setdefault(v, []).append(sd)
+    parts = []
+    for v, sds in sorted(by_version.items()):
+        base = f"{path}/_data/{v}"
+        parts.append(
+            spark.read.option("mergeSchema", "true")
+            .option("basePath", base)
+            .parquet(*[f"{base}/{sd}" for sd in sorted(sds)])
+        )
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p, allowMissingColumns=True)
+    return df
 
 
 def merge_upsert(
@@ -414,18 +714,36 @@ def merge_upsert(
     # inference can pick an old file and silently drop the newer
     # columns — for tombstones that resurrected deleted keys (caught
     # by live repro, not theory)
-    read_path = _resolve_table_path(spark, target_path)
-    is_manifest = read_path != target_path
-    if is_manifest and partition_by:
-        raise ValueError(
-            "manifest tables are unpartitioned (their commit unit is the "
-            "whole version); partitioned lakes use dynamic overwrite, "
-            "which is already object-store-safe"
-        )
-    if tombstone_col or allow_schema_evolution or is_manifest:
-        existing = spark.read.option("mergeSchema", "true").parquet(read_path)
+    pinfo = _pmanifest_read(spark, target_path)
+    is_pmanifest = pinfo is not None
+    if is_pmanifest:
+        if not partition_by:
+            raise ValueError(
+                "partitioned manifest table: pass partition_by="
+                f"{pinfo[2]} (its commit unit is the partition)"
+            )
+        if pinfo[2] and list(partition_by) != pinfo[2]:
+            raise ValueError(
+                f"partition_by {list(partition_by)} != table's partition "
+                f"columns {pinfo[2]}"
+            )
+        read_path = target_path
+        is_manifest = False
+        existing = read_partitioned_manifest(spark, target_path)
     else:
-        existing = spark.read.parquet(read_path)
+        read_path = _resolve_table_path(spark, target_path)
+        is_manifest = read_path != target_path
+        if is_manifest and partition_by:
+            raise ValueError(
+                "flat manifest tables are unpartitioned (their commit unit "
+                "is the whole version); partitioned lakes on object stores "
+                "use write_partitioned_manifest_table(), local ones dynamic "
+                "overwrite"
+            )
+        if tombstone_col or allow_schema_evolution or is_manifest:
+            existing = spark.read.option("mergeSchema", "true").parquet(read_path)
+        else:
+            existing = spark.read.parquet(read_path)
     flag = {tombstone_col} if tombstone_col else set()
     added = (set(updates.columns) - flag) - set(existing.columns)
     if allow_schema_evolution and added:
@@ -543,6 +861,24 @@ def merge_upsert(
             _partition_subdir(partition_by, r)
         pruned = _prune_to_partitions(existing, touched, partition_by)
         merged = _merge(pruned)
+        if is_pmanifest:
+            # rewrite ONLY the touched partitions into a fresh immutable
+            # version dir, then publish a generation that points them at
+            # it (partitions the merge EMPTIED simply leave the mapping;
+            # untouched partitions keep their old version) — one pointer
+            # replace commits everything, object-store-safe
+            version = f"v_{uuid.uuid4().hex[:12]}"
+            vpath = f"{target_path}/_data/{version}"
+            merged.write.mode("error").partitionBy(*partition_by).parquet(vpath)
+            old_mapping = _pmanifest_mapping(spark, target_path, pinfo[0][0])
+            touched_sds = {_partition_subdir(partition_by, r) for r in touched}
+            new_mapping = {
+                sd: v for sd, v in old_mapping.items() if sd not in touched_sds
+            }
+            for sd in _list_partition_subdirs(spark, vpath, len(partition_by)):
+                new_mapping[sd] = version
+            _pmanifest_commit(spark, target_path, partition_by, new_mapping)
+            return
         # one execution for both consumers below: without the pin, the
         # emptied-partition collect and the write would each run the
         # whole touched-partition read + anti-join
@@ -627,11 +963,27 @@ def purge_tombstones(
     import shutil
     import uuid
 
-    read_path = _resolve_table_path(spark, path)
-    is_manifest = read_path != path
-    if is_manifest and partition_by:
-        raise ValueError("manifest tables are unpartitioned")
-    df = spark.read.option("mergeSchema", "true").parquet(read_path)
+    pinfo = _pmanifest_read(spark, path)
+    is_pmanifest = pinfo is not None
+    if is_pmanifest:
+        if not partition_by:
+            raise ValueError(
+                f"partitioned manifest table: pass partition_by={pinfo[2]}"
+            )
+        if pinfo[2] and list(partition_by) != pinfo[2]:
+            raise ValueError(
+                f"partition_by {list(partition_by)} != table's partition "
+                f"columns {pinfo[2]}"
+            )
+        read_path = path
+        is_manifest = False
+        df = read_partitioned_manifest(spark, path)
+    else:
+        read_path = _resolve_table_path(spark, path)
+        is_manifest = read_path != path
+        if is_manifest and partition_by:
+            raise ValueError("flat manifest tables are unpartitioned")
+        df = spark.read.option("mergeSchema", "true").parquet(read_path)
     if tombstone_col not in df.columns:
         raise ValueError(f"tombstone_col not in table: {tombstone_col}")
     doomed = F.coalesce(F.col(tombstone_col), F.lit(False))
@@ -666,6 +1018,23 @@ def purge_tombstones(
         }
         pruned = _prune_to_partitions(df, affected, partition_by)
         survivors = pruned.filter(~doomed)
+        if is_pmanifest:
+            # same commit shape as the pmanifest merge: affected
+            # partitions' survivors land in a fresh version dir, the new
+            # generation repoints them (emptied ones drop out of the
+            # mapping), everything else keeps its version
+            version = f"v_{uuid.uuid4().hex[:12]}"
+            vpath = f"{path}/_data/{version}"
+            survivors.write.mode("error").partitionBy(*partition_by).parquet(vpath)
+            old_mapping = _pmanifest_mapping(spark, path, pinfo[0][0])
+            affected_sds = {_partition_subdir(partition_by, r) for r in affected}
+            new_mapping = {
+                sd: v for sd, v in old_mapping.items() if sd not in affected_sds
+            }
+            for sd in _list_partition_subdirs(spark, vpath, len(partition_by)):
+                new_mapping[sd] = version
+            _pmanifest_commit(spark, path, partition_by, new_mapping)
+            return purged
         (
             survivors.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -712,6 +1081,38 @@ def compact_small_files(
     import os
     import shutil
     import uuid
+
+    pinfo = _pmanifest_read(spark, path)
+    if pinfo is not None:
+        # partitioned manifest: rewrite the live table into ONE fresh
+        # version (each partition value hash-pinned to a single task →
+        # one file per partition dir), publish a generation mapping
+        # every partition to it
+        cols = pinfo[2]
+        if not cols:
+            raise ValueError(f"partitioned manifest {path} lists no #cols")
+        df = read_partitioned_manifest(spark, path)
+        n = df.count()
+        files = max(1, math.ceil(n / target_rows_per_file))
+        version = f"v_{uuid.uuid4().hex[:12]}"
+        vpath = f"{path}/_data/{version}"
+        (
+            df.repartition(files, *cols)
+            .write.mode("error")
+            .partitionBy(*cols)
+            .parquet(vpath)
+        )
+        subdirs = _list_partition_subdirs(spark, vpath, len(cols))
+        _pmanifest_commit(spark, path, cols, {sd: version for sd in subdirs})
+        fs, _, jvm = _hadoop_fs(spark, vpath)
+        count = 0
+        for sd in subdirs:
+            p2 = jvm.org.apache.hadoop.fs.Path(f"{vpath}/{sd}")
+            for st in fs.listStatus(p2):
+                nm = st.getPath().getName()
+                if nm.startswith("part-") and nm.endswith(".parquet"):
+                    count += 1
+        return count
 
     read_path = _resolve_table_path(spark, path)
     df = spark.read.parquet(read_path)

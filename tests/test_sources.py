@@ -1432,3 +1432,290 @@ def test_producer_name_labels_registration(spark):
     assert "alpha" in a.name() and "beta" in b.name()
     # same closure + same label memoizes to ONE registration
     assert make_producer_datasource(gen, 1, label="alpha").name() == a.name()
+
+
+def test_partitioned_manifest_merge_commit_gc_and_time_travel(spark, tmp_path):
+    """Partitioned manifest tables (the object-store-safe commit for
+    partitioned lakes): a merge rewrites ONLY its touched partitions
+    into a fresh version dir and publishes a generation pointing them
+    there — untouched partitions keep their original version dir, a
+    partition the merge empties drops out of the mapping, the previous
+    generation stays time-travelable, and GC keeps exactly the retained
+    window."""
+    import pytest as _pytest
+
+    from async_pipes_spark.sources.sinks import (
+        _pmanifest_mapping,
+        merge_upsert,
+        partitioned_manifest_generations,
+        read_partitioned_manifest,
+        write_partitioned_manifest_table,
+    )
+
+    tgt = str(tmp_path / "pm")
+    write_partitioned_manifest_table(
+        spark,
+        spark.createDataFrame(
+            [(1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2")],
+            "k bigint, s string, p string",
+        ),
+        tgt,
+        ["p"],
+    )
+    g0 = partitioned_manifest_generations(spark, tgt)[0]
+    m0 = _pmanifest_mapping(spark, tgt, g0)
+    # update k=2 in place, MOVE k=3 from p2 to p3 (empties p2), insert k=4
+    merge_upsert(
+        spark,
+        tgt,
+        spark.createDataFrame(
+            [(2, "B", "p1"), (3, "c3", "p3"), (4, "d", "p1")],
+            "k bigint, s string, p string",
+        ),
+        ["k"],
+        partition_by=["p"],
+    )
+    got = sorted(tuple(r) for r in read_partitioned_manifest(spark, tgt).collect())
+    assert got == [(1, "a", "p1"), (2, "B", "p1"), (3, "c3", "p3"), (4, "d", "p1")]
+    gens = partitioned_manifest_generations(spark, tgt)
+    assert len(gens) == 2 and gens[1] == g0
+    m1 = _pmanifest_mapping(spark, tgt, gens[0])
+    assert "p=p2" not in m1  # emptied partition left the mapping
+    assert m1["p=p1"] != m0["p=p1"]  # touched -> new version
+    assert m1["p=p3"] == m1["p=p1"]  # both written by this commit
+    # untouched partitions would keep their version; here every live one
+    # was touched, but the PREVIOUS generation still reads intact
+    old = sorted(
+        tuple(r)
+        for r in read_partitioned_manifest(spark, tgt, generation=g0).collect()
+    )
+    assert old == [(1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2")]
+    with _pytest.raises(ValueError, match="not retained"):
+        read_partitioned_manifest(spark, tgt, generation="g_nope")
+    # third commit ages g0 out (default keep=2) and GC drops its
+    # now-unreferenced version dir
+    merge_upsert(
+        spark,
+        tgt,
+        spark.createDataFrame([(5, "e", "p1")], "k bigint, s string, p string"),
+        ["k"],
+        partition_by=["p"],
+    )
+    gens2 = partitioned_manifest_generations(spark, tgt)
+    assert len(gens2) == 2 and g0 not in gens2
+    live_versions = {
+        v
+        for g in gens2
+        for v in _pmanifest_mapping(spark, tgt, g).values()
+    }
+    on_disk = {p.name for p in (tmp_path / "pm" / "_data").iterdir()}
+    assert on_disk == live_versions
+    on_disk_gens = {
+        p.name
+        for p in (tmp_path / "pm" / "_gens").iterdir()
+        if not p.name.startswith(".")  # Hadoop local-FS .crc sidecars
+    }
+    assert on_disk_gens == set(gens2)
+
+
+def test_partitioned_manifest_untouched_partition_keeps_version(spark, tmp_path):
+    """A merge touching one partition must not repoint — or rewrite —
+    the other partitions' mappings (the at-scale guarantee: a 1-key
+    merge into a 100k-partition lake moves one partition's worth of
+    bytes)."""
+    from async_pipes_spark.sources.sinks import (
+        _pmanifest_mapping,
+        merge_upsert,
+        partitioned_manifest_generations,
+        write_partitioned_manifest_table,
+    )
+
+    tgt = str(tmp_path / "pmu")
+    write_partitioned_manifest_table(
+        spark,
+        spark.createDataFrame(
+            [(1, "a", "p1"), (3, "c", "p2")], "k bigint, s string, p string"
+        ),
+        tgt,
+        ["p"],
+    )
+    g0 = partitioned_manifest_generations(spark, tgt)[0]
+    v_p2 = _pmanifest_mapping(spark, tgt, g0)["p=p2"]
+    merge_upsert(
+        spark,
+        tgt,
+        spark.createDataFrame([(1, "A", "p1")], "k bigint, s string, p string"),
+        ["k"],
+        partition_by=["p"],
+        keys_partition_stable=True,
+    )
+    g1 = partitioned_manifest_generations(spark, tgt)[0]
+    m1 = _pmanifest_mapping(spark, tgt, g1)
+    assert m1["p=p2"] == v_p2  # untouched partition: same version dir
+    assert m1["p=p1"] != v_p2
+
+
+def test_partitioned_manifest_crash_during_write_leaves_table_intact(
+    spark, tmp_path
+):
+    """Crash injection: a merge dying mid-write leaves the pointer on
+    the old generation and every old partition readable (the version
+    dir the failed write started is an orphan, never referenced)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from async_pipes_spark.sources.sinks import (
+        merge_upsert,
+        partitioned_manifest_generations,
+        read_partitioned_manifest,
+        write_partitioned_manifest_table,
+    )
+
+    tgt = str(tmp_path / "pmc")
+    write_partitioned_manifest_table(
+        spark,
+        spark.createDataFrame([(1, "a", "p1")], "k bigint, s string, p string"),
+        tgt,
+        ["p"],
+    )
+    g0 = partitioned_manifest_generations(spark, tgt)[0]
+    boom = F.udf(lambda s: exec('raise RuntimeError("boom")'), "string")
+    bad = spark.createDataFrame(
+        [(1, "x", "p1")], "k bigint, s string, p string"
+    ).select("k", boom("s").alias("s"), "p")
+    with _pytest.raises(Exception):
+        merge_upsert(spark, tgt, bad, ["k"], partition_by=["p"])
+    assert partitioned_manifest_generations(spark, tgt)[0] == g0
+    assert [tuple(r) for r in read_partitioned_manifest(spark, tgt).collect()] == [
+        (1, "a", "p1")
+    ]
+
+
+def test_manifest_keep_versions_retention(spark, tmp_path):
+    """keep_versions=N is stored in the pointer, inherited by later
+    merge commits, honored by time travel and GC — for BOTH manifest
+    flavors."""
+    import pytest as _pytest
+
+    from async_pipes_spark.sources.sinks import (
+        manifest_versions,
+        merge_upsert,
+        partitioned_manifest_generations,
+        read_manifest_table,
+        read_partitioned_manifest,
+        write_manifest_table,
+        write_partitioned_manifest_table,
+    )
+
+    # flat
+    tgt = str(tmp_path / "kv")
+    write_manifest_table(
+        spark,
+        spark.createDataFrame([(1,)], "k bigint"),
+        tgt,
+        keep_versions=3,
+    )
+    history = [manifest_versions(spark, tgt)[0]]
+    for i in range(2, 6):
+        merge_upsert(
+            spark, tgt, spark.createDataFrame([(i,)], "k bigint"), ["k"]
+        )
+        history.append(manifest_versions(spark, tgt)[0])
+    vs = manifest_versions(spark, tgt)
+    assert vs == history[-1:-4:-1]  # newest 3, live first
+    assert {p.name for p in (tmp_path / "kv" / "_data").iterdir()} == set(vs)
+    assert read_manifest_table(spark, tgt, version=vs[2]).count() == 3
+    with _pytest.raises(ValueError, match="not retained"):
+        read_manifest_table(spark, tgt, version=history[0])
+
+    # partitioned
+    ptgt = str(tmp_path / "kvp")
+    write_partitioned_manifest_table(
+        spark,
+        spark.createDataFrame([(1, "p1")], "k bigint, p string"),
+        ptgt,
+        ["p"],
+        keep_versions=3,
+    )
+    ghist = [partitioned_manifest_generations(spark, ptgt)[0]]
+    for i in range(2, 6):
+        merge_upsert(
+            spark,
+            ptgt,
+            spark.createDataFrame([(i, "p1")], "k bigint, p string"),
+            ["k"],
+            partition_by=["p"],
+        )
+        ghist.append(partitioned_manifest_generations(spark, ptgt)[0])
+    gs = partitioned_manifest_generations(spark, ptgt)
+    assert gs == ghist[-1:-4:-1]
+    assert read_partitioned_manifest(spark, ptgt, generation=gs[2]).count() == 3
+
+
+def test_partitioned_manifest_randomized_model(spark, tmp_path):
+    """Randomized interleaving of versioned CDC merges (upserts +
+    deletes + partition moves), tombstone purges and compactions
+    against a Python model — the pmanifest twin of the randomized CDC
+    test (VERDICT r6 #8): after EVERY step the pointer resolves and the
+    table equals the model."""
+    import random
+
+    from async_pipes_spark.sources.sinks import (
+        compact_small_files,
+        merge_upsert,
+        purge_tombstones,
+        read_partitioned_manifest,
+        write_partitioned_manifest_table,
+    )
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        tgt = str(tmp_path / f"pmr{seed}")
+        parts = ["p1", "p2", "p3"]
+        model = {}  # k -> (ver, s, dead, p)
+        init = [(k, 0, f"s{k}", False, parts[k % 3]) for k in range(6)]
+        for k, v, s, d, p in init:
+            model[k] = (v, s, d, p)
+        schema = "k bigint, ver bigint, s string, dead boolean, p string"
+        write_partitioned_manifest_table(
+            spark, spark.createDataFrame(init, schema), tgt, ["p"]
+        )
+        ver = 0
+        for _step in range(8):
+            op = rng.choice(["merge", "merge", "merge", "purge", "compact"])
+            if op == "merge":
+                rows = []
+                for _ in range(rng.randrange(1, 4)):
+                    ver += 1
+                    k = rng.randrange(10)
+                    dead = rng.random() < 0.25
+                    row = (k, ver, f"v{ver}", dead, rng.choice(parts))
+                    rows.append(row)
+                    if k not in model or ver > model[k][0]:
+                        model[k] = (ver, row[2], dead, row[4])
+                merge_upsert(
+                    spark,
+                    tgt,
+                    spark.createDataFrame(rows, schema),
+                    ["k"],
+                    partition_by=["p"],
+                    version_cols=["ver"],
+                    tombstone_col="dead",
+                )
+            elif op == "purge":
+                purged = purge_tombstones(spark, tgt, "dead", partition_by=["p"])
+                assert purged == sum(1 for v in model.values() if v[2])
+                for k in [k for k, v in model.items() if v[2]]:
+                    del model[k]
+            else:
+                compact_small_files(spark, tgt, target_rows_per_file=1000)
+            want = sorted(
+                (k, v, s, d, p) for k, (v, s, d, p) in model.items()
+            )
+            got = sorted(
+                tuple(r)
+                for r in read_partitioned_manifest(spark, tgt)
+                .select("k", "ver", "s", "dead", "p")
+                .collect()
+            )
+            assert got == want, (seed, _step, op, got, want)
