@@ -107,26 +107,50 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf_dir
-    # key order matters: the verification driver records only the LAST
-    # 2000 characters of stdout, so the round-over-round comparables —
-    # the declared per-query timings and the suite totals — go at the
-    # END of the (single) JSON line; the big all-query dict goes first
-    # and may be truncated in the driver's record (it is still complete
-    # here on stdout for local use)
-    print(
-        json.dumps(
-            {
-                "queries": timings,
-                "metric": "declared_query_suite_wall_clock",
-                "unit": "sec",
-                "sf": sf_val,
-                "extensions_sec": ext_total,
-                "declared_prepared_sec": round(sum(prepared.values()), 4),
-                "declared": {q: timings[q] for q in DECLARED_QUERIES},
-                "value": declared_total,
-            }
-        )
-    )
+    full = {
+        "queries": timings,
+        "metric": "declared_query_suite_wall_clock",
+        "unit": "sec",
+        "sf": sf_val,
+        "extensions_sec": ext_total,
+        "declared_prepared_sec": round(sum(prepared.values()), 4),
+        "declared": {q: timings[q] for q in DECLARED_QUERIES},
+        "value": declared_total,
+    }
+    print(json.dumps(full))
+    # persist the untruncated record next to this file: the driver keeps
+    # only the last ~2000 chars of stdout, and the full-name line above
+    # is ~3x that — BENCH_FULL.json is the complete per-round artifact
+    # for round-over-round comparison (the r5/r6 verdicts were blind on
+    # ~30 extension timings that fell off the recorded tail)
+    full_path = Path(__file__).resolve().parent / "BENCH_FULL.json"
+    try:
+        full_path.write_text(json.dumps(full, indent=1) + "\n")
+    except OSError:
+        pass  # read-only checkout: stdout still carries everything
+    # FINAL line: a compact record that fits the driver's 2000-char tail
+    # whole — every query timed, keyed by its unique family code (the
+    # prefix before the first underscore: p1..p9, r1..r16, d1..d12, ...)
+    # so no family's number is ever truncated out of the round record
+    compact = {
+        "metric": "declared_query_suite_wall_clock",
+        "unit": "sec",
+        "sf": sf_val,
+        "value": declared_total,
+        "extensions_sec": ext_total,
+        "declared_prepared_sec": round(sum(prepared.values()), 4),
+        "full": "BENCH_FULL.json",
+        "queries": {
+            name.split("_", 1)[0]: round(t, 3) for name, t in timings.items()
+        },
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # degrade resolution before letting the tail cut
+        compact["queries"] = {
+            k: round(v, 2) for k, v in compact["queries"].items()
+        }
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 
