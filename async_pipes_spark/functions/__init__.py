@@ -21,6 +21,8 @@ from async_pipes_spark.functions.similarity import (  # noqa: F401
     ivf_assign,
     exact_rerank,
     ivf_knn_join,
+    ivf_pq_encode,
+    ivf_pq_topk,
     ivf_probe_assign,
     ivf_topk,
     kmeans_centroids,

@@ -11,9 +11,12 @@ from async_pipes_spark.sources.sinks import (  # noqa: F401
     manifest_version,
     manifest_versions,
     merge_upsert,
+    partitioned_manifest_generations,
     purge_tombstones,
     read_manifest_table,
+    read_partitioned_manifest,
     write_bucketed_table,
     write_files,
     write_manifest_table,
+    write_partitioned_manifest_table,
 )
