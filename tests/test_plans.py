@@ -250,3 +250,27 @@ def test_a6_knn_join_plan_shape(spark):
     assert final.count("FlatMapCoGroupsInPandas") == 1, final
     assert "CartesianProduct" not in final, final
     assert "BroadcastNestedLoop" not in final, final
+
+
+def test_a8_ivfpq_plan_shape(spark):
+    """a8: the composed IVFPQ retrieval must meet the corpus only
+    through Arrow kernels and a BROADCAST re-rank join — no cartesian
+    shapes anywhere, and the ADC scan's kernel input is the encoded
+    index (vec_id, cell, codes), never the raw vectors."""
+    from async_pipes_spark.functions.similarity import (
+        ivf_pq_topk,
+        pq_codebooks,
+    )
+    from async_pipes_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    books = pq_codebooks(emb, m=8, k=16)
+    df = ivf_pq_topk(emb, queries, k=3, codebooks=books, shortlist=10, nprobe=2)
+    txt = plan_text(df, "formatted")
+    assert "CartesianProduct" not in txt, txt
+    assert "BroadcastNestedLoop" not in txt, txt
+    # the shortlist joins back to raw vectors via broadcast (the
+    # corpus scan side must not shuffle for the re-rank)
+    assert "BroadcastHashJoin" in txt, txt
