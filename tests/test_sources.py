@@ -1719,3 +1719,65 @@ def test_partitioned_manifest_randomized_model(spark, tmp_path):
                 .collect()
             )
             assert got == want, (seed, _step, op, got, want)
+
+
+def test_flat_manifest_randomized_model(spark, tmp_path):
+    """The flat-manifest twin of the partitioned randomized model:
+    random interleavings of versioned CDC merges (upserts + deletes),
+    tombstone purges and compactions against an UNPARTITIONED manifest
+    table — after every step the pointer resolves and the live version
+    equals the Python model."""
+    import random
+
+    from async_pipes_spark.sources.sinks import (
+        compact_small_files,
+        merge_upsert,
+        purge_tombstones,
+        read_manifest_table,
+        write_manifest_table,
+    )
+
+    for seed in (11, 31):
+        rng = random.Random(seed)
+        tgt = str(tmp_path / f"fmr{seed}")
+        model = {}  # k -> (ver, s, dead)
+        init = [(k, 0, f"s{k}", False) for k in range(5)]
+        for k, v, s, d in init:
+            model[k] = (v, s, d)
+        schema = "k bigint, ver bigint, s string, dead boolean"
+        write_manifest_table(spark, spark.createDataFrame(init, schema), tgt)
+        ver = 0
+        for _step in range(8):
+            op = rng.choice(["merge", "merge", "merge", "purge", "compact"])
+            if op == "merge":
+                rows = []
+                for _ in range(rng.randrange(1, 4)):
+                    ver += 1
+                    k = rng.randrange(8)
+                    dead = rng.random() < 0.25
+                    rows.append((k, ver, f"v{ver}", dead))
+                    if k not in model or ver > model[k][0]:
+                        model[k] = (ver, f"v{ver}", dead)
+                merge_upsert(
+                    spark,
+                    tgt,
+                    spark.createDataFrame(rows, schema),
+                    ["k"],
+                    version_cols=["ver"],
+                    tombstone_col="dead",
+                )
+            elif op == "purge":
+                purged = purge_tombstones(spark, tgt, "dead")
+                assert purged == sum(1 for v in model.values() if v[2])
+                for k in [k for k, v in model.items() if v[2]]:
+                    del model[k]
+            else:
+                compact_small_files(spark, tgt, target_rows_per_file=1000)
+            want = sorted((k, v, s, d) for k, (v, s, d) in model.items())
+            got = sorted(
+                tuple(r)
+                for r in read_manifest_table(spark, tgt)
+                .select("k", "ver", "s", "dead")
+                .collect()
+            )
+            assert got == want, (seed, _step, op, got, want)
