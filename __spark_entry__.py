@@ -55,7 +55,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: position.
 _PRIORITY = [
     # new in round 7 — first driver row needed
-    "a8_", "s24_",
+    "a8_", "s24_", "a9_",
     # only driver rows are stale (r05 hash-red from oracle casts fixed
     # in r6, or r01-r04 greens) — the verdict's rotation list
     "t13_", "smp4_", "pipe1_",
@@ -69,7 +69,8 @@ _PRIORITY = [
     "t7_", "t8_", "t9_", "t10_", "t11_", "t12_", "t14_",
     "s17_", "s18_", "s19_", "s20_", "s21_", "s22_",
     "g1_", "g2_", "bpe1_", "bpe2_",
-    # deferred to round 8 (r05-green, green every round since r01/r02)
+    # deferred to round 8 (r05-green, green every round since r01/r02;
+    # bpe2 sits just past the 50-cut — a9's slot — and goes first)
     *[f"r{i}_" for i in range(1, 11)],
     # r06-green tail (freshest driver rows in the contract)
     "a6_", "a7_", "d11_", "d12_", "smp5_", "s23_", "mm2_", "mm3_",

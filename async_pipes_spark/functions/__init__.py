@@ -20,8 +20,10 @@ from async_pipes_spark.functions.similarity import (  # noqa: F401
     embedding_near_dups,
     ivf_assign,
     exact_rerank,
+    exact_rerank_distributed,
     ivf_knn_join,
     ivf_pq_encode,
+    ivf_pq_knn_join,
     ivf_pq_topk,
     ivf_probe_assign,
     ivf_topk,

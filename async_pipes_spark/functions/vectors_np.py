@@ -36,3 +36,14 @@ def micro_units_np(x: np.ndarray, scale: float = 1e6) -> np.ndarray:
     """floor(x*scale + 0.5) as int64 — same IEEE ops as
     functions.vectors.micro_units."""
     return np.floor(x * scale + 0.5).astype(np.int64)
+
+
+def seq_f32_rowwise_dots(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Row-paired dot products, (n,d) f32 × (n,d) f32 → (n,) f32,
+    accumulated sequentially over the dimension axis — the paired-rows
+    form of :func:`seq_f32_dots` (for joined (query, candidate) pairs
+    where the all-pairs matrix would be n× wasted work)."""
+    acc = np.zeros(A.shape[0], dtype=np.float32)
+    for d in range(A.shape[1]):
+        acc += A[:, d] * B[:, d]
+    return acc

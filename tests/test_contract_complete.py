@@ -24,39 +24,41 @@ def test_queries_and_oracles_share_order():
 
 
 def test_stale_and_new_queries_inside_coverage_window():
-    """Rotation policy, round 6: the 4 queries NEW this round (a6,
-    d11, smp5, s23), mm2/mm3 (only queries without an r4+ driver row —
-    the rotation round 5 promised), and the stalest-green r04 families
-    (p/x/j/k2-k3/a1/a5/b1/s4-s16/d1-d8/t1-t6, minus the six deferred)
-    must sit in the first 50 entries — the driver's observed per-round
-    correctness window."""
+    """Rotation policy, round 7 (r6 verdict item 1): the 2 queries NEW
+    this round (a8 composed IVFPQ, s24 partitioned-manifest CDC) and
+    the 11 stale-row queries (t13/smp4/pipe1 — r05 hash-reds from the
+    since-fixed oracle casts — plus the deferred
+    p3/p5/p6/x1/x3/b2/t5/t6) must LEAD the first 50 entries, followed
+    by the r05-green families due a refresh; r1-r10 (green every round
+    since r01/r02 — the deepest evidence) sit immediately after the
+    cut, first in line for round 8."""
     import re
 
-    first50 = list(entry.queries())[:50]
+    qs = list(entry.queries())
+    first50 = qs[:50]
+    # the 14 must-record queries lead the window outright
+    assert [k.split("_", 1)[0] for k in qs[:14]] == [
+        "a8", "s24", "a9", "t13", "smp4", "pipe1",
+        "p3", "p5", "p6", "x1", "x3", "b2", "t5", "t6",
+    ], qs[:14]
+    # the rest of the window: every r05-green family not deferred
+    # (bpe2, last in priority order, cedes its slot to a9)
     must_cover = [
         k
         for k in entry.queries()
         if re.match(
-            r"^(a[67]|d1[12]|smp5|s23|mm[23]|p[124789]|x[2456]|j[1-5]|k[23]"
-            r"|a[15]|b1|s(4|5|9|1[0-6])|d[1-8]|t[1-4])_",
+            r"^(r1[1-6]|a[234]|k[14]|smp[123]|mm1|v[123]|d9|d10"
+            r"|t(7|8|9|10|11|12|14)|s(17|18|19|20|21|22)|g[12]|bpe1)_",
             k,
         )
     ]
     missing = [k for k in must_cover if k not in first50]
     assert not missing, f"driver window misses: {missing}"
-    # 58 candidates for 50 slots; the eight deferred to round 7 are the
-    # repeatedly-verified r01-r04 greens and sit immediately after the
-    # cut, first in line next round
-    assert list(entry.queries())[50:58] == [
-        "p3_flatten",
-        "p5_fan_in",
-        "p6_map_reduce",
-        "x1_exact_dedup",
-        "x3_text_stats",
-        "b2_flatten_positions",
-        "t5_winnow_fingerprint",
-        "t6_repetition",
-    ]
+    # deferred to round 8: bpe2 (a9's slot) then r1-r10, right after
+    # the cut
+    assert [k.split("_", 1)[0] for k in qs[50:61]] == [
+        "bpe2", *[f"r{i}" for i in range(1, 11)]
+    ], qs[50:61]
 
 
 def test_priority_list_covers_all_keys():

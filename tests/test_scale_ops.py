@@ -903,3 +903,34 @@ def test_ivfpq_reuses_stored_index(spark):
         ).collect()
     )
     assert stored == inline and len(inline) > 0
+
+
+def test_pq_knn_join_tiling_is_blocking_invariant(spark):
+    """ivf_pq_knn_join with tiny blocks must return exactly the
+    unblocked result — each right code row lives in one (cell, block),
+    so tile-local shortlists union to the same global shortlist and
+    the exact re-rank sees identical candidates (the a6 invariance,
+    extended over the code path)."""
+    from async_pipes_spark.functions.similarity import (
+        ivf_pq_knn_join,
+        pq_codebooks,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    left = emb.filter(F.col("vec_id") % 7 == 0)
+    books = pq_codebooks(emb, m=8, k=16)
+    unblocked = {
+        tuple(r)
+        for r in ivf_pq_knn_join(
+            left, emb, k=3, codebooks=books, shortlist=12, nprobe=2,
+            block_size=1 << 20,
+        ).collect()
+    }
+    tiled = {
+        tuple(r)
+        for r in ivf_pq_knn_join(
+            left, emb, k=3, codebooks=books, shortlist=12, nprobe=2,
+            block_size=16,
+        ).collect()
+    }
+    assert tiled == unblocked and len(unblocked) > 0
