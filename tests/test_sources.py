@@ -1781,3 +1781,42 @@ def test_flat_manifest_randomized_model(spark, tmp_path):
                 .collect()
             )
             assert got == want, (seed, _step, op, got, want)
+
+
+def test_partitioned_manifest_integer_partition_values(spark, tmp_path):
+    """Integer partition columns roundtrip through the generation
+    mapping: subdir naming stringifies the value, Spark's standard
+    partition type inference restores the int on read (same semantics
+    as any Hive-partitioned read), and merges prune/rewrite the right
+    partitions."""
+    from async_pipes_spark.sources.sinks import (
+        merge_upsert,
+        read_partitioned_manifest,
+        write_partitioned_manifest_table,
+    )
+
+    tgt = str(tmp_path / "pmint")
+    write_partitioned_manifest_table(
+        spark,
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "k bigint, s string, bucket int"
+        ),
+        tgt,
+        ["bucket"],
+    )
+    out = read_partitioned_manifest(spark, tgt)
+    assert dict(out.dtypes)["bucket"] == "int"
+    merge_upsert(
+        spark,
+        tgt,
+        spark.createDataFrame([(2, "B", 30)], "k bigint, s string, bucket int"),
+        ["k"],
+        partition_by=["bucket"],
+    )
+    got = sorted(
+        tuple(r)
+        for r in read_partitioned_manifest(spark, tgt)
+        .select("k", "s", "bucket")
+        .collect()
+    )
+    assert got == [(1, "a", 10), (2, "B", 30)]
