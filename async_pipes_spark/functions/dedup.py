@@ -779,3 +779,122 @@ def decontaminate_corpus(
     return train.select(id_col, group_col).join(
         F.broadcast(doomed), id_col, "left_anti"
     )
+
+
+def segment_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_tokens: int = 4,
+) -> DataFrame:
+    """Non-overlapping fixed-width token segments, one row per
+    (doc, segment): ``(doc_id, seg_idx, segment)``. The unit of
+    line/paragraph-level dedup for corpora whose documents carry no
+    layout newlines (real pipelines split on ``\\n``; the splitting
+    rule is the only thing that changes). The final segment of a
+    document may be shorter than ``seg_tokens``; NULL text emits no
+    rows. Same Arrow-kernel shape as :func:`shingles` (HOF slice/
+    array_join is interpreted per element; the kernel emits the
+    explode for free)."""
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            ids: list = []
+            idxs: list = []
+            segs: list = []
+            for i, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue  # NULL text has no segments (no row)
+                toks = text.split(" ")
+                for j in range(0, len(toks), seg_tokens):
+                    ids.append(i)
+                    idxs.append(j // seg_tokens)
+                    segs.append(" ".join(toks[j : j + seg_tokens]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "seg_idx": pd.Series(idxs, dtype="int64"),
+                    "segment": segs,
+                }
+            )
+
+    return fan_out(df.select(id_col, text_col)).mapInPandas(
+        kernel, "doc_id bigint, seg_idx bigint, segment string"
+    )
+
+
+def remove_boilerplate_segments(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_tokens: int = 4,
+    max_docs: int = 2,
+) -> DataFrame:
+    """Global SEGMENT-level dedup — the RefinedWeb / CCNet line-dedup
+    family, the one dedup granularity the doc-level families (exact,
+    MinHash, SimHash, semantic) cannot express: an exact
+    ``seg_tokens``-token segment appearing in more than ``max_docs``
+    DISTINCT documents is boilerplate (navigation chrome, license
+    headers, templated sentences) and is removed from EVERY document;
+    each document is reassembled from its surviving segments in
+    order. Returns one row per input document:
+    ``(id_col, clean_text, removed_segments)`` — ``clean_text = ''``
+    when every segment was boilerplate, NULL text passes through NULL
+    with 0 removed.
+
+    Scale shape (100 TB): the segment kernel runs twice — once into
+    the boilerplate census (groupBy(segment) with two-phase partial
+    aggregation; shuffled rows ≈ corpus segments, keys near-uniform
+    because segments are content-hashed by value), once into the
+    removal side (the a6-documented stats-pass tradeoff: recomputing
+    the cheap kernel beats persisting a corpus-sized intermediate).
+    The boilerplate set is bounded by total_segments / max_docs and
+    in practice is tiny (high-frequency segments only), so removal is
+    a keys-only BROADCAST anti-join — no corpus shuffle. Reassembly
+    is the one corpus-payload shuffle (groupBy doc_id), the
+    irreducible cost of rebuilding documents; per-group state is one
+    document's segments, bounded by document length. Total: two
+    corpus-sized shuffles, zero joins keyed on anything skewed."""
+    segs = segment_tokens(df, text_col=text_col, id_col=id_col, seg_tokens=seg_tokens)
+    boiler = (
+        segs.groupBy("segment")
+        .agg(F.count_distinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") > max_docs)
+        .select("segment")
+    )
+    surv = segs.join(F.broadcast(boiler), "segment", "left_anti")
+    asm = (
+        surv.groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("seg_idx", "segment"))).alias("_ss"),
+            F.count(F.lit(1)).alias("_n_kept"),
+        )
+        .select(
+            # private join key: id_col is usually 'doc_id' too, and an
+            # expression join would leave the name ambiguous downstream
+            F.col("doc_id").alias("_asm_id"),
+            F.concat_ws(
+                " ", F.transform("_ss", lambda s: s["segment"])
+            ).alias("_clean"),
+            "_n_kept",
+        )
+    )
+    # total segments per doc is a closed form of the token count —
+    # computing it JVM-side avoids a third kernel pass
+    n_segs = F.when(
+        F.col(text_col).isNull(), F.lit(0)
+    ).otherwise(F.ceil(F.size(F.split(F.col(text_col), " ")) / F.lit(seg_tokens)))
+    return (
+        df.select(id_col, text_col)
+        .join(asm, F.col(id_col) == F.col("_asm_id"), "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+            .otherwise(F.coalesce(F.col("_clean"), F.lit("")))
+            .alias("clean_text"),
+            (n_segs - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("bigint")
+            .alias("removed_segments"),
+        )
+    )

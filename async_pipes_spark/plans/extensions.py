@@ -130,6 +130,21 @@ def t6_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_ngram_stats(docs)
 
 
+def d13_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global SEGMENT-level dedup MATERIALIZED — the RefinedWeb /
+    CCNet line-dedup family, the granularity the doc-level families
+    (d1-d12) cannot express: exact 4-token segments appearing in > 2
+    distinct documents are boilerplate and removed from EVERY
+    document; documents are reassembled from their surviving segments
+    (functions.dedup.remove_boilerplate_segments — segment census with
+    two-phase partial agg, keys-only broadcast anti-join, ONE
+    reassembly shuffle on doc_id)."""
+    from async_pipes_spark.functions.dedup import remove_boilerplate_segments
+
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_boilerplate_segments(docs).orderBy("doc_id")
+
+
 def d5_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return fingerprint_dup_groups(docs)
@@ -2042,6 +2057,7 @@ EXTENSION_QUERIES = {
     "d10_dedup_survivors": d10_dedup_survivors,
     "d11_decontaminated_corpus": d11_decontaminated_corpus,
     "d12_semantic_dedup_survivors": d12_semantic_dedup_survivors,
+    "d13_boilerplate_scrub": d13_boilerplate_scrub,
     "t6_repetition": t6_repetition,
     "t7_bigram_lm": t7_bigram_lm,
     "t8_redact": t8_redact,
@@ -3358,6 +3374,45 @@ EXTENSION_ORACLES = {
         ORDER BY d.doc_id
     """
     ),
+    # global segment-level dedup: 4-token non-overlapping segments,
+    # boilerplate = segment in > 2 distinct docs, docs rebuilt from
+    # survivors in order
+    "d13_boilerplate_scrub": """
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+            FROM documents
+        ),
+        segs AS (
+            SELECT doc_id, CAST((pos - 1) // 4 AS BIGINT) AS seg_idx,
+                   string_agg(tok, ' ' ORDER BY pos) AS segment
+            FROM toks GROUP BY doc_id, (pos - 1) // 4
+        ),
+        boiler AS (
+            SELECT segment FROM segs GROUP BY segment
+            HAVING COUNT(DISTINCT doc_id) > 2
+        ),
+        surv AS (
+            SELECT s.doc_id, s.seg_idx, s.segment
+            FROM segs s ANTI JOIN boiler b ON s.segment = b.segment
+        ),
+        asm AS (
+            SELECT doc_id,
+                   string_agg(segment, ' ' ORDER BY seg_idx) AS clean_text,
+                   COUNT(*) AS n_kept
+            FROM surv GROUP BY doc_id
+        ),
+        tot AS (SELECT doc_id, COUNT(*) AS n_segs FROM segs GROUP BY doc_id)
+        SELECT d.doc_id,
+               CASE WHEN d.text IS NULL THEN NULL
+                    ELSE COALESCE(a.clean_text, '') END AS clean_text,
+               CAST(COALESCE(t.n_segs, 0) - COALESCE(a.n_kept, 0) AS BIGINT)
+                   AS removed_segments
+        FROM documents d
+        LEFT JOIN tot t ON d.doc_id = t.doc_id
+        LEFT JOIN asm a ON d.doc_id = a.doc_id
+        ORDER BY d.doc_id
+    """,
     # the epoch-shuffle manifest: rank in md5-of-id order (the engine
     # computes it through the distributed prefix scan, never a global
     # window — same values)

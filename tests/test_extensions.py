@@ -638,3 +638,56 @@ def test_jaccard_custom_id_col_and_minhash_divisibility(spark):
     with _pytest.raises(ValueError, match="divisible"):
         minhash_signatures(df, text_col="body", id_col="rid",
                            num_hashes=10, band_size=4)
+
+
+def test_boilerplate_scrub_semantics(spark):
+    """remove_boilerplate_segments: a segment in > max_docs DISTINCT
+    docs vanishes from every doc; reassembly preserves segment order
+    around a removed middle segment; an all-boilerplate doc becomes
+    ''; NULL text passes through NULL with 0 removed; a segment
+    repeated within ONE doc is not boilerplate (distinct-doc count);
+    a trailing short segment survives intact."""
+    from async_pipes_spark.functions.dedup import remove_boilerplate_segments
+
+    boiler = "x x x x"
+    rows = [
+        (1, boiler + " a a a a"),
+        (2, boiler + " b b b b"),
+        (3, boiler),  # all boilerplate -> ''
+        (4, "c c c c c c c c"),  # same segment twice in ONE doc: stays
+        (5, None),
+        (6, "tail seg short"),  # shorter than seg_tokens: one segment
+        (7, "a1 a2 a3 a4 " + boiler + " b1 b2 b3 b4"),  # removed middle
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r.doc_id: r
+        for r in remove_boilerplate_segments(df, seg_tokens=4, max_docs=2).collect()
+    }
+    assert len(out) == 7
+    assert (out[1].clean_text, out[1].removed_segments) == ("a a a a", 1)
+    assert (out[2].clean_text, out[2].removed_segments) == ("b b b b", 1)
+    assert (out[3].clean_text, out[3].removed_segments) == ("", 1)
+    assert (out[4].clean_text, out[4].removed_segments) == ("c c c c c c c c", 0)
+    assert (out[5].clean_text, out[5].removed_segments) == (None, 0)
+    assert (out[6].clean_text, out[6].removed_segments) == ("tail seg short", 0)
+    assert (out[7].clean_text, out[7].removed_segments) == (
+        "a1 a2 a3 a4 b1 b2 b3 b4",
+        1,
+    )
+
+
+def test_boilerplate_scrub_custom_id_col(spark):
+    """The segment kernel always emits 'doc_id'; the private join-key
+    alias must line the output up for ANY caller id column name."""
+    from async_pipes_spark.functions.dedup import remove_boilerplate_segments
+
+    rows = [(10, "p q r s"), (20, "p q r s"), (30, "p q r s")]
+    df = spark.createDataFrame(rows, "my_id bigint, body string")
+    out = sorted(
+        (r.my_id, r.clean_text, r.removed_segments)
+        for r in remove_boilerplate_segments(
+            df, text_col="body", id_col="my_id", seg_tokens=4, max_docs=2
+        ).collect()
+    )
+    assert out == [(10, "", 1), (20, "", 1), (30, "", 1)]
