@@ -351,3 +351,47 @@ def chunk_documents(
         F.size("p.arr").cast("bigint").alias("n_tokens"),
         F.array_join("p.arr", " ").alias("chunk_text"),
     )
+
+
+def top_bigram_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document TOP-bigram coverage — the second Gopher-family
+    repetition signal (Rae et al. 2021 §A1.1 "top n-gram fraction":
+    templated/spam documents spend a large share of their tokens
+    inside one repeated phrase, which the duplicate-n-gram FRACTION of
+    :func:`duplicate_ngram_stats` can miss when the rest of the
+    document is clean): ``(doc_id, n_tokens, top_bigram, top_count,
+    top_frac_micro)`` where top_frac_micro = micro_units(2·top_count /
+    n_tokens). Ties on count break to the lexicographically LARGEST
+    bigram (struct-max order — pinned, so the oracle can replay it).
+    Documents with fewer than 2 tokens emit no row (no bigrams).
+
+    Scale shape: one shingle-kernel scan → groupBy(doc_id, bigram)
+    with map-side partial aggregation (keys are content-diverse, never
+    skewed) → a per-doc struct-max over the already-collapsed counts
+    (second shuffle carries one row per distinct per-doc bigram).
+    n_tokens is recovered as sum(counts)+1 — no second corpus scan."""
+    from async_pipes_spark.functions.dedup import shingles
+
+    cnt = (
+        shingles(df, text_col=text_col, id_col=id_col, n=2)
+        .groupBy("doc_id", "shingle")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        cnt.groupBy(F.col("doc_id").alias(id_col))
+        .agg(
+            F.max(F.struct(F.col("c"), F.col("shingle"))).alias("_top"),
+            F.sum("c").alias("_nb"),
+        )
+        .select(
+            id_col,
+            (F.col("_nb") + 1).cast("bigint").alias("n_tokens"),
+            F.col("_top.shingle").alias("top_bigram"),
+            F.col("_top.c").cast("bigint").alias("top_count"),
+            micro_units(
+                F.lit(2) * F.col("_top.c") / (F.col("_nb") + 1)
+            ).alias("top_frac_micro"),
+        )
+    )

@@ -130,6 +130,17 @@ def t6_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_ngram_stats(docs)
 
 
+def t15_top_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher 'top n-gram fraction' repetition signal: share of each
+    document's tokens inside its single most frequent bigram
+    (functions.text.top_bigram_stats; count ties break to the
+    lexicographically largest bigram, which the oracle replays)."""
+    from async_pipes_spark.functions.text import top_bigram_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return top_bigram_stats(docs).orderBy("doc_id")
+
+
 def d13_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global SEGMENT-level dedup MATERIALIZED — the RefinedWeb /
     CCNet line-dedup family, the granularity the doc-level families
@@ -2059,6 +2070,7 @@ EXTENSION_QUERIES = {
     "d12_semantic_dedup_survivors": d12_semantic_dedup_survivors,
     "d13_boilerplate_scrub": d13_boilerplate_scrub,
     "t6_repetition": t6_repetition,
+    "t15_top_bigram": t15_top_bigram,
     "t7_bigram_lm": t7_bigram_lm,
     "t8_redact": t8_redact,
     "t9_chunking": t9_chunking,
@@ -3374,6 +3386,39 @@ EXTENSION_ORACLES = {
         ORDER BY d.doc_id
     """
     ),
+    # top-bigram coverage: most frequent bigram per doc, ties to the
+    # lexicographically largest bigram (the engine's struct-max order)
+    "t15_top_bigram": """
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+            FROM documents
+        ),
+        bg AS (
+            SELECT a.doc_id, a.tok || ' ' || b.tok AS shingle
+            FROM toks a JOIN toks b
+              ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        ),
+        cnt AS (
+            SELECT doc_id, shingle, COUNT(*) AS c
+            FROM bg GROUP BY doc_id, shingle
+        ),
+        ranked AS (
+            SELECT doc_id, shingle, c,
+                   SUM(c) OVER (PARTITION BY doc_id) AS nb,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY doc_id ORDER BY c DESC, shingle DESC
+                   ) AS rn
+            FROM cnt
+        )
+        SELECT doc_id,
+               CAST(nb + 1 AS BIGINT) AS n_tokens,
+               shingle AS top_bigram,
+               CAST(c AS BIGINT) AS top_count,
+               CAST(FLOOR(2.0 * c / (nb + 1) * 1000000 + 0.5) AS BIGINT)
+                   AS top_frac_micro
+        FROM ranked WHERE rn = 1 ORDER BY doc_id
+    """,
     # global segment-level dedup: 4-token non-overlapping segments,
     # boilerplate = segment in > 2 distinct docs, docs rebuilt from
     # survivors in order

@@ -691,3 +691,24 @@ def test_boilerplate_scrub_custom_id_col(spark):
         ).collect()
     )
     assert out == [(10, "", 1), (20, "", 1), (30, "", 1)]
+
+
+def test_top_bigram_stats_semantics(spark):
+    """top_bigram_stats: coverage fraction, deterministic tie-break to
+    the lexicographically largest bigram, <2-token docs emit no row."""
+    from async_pipes_spark.functions.dedup import DEFAULT_SHINGLE  # noqa: F401
+    from async_pipes_spark.functions.text import top_bigram_stats
+
+    rows = [
+        (1, "a b a b a b"),   # 'a b' x3, 'b a' x2 -> top 'a b', 6 toks
+        (2, "x y z w"),       # all bigrams count 1 -> tie, pick 'z w'
+        (3, "solo"),          # 1 token: no row
+        (4, None),            # NULL: no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in top_bigram_stats(df).collect()}
+    assert sorted(out) == [1, 2]
+    assert (out[1].n_tokens, out[1].top_bigram, out[1].top_count) == (6, "a b", 3)
+    assert out[1].top_frac_micro == 1_000_000  # 2*3/6
+    assert (out[2].n_tokens, out[2].top_bigram, out[2].top_count) == (4, "z w", 1)
+    assert out[2].top_frac_micro == 500_000  # 2*1/4
