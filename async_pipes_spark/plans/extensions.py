@@ -2055,6 +2055,63 @@ def s21_stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
     return out
 
 
+def s25_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING retrieval — the online-serving shape of the ANN
+    stack: a stream of query vectors is exact-top-1'd against the
+    STATIC corpus per micro-batch. Each trigger closes over its OWN
+    bounded query block (the per-batch rows — the cap cosine_topk's
+    driver collect needs arrives naturally from trigger sizing); the
+    corpus is never shuffled and never collected. Every query arrives
+    exactly once, so the appended per-batch results union to the
+    one-shot batch answer under ANY batching; appends are
+    non-idempotent under foreachBatch replays, so they are guarded by
+    once_per_batch markers (the s21 idiom). Oracle: x2's exact cosine
+    top-1 SQL over the same query slice."""
+    import shutil
+    import tempfile
+
+    from async_pipes_spark.functions.similarity import cosine_topk
+    from async_pipes_spark.session import ensure_engine_confs
+    from async_pipes_spark.streaming.run import once_per_batch
+
+    base = tempfile.mkdtemp(prefix="s25_topk_")
+    incoming, outdir = f"{base}/incoming", f"{base}/out"
+
+    session = spark.newSession()
+    ensure_engine_confs(session)
+    session.conf.set("spark.sql.shuffle.partitions", "8")
+
+    emb = load_table(session, sf_dir, "embeddings")
+    # 4 files -> 4 micro-batches under maxFilesPerTrigger=1
+    emb.filter(F.col("vec_id") < 20).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(incoming)
+
+    def retrieve(batch: DataFrame, _batch_id: int) -> None:
+        sess = batch.sparkSession
+        corpus = load_table(sess, sf_dir, "embeddings")
+        res = cosine_topk(corpus, batch, k=1).select(
+            "q_id",
+            F.col("c_id").alias("best_id"),
+            F.col("sim_micro").alias("best_sim_micro"),
+        )
+        res.write.mode("append").parquet(outdir)
+
+    q = (
+        session.readStream.schema(session.read.parquet(incoming).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(incoming)
+        .writeStream.foreachBatch(once_per_batch(retrieve, f"{base}/_applied"))
+        .option("checkpointLocation", f"{base}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = session.read.parquet(outdir).orderBy("q_id").transform(_pin)
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 EXTENSION_QUERIES = {
     "d1_minhash_signatures": d1_minhash_signatures,
     "d2_minhash_lsh_pairs": d2_minhash_lsh_pairs,
@@ -2097,6 +2154,7 @@ EXTENSION_QUERIES = {
     "s22_stream_cdc_deletes": s22_stream_cdc_deletes,
     "s23_stream_cdc_manifest": s23_stream_cdc_manifest,
     "s24_stream_cdc_partitioned_manifest": s24_stream_cdc_partitioned_manifest,
+    "s25_stream_topk": s25_stream_topk,
     "g1_pagerank": g1_pagerank,
     "g2_triangle_count": g2_triangle_count,
     "a1_ann_top3": a1_ann_top3,
@@ -3485,5 +3543,28 @@ EXTENSION_ORACLES = {
                                         ORDER BY ts DESC, event_id DESC) AS rn
               FROM events)
         WHERE rn = 1 ORDER BY user_id
+    """,
+    # per-batch streaming retrieval unions to the one-shot exact
+    # top-1 (each query arrives exactly once) — x2's oracle shape
+    "s25_stream_topk": """
+        WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+        pairs AS (
+            SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                   list_inner_product(q.embedding, c.embedding) AS dot,
+                   sqrt(list_inner_product(q.embedding, q.embedding)) AS qn,
+                   sqrt(list_inner_product(c.embedding, c.embedding)) AS cn
+            FROM q, embeddings c
+            WHERE q.vec_id != c.vec_id
+        ),
+        ranked AS (
+            SELECT q_id, c_id,
+                   CAST(FLOOR(dot / (qn * cn) * 1000000 + 0.5) AS BIGINT) AS sim_micro,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY FLOOR(dot / (qn * cn) * 1000000 + 0.5) DESC,
+                                               c_id) AS rn
+            FROM pairs
+        )
+        SELECT q_id, c_id AS best_id, sim_micro AS best_sim_micro
+        FROM ranked WHERE rn = 1 ORDER BY q_id
     """,
 }
