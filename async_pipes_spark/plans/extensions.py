@@ -2112,6 +2112,40 @@ def s25_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def z1_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER data layout end-to-end (sources.layout): orders are
+    rewritten clustered on the Morton interleave of (o_custkey,
+    price_cents) — one bounded stats row, one sampled range shuffle,
+    z-value pure JVM codegen — then scanned back with a selective
+    2-D conjunctive predicate. Every file covers a tight (custkey,
+    price) rectangle, so parquet min/max stats prune most files for
+    EITHER column's predicate (the OPTIMIZE ZORDER shape; clustering
+    quality is pinned by the footer-stats test in test_scale_ops).
+    The oracle is the plain filter — layout must never change
+    results."""
+    import shutil
+    import tempfile
+
+    from async_pipes_spark.functions.money import cents
+    from async_pipes_spark.sources.layout import write_zordered
+
+    base = tempfile.mkdtemp(prefix="z1_zorder_")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", cents("o_totalprice").alias("price_cents")
+    )
+    write_zordered(
+        orders, f"{base}/t", ["o_custkey", "price_cents"], num_files=16
+    )
+    out = (
+        spark.read.parquet(f"{base}/t")
+        .filter((F.col("o_custkey") < 100) & (F.col("price_cents") < 5_000_000))
+        .orderBy("o_orderkey")
+        .transform(_pin)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 EXTENSION_QUERIES = {
     "d1_minhash_signatures": d1_minhash_signatures,
     "d2_minhash_lsh_pairs": d2_minhash_lsh_pairs,
@@ -2155,6 +2189,7 @@ EXTENSION_QUERIES = {
     "s23_stream_cdc_manifest": s23_stream_cdc_manifest,
     "s24_stream_cdc_partitioned_manifest": s24_stream_cdc_partitioned_manifest,
     "s25_stream_topk": s25_stream_topk,
+    "z1_zorder_scan": z1_zorder_scan,
     "g1_pagerank": g1_pagerank,
     "g2_triangle_count": g2_triangle_count,
     "a1_ann_top3": a1_ann_top3,
@@ -3566,5 +3601,15 @@ EXTENSION_ORACLES = {
         )
         SELECT q_id, c_id AS best_id, sim_micro AS best_sim_micro
         FROM ranked WHERE rn = 1 ORDER BY q_id
+    """,
+    # physical layout must never change results: the oracle is the
+    # plain 2-D filter over the logical table
+    "z1_zorder_scan": """
+        SELECT o_orderkey, o_custkey,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+        FROM orders
+        WHERE o_custkey < 100
+          AND CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) < 5000000
+        ORDER BY o_orderkey
     """,
 }

@@ -934,3 +934,79 @@ def test_pq_knn_join_tiling_is_blocking_invariant(spark):
         ).collect()
     }
     assert tiled == unblocked and len(unblocked) > 0
+
+
+def test_zorder_layout_clusters_files(spark, tmp_path):
+    """write_zordered: (1) layout never changes data (roundtrip row
+    equality), (2) the footer-stats bounding boxes are TIGHT — mean
+    normalized (custkey x price) box area well under a random
+    layout's, and a selective 2-D predicate intersects a minority of
+    files (the file-skipping win the layout exists for)."""
+    from async_pipes_spark.functions.money import cents
+    from async_pipes_spark.sources.layout import (
+        file_clustering_report,
+        write_zordered,
+    )
+    from async_pipes_spark.sources.tables import load_table
+
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey", cents("o_totalprice").alias("price_cents")
+    )
+    zpath, rpath = str(tmp_path / "z"), str(tmp_path / "r")
+    write_zordered(orders, zpath, ["o_custkey", "price_cents"], num_files=16)
+    orders.repartition(16).write.parquet(rpath)
+
+    back = spark.read.parquet(zpath)
+    assert sorted(back.collect()) == sorted(orders.collect())
+
+    lo = orders.agg(
+        F.min("o_custkey"), F.max("o_custkey"),
+        F.min("price_cents"), F.max("price_cents"),
+    ).first()
+    spans = (lo[1] - lo[0], lo[3] - lo[2])
+
+    def mean_area(path):
+        boxes = file_clustering_report(path, ["o_custkey", "price_cents"])
+        assert boxes, path
+        areas = []
+        for b in boxes:
+            (c0, c1), (p0, p1) = b["o_custkey"], b["price_cents"]
+            areas.append(((c1 - c0) / spans[0]) * ((p1 - p0) / spans[1]))
+        return sum(areas) / len(areas)
+
+    z_area, r_area = mean_area(zpath), mean_area(rpath)
+    # random files each span ~the whole space; z-ordered files must
+    # cover a small fraction of it
+    assert z_area < 0.5 * r_area, (z_area, r_area)
+    assert z_area < 0.35, z_area
+
+    # file-skipping proxy: a selective conjunctive predicate's box
+    # intersects a minority of the z-ordered files
+    pred = lambda b: not (  # noqa: E731
+        b["o_custkey"][0] >= 100 or b["price_cents"][0] >= 5_000_000
+    )
+    z_hit = sum(pred(b) for b in file_clustering_report(zpath, ["o_custkey", "price_cents"]))
+    assert z_hit <= 8, z_hit
+
+
+def test_zorder_value_edge_cases(spark):
+    """NULLs quantize to bucket 0 (cluster together, sort first);
+    a constant column contributes nothing but doesn't break the
+    interleave; >4 columns is rejected."""
+    import pytest
+
+    from async_pipes_spark.sources.layout import zorder_value
+
+    df = spark.createDataFrame(
+        [(None, 5.0, 7), (3, 5.0, 9), (9, 5.0, 1)], "a int, k double, b int"
+    )
+    vals = df.select(
+        F.col("a"), zorder_value(df, ["a", "k", "b"]).alias("z")
+    ).collect()
+    by_a = {r.a: r.z for r in vals}
+    assert all(v is not None for v in by_a.values())
+    # null row's 'a' contributes 0 bits; with b=7 mid-range it still
+    # lands between the extremes — just assert full ordering exists
+    assert len(set(by_a.values())) == 3
+    with pytest.raises(ValueError, match="1..4"):
+        zorder_value(df, ["a", "k", "b", "a", "k"])
