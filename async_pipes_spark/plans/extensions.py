@@ -2146,6 +2146,29 @@ def z1_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def f1_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Levenshtein-1 record linkage over customer names via
+    functions.fuzzy (ed-join rarest-gram prefix blocking + delete
+    neighborhoods, JVM banded-DP verification — module docstring has
+    the completeness argument). Every name shares the hot
+    'Customer#0' prefix grams; the rarest-gram prefix ignores them BY
+    CONSTRUCTION, which is exactly the 100 TB story. The oracle is
+    the brute-force cross join — blocking must lose nothing."""
+    from async_pipes_spark.functions.fuzzy import fuzzy_pairs
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        fuzzy_pairs(cust, "c_custkey", "c_name", max_dist=1)
+        .select(
+            F.col("l_id").alias("l_custkey"),
+            F.col("r_id").alias("r_custkey"),
+            "dist",
+        )
+        .orderBy("l_custkey", "r_custkey")
+        .transform(_pin)
+    )
+
+
 EXTENSION_QUERIES = {
     "d1_minhash_signatures": d1_minhash_signatures,
     "d2_minhash_lsh_pairs": d2_minhash_lsh_pairs,
@@ -2190,6 +2213,7 @@ EXTENSION_QUERIES = {
     "s24_stream_cdc_partitioned_manifest": s24_stream_cdc_partitioned_manifest,
     "s25_stream_topk": s25_stream_topk,
     "z1_zorder_scan": z1_zorder_scan,
+    "f1_fuzzy_name_pairs": f1_fuzzy_name_pairs,
     "g1_pagerank": g1_pagerank,
     "g2_triangle_count": g2_triangle_count,
     "a1_ann_top3": a1_ann_top3,
@@ -3611,5 +3635,14 @@ EXTENSION_ORACLES = {
         WHERE o_custkey < 100
           AND CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) < 5000000
         ORDER BY o_orderkey
+    """,
+    # blocking must be lossless: the oracle is the brute-force
+    # all-pairs Levenshtein filter
+    "f1_fuzzy_name_pairs": """
+        SELECT a.c_custkey AS l_custkey, b.c_custkey AS r_custkey,
+               levenshtein(a.c_name, b.c_name) AS dist
+        FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 1
+        ORDER BY l_custkey, r_custkey
     """,
 }

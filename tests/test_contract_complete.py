@@ -24,41 +24,45 @@ def test_queries_and_oracles_share_order():
 
 
 def test_stale_and_new_queries_inside_coverage_window():
-    """Rotation policy, round 7 (r6 verdict item 1): the 2 queries NEW
-    this round (a8 composed IVFPQ, s24 partitioned-manifest CDC) and
-    the 11 stale-row queries (t13/smp4/pipe1 — r05 hash-reds from the
+    """Rotation policy, round 7 (r6 verdict item 1): the 8 queries NEW
+    this round (a8 composed IVFPQ, s24 partitioned-manifest CDC, a9
+    PQ-coded k-NN join, d13 segment dedup, t15 top-bigram, s25
+    streaming retrieval, z1 z-order layout, f1 fuzzy join) and the 11
+    stale-row queries (t13/smp4/pipe1 — r05 hash-reds from the
     since-fixed oracle casts — plus the deferred
     p3/p5/p6/x1/x3/b2/t5/t6) must LEAD the first 50 entries, followed
-    by the r05-green families due a refresh; r1-r10 (green every round
-    since r01/r02 — the deepest evidence) sit immediately after the
-    cut, first in line for round 8."""
+    by the r05-green families due a refresh; each new query displaces
+    one refresh candidate past the cut (s21/s22/g1/g2/bpe1/bpe2 join
+    r1-r10 — green every round since r01/r02, the deepest evidence —
+    first in line for round 8)."""
     import re
 
     qs = list(entry.queries())
     first50 = qs[:50]
-    # the 14 must-record queries lead the window outright
-    assert [k.split("_", 1)[0] for k in qs[:14]] == [
-        "a8", "s24", "a9", "t13", "smp4", "pipe1",
+    # the 19 must-record queries lead the window outright
+    assert [k.split("_", 1)[0] for k in qs[:19]] == [
+        "a8", "s24", "a9", "d13", "t15", "s25", "z1", "f1",
+        "t13", "smp4", "pipe1",
         "p3", "p5", "p6", "x1", "x3", "b2", "t5", "t6",
-    ], qs[:14]
+    ], qs[:19]
     # the rest of the window: every r05-green family not deferred
-    # (bpe2, last in priority order, cedes its slot to a9)
     must_cover = [
         k
         for k in entry.queries()
         if re.match(
             r"^(r1[1-6]|a[234]|k[14]|smp[123]|mm1|v[123]|d9|d10"
-            r"|t(7|8|9|10|11|12|14)|s(17|18|19|20|21|22)|g[12]|bpe1)_",
+            r"|t(7|8|9|10|11|12|14)|s(17|18|19|20))_",
             k,
         )
     ]
     missing = [k for k in must_cover if k not in first50]
     assert not missing, f"driver window misses: {missing}"
-    # deferred to round 8: bpe2 (a9's slot) then r1-r10, right after
-    # the cut
-    assert [k.split("_", 1)[0] for k in qs[50:61]] == [
-        "bpe2", *[f"r{i}" for i in range(1, 11)]
-    ], qs[50:61]
+    # deferred to round 8, right after the cut: the displaced refresh
+    # candidates then r1-r10
+    assert [k.split("_", 1)[0] for k in qs[50:66]] == [
+        "s21", "s22", "g1", "g2", "bpe1", "bpe2",
+        *[f"r{i}" for i in range(1, 11)],
+    ], qs[50:66]
 
 
 def test_priority_list_covers_all_keys():
