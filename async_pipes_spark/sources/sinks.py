@@ -1139,3 +1139,94 @@ def compact_small_files(
     return sum(
         1 for f in os.listdir(path) if f.endswith(".parquet") and f.startswith("part-")
     )
+
+
+def optimize_zorder(
+    spark,
+    path: str,
+    zorder_by: Sequence[str],
+    target_rows_per_file: int = 1_000_000,
+) -> int:
+    """``OPTIMIZE ... ZORDER BY``: one maintenance rewrite that both
+    compacts small-file dust AND clusters the data on the Morton
+    interleave of ``zorder_by`` (:mod:`async_pipes_spark.sources.layout`),
+    so parquet min/max footer stats prune files against conjunctive
+    predicates on any subset of those columns. Returns the new data
+    file count.
+
+    Commit safety matches :func:`compact_small_files` per table
+    flavor: a flat manifest table publishes ONE new ``_data/v_*``
+    version through the pointer; a partitioned manifest table writes
+    one fresh version clustered (partition cols first, z-value
+    within) and publishes a generation mapping every partition to it;
+    a plain local directory uses staging + swap. The rewrite is the
+    familiar maintenance shape — one stats row for the quantization
+    bounds, one sampled range shuffle (skew-proof), spillable sorts —
+    and a failure mid-write never touches live data."""
+    import math
+    import os
+    import shutil
+    import uuid
+
+    from async_pipes_spark.sources.layout import zorder_value
+
+    def _count_files(dir_path: str, subdirs: Sequence[str] = ("",)) -> int:
+        fs, _, jvm = _hadoop_fs(spark, dir_path)
+        total = 0
+        for sd in subdirs:
+            p = jvm.org.apache.hadoop.fs.Path(
+                f"{dir_path}/{sd}" if sd else dir_path
+            )
+            for st in fs.listStatus(p):
+                nm = st.getPath().getName()
+                if nm.startswith("part-") and nm.endswith(".parquet"):
+                    total += 1
+        return total
+
+    pinfo = _pmanifest_read(spark, path)
+    if pinfo is not None:
+        cols = pinfo[2]
+        if not cols:
+            raise ValueError(f"partitioned manifest {path} lists no #cols")
+        df = read_partitioned_manifest(spark, path)
+        n = df.count()
+        files = max(1, math.ceil(n / target_rows_per_file))
+        z = zorder_value(df, zorder_by)
+        version = f"v_{uuid.uuid4().hex[:12]}"
+        vpath = f"{path}/_data/{version}"
+        (
+            df.withColumn("_z", z)
+            .repartitionByRange(files, *cols, "_z")
+            .sortWithinPartitions(*cols, "_z")
+            .drop("_z")
+            .write.mode("error")
+            .partitionBy(*cols)
+            .parquet(vpath)
+        )
+        subdirs = _list_partition_subdirs(spark, vpath, len(cols))
+        _pmanifest_commit(spark, path, cols, {sd: version for sd in subdirs})
+        return _count_files(vpath, subdirs)
+
+    read_path = _resolve_table_path(spark, path)
+    df = spark.read.parquet(read_path)
+    n = df.count()
+    files = max(1, math.ceil(n / target_rows_per_file))
+    clustered = (
+        df.withColumn("_z", zorder_value(df, zorder_by))
+        .repartitionByRange(files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+    if read_path != path:  # flat manifest table
+        _manifest_commit(spark, path, clustered)
+        return _count_files(_resolve_table_path(spark, path))
+    staging = f"{path}__staging_{uuid.uuid4().hex[:8]}"
+    try:
+        clustered.write.mode("overwrite").parquet(staging)
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    _swap_directories(path, staging)
+    return sum(
+        1 for f in os.listdir(path) if f.endswith(".parquet") and f.startswith("part-")
+    )

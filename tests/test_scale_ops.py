@@ -1010,3 +1010,76 @@ def test_zorder_value_edge_cases(spark):
     assert len(set(by_a.values())) == 3
     with pytest.raises(ValueError, match="1..4"):
         zorder_value(df, ["a", "k", "b", "a", "k"])
+
+
+def test_optimize_zorder_all_table_flavors(spark, tmp_path):
+    """optimize_zorder is OPTIMIZE..ZORDER across all three commit
+    flavors: plain local dir (staging+swap), flat manifest (pointer
+    commit, old version still time-travelable), partitioned manifest
+    (one clustered version, generation advanced). Data is always
+    byte-identical; the flat flavors must show tighter per-file
+    bounding boxes than the incoming random layout."""
+    from async_pipes_spark.functions.money import cents
+    from async_pipes_spark.sources.layout import file_clustering_report
+    from async_pipes_spark.sources.sinks import (
+        manifest_versions,
+        optimize_zorder,
+        partitioned_manifest_generations,
+        read_manifest_table,
+        read_partitioned_manifest,
+        write_manifest_table,
+        write_partitioned_manifest_table,
+    )
+    from async_pipes_spark.sources.tables import load_table
+
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey", cents("o_totalprice").alias("price_cents"),
+        "o_orderstatus",
+    )
+    want = sorted(map(tuple, orders.collect()))
+    zcols = ["o_custkey", "price_cents"]
+    lo = orders.agg(
+        F.min("o_custkey"), F.max("o_custkey"),
+        F.min("price_cents"), F.max("price_cents"),
+    ).first()
+    spans = (lo[1] - lo[0], lo[3] - lo[2])
+
+    def mean_area(path):
+        boxes = file_clustering_report(path, zcols)
+        return sum(
+            ((b[zcols[0]][1] - b[zcols[0]][0]) / spans[0])
+            * ((b[zcols[1]][1] - b[zcols[1]][0]) / spans[1])
+            for b in boxes
+        ) / len(boxes)
+
+    # 1. plain local dir
+    plain = str(tmp_path / "plain")
+    orders.repartition(12).write.parquet(plain)
+    before = mean_area(plain)
+    nfiles = optimize_zorder(spark, plain, zcols, target_rows_per_file=150)
+    assert nfiles >= 8
+    assert sorted(map(tuple, spark.read.parquet(plain).collect())) == want
+    assert mean_area(plain) < 0.5 * before
+
+    # 2. flat manifest table
+    man = str(tmp_path / "man")
+    write_manifest_table(spark, orders.repartition(12), man)
+    optimize_zorder(spark, man, zcols, target_rows_per_file=150)
+    assert sorted(map(tuple, read_manifest_table(spark, man).collect())) == want
+    vs = manifest_versions(spark, man)
+    assert len(vs) == 2  # optimized live + pre-optimize time travel
+    assert sorted(
+        map(tuple, read_manifest_table(spark, man, version=vs[1]).collect())
+    ) == want
+    assert mean_area(f"{man}/_data/{vs[0]}") < 0.35
+
+    # 3. partitioned manifest table
+    pman = str(tmp_path / "pman")
+    write_partitioned_manifest_table(
+        spark, orders.repartition(12), pman, ["o_orderstatus"]
+    )
+    g_before = partitioned_manifest_generations(spark, pman)[0]
+    optimize_zorder(spark, pman, zcols, target_rows_per_file=100_000)
+    assert partitioned_manifest_generations(spark, pman)[0] != g_before
+    got = sorted(map(tuple, read_partitioned_manifest(spark, pman).collect()))
+    assert got == want
