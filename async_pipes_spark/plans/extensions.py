@@ -2146,6 +2146,58 @@ def z1_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def s26_manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed between two manifest-table commits
+    (sources.sinks.manifest_diff): build a customer balance table,
+    commit a second version with deterministic deletes (custkey%100 in
+    50..59), updates (%100 < 20, +12345 cents), and inserts (offset
+    keys for %100 < 5), then diff the two retained versions — one
+    key-partitioned full outer join between two immutable version
+    dirs, JVM struct comparison. The oracle recomputes the expected
+    change set directly from the base table."""
+    import shutil
+    import tempfile
+
+    from async_pipes_spark.functions.money import cents
+    from async_pipes_spark.sources.sinks import (
+        manifest_diff,
+        manifest_versions,
+        write_manifest_table,
+    )
+
+    base = tempfile.mkdtemp(prefix="s26_diff_")
+    path = f"{base}/t"
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", cents("c_acctbal").alias("bal_cents")
+    )
+    write_manifest_table(spark, cust, path)
+    k = F.col("c_custkey") % 100
+    v2 = (
+        cust.where(~((k >= 50) & (k < 60)))
+        .withColumn(
+            "bal_cents",
+            F.when(k < 20, F.col("bal_cents") + 12345).otherwise(
+                F.col("bal_cents")
+            ),
+        )
+        .unionByName(
+            cust.where(k < 5).select(
+                (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+                "bal_cents",
+            )
+        )
+    )
+    write_manifest_table(spark, v2, path)
+    new_v, old_v = manifest_versions(spark, path)[:2]
+    out = (
+        manifest_diff(spark, path, old_v, new_v, ["c_custkey"])
+        .orderBy("c_custkey")
+        .transform(_pin)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def f1_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Levenshtein-1 record linkage over customer names via
     functions.fuzzy (ed-join rarest-gram prefix blocking + delete
@@ -2214,6 +2266,7 @@ EXTENSION_QUERIES = {
     "s25_stream_topk": s25_stream_topk,
     "z1_zorder_scan": z1_zorder_scan,
     "f1_fuzzy_name_pairs": f1_fuzzy_name_pairs,
+    "s26_manifest_diff": s26_manifest_diff,
     "g1_pagerank": g1_pagerank,
     "g2_triangle_count": g2_triangle_count,
     "a1_ann_top3": a1_ann_top3,
@@ -3644,5 +3697,19 @@ EXTENSION_ORACLES = {
         FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         WHERE levenshtein(a.c_name, b.c_name) <= 1
         ORDER BY l_custkey, r_custkey
+    """,
+    # the expected change set, recomputed from the base table: the
+    # query's v2 transform is deterministic SQL over customer
+    "s26_manifest_diff": """
+        WITH c AS (SELECT c_custkey FROM customer)
+        SELECT * FROM (
+            SELECT c_custkey, 'delete' AS change_type
+            FROM c WHERE c_custkey % 100 BETWEEN 50 AND 59
+            UNION ALL
+            SELECT c_custkey, 'update' FROM c WHERE c_custkey % 100 < 20
+            UNION ALL
+            SELECT c_custkey + 10000000, 'insert'
+            FROM c WHERE c_custkey % 100 < 5
+        ) ORDER BY c_custkey
     """,
 }

@@ -1230,3 +1230,60 @@ def optimize_zorder(
     return sum(
         1 for f in os.listdir(path) if f.endswith(".parquet") and f.startswith("part-")
     )
+
+
+def manifest_diff(
+    spark,
+    path: str,
+    old_version: str,
+    new_version: str,
+    key_cols: Sequence[str],
+) -> DataFrame:
+    """Change-data-feed between two retained versions of a flat
+    manifest table: one row per changed key with ``change_type`` in
+    ``insert`` (key only in new), ``delete`` (only in old), ``update``
+    (in both, any non-key column differs — null-safe struct
+    comparison). Unchanged keys are not emitted.
+
+    The scale shape is ONE key-partitioned full outer join between the
+    two immutable version dirs (each a plain pruned parquet scan);
+    comparison is a JVM struct equality, no Python. Both versions must
+    still be retained (see ``keep_versions``) — GC'd versions raise
+    through :func:`read_manifest_table`."""
+    if not key_cols:
+        raise ValueError("key_cols is required")
+    old = read_manifest_table(spark, path, version=old_version)
+    new = read_manifest_table(spark, path, version=new_version)
+    rest = [c for c in new.columns if c not in key_cols]
+    missing = [c for c in old.columns if c not in new.columns] + [
+        c for c in new.columns if c not in old.columns
+    ]
+    if missing:
+        raise ValueError(
+            f"manifest_diff requires matching schemas; mismatched: {missing}"
+        )
+    def payload(df):
+        # key-only tables can only insert/delete — constant payload
+        return F.struct(*[F.col(c) for c in rest]) if rest else F.lit(0)
+
+    o = old.select(
+        *[F.col(k).alias(k) for k in key_cols],
+        payload(old).alias("_o"),
+        F.lit(True).alias("_in_o"),
+    )
+    n = new.select(
+        *[F.col(k).alias(k) for k in key_cols],
+        payload(new).alias("_n"),
+        F.lit(True).alias("_in_n"),
+    )
+    joined = o.join(n, list(key_cols), "full_outer")
+    return (
+        joined.withColumn(
+            "change_type",
+            F.when(F.col("_in_o").isNull(), F.lit("insert"))
+            .when(F.col("_in_n").isNull(), F.lit("delete"))
+            .when(~F.col("_o").eqNullSafe(F.col("_n")), F.lit("update")),
+        )
+        .where(F.col("change_type").isNotNull())
+        .select(*key_cols, "change_type")
+    )

@@ -274,3 +274,21 @@ def test_a8_ivfpq_plan_shape(spark):
     # the shortlist joins back to raw vectors via broadcast (the
     # corpus scan side must not shuffle for the re-rank)
     assert "BroadcastHashJoin" in txt, txt
+
+
+def test_f1_fuzzy_join_windows_are_per_string(spark):
+    """f1: the prefix-gram selection's only windows partition by a
+    string id (bounded rows per key) — never an unpartitioned global
+    window; and the blocking must not degrade to a nested-loop plan.
+    (Inspects the operator pre-pin — the query's final localCheckpoint
+    truncates lineage, hiding the interesting plan.)"""
+    from async_pipes_spark.functions.fuzzy import fuzzy_pairs
+    from async_pipes_spark.sources.tables import load_table
+
+    cust = load_table(spark, SF_SMOKE, "customer").select("c_custkey", "c_name")
+    txt = plan_text(fuzzy_pairs(cust, "c_custkey", "c_name", max_dist=1), "formatted")
+    assert "CartesianProduct" not in txt and "BroadcastNestedLoop" not in txt
+    specs = [l for l in txt.splitlines() if "windowspecdefinition(" in l]
+    assert specs, txt
+    for line in specs:
+        assert "l_id" in line or "r_id" in line, line

@@ -1820,3 +1820,78 @@ def test_partitioned_manifest_integer_partition_values(spark, tmp_path):
         .collect()
     )
     assert got == [(1, "a", 10), (2, "B", 30)]
+
+
+def test_manifest_diff_insert_update_delete(spark, tmp_path):
+    from async_pipes_spark.sources.sinks import (
+        manifest_diff,
+        manifest_versions,
+        write_manifest_table,
+    )
+
+    path = str(tmp_path / "t")
+    v1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", None), (4, "d", 40)],
+        "k int, s string, v int",
+    )
+    write_manifest_table(spark, v1, path)
+    # 1 unchanged, 2 value-updated, 3 null->non-null, 4 deleted, 5 new
+    v2 = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (3, "c", 30), (5, "e", 50)],
+        "k int, s string, v int",
+    )
+    write_manifest_table(spark, v2, path)
+    new_v, old_v = manifest_versions(spark, path)[:2]
+    got = {
+        (r.k, r.change_type)
+        for r in manifest_diff(spark, path, old_v, new_v, ["k"]).collect()
+    }
+    assert got == {(2, "update"), (3, "update"), (4, "delete"), (5, "insert")}
+    # reverse diff swaps insert/delete and keeps updates
+    rev = {
+        (r.k, r.change_type)
+        for r in manifest_diff(spark, path, new_v, old_v, ["k"]).collect()
+    }
+    assert rev == {(2, "update"), (3, "update"), (4, "insert"), (5, "delete")}
+
+
+def test_manifest_diff_key_only_and_validation(spark, tmp_path):
+    import pytest
+
+    from async_pipes_spark.sources.sinks import (
+        manifest_diff,
+        manifest_versions,
+        write_manifest_table,
+    )
+
+    path = str(tmp_path / "t")
+    write_manifest_table(spark, spark.createDataFrame([(1,), (2,)], "k int"), path)
+    write_manifest_table(spark, spark.createDataFrame([(2,), (3,)], "k int"), path)
+    new_v, old_v = manifest_versions(spark, path)[:2]
+    got = {
+        (r.k, r.change_type)
+        for r in manifest_diff(spark, path, old_v, new_v, ["k"]).collect()
+    }
+    assert got == {(1, "delete"), (3, "insert")}
+    with pytest.raises(ValueError, match="key_cols"):
+        manifest_diff(spark, path, old_v, new_v, [])
+    # a GC'd / unknown version raises through read_manifest_table
+    with pytest.raises(ValueError):
+        manifest_diff(spark, path, "v_nope", new_v, ["k"])
+
+
+def test_manifest_diff_schema_mismatch_raises(spark, tmp_path):
+    import pytest
+
+    from async_pipes_spark.sources.sinks import (
+        manifest_diff,
+        manifest_versions,
+        write_manifest_table,
+    )
+
+    path = str(tmp_path / "t")
+    write_manifest_table(spark, spark.createDataFrame([(1, 1)], "k int, v int"), path)
+    write_manifest_table(spark, spark.createDataFrame([(1, 1)], "k int, w int"), path)
+    new_v, old_v = manifest_versions(spark, path)[:2]
+    with pytest.raises(ValueError, match="matching schemas"):
+        manifest_diff(spark, path, old_v, new_v, ["k"])
