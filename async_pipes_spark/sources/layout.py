@@ -47,6 +47,10 @@ def zorder_value(
         raise ValueError(
             f"zorder_value takes 1..{MAX_ZORDER_COLS} columns, got {len(cols)}"
         )
+    # the interleave must stay below bit 63: bigint's sign bit would
+    # make high z-values sort NEGATIVE (4 cols × 16 bits puts the last
+    # bit exactly on 63) — clamp bits so n*bits <= 63
+    bits = min(bits, 63 // len(cols))
     stats = df.agg(
         *[F.min(c).cast("double").alias(f"mn_{i}") for i, c in enumerate(cols)],
         *[F.max(c).cast("double").alias(f"mx_{i}") for i, c in enumerate(cols)],

@@ -130,3 +130,52 @@ def test_fuzzy_customer_pairs_match_duckdb(spark):
         ).fetchall()
     }
     assert got == want and len(want) > 0
+
+
+def test_fuzzy_blocking_stays_subquadratic_on_hot_prefix(spark):
+    """Scale honesty: when EVERY record shares a long hot prefix —
+    the worst case for naive gram blocking, where ONE bucket holds
+    the whole corpus and a single task gets the n²/2 pair expansion —
+    the rarest-gram prefix filter must (1) never form a mega-bucket:
+    the largest posting list stays a small fraction of n, so
+    per-task work is bounded; (2) keep total candidates well under
+    all-pairs. (With a digits-only suffix alphabet the candidate
+    total is data-bounded at ~n²/|gram space|, spread across many
+    keys — the quadratic-through-one-key funnel is what the design
+    eliminates.)"""
+    n = 4000
+    rows = [(i, f"SharedHotPrefix-{i:06d}") for i in range(n)]
+    df = spark.createDataFrame(rows, "id int, s string")
+
+    # count candidates by re-running the long path's blocking exactly
+    # as fuzzy_join builds it (q=2, d=1 -> plen 3)
+    from async_pipes_spark.functions.fuzzy import _grams_expr, _prefix_grams
+
+    g = df.select("id", F.explode(F.expr(_grams_expr("s", 2))).alias("g"))
+    dfreq = g.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    pref = _prefix_grams(g, "id", dfreq, 3)
+    max_posting = pref.groupBy("g").count().agg(F.max("count")).first()[0]
+    assert max_posting <= n // 10, max_posting  # no one-bucket-holds-all
+    cands = (
+        pref.alias("a")
+        .join(pref.alias("b"), "g")
+        .where(F.col("a.id") < F.col("b.id"))
+        .count()
+    )
+    assert cands < (n * (n - 1) // 2) / 8, cands
+
+    # and the result is still exact on a sample of known neighbors
+    from async_pipes_spark.functions.fuzzy import fuzzy_pairs
+
+    small = df.where(F.col("id") < 300)
+    got = {
+        (r.l_id, r.r_id)
+        for r in fuzzy_pairs(small, "id", "s", max_dist=1).collect()
+    }
+    want = {
+        (i, j)
+        for i in range(300)
+        for j in range(i + 1, 300)
+        if sum(a != b for a, b in zip(f"{i:06d}", f"{j:06d}")) <= 1
+    }
+    assert got == want

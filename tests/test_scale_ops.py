@@ -1083,3 +1083,22 @@ def test_optimize_zorder_all_table_flavors(spark, tmp_path):
     assert partitioned_manifest_generations(spark, pman)[0] != g_before
     got = sorted(map(tuple, read_partitioned_manifest(spark, pman).collect()))
     assert got == want
+
+
+def test_zorder_value_never_negative_at_4_cols(spark):
+    """4 cols × default bits must clamp below the bigint sign bit —
+    max-range values in every column would otherwise interleave into
+    bit 63 and sort NEGATIVE, breaking the Morton ordering."""
+    from async_pipes_spark.sources.layout import zorder_value
+
+    df = spark.createDataFrame(
+        [(0, 0, 0, 0), (1, 1, 1, 1), (2**31, 2**31, 2**31, 2**31)],
+        "a long, b long, c long, d long",
+    )
+    vals = [
+        r.z for r in df.select(
+            zorder_value(df, ["a", "b", "c", "d"]).alias("z")
+        ).collect()
+    ]
+    assert all(v >= 0 for v in vals), vals
+    assert sorted(vals) == vals  # monotone along the main diagonal
