@@ -2146,6 +2146,54 @@ def z1_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def z2_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level data skipping end-to-end (sources.stats): orders are
+    committed to a manifest table CLUSTERED on the Morton interleave
+    of (o_custkey, price_cents), a stats sidecar is built from the
+    parquet footers (distributed metadata-only sweep, no data read),
+    and the same selective 2-D predicate as z1 runs through
+    read_stats_pruned — the planner intersects per-file [min, max]
+    boxes with the bounds and OPENS only surviving files (the
+    Delta/Iceberg data-skipping idiom; at 100 TB this is the
+    difference between listing a million files and scanning them).
+    Pruning is conservative + residual-filtered, so the oracle is the
+    plain filter — skipping must never change results (the actual
+    file-skip count is pinned in test_scale_ops)."""
+    import shutil
+    import tempfile
+
+    from async_pipes_spark.functions.money import cents
+    from async_pipes_spark.sources.layout import zorder_frame
+    from async_pipes_spark.sources.sinks import write_manifest_table
+    from async_pipes_spark.sources.stats import (
+        read_stats_pruned,
+        write_file_stats,
+    )
+
+    base = tempfile.mkdtemp(prefix="z2_stats_")
+    path = f"{base}/t"
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", cents("o_totalprice").alias("price_cents")
+    )
+    write_manifest_table(
+        spark,
+        zorder_frame(orders, ["o_custkey", "price_cents"], num_files=16),
+        path,
+    )
+    write_file_stats(spark, path, ["o_custkey", "price_cents"])
+    out = (
+        read_stats_pruned(
+            spark,
+            path,
+            {"o_custkey": (None, 99), "price_cents": (None, 4_999_999)},
+        )
+        .orderBy("o_orderkey")
+        .transform(_pin)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def s26_manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-data-feed between two manifest-table commits
     (sources.sinks.manifest_diff): build a customer balance table,
@@ -2265,6 +2313,7 @@ EXTENSION_QUERIES = {
     "s24_stream_cdc_partitioned_manifest": s24_stream_cdc_partitioned_manifest,
     "s25_stream_topk": s25_stream_topk,
     "z1_zorder_scan": z1_zorder_scan,
+    "z2_stats_pruned_scan": z2_stats_pruned_scan,
     "f1_fuzzy_name_pairs": f1_fuzzy_name_pairs,
     "s26_manifest_diff": s26_manifest_diff,
     "g1_pagerank": g1_pagerank,
@@ -3687,6 +3736,16 @@ EXTENSION_ORACLES = {
         FROM orders
         WHERE o_custkey < 100
           AND CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) < 5000000
+        ORDER BY o_orderkey
+    """,
+    # skipping must never change results: same plain-filter oracle as
+    # z1 (closed bounds <=99 / <=4999999 are the same integer sets)
+    "z2_stats_pruned_scan": """
+        SELECT o_orderkey, o_custkey,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+        FROM orders
+        WHERE o_custkey <= 99
+          AND CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) <= 4999999
         ORDER BY o_orderkey
     """,
     # blocking must be lossless: the oracle is the brute-force

@@ -100,15 +100,32 @@ def write_zordered(
     boundaries are sampled from the data), out-of-memory-safe (sort
     spills). The z helper column is dropped before writing — layout is
     an on-disk property, not a schema change."""
-    z = zorder_value(df, cols, bits=bits)
     (
+        zorder_frame(df, cols, num_files=num_files, bits=bits)
+        .write.mode(mode)
+        .format(fmt)
+        .save(path)
+    )
+
+
+def zorder_frame(
+    df: DataFrame,
+    cols: Sequence[str],
+    num_files: int = 16,
+    bits: int = DEFAULT_BITS,
+) -> DataFrame:
+    """The Morton-clustered FRAME behind :func:`write_zordered`:
+    range-partitioned on the z-value (sampled boundaries, skew-proof)
+    and sorted within partitions, helper column dropped. Writers that
+    control their own commit (e.g. manifest tables) write this frame
+    directly — parquet preserves per-partition row order, so each
+    output file stays a tight z-range."""
+    z = zorder_value(df, cols, bits=bits)
+    return (
         df.withColumn("_z", z)
         .repartitionByRange(num_files, "_z")
         .sortWithinPartitions("_z")
         .drop("_z")
-        .write.mode(mode)
-        .format(fmt)
-        .save(path)
     )
 
 

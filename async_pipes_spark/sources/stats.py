@@ -1,0 +1,302 @@
+"""File-level column statistics + stats-pruned scans (data skipping).
+
+The 100 TB story: a selective query against a well-clustered table
+(:mod:`async_pipes_spark.sources.layout` z-ordering) should OPEN only
+the files whose [min, max] bounding box intersects its predicate —
+not list-and-scan everything and rely on row-group skipping inside
+each file. Engines do this with a file-level stats index consulted at
+planning time (the Delta Lake / Iceberg data-skipping idiom, public
+in both formats' specs): stats are collected once per immutable
+commit from the parquet FOOTERS (metadata only — no data read), and
+the scan planner intersects them with the query's bounds to produce
+the file list.
+
+Spark-first shape here:
+
+- :func:`collect_file_stats` distributes the footer reads — the file
+  list becomes a DataFrame and an Arrow ``mapInPandas`` kernel opens
+  each footer in parallel (a million-file table reads a million
+  footers across the cluster, never on the driver).
+- :func:`write_file_stats` persists the stats as a tiny parquet
+  sidecar next to the data (``_stats/<version>`` — underscore-named,
+  so plain readers never see it), keyed to the manifest version when
+  the table is one: version dirs are immutable, so a sidecar is
+  complete-by-construction for its version forever.
+- :func:`read_stats_pruned` is the planning step: the per-file
+  intersect test runs as a Spark aggregation over the sidecar and
+  ONLY the surviving file list is collected (the scan plan — the
+  same bounded driver artifact every engine's planner materializes),
+  then those files are read and the residual predicate applied.
+  Pruning is CONSERVATIVE by construction: a file is dropped only
+  when its stats PROVE no row can match (missing stats, all-null
+  chunks, unknown columns all keep the file), so the result is
+  always exactly the plain filter's.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Mapping, Sequence
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ByteType,
+    DecimalType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    ShortType,
+)
+
+from async_pipes_spark.sources.sinks import (
+    _hadoop_fs,
+    _resolve_table_path,
+    manifest_version,
+)
+
+#: long-format stats schema: one row per (file, column)
+STATS_SCHEMA = (
+    "file string, num_rows bigint, col string, "
+    "vmin double, vmax double, has_stats boolean"
+)
+
+_NUMERIC_TYPES = (
+    ByteType,
+    ShortType,
+    IntegerType,
+    LongType,
+    FloatType,
+    DoubleType,
+    DecimalType,
+)
+
+#: 2-tuple (lo, hi) closed bounds per column; None = unbounded side
+Bounds = Mapping[str, tuple[float | None, float | None]]
+
+
+def _list_parquet_files(spark, dir_path: str) -> list[str]:
+    """Recursive data-file listing (``part-*.parquet``) under
+    ``dir_path`` via the Hadoop FS — one metadata listing, the same
+    cost any reader of the directory pays."""
+    fs, p, jvm = _hadoop_fs(spark, dir_path)
+    root = fs.makeQualified(p).toString().rstrip("/")
+    out: list[str] = []
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        st = it.next()
+        full = st.getPath().toString()
+        rel = full[len(root) :].lstrip("/")
+        parts = rel.split("/")
+        # skip hidden/metadata trees (the _stats sidecar, _SUCCESS,
+        # staging dirs) — the same underscore/dot convention Spark's
+        # own readers apply
+        if any(seg.startswith(("_", ".")) for seg in parts):
+            continue
+        if parts[-1].startswith("part-") and parts[-1].endswith(".parquet"):
+            out.append(full)
+    return sorted(out)
+
+
+def _footer_stats_kernel(cols: Sequence[str]):
+    wanted = list(cols)
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        def open_meta(uri: str):
+            if uri.startswith("file:"):
+                local = uri[len("file:") :]
+                while local.startswith("//"):
+                    local = local[1:]
+                return pq.ParquetFile(local).metadata
+            from pyarrow import fs as pafs
+
+            filesystem, sub = pafs.FileSystem.from_uri(uri)
+            return pq.ParquetFile(filesystem.open_input_file(sub)).metadata
+
+        for pdf in batches:
+            rows = []
+            for uri in pdf["file"]:
+                md = open_meta(uri)
+                lo: dict = {c: None for c in wanted}
+                hi: dict = {c: None for c in wanted}
+                seen: dict = {c: True for c in wanted}
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    found = set()
+                    for i in range(g.num_columns):
+                        ch = g.column(i)
+                        c = ch.path_in_schema
+                        if c not in lo:
+                            continue
+                        found.add(c)
+                        st = ch.statistics
+                        if st is None or not st.has_min_max:
+                            # a chunk with unknown bounds poisons the
+                            # file's stats (unless it holds no values
+                            # at all — the all-null chunk, which
+                            # cannot widen a numeric range)
+                            if st is None or st.null_count != ch.num_values:
+                                seen[c] = False
+                            continue
+                        try:
+                            mn, mx = float(st.min), float(st.max)
+                        except (TypeError, ValueError):
+                            seen[c] = False
+                            continue
+                        lo[c] = mn if lo[c] is None else min(lo[c], mn)
+                        hi[c] = mx if hi[c] is None else max(hi[c], mx)
+                    for c in wanted:
+                        if c not in found:
+                            seen[c] = False  # column absent from file
+                for c in wanted:
+                    ok = seen[c] and lo[c] is not None
+                    rows.append(
+                        (
+                            uri,
+                            md.num_rows,
+                            c,
+                            lo[c] if ok else None,
+                            hi[c] if ok else None,
+                            ok,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "file",
+                    "num_rows",
+                    "col",
+                    "vmin",
+                    "vmax",
+                    "has_stats",
+                ],
+            )
+
+    return kernel
+
+
+def collect_file_stats(
+    spark, files: Sequence[str], cols: Sequence[str]
+) -> DataFrame:
+    """Per-file [min, max] for ``cols`` from parquet footers, as a
+    long-format DataFrame (:data:`STATS_SCHEMA`). The footer reads are
+    DISTRIBUTED — each task opens its files' metadata only (a few KB
+    per file, no data pages), so a huge table's stats collection is an
+    embarrassingly parallel metadata sweep, not a scan."""
+    n_slices = max(1, min(len(files), spark.sparkContext.defaultParallelism))
+    fdf = spark.createDataFrame(
+        [(f,) for f in files], "file string"
+    ).repartition(n_slices, "file")
+    return fdf.mapInPandas(_footer_stats_kernel(cols), STATS_SCHEMA)
+
+
+def _stats_dir(path: str, version: str | None) -> str:
+    return f"{path}/_stats/{version or 'flat'}"
+
+
+def write_file_stats(spark, path: str, cols: Sequence[str]) -> int:
+    """Build the stats sidecar for table ``path`` (the live version of
+    a flat manifest table, or a plain parquet directory) over numeric
+    ``cols``. Idempotent — rerunning overwrites the sidecar (it is
+    derived data, rebuildable from footers at any time). Returns the
+    number of data files indexed.
+
+    At 100 TB this runs once per commit over the NEW version's files
+    (immutable dirs make sidecars append-only artifacts); the sidecar
+    itself is ~a hundred bytes per file — a million-file table carries
+    a ~100 MB index, trivially re-plannable."""
+    df = spark.read.parquet(_resolve_table_path(spark, path))
+    bad = [
+        c
+        for c in cols
+        if c not in df.columns
+        or not isinstance(df.schema[c].dataType, _NUMERIC_TYPES)
+    ]
+    if bad:
+        raise ValueError(
+            f"write_file_stats needs existing numeric columns; bad: {bad}"
+        )
+    version = manifest_version(spark, path)
+    data_dir = _resolve_table_path(spark, path)
+    files = _list_parquet_files(spark, data_dir)
+    stats = collect_file_stats(spark, files, cols)
+    stats.coalesce(1).write.mode("overwrite").parquet(
+        _stats_dir(path, version)
+    )
+    return len(files)
+
+
+def _load_sidecar(spark, path: str, version: str | None):
+    sd = _stats_dir(path, version)
+    fs, p, _ = _hadoop_fs(spark, sd)
+    if not fs.exists(p):
+        return None
+    return spark.read.parquet(sd)
+
+
+def prune_files(
+    spark, path: str, bounds: Bounds
+) -> tuple[list[str], int] | None:
+    """The planning step: (surviving files, total files) for a scan of
+    ``path`` with closed-interval ``bounds`` (``{col: (lo, hi)}``,
+    ``None`` = unbounded side), or ``None`` when no usable sidecar
+    exists (missing, or stale for a plain directory that was
+    rewritten). A file survives unless some bounded column's stats
+    PROVE it empty of matches; only the survivors are collected — the
+    bounded scan-plan artifact."""
+    version = manifest_version(spark, path)
+    sidecar = _load_sidecar(spark, path, version)
+    if sidecar is None:
+        return None
+    data_dir = _resolve_table_path(spark, path)
+    listed = _list_parquet_files(spark, data_dir)
+    indexed = [r["file"] for r in sidecar.select("file").distinct().collect()]
+    if set(indexed) != set(listed):
+        return None  # stale sidecar (plain dir rewritten in place)
+    viol = F.lit(False)
+    for c, (lo, hi) in bounds.items():
+        is_c = F.col("col") == c
+        if lo is not None:
+            viol = viol | (is_c & F.col("has_stats") & (F.col("vmax") < lo))
+        if hi is not None:
+            viol = viol | (is_c & F.col("has_stats") & (F.col("vmin") > hi))
+    kept = (
+        sidecar.groupBy("file")
+        .agg(F.max(viol.cast("int")).alias("viol"))
+        .where(F.col("viol") == 0)
+        .select("file")
+        .collect()
+    )
+    return sorted(r["file"] for r in kept), len(listed)
+
+
+def _residual(df: DataFrame, bounds: Bounds) -> DataFrame:
+    for c, (lo, hi) in bounds.items():
+        if lo is not None:
+            df = df.where(F.col(c) >= lo)
+        if hi is not None:
+            df = df.where(F.col(c) <= hi)
+    return df
+
+
+def read_stats_pruned(spark, path: str, bounds: Bounds) -> DataFrame:
+    """Scan ``path`` for rows inside ``bounds``, opening ONLY the
+    files whose stats intersect them. Result is EXACTLY the plain
+    ``read + filter`` (pruning is conservative; the residual predicate
+    still applies row-level). Falls back to the plain filtered scan
+    when no usable sidecar exists — stats are an optimization, never
+    a correctness dependency."""
+    plan = prune_files(spark, path, bounds)
+    if plan is None:
+        return _residual(
+            spark.read.parquet(_resolve_table_path(spark, path)), bounds
+        )
+    kept, _total = plan
+    if not kept:
+        # provably empty: keep the schema, scan nothing
+        return _residual(
+            spark.read.parquet(_resolve_table_path(spark, path)), bounds
+        ).where(F.lit(False))
+    return _residual(spark.read.parquet(*kept), bounds)

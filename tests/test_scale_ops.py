@@ -1102,3 +1102,126 @@ def test_zorder_value_never_negative_at_4_cols(spark):
     ]
     assert all(v >= 0 for v in vals), vals
     assert sorted(vals) == vals  # monotone along the main diagonal
+
+
+def test_file_stats_pruned_scan_skips_and_matches(spark, tmp_path):
+    """sources.stats end-to-end: a z-ordered manifest table with a
+    footer-stats sidecar answers a selective 2-D range scan (1) with
+    EXACTLY the plain filter's rows and (2) by OPENING a minority of
+    the files (prune_files reports the skip). On a random layout the
+    same scan still matches exactly — pruning is conservative, layout
+    only changes how much it saves."""
+    from async_pipes_spark.functions.money import cents
+    from async_pipes_spark.sources.layout import zorder_frame
+    from async_pipes_spark.sources.sinks import write_manifest_table
+    from async_pipes_spark.sources.stats import (
+        prune_files,
+        read_stats_pruned,
+        write_file_stats,
+    )
+
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey", cents("o_totalprice").alias("price_cents")
+    )
+    bounds = {"o_custkey": (None, 99), "price_cents": (None, 4_999_999)}
+    want = sorted(
+        map(
+            tuple,
+            orders.where(
+                (F.col("o_custkey") <= 99) & (F.col("price_cents") <= 4_999_999)
+            ).collect(),
+        )
+    )
+
+    zpath = str(tmp_path / "z")
+    write_manifest_table(
+        spark,
+        zorder_frame(orders, ["o_custkey", "price_cents"], num_files=16),
+        zpath,
+    )
+    assert write_file_stats(spark, zpath, ["o_custkey", "price_cents"]) >= 8
+    kept, total = prune_files(spark, zpath, bounds)
+    assert total >= 8 and len(kept) <= total // 2, (len(kept), total)
+    got = sorted(map(tuple, read_stats_pruned(spark, zpath, bounds).collect()))
+    assert got == want and len(want) > 0
+
+    rpath = str(tmp_path / "r")
+    write_manifest_table(spark, orders.repartition(16), rpath)
+    write_file_stats(spark, rpath, ["o_custkey", "price_cents"])
+    got_r = sorted(map(tuple, read_stats_pruned(spark, rpath, bounds).collect()))
+    assert got_r == want
+
+
+def test_stats_pruned_fallbacks_and_validation(spark, tmp_path):
+    """No sidecar -> plain filtered scan (prune_files None). Stale
+    sidecar on a plain dir (rewritten in place) -> detected by the
+    file-list check, falls back, still exact. Non-numeric stats
+    columns are rejected driver-side."""
+    import pytest
+
+    from async_pipes_spark.sources.stats import (
+        prune_files,
+        read_stats_pruned,
+        write_file_stats,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 7).alias("m"),
+        F.concat(F.lit("s"), F.col("id")).alias("s"),
+    )
+    df.repartition(4).write.parquet(path)
+    bounds = {"m": (2, 4)}
+    want = sorted(map(tuple, df.where("m >= 2 and m <= 4").collect()))
+
+    assert prune_files(spark, path, bounds) is None
+    assert sorted(map(tuple, read_stats_pruned(spark, path, bounds).collect())) == want
+
+    write_file_stats(spark, path, ["m"])
+    assert prune_files(spark, path, bounds) is not None
+    # rewrite in place -> sidecar file list no longer matches
+    df.where("id < 500").repartition(3).write.mode("overwrite").parquet(path)
+    assert prune_files(spark, path, bounds) is None
+    want2 = sorted(
+        map(tuple, df.where("id < 500 and m >= 2 and m <= 4").collect())
+    )
+    got2 = sorted(map(tuple, read_stats_pruned(spark, path, bounds).collect()))
+    assert got2 == want2
+
+    with pytest.raises(ValueError, match="numeric"):
+        write_file_stats(spark, path, ["s"])
+    with pytest.raises(ValueError, match="numeric"):
+        write_file_stats(spark, path, ["nope"])
+
+
+def test_stats_prune_nulls_and_empty(spark, tmp_path):
+    """An all-null file has no usable stats -> KEPT (conservative),
+    and the residual predicate still drops its rows. Bounds outside
+    the domain prune everything -> empty result, schema intact. A
+    one-sided bound prunes on that side only."""
+    from async_pipes_spark.sources.stats import (
+        prune_files,
+        read_stats_pruned,
+        write_file_stats,
+    )
+
+    path = str(tmp_path / "n")
+    a = spark.createDataFrame(
+        [(1, 10.0), (2, 11.0), (3, 12.0)], "k bigint, v double"
+    )
+    b = spark.createDataFrame([(4, None), (5, None)], "k bigint, v double")
+    c = spark.createDataFrame([(6, 90.0), (7, 95.0)], "k bigint, v double")
+    a.coalesce(1).write.parquet(path)
+    b.coalesce(1).write.mode("append").parquet(path)
+    c.coalesce(1).write.mode("append").parquet(path)
+    write_file_stats(spark, path, ["v"])
+
+    kept, total = prune_files(spark, path, {"v": (80.0, None)})
+    assert total == 3 and len(kept) == 2  # all-null file kept, 'a' pruned
+    rows = read_stats_pruned(spark, path, {"v": (80.0, None)}).collect()
+    assert sorted(r.k for r in rows) == [6, 7]  # nulls residual-filtered
+
+    kept0, _ = prune_files(spark, path, {"v": (1000.0, None)})
+    assert kept0 == [] or all("part-" in f for f in kept0)
+    empty = read_stats_pruned(spark, path, {"v": (1000.0, None)})
+    assert empty.count() == 0 and set(empty.columns) == {"k", "v"}
