@@ -1,0 +1,194 @@
+"""Persisted ANN index: IVFPQ built ONCE on the lake, served many.
+
+The missing piece between the in-memory composed stack
+(:func:`async_pipes_spark.functions.similarity.ivf_pq_topk`) and a
+production deployment is that at 100 TB the index is STORAGE, not a
+recomputation: the expensive pass (centroid training + the fused
+cell+codes encode over the whole corpus) runs once per corpus commit,
+and every retrieval request afterwards plans against the stored
+artifacts. This module writes the three of them as tables —
+
+- ``<path>/centroids``   — the coarse IVF centroids (tiny),
+- ``<path>/codebooks``   — the PQ codebooks in long form
+  ``(subspace, code, center)`` (a few KB),
+- ``<path>/codes``       — the ``(vec_id, cell, codes)`` table,
+  CLUSTERED BY CELL (range-partitioned + sorted, so each parquet file
+  covers a narrow cell range) and committed through a manifest table
+  with a footer-stats sidecar on ``cell``
+  (:mod:`async_pipes_spark.sources.stats`),
+
+— and serves queries by PLANNING the probe first: the union of the
+query block's probed cells (the same deterministic
+:func:`~async_pipes_spark.functions.similarity.probe_member_matrix`
+every IVFPQ consumer shares) prunes the codes table to the files
+whose [min, max] cell range intersects a probed cell
+(``prune_files_in``), then the standard ADC scan + shortlist + exact
+re-rank runs over the surviving files only. Cell-clustering makes
+this the FAISS inverted-list read: an ``nprobe``-cell probe opens
+~``nprobe/num_cells`` of the index files instead of all of them.
+Pruning is conservative (a surviving file may hold extra cells — the
+scan kernel's probe mask drops them), so stored-index results are
+BIT-EQUAL to the in-memory operator on the same artifacts, which is
+exactly what the parity test pins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from async_pipes_spark.functions.similarity import (
+    _collect_block,
+    ivf_pq_encode,
+    ivf_pq_topk,
+    kmeans_centroids,
+    pq_codebooks,
+    probe_member_matrix,
+)
+from async_pipes_spark.sources.sinks import (
+    read_manifest_table,
+    write_manifest_table,
+)
+from async_pipes_spark.sources.stats import prune_files_in, write_file_stats
+
+
+def write_ann_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    path: str,
+    num_centroids: int = 8,
+    m: int = 16,
+    codes_per_subspace: int = 64,
+    iters: int = 5,
+    num_files: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Build + persist the IVFPQ index for ``corpus`` under ``path``.
+    One corpus pass for the fused cell+codes encode (plus the bounded
+    training samples for centroids/codebooks); the codes table commit
+    is object-store-safe (manifest pointer) and cell-clustered so
+    probes prune files. Returns ``{"files": N, "cells": K}``."""
+    cents = kmeans_centroids(
+        corpus, k=num_centroids, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    books = pq_codebooks(
+        corpus, m=m, k=codes_per_subspace, id_col=id_col, vec_col=vec_col,
+        iters=iters,
+    )
+    write_manifest_table(spark, cents, f"{path}/centroids")
+    book_rows = [
+        (j, c, list(map(float, center)))
+        for j, book in enumerate(books)
+        for c, center in enumerate(book)
+    ]
+    write_manifest_table(
+        spark,
+        spark.createDataFrame(
+            book_rows, "subspace int, code int, center array<double>"
+        ),
+        f"{path}/codebooks",
+    )
+    encoded = ivf_pq_encode(corpus, cents, books, id_col, vec_col)
+    write_manifest_table(
+        spark,
+        encoded.repartitionByRange(num_files, "cell").sortWithinPartitions(
+            "cell", "vec_id"
+        ),
+        f"{path}/codes",
+    )
+    n_files = write_file_stats(spark, f"{path}/codes", ["cell"])
+    return {"files": n_files, "cells": num_centroids}
+
+
+def read_ann_index(spark: SparkSession, path: str):
+    """(centroids DataFrame, codebooks list-of-lists) from a stored
+    index — both tiny artifacts; the codes table stays on disk and is
+    only file-pruned + scanned per query block."""
+    cents = read_manifest_table(spark, f"{path}/centroids")
+    rows = read_manifest_table(spark, f"{path}/codebooks").collect()
+    by_sub: dict[int, dict[int, list[float]]] = {}
+    for r in rows:
+        by_sub.setdefault(r["subspace"], {})[r["code"]] = list(r["center"])
+    books = [
+        [by_sub[j][c] for c in sorted(by_sub[j])] for j in sorted(by_sub)
+    ]
+    return cents, books
+
+
+def ann_index_topk(
+    spark: SparkSession,
+    path: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    shortlist: int = 20,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve a top-k retrieval from the STORED index at ``path``: plan
+    the probe (union of the query block's probed cells → surviving
+    codes files via the stats sidecar), scan only those files with the
+    ADC kernel, exact-re-rank the shortlist against ``corpus`` (the
+    raw-vector base table — the only thing the index does not store).
+    Output schema and values match
+    :func:`~async_pipes_spark.functions.similarity.ivf_pq_topk` run on
+    the same stored artifacts bit-for-bit."""
+    import numpy as np
+
+    from async_pipes_spark.functions.vectors_np import seq_f32_self_dots
+
+    cents, books = read_ann_index(spark, path)
+    cent_rows = sorted(
+        _collect_block(cents.select(id_col, vec_col), "centroid"),
+        key=lambda r: r[0],
+    )
+    cent_ids = np.array([r[0] for r in cent_rows], dtype=np.int64)
+    Cm = np.array([np.asarray(r[1], dtype=np.float32) for r in cent_rows])
+    cn = np.sqrt(seq_f32_self_dots(Cm).astype(np.float64))
+    q_rows = _collect_block(queries.select(id_col, vec_col), "query")
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "q_id bigint, rank bigint, c_id bigint, sim_micro bigint"
+        )
+    Qm = np.array([np.asarray(r[1], dtype=np.float32) for r in q_rows])
+    qn = np.sqrt(seq_f32_self_dots(Qm).astype(np.float64))
+    member = probe_member_matrix(Qm, qn, Cm, cn, nprobe)
+    probed = sorted(int(c) for c in cent_ids[member.any(axis=0)])
+
+    codes_path = f"{path}/codes"
+    plan = prune_files_in(spark, codes_path, "cell", probed)
+    if plan is None:  # sidecar missing/stale: full codes table
+        encoded = read_manifest_table(spark, codes_path)
+    else:
+        kept, _total = plan
+        encoded = (
+            spark.read.parquet(*kept)
+            if kept
+            else read_manifest_table(spark, codes_path).where(F.lit(False))
+        )
+    return ivf_pq_topk(
+        corpus,
+        queries,
+        k,
+        books,
+        shortlist=shortlist,
+        nprobe=nprobe,
+        centroids=cents,
+        encoded=encoded,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+
+def ann_index_probe_stats(
+    spark: SparkSession, path: str, cells
+) -> tuple[int, int]:
+    """(files a probe of ``cells`` opens, total index files) — the
+    observability hook tests pin the skipping win with."""
+    plan = prune_files_in(spark, f"{path}/codes", "cell", list(cells))
+    if plan is None:
+        raise ValueError(f"no stats sidecar for {path}/codes")
+    kept, total = plan
+    return len(kept), total

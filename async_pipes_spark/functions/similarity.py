@@ -1090,6 +1090,31 @@ def exact_rerank(
     )
 
 
+def probe_member_matrix(Qm, qn, Cm, cn, nprobe):
+    """(|q| × n_cents) bool membership of each query's ``nprobe``
+    nearest cells by micro-unit cosine with the deterministic
+    lowest-index tie-break — THE probe-set definition every IVFPQ
+    consumer shares (the in-memory scan and the stored-index planner
+    must agree bit-for-bit on which cells a query probes, or a
+    file-pruned scan would silently drop candidates)."""
+    import numpy as np
+
+    from async_pipes_spark.functions.vectors_np import (
+        micro_units_np,
+        seq_f32_dots,
+    )
+
+    p = min(max(1, nprobe), Cm.shape[0])
+    qsim = micro_units_np(
+        seq_f32_dots(Qm, Cm).astype(np.float64) / (qn[:, None] * cn[None, :])
+    )
+    comp = qsim * (1 << 20) - np.arange(Cm.shape[0], dtype=np.int64)
+    probe_idx = np.argsort(-comp, axis=1, kind="stable")[:, :p]
+    member = np.zeros((Qm.shape[0], Cm.shape[0]), dtype=bool)
+    np.put_along_axis(member, probe_idx, True, axis=1)
+    return member
+
+
 def ivf_pq_encode(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -1236,14 +1261,7 @@ def ivf_pq_topk(
 
     # per-query probe set as a (|q| × n_cents) bool matrix over centroid
     # INDEX (cells map to index via searchsorted on the sorted cent_ids)
-    p = min(max(1, nprobe), len(cent_ids))
-    qsim = micro_units_np(
-        seq_f32_dots(Qm, Cm).astype(np.float64) / (qn[:, None] * cn[None, :])
-    )
-    comp = qsim * (1 << 20) - np.arange(len(cent_ids), dtype=np.int64)
-    probe_idx = np.argsort(-comp, axis=1, kind="stable")[:, :p]
-    probe_member = np.zeros((len(q_ids), len(cent_ids)), dtype=bool)
-    np.put_along_axis(probe_member, probe_idx, True, axis=1)
+    probe_member = probe_member_matrix(Qm, qn, Cm, cn, nprobe)
 
     books = np.asarray(codebooks, dtype=np.float64)  # (m, kk, sub)
     m, kk, sub = books.shape

@@ -1013,6 +1013,71 @@ def a8_ivfpq_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a10_stored_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED retrieval path (functions.ann_index): the IVFPQ
+    index is built ONCE and written to the lake — centroids +
+    codebooks as tiny tables, the (vec_id, cell, codes) table
+    cell-CLUSTERED through a manifest commit with a footer-stats
+    sidecar — and the query is served from storage: the planner takes
+    the union of the query block's probed cells (the shared
+    probe_member_matrix definition), prunes the codes table to files
+    whose cell range intersects a probed cell, and ADC-scans only the
+    survivors before the exact re-rank. Two pinned contracts: stored
+    results are BIT-EQUAL to the in-memory ivf_pq_topk on the same
+    artifacts (pruning is conservative; the kernel's probe mask drops
+    any extra cells a surviving file carries), and recall@3 vs exact
+    cosine holds the a8 floor. At 100 TB this is the operator users
+    actually run — index amortized across every query, probe cost
+    ~nprobe/num_cells of the index files."""
+    import shutil
+    import tempfile
+
+    from async_pipes_spark.functions.ann_index import (
+        ann_index_topk,
+        read_ann_index,
+        write_ann_index,
+    )
+    from async_pipes_spark.functions.similarity import ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    base = tempfile.mkdtemp(prefix="a10_annix_")
+    write_ann_index(
+        spark, emb, base, num_centroids=8, m=16, codes_per_subspace=64,
+        iters=4, num_files=8,
+    )
+    stored = ann_index_topk(
+        spark, base, emb, queries, k=3, shortlist=20, nprobe=3
+    )
+    cents, books = read_ann_index(spark, base)
+    mem = ivf_pq_topk(
+        emb, queries, k=3, codebooks=books, shortlist=20, nprobe=3,
+        centroids=cents,
+    )
+    exact = cosine_topk(emb, queries, k=3)
+    hits = stored.join(exact, ["q_id", "c_id"], "leftsemi")
+    diff = stored.exceptAll(mem).unionByName(mem.exceptAll(stored))
+    out = (
+        exact.agg(
+            F.count_distinct("q_id").alias("n_queries"),
+            F.count(F.lit(1)).alias("n_exact"),
+        )
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+        .crossJoin(diff.agg(F.count(F.lit(1)).alias("n_diff")))
+        .select(
+            "n_queries",
+            "n_exact",
+            (F.col("n_hits") >= F.col("n_exact") * 0.4).alias(
+                "recall_at_least_40pct"
+            ),
+            (F.col("n_diff") == 0).alias("stored_equals_memory"),
+        )
+        .transform(_pin)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def a9_pq_knn_join_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The complete 100 TB retrieval composition: a6's distributed
     k-NN join (both sides unbounded) scanned over PQ CODES
@@ -2325,6 +2390,7 @@ EXTENSION_QUERIES = {
     "a7_pq_recall_check": a7_pq_recall_check,
     "a8_ivfpq_recall_check": a8_ivfpq_recall_check,
     "a9_pq_knn_join_recall": a9_pq_knn_join_recall,
+    "a10_stored_index_topk": a10_stored_index_topk,
     "t1_quality_metrics": t1_quality_metrics,
     "t2_langid": t2_langid,
     "t3_token_counts": t3_token_counts,
@@ -3526,6 +3592,16 @@ EXTENSION_ORACLES = {
         SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_queries,
                CAST(COUNT(DISTINCT vec_id) * 3 AS BIGINT) AS n_exact,
                true AS recall_at_least_40pct
+        FROM embeddings WHERE vec_id < 20
+    """,
+    # stored-index serving: the engine-independent contracts are the
+    # recall floor (the a5/a7/a8 idiom) and stored==memory parity
+    # (pruning conservativeness — a structural invariant, not data)
+    "a10_stored_index_topk": """
+        SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_queries,
+               CAST(COUNT(DISTINCT vec_id) * 3 AS BIGINT) AS n_exact,
+               true AS recall_at_least_40pct,
+               true AS stored_equals_memory
         FROM embeddings WHERE vec_id < 20
     """,
     # the PQ-coded k-NN join vs the raw-vector join on the same cells:

@@ -272,6 +272,42 @@ def prune_files(
     return sorted(r["file"] for r in kept), len(listed)
 
 
+def prune_files_in(
+    spark, path: str, col: str, values: Sequence[float]
+) -> tuple[list[str], int] | None:
+    """IN-list planning: (surviving files, total) for a scan keeping
+    only rows whose ``col`` is one of ``values`` — the probe shape of
+    a cell-clustered index (an IVF probe reads a SET of cells, not a
+    range). A file survives unless its stats prove NO listed value
+    falls inside its [min, max]; same conservative/stale-sidecar
+    contract as :func:`prune_files`. ``values`` is a bounded
+    driver-side set by construction (probe lists, partition keys)."""
+    if not values:
+        raise ValueError("prune_files_in needs a non-empty value list")
+    version = manifest_version(spark, path)
+    sidecar = _load_sidecar(spark, path, version)
+    if sidecar is None:
+        return None
+    data_dir = _resolve_table_path(spark, path)
+    listed = _list_parquet_files(spark, data_dir)
+    indexed = [r["file"] for r in sidecar.select("file").distinct().collect()]
+    if set(indexed) != set(listed):
+        return None
+    vals = F.array(*[F.lit(float(v)) for v in values])
+    inside = F.exists(
+        vals, lambda v: (F.col("vmin") <= v) & (v <= F.col("vmax"))
+    )
+    viol = (F.col("col") == col) & F.col("has_stats") & ~inside
+    kept = (
+        sidecar.groupBy("file")
+        .agg(F.max(viol.cast("int")).alias("viol"))
+        .where(F.col("viol") == 0)
+        .select("file")
+        .collect()
+    )
+    return sorted(r["file"] for r in kept), len(listed)
+
+
 def _residual(df: DataFrame, bounds: Bounds) -> DataFrame:
     for c, (lo, hi) in bounds.items():
         if lo is not None:

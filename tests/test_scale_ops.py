@@ -1225,3 +1225,93 @@ def test_stats_prune_nulls_and_empty(spark, tmp_path):
     assert kept0 == [] or all("part-" in f for f in kept0)
     empty = read_stats_pruned(spark, path, {"v": (1000.0, None)})
     assert empty.count() == 0 and set(empty.columns) == {"k", "v"}
+
+
+def test_ann_index_stored_parity_and_probe_skip(spark, tmp_path):
+    """functions.ann_index: (1) serving from the stored index is
+    BIT-EQUAL to the in-memory ivf_pq_topk on the same artifacts —
+    pruning may keep extra cells (the kernel masks them) but must
+    never lose a probed one; (2) a small probe opens a minority of
+    the cell-clustered index files; (3) a deleted sidecar degrades to
+    the full codes table, results unchanged."""
+    from async_pipes_spark.functions.ann_index import (
+        ann_index_probe_stats,
+        ann_index_topk,
+        read_ann_index,
+        write_ann_index,
+    )
+    from async_pipes_spark.functions.similarity import ivf_pq_topk
+    from async_pipes_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    base = str(tmp_path / "ix")
+    info = write_ann_index(
+        spark, emb, base, num_centroids=8, m=16, codes_per_subspace=64,
+        iters=4, num_files=8,
+    )
+    assert info["files"] >= 4
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    stored = sorted(
+        map(
+            tuple,
+            ann_index_topk(
+                spark, base, emb, queries, k=3, shortlist=20, nprobe=3
+            ).collect(),
+        )
+    )
+    cents, books = read_ann_index(spark, base)
+    mem = sorted(
+        map(
+            tuple,
+            ivf_pq_topk(
+                emb, queries, k=3, codebooks=books, shortlist=20, nprobe=3,
+                centroids=cents,
+            ).collect(),
+        )
+    )
+    assert stored == mem and len(stored) == 30
+
+    kept, total = ann_index_probe_stats(spark, base, [0, 1])
+    assert kept < total, (kept, total)
+
+    # degrade: no sidecar -> full-table scan, same answer
+    import shutil
+
+    shutil.rmtree(f"{base}/codes/_stats")
+    stored2 = sorted(
+        map(
+            tuple,
+            ann_index_topk(
+                spark, base, emb, queries, k=3, shortlist=20, nprobe=3
+            ).collect(),
+        )
+    )
+    assert stored2 == mem
+
+
+def test_prune_files_in_set_semantics(spark, tmp_path):
+    """prune_files_in: a file survives iff SOME listed value falls in
+    its [min, max] (set probes, not ranges); empty value list is
+    rejected; results equal the plain IN filter."""
+    import pytest
+
+    from async_pipes_spark.sources.stats import prune_files_in, write_file_stats
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 900).select(
+        F.col("id"), (F.col("id") / 100).cast("bigint").alias("cell")
+    )
+    df.repartitionByRange(9, "cell").sortWithinPartitions("cell").write.parquet(path)
+    write_file_stats(spark, path, ["cell"])
+
+    kept, total = prune_files_in(spark, path, "cell", [0, 8])
+    assert total == 9 and len(kept) <= 3, (len(kept), total)
+    got = sorted(
+        r.id for r in spark.read.parquet(*kept).where("cell in (0, 8)").collect()
+    )
+    want = sorted(r.id for r in df.where("cell in (0, 8)").collect())
+    assert got == want
+
+    with pytest.raises(ValueError, match="non-empty"):
+        prune_files_in(spark, path, "cell", [])
