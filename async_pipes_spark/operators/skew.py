@@ -65,3 +65,71 @@ def salted_aggregate(
         .groupBy(*keys)
         .agg(*combine_cols)
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    num_salts: int = 16,
+    hot_threshold: int = 1_000_000,
+    max_hot_keys: int = 10_000,
+) -> DataFrame:
+    """Skew-safe INNER equi-join on same-named keys ``on`` — the
+    explicit form of AQE's skew-join split for when runtime re-planning
+    isn't enough (a single key holding 30% of 100 TB skews the map
+    output itself, and AQE can only subdivide a straggler partition
+    AFTER the skewed shuffle files exist; pre-salting never builds
+    them).
+
+    Plan shape: per-key counts of ``left`` (computed SKEW-SAFELY via
+    :func:`salted_aggregate` — counting a skewed key must not itself
+    funnel) pick the hot keys (``count >= hot_threshold``, capped at
+    the ``max_hot_keys`` heaviest — a bounded broadcast list by
+    construction). Cold keys take the ordinary shuffle join. Hot keys
+    join on ``(key, salt)``: the big side salts each row
+    (retry-deterministic content+partition hash, the
+    :func:`salted_aggregate` discipline), the other side REPLICATES
+    each hot row ``num_salts`` ways — so a key that held 30% of the
+    table now spreads across ``num_salts`` reduce tasks, at the cost
+    of duplicating only the hot slice of ``right`` (in the star shape
+    that slice is a handful of dimension rows).
+
+    Results are identical to ``left.join(right, on)`` for ANY
+    ``num_salts``/``hot_threshold``/``max_hot_keys`` — the split is a
+    partition of the key space and each branch computes the exact
+    join; keys beyond the hot cap simply stay on the cold path.
+    NULL keys never match in an inner equi-join and are dropped up
+    front on both sides (keeping them out of the anti-join hot-set
+    arithmetic)."""
+    if not on:
+        raise ValueError("salted_join needs at least one key column")
+    missing = [k for k in on if k not in left.columns or k not in right.columns]
+    if missing:
+        raise ValueError(f"join keys must exist on both sides: {missing}")
+    lf = left.na.drop(subset=on)
+    rf = right.na.drop(subset=on)
+    hot = (
+        salted_aggregate(lf, list(on), [("count", "*", "_n")], num_salts)
+        .where(F.col("_n") >= hot_threshold)
+        .orderBy(F.col("_n").desc(), *on)
+        .limit(max_hot_keys)
+        .select(*on)
+    )
+    hot_b = F.broadcast(hot)
+    cold = lf.join(hot_b, on, "left_anti").join(
+        rf.join(hot_b, on, "left_anti"), on, "inner"
+    )
+    value_cols = [c for c in lf.columns if c not in on]
+    salt = F.pmod(
+        F.hash(*on, *value_cols, F.spark_partition_id()), F.lit(num_salts)
+    )
+    lh = lf.join(hot_b, on, "leftsemi").withColumn("_salt", salt)
+    rh = (
+        rf.join(hot_b, on, "leftsemi")
+        .withColumn(
+            "_salt", F.explode(F.array(*[F.lit(i) for i in range(num_salts)]))
+        )
+    )
+    hot_join = lh.join(rh, [*on, "_salt"], "inner").drop("_salt")
+    return cold.unionByName(hot_join)

@@ -344,6 +344,35 @@ def r16_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def r17_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted JOIN (operators.skew.salted_join) — the explicit
+    pre-shuffle form of AQE's skew split: hot keys (picked by a
+    skew-safe salted count, bounded broadcast list) join on
+    (key, salt) with the right side's hot slice replicated per salt;
+    cold keys take the ordinary shuffle join. hot_threshold=5 on
+    lineitem-per-order counts puts real keys on BOTH branches here.
+    The oracle is the direct join + GROUP BY — the salt split must be
+    invisible in the result (integer cents keep sums exact under any
+    combine order)."""
+    from async_pipes_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"),
+        cents("l_extendedprice").alias("price_cents"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    return (
+        salted_join(li, orders, ["okey"], num_salts=8, hot_threshold=5)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("price_cents").alias("total_cents"),
+        )
+    )
+
+
 RELATIONAL_QUERIES = {
     "r1_rollup": r1_rollup,
     "r2_set_ops": r2_set_ops,
@@ -361,6 +390,7 @@ RELATIONAL_QUERIES = {
     "r14_interval_frame": r14_interval_frame,
     "r15_resample_ffill": r15_resample_ffill,
     "r16_grouping_sets": r16_grouping_sets,
+    "r17_salted_join": r17_salted_join,
 }
 
 _APPROX_CHECK_ORACLES = {
@@ -516,6 +546,13 @@ RELATIONAL_ORACLES = {
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                                 (o_orderpriority), ())
         ORDER BY gid, o_orderstatus, o_orderpriority
+    """,
+    # the salt split must be invisible: the oracle is the direct join
+    "r17_salted_join": """
+        SELECT o_orderpriority, COUNT(*) AS n_items,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
     """,
     **_APPROX_CHECK_ORACLES,
     **_R14_ORACLE,

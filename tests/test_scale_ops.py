@@ -1315,3 +1315,62 @@ def test_prune_files_in_set_semantics(spark, tmp_path):
 
     with pytest.raises(ValueError, match="non-empty"):
         prune_files_in(spark, path, "cell", [])
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join == plain inner join on a heavily skewed left side
+    (one key holds half the rows), for any salt count / threshold:
+    threshold picks a real hot set, threshold=1 makes EVERYTHING hot
+    (pure salted path), huge threshold makes nothing hot (pure cold
+    path). NULL keys drop like any inner equi-join."""
+    from async_pipes_spark.operators.skew import salted_join
+
+    rows = [(0, i) for i in range(500)] + [
+        (k, k * 10) for k in range(1, 40)
+    ] + [(None, -1)]
+    left = spark.createDataFrame(rows, "k bigint, lv bigint").repartition(8)
+    right = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(0, 40, 2)] + [(None, "dnull")],
+        "k bigint, rv string",
+    )
+    want = sorted(map(tuple, left.join(right, ["k"], "inner").collect()))
+    assert len(want) > 500  # the hot key matched
+    for salts, thresh in [(8, 100), (4, 1), (16, 10**9), (3, 5)]:
+        got = sorted(
+            map(
+                tuple,
+                salted_join(
+                    left, right, ["k"], num_salts=salts, hot_threshold=thresh
+                ).collect(),
+            )
+        )
+        assert got == want, (salts, thresh)
+
+
+def test_salted_join_hot_cap_and_validation(spark):
+    """Keys beyond max_hot_keys stay on the cold path (results still
+    exact); bad key lists raise."""
+    import pytest
+
+    from async_pipes_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [(k % 5, i) for k in range(5) for i in range(50 + k)],
+        "k bigint, lv bigint",
+    )
+    right = spark.createDataFrame([(k, k) for k in range(5)], "k bigint, rv bigint")
+    want = sorted(map(tuple, left.join(right, ["k"]).collect()))
+    got = sorted(
+        map(
+            tuple,
+            salted_join(
+                left, right, ["k"], num_salts=4, hot_threshold=1, max_hot_keys=2
+            ).collect(),
+        )
+    )
+    assert got == want
+
+    with pytest.raises(ValueError, match="at least one key"):
+        salted_join(left, right, [])
+    with pytest.raises(ValueError, match="both sides"):
+        salted_join(left, right, ["nope"])
