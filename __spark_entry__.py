@@ -58,7 +58,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # new in round 7 — first driver row needed
     "a8_", "s24_", "a9_", "d13_", "t15_", "s25_", "z1_", "f1_", "s26_",
-    "z2_", "a10_", "r17_",
+    "z2_", "a10_", "r17_", "s27_",
     # only driver rows are stale (r05 hash-red from oracle casts fixed
     # in r6, or r01-r04 greens) — the verdict's rotation list
     "t13_", "smp4_", "pipe1_",

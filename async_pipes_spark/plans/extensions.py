@@ -2177,6 +2177,91 @@ def s25_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def s27_stream_index_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online serving COMPOSED end-to-end: the persisted IVFPQ index
+    (functions.ann_index — built ONCE, cell-clustered codes + stats
+    sidecar on the lake) answers a STREAM of query vectors. Each
+    micro-batch plans its own probe (union of the batch's probed
+    cells → pruned file list) and ADC-scans only the surviving index
+    files before the exact re-rank — the production serving loop: the
+    index amortizes across every trigger, per-trigger cost scales
+    with nprobe, not corpus size. Results union across batches to the
+    one-batch answer (each query arrives exactly once; appends
+    guarded by once_per_batch markers). Verified with the a8/a10
+    recall-floor idiom: stored-index stream recall@3 vs exact cosine
+    ≥ 40% (the probe-miss channel — identical to the in-memory stack
+    by the a10 parity pin)."""
+    import shutil
+    import tempfile
+
+    from async_pipes_spark.functions.ann_index import (
+        ann_index_topk,
+        write_ann_index,
+    )
+    from async_pipes_spark.session import ensure_engine_confs
+    from async_pipes_spark.streaming.run import once_per_batch
+
+    base = tempfile.mkdtemp(prefix="s27_serve_")
+    incoming, outdir, ixdir = f"{base}/in", f"{base}/out", f"{base}/ix"
+
+    session = spark.newSession()
+    ensure_engine_confs(session)
+    session.conf.set("spark.sql.shuffle.partitions", "8")
+
+    emb = load_table(session, sf_dir, "embeddings")
+    write_ann_index(
+        session, emb, ixdir, num_centroids=8, m=16, codes_per_subspace=64,
+        iters=4, num_files=8,
+    )
+    emb.filter(F.col("vec_id") < 20).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(incoming)
+
+    def serve(batch: DataFrame, _batch_id: int) -> None:
+        sess = batch.sparkSession
+        corpus = load_table(sess, sf_dir, "embeddings")
+        ann_index_topk(
+            sess, ixdir, corpus, batch, k=3, shortlist=20, nprobe=3
+        ).write.mode("append").parquet(outdir)
+
+    q = (
+        session.readStream.schema(session.read.parquet(incoming).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(incoming)
+        .writeStream.foreachBatch(once_per_batch(serve, f"{base}/_applied"))
+        .option("checkpointLocation", f"{base}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    from async_pipes_spark.functions.similarity import cosine_topk
+
+    served = session.read.parquet(outdir)
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(emb, queries, k=3)
+    hits = served.join(exact, ["q_id", "c_id"], "leftsemi")
+    out = (
+        exact.agg(
+            F.count_distinct("q_id").alias("n_queries"),
+            F.count(F.lit(1)).alias("n_exact"),
+        )
+        .crossJoin(served.agg(F.count(F.lit(1)).alias("n_served")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+        .select(
+            "n_queries",
+            "n_exact",
+            (F.col("n_served") == F.col("n_exact")).alias("served_all"),
+            (F.col("n_hits") >= F.col("n_exact") * 0.4).alias(
+                "recall_at_least_40pct"
+            ),
+        )
+        .transform(_pin)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def z1_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-ORDER data layout end-to-end (sources.layout): orders are
     rewritten clustered on the Morton interleave of (o_custkey,
@@ -2377,6 +2462,7 @@ EXTENSION_QUERIES = {
     "s23_stream_cdc_manifest": s23_stream_cdc_manifest,
     "s24_stream_cdc_partitioned_manifest": s24_stream_cdc_partitioned_manifest,
     "s25_stream_topk": s25_stream_topk,
+    "s27_stream_index_serving": s27_stream_index_serving,
     "z1_zorder_scan": z1_zorder_scan,
     "z2_stats_pruned_scan": z2_stats_pruned_scan,
     "f1_fuzzy_name_pairs": f1_fuzzy_name_pairs,
@@ -3780,6 +3866,15 @@ EXTENSION_ORACLES = {
                                         ORDER BY ts DESC, event_id DESC) AS rn
               FROM events)
         WHERE rn = 1 ORDER BY user_id
+    """,
+    # stored-index stream serving: every query arrives once (3 rows
+    # each), recall floor is the engine-independent contract (a8/a10)
+    "s27_stream_index_serving": """
+        SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_queries,
+               CAST(COUNT(DISTINCT vec_id) * 3 AS BIGINT) AS n_exact,
+               true AS served_all,
+               true AS recall_at_least_40pct
+        FROM embeddings WHERE vec_id < 20
     """,
     # per-batch streaming retrieval unions to the one-shot exact
     # top-1 (each query arrives exactly once) — x2's oracle shape

@@ -50,6 +50,7 @@ from pyspark.sql.types import (
 
 from async_pipes_spark.sources.sinks import (
     _hadoop_fs,
+    _pmanifest_read,
     _resolve_table_path,
     manifest_version,
 )
@@ -207,6 +208,13 @@ def write_file_stats(spark, path: str, cols: Sequence[str]) -> int:
     (immutable dirs make sidecars append-only artifacts); the sidecar
     itself is ~a hundred bytes per file — a million-file table carries
     a ~100 MB index, trivially re-plannable."""
+    if _pmanifest_read(spark, path) is not None:
+        raise ValueError(
+            f"{path} is a PARTITIONED manifest table — its live file set "
+            "is a per-partition generation mapping, not one directory; "
+            "file-stats sidecars cover flat manifest tables and plain "
+            "parquet directories"
+        )
     df = spark.read.parquet(_resolve_table_path(spark, path))
     bad = [
         c

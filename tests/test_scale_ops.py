@@ -1374,3 +1374,21 @@ def test_salted_join_hot_cap_and_validation(spark):
         salted_join(left, right, [])
     with pytest.raises(ValueError, match="both sides"):
         salted_join(left, right, ["nope"])
+
+
+def test_write_file_stats_rejects_partitioned_manifest(spark, tmp_path):
+    """A partitioned manifest's live file set is a generation mapping,
+    not a directory — building a flat sidecar for it would silently
+    index nothing; the guard names the table flavor instead."""
+    import pytest
+
+    from async_pipes_spark.sources.sinks import write_partitioned_manifest_table
+    from async_pipes_spark.sources.stats import write_file_stats
+
+    path = str(tmp_path / "pm")
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "k bigint, p string, v double"
+    )
+    write_partitioned_manifest_table(spark, df, path, ["p"])
+    with pytest.raises(ValueError, match="PARTITIONED manifest"):
+        write_file_stats(spark, path, ["v"])
