@@ -247,6 +247,12 @@ def _manifest_commit(
         name = st.getPath().getName()
         if name not in keep_set:
             fs.delete(st.getPath(), True)
+    # a table carrying a stats sidecar keeps it fresh across commits
+    # (and GCs sidecars of dropped versions) — data skipping must not
+    # silently die at the first merge/compact after write_file_stats
+    from async_pipes_spark.sources.stats import refresh_file_stats
+
+    refresh_file_stats(spark, path, retain=keep_set)
 
 
 def write_manifest_table(

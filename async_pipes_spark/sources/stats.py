@@ -236,6 +236,57 @@ def write_file_stats(spark, path: str, cols: Sequence[str]) -> int:
     return len(files)
 
 
+def refresh_file_stats(
+    spark, path: str, retain: set[str] | None = None
+) -> int:
+    """Keep a table's sidecar FRESH across commits: if ``path`` carries
+    any ``_stats`` sidecar, rebuild it for the current live version
+    (columns inherited from the existing sidecar, dropping any that no
+    longer exist as numeric columns after schema evolution) and delete
+    sidecars for versions outside ``retain`` (default: just the live
+    one kept plus whatever still exists). No sidecar → no-op, returns
+    0. :func:`~async_pipes_spark.sources.sinks._manifest_commit` calls
+    this after every pointer replace, so merge/purge/compact/OPTIMIZE
+    never silently turn data skipping off — the footer sweep over the
+    new version's files is the standing cost of keeping the skip index
+    alive, exactly as in Delta/Iceberg stats collection."""
+    stats_root = f"{path}/_stats"
+    fs, sp, jvm = _hadoop_fs(spark, stats_root)
+    if not fs.exists(sp):
+        return 0
+    names = [st.getPath().getName() for st in fs.listStatus(sp)]
+    if not names:
+        return 0
+    live = manifest_version(spark, path)
+    target = live or "flat"
+    # inherit the column set from an existing sidecar (prefer the
+    # live version's own if present, else any — commits share cols)
+    src = target if target in names else sorted(names)[0]
+    cols = [
+        r["col"]
+        for r in spark.read.parquet(f"{stats_root}/{src}")
+        .select("col")
+        .distinct()
+        .collect()
+    ]
+    df = spark.read.parquet(_resolve_table_path(spark, path))
+    cols = [
+        c
+        for c in cols
+        if c in df.columns and isinstance(df.schema[c].dataType, _NUMERIC_TYPES)
+    ]
+    n = 0
+    if cols:
+        n = write_file_stats(spark, path, cols)
+    keep = set(retain or ()) | {target}
+    for name in names:
+        if name not in keep or (not cols and name == target):
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(f"{stats_root}/{name}"), True
+            )
+    return n
+
+
 def _load_sidecar(spark, path: str, version: str | None):
     sd = _stats_dir(path, version)
     fs, p, _ = _hadoop_fs(spark, sd)

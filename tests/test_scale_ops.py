@@ -1392,3 +1392,36 @@ def test_write_file_stats_rejects_partitioned_manifest(spark, tmp_path):
     write_partitioned_manifest_table(spark, df, path, ["p"])
     with pytest.raises(ValueError, match="PARTITIONED manifest"):
         write_file_stats(spark, path, ["v"])
+
+
+def test_sidecar_follows_manifest_commits(spark, tmp_path):
+    """Once a manifest table carries a stats sidecar, later commits
+    keep it fresh automatically (the _manifest_commit hook): pruning
+    stays live on the new version's files, sidecars of GC'ed versions
+    are dropped, and a commit that evolves the stats column away
+    removes the sidecar (pruning off, correctness preserved) instead
+    of serving stale file lists."""
+    from async_pipes_spark.sources.sinks import write_manifest_table
+    from async_pipes_spark.sources.stats import prune_files, write_file_stats
+
+    path = str(tmp_path / "t")
+    v1 = spark.range(0, 100).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    write_manifest_table(spark, v1.repartitionByRange(4, "v"), path)
+    write_file_stats(spark, path, ["v"])
+    assert prune_files(spark, path, {"v": (0, 10)}) is not None
+
+    v2 = spark.range(0, 100).select(F.col("id"), (F.col("id") * 3).alias("v"))
+    write_manifest_table(spark, v2.repartitionByRange(4, "v"), path)
+    plan = prune_files(spark, path, {"v": (280.0, None)})
+    assert plan is not None
+    kept, total = plan
+    assert 0 < len(kept) < total  # fresh stats over v2's range [0, 297]
+
+    import os
+
+    sidecars = os.listdir(f"{path}/_stats")
+    assert len(sidecars) <= 2  # live (+ retained previous at most)
+
+    v3 = spark.range(0, 10).select(F.col("id"))  # 'v' gone
+    write_manifest_table(spark, v3, path)
+    assert prune_files(spark, path, {"v": (0, 1)}) is None
