@@ -46,6 +46,8 @@ from async_pipes_spark.functions.similarity import (
     probe_member_matrix,
 )
 from async_pipes_spark.sources.sinks import (
+    ConcurrentCommitError,
+    merge_upsert,
     read_manifest_table,
     write_manifest_table,
 )
@@ -99,6 +101,80 @@ def write_ann_index(
     )
     n_files = write_file_stats(spark, f"{path}/codes", ["cell"])
     return {"files": n_files, "cells": num_centroids}
+
+
+def ann_index_upsert(
+    spark: SparkSession,
+    path: str,
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally maintain a stored index — the FAISS ``add()``
+    semantics at lake scale: encode ``vectors`` with the STORED
+    centroids + codebooks (no retrain — new vectors quantize against
+    the existing geometry, exactly as FAISS adds to trained inverted
+    lists) and MERGE their codes into the codes table keyed on
+    ``id_col``. New ids append; re-submitted ids re-encode and move to
+    their new cell (the merge's key semantics make the move atomic —
+    no stale code row survives in the old cell). The commit refreshes
+    the footer-stats sidecar automatically and is safe under
+    concurrent writers (the manifest commit log).
+
+    The merged version is NOT re-clustered: upserted rows land in
+    files whose cell range may be wide, so file pruning degrades
+    gracefully (stats stay conservative-correct — a wide file simply
+    stops being skippable) until :func:`ann_index_optimize` restores
+    the clustered layout. This is precisely Delta/Iceberg's
+    write-fast/OPTIMIZE-later contract, and the churn a retrieval
+    corpus sees between optimizes is small relative to the base."""
+    cents, books = read_ann_index(spark, path)
+    encoded = ivf_pq_encode(vectors, cents, books, id_col, vec_col)
+    merge_upsert(spark, f"{path}/codes", encoded, [id_col])
+
+
+def ann_index_optimize(
+    spark: SparkSession,
+    path: str,
+    num_files: int = 8,
+    occ_retries: int = 5,
+) -> int:
+    """Restore the codes table's cell clustering after a run of
+    upserts (the index's OPTIMIZE): one range-partitioned, cell-sorted
+    rewrite committed through the manifest at the sequence the table
+    was read at — a concurrent :func:`ann_index_upsert` landing
+    mid-rewrite wins and the optimize rebases instead of silently
+    dropping it. Returns the committed file count."""
+    from async_pipes_spark.sources.sinks import (
+        _manifest_commit,
+        _manifest_read,
+    )
+
+    codes_path = f"{path}/codes"
+    versions, _, base_seq = _manifest_read(spark, codes_path)
+    if not versions:
+        raise ValueError(f"not a stored index codes table: {codes_path}")
+    codes = spark.read.parquet(f"{codes_path}/_data/{versions[0]}")
+    clustered = codes.repartitionByRange(num_files, "cell").sortWithinPartitions(
+        "cell", "vec_id"
+    )
+    try:
+        _manifest_commit(spark, codes_path, clustered, expected_seq=base_seq)
+    except ConcurrentCommitError:
+        if occ_retries <= 0:
+            raise
+        return ann_index_optimize(spark, path, num_files, occ_retries - 1)
+    # the commit already refreshed the stats sidecar; just report the
+    # committed file count
+    from async_pipes_spark.sources.sinks import _hadoop_fs, _resolve_table_path
+
+    fs, live_p, _ = _hadoop_fs(spark, _resolve_table_path(spark, codes_path))
+    return sum(
+        1
+        for st in fs.listStatus(live_p)
+        if st.getPath().getName().startswith("part-")
+        and st.getPath().getName().endswith(".parquet")
+    )
 
 
 def read_ann_index(spark: SparkSession, path: str):

@@ -7,6 +7,7 @@ from async_pipes_spark.sources.files import (  # noqa: F401
     read_text,
 )
 from async_pipes_spark.sources.sinks import (  # noqa: F401
+    ConcurrentCommitError,
     compact_small_files,
     manifest_version,
     manifest_versions,
@@ -15,6 +16,7 @@ from async_pipes_spark.sources.sinks import (  # noqa: F401
     purge_tombstones,
     read_manifest_table,
     read_partitioned_manifest,
+    vacuum_manifest,
     write_bucketed_table,
     write_files,
     write_manifest_table,

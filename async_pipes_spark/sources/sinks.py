@@ -110,9 +110,26 @@ def _swap_directories(target_path: str, staging: str) -> None:
 #: pointer file naming the live data version of a manifest table
 _MANIFEST = "_MANIFEST"
 
+#: commit-log directory: one immutable marker file per commit, claimed
+#: by atomic rename-no-overwrite — the serialization point that lets
+#: MULTIPLE writers commit to one manifest table without lost updates
+_COMMITS = "_commits"
+
 #: first pointer line marking a PARTITIONED manifest table (generations
 #: of per-partition version mappings instead of flat data versions)
 _PMARK = "#partitioned"
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed to the manifest table between this
+    writer's read of the base state and its commit attempt, so the
+    computed result would overwrite the other writer's changes (a lost
+    update). Read-modify-write callers (:func:`merge_upsert`,
+    :func:`purge_tombstones`, :func:`compact_small_files`,
+    :func:`optimize_zorder`) catch this internally and re-run against
+    the fresh base (bounded retries); seeing it escape means the table
+    is under sustained write contention — serialize the writers or
+    raise ``occ_retries``."""
 
 
 def _hadoop_fs(spark, path_str: str):
@@ -121,29 +138,107 @@ def _hadoop_fs(spark, path_str: str):
     return p.getFileSystem(spark._jsc.hadoopConfiguration()), p, jvm
 
 
-def _manifest_lines(spark, path: str) -> list[str]:
-    """The pointer file's raw non-empty lines (version names live-first,
-    plus ``#``-prefixed metadata). Empty list if ``path`` is not a
-    manifest table."""
-    fs, p, jvm = _hadoop_fs(spark, f"{path}/{_MANIFEST}")
+def _read_small_file(spark, file_path: str) -> str | None:
+    """Contents of one small control file (pointer / commit marker /
+    generation mapping) through the Hadoop stream, or None if absent.
+    Spark's own readers skip underscore-prefixed files — exactly why
+    every control file here is underscore-named: a plain read of the
+    table root never sees them."""
+    fs, p, jvm = _hadoop_fs(spark, file_path)
     if not fs.exists(p):
-        return []
-    # read through the Hadoop stream: Spark's own readers skip
-    # underscore-prefixed files (which is exactly why the pointer and
-    # the _data dir are underscore-named — a plain read of the table
-    # root never sees them)
+        return None
     stream = fs.open(p)
     try:
-        content = jvm.org.apache.commons.io.IOUtils.toString(
-            stream, "UTF-8"
-        )
+        return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
     finally:
         stream.close()
+
+
+def _parse_seq(lines: list[str]) -> int:
+    """The commit sequence number a pointer/marker body carries
+    (``#seq=N``); 0 for pre-OCC pointers, which predate the commit
+    log entirely."""
+    for ln in lines:
+        if ln.startswith("#seq="):
+            try:
+                return int(ln[len("#seq=") :])
+            except ValueError:
+                pass
+    return 0
+
+
+def _marker_path(path: str, seq: int) -> str:
+    return f"{path}/{_COMMITS}/c_{seq:012d}"
+
+
+def _split_lines(content: str) -> list[str]:
     return [ln.strip() for ln in content.splitlines() if ln.strip()]
 
 
-def _manifest_read(spark, path: str) -> tuple[list[str], int]:
-    """(retained versions live-first, keep_versions) from the pointer.
+def _manifest_lines(spark, path: str) -> list[str]:
+    """The table's LIVE state lines (version names live-first plus
+    ``#``-prefixed metadata). Empty list if ``path`` is not a manifest
+    table.
+
+    Reads the ``_MANIFEST`` pointer, then ROLLS FORWARD through any
+    newer commit-log markers: a commit is durable the instant its
+    marker lands in ``_commits/`` (the marker carries the full pointer
+    body), and the pointer file is just the published snapshot — a
+    writer crashing between its marker claim and its pointer write
+    delays nobody and loses nothing, because every reader resolves
+    the newest marker and the next commit republishes the pointer."""
+    content = _read_small_file(spark, f"{path}/{_MANIFEST}")
+    lines = _split_lines(content) if content is not None else []
+    seq = _parse_seq(lines) if lines else 0
+    while True:
+        nxt = _read_small_file(spark, _marker_path(path, seq + 1))
+        if nxt is None:
+            return lines
+        nlines = _split_lines(nxt)
+        if _parse_seq(nlines) != seq + 1:
+            # unparsable marker: impossible via the rename claim (the
+            # body is complete before the rename); stop conservatively
+            return lines
+        lines, seq = nlines, seq + 1
+
+
+def _raw_pointer_seq(spark, path: str) -> int:
+    """The pointer FILE's sequence, without marker roll-forward — the
+    ABA guard: a successful claim of slot N is only valid while the
+    published pointer is still behind N (see :func:`_claim_commit`)."""
+    content = _read_small_file(spark, f"{path}/{_MANIFEST}")
+    return _parse_seq(_split_lines(content)) if content is not None else 0
+
+
+def _claim_commit(spark, path: str, seq: int, body: str) -> bool:
+    """Atomically claim commit slot ``seq`` by renaming a fully-written
+    marker file into ``_commits/c_<seq>``. Rename-no-overwrite is the
+    exclusivity primitive: it fails if the slot is already taken (local
+    FS and HDFS return false / throw; object stores need a conditional
+    PUT — the same LogStore contract Delta Lake documents for S3).
+    Because the body is complete BEFORE the rename, a claimed marker is
+    never partial: the claim itself is the durable commit."""
+    import uuid
+
+    fs, dst, jvm = _hadoop_fs(spark, _marker_path(path, seq))
+    fs.mkdirs(dst.getParent())
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        f"{path}/{_COMMITS}/.tmp_{uuid.uuid4().hex[:12]}"
+    )
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(body.encode()))
+    finally:
+        out.close()
+    if fs.exists(dst) or not fs.rename(tmp, dst):
+        fs.delete(tmp, False)
+        return False
+    return True
+
+
+def _manifest_read(spark, path: str) -> tuple[list[str], int, int]:
+    """(retained versions live-first, keep_versions, commit seq) from
+    the live state (pointer rolled forward through newer markers).
     Pointers written before retention was configurable carry no
     ``#keep=`` line and default to 2 (live + previous — the original
     hardcoded policy, so existing tables keep their behavior). A
@@ -153,7 +248,7 @@ def _manifest_read(spark, path: str) -> tuple[list[str], int]:
     callers route through :func:`_pmanifest_read` first."""
     lines = _manifest_lines(spark, path)
     if lines and lines[0] == _PMARK:
-        return [], 2
+        return [], 2, _parse_seq(lines)
     versions = [ln for ln in lines if not ln.startswith("#")]
     keep = 2
     for ln in lines:
@@ -162,13 +257,13 @@ def _manifest_read(spark, path: str) -> tuple[list[str], int]:
                 keep = max(1, int(ln[len("#keep=") :]))
             except ValueError:
                 pass
-    return versions, keep
+    return versions, keep, _parse_seq(lines)
 
 
 def manifest_version(spark, path: str) -> str | None:
     """The live data version of a manifest table, or None if ``path``
     is not one (no ``_MANIFEST`` pointer present)."""
-    versions, _ = _manifest_read(spark, path)
+    versions, _, _ = _manifest_read(spark, path)
     return versions[0] if versions else None
 
 
@@ -184,7 +279,9 @@ def _replace_pointer(spark, pointer_path: str, body: str) -> None:
     object store the PUT is atomic; on HDFS the rename is atomic; on
     the tiny delete→rename window of other filesystems a crash leaves
     the pointer MISSING — visible and recoverable, never silent loss,
-    because the dirs it names are immutable."""
+    because the dirs it names are immutable (and for the ``_MANIFEST``
+    pointer specifically, recoverable automatically: readers roll
+    forward through the commit-log markers)."""
     import uuid
 
     fs, man_p, jvm = _hadoop_fs(spark, pointer_path)
@@ -201,58 +298,122 @@ def _replace_pointer(spark, pointer_path: str, body: str) -> None:
         raise OSError(f"pointer rename failed for {pointer_path}")
 
 
+def _publish_pointer(spark, path: str, body: str, seq: int) -> None:
+    """Publish the ``_MANIFEST`` pointer snapshot for a claimed commit.
+    The commit is already durable (its marker holds the identical
+    body), so this is the best-effort visibility step: a lost race
+    against a NEWER commit's publish is accepted silently (their
+    pointer supersedes ours; roll-forward covers any interleaving),
+    and a momentary delete→rename window costs readers nothing — they
+    recover the state from the markers."""
+    fs, _, jvm = _hadoop_fs(spark, path)
+    for _ in range(3):
+        try:
+            _replace_pointer(spark, f"{path}/{_MANIFEST}", body)
+            return
+        except OSError:
+            if _raw_pointer_seq(spark, path) >= seq:
+                return  # a newer commit published past us — fine
+    if _raw_pointer_seq(spark, path) < seq:
+        raise OSError(f"pointer publish failed for {path} (commit seq {seq})")
+
+
 def _manifest_commit(
-    spark, path: str, df: DataFrame, keep_versions: int | None = None
+    spark,
+    path: str,
+    df: DataFrame,
+    keep_versions: int | None = None,
+    expected_seq: int | None = None,
 ) -> None:
     """Commit ``df`` as the new live version of a manifest table.
 
     Object-store-safe copy-on-write: the data lands in a fresh
     IMMUTABLE ``_data/v_<uuid>`` directory (never touching live data —
     a failure mid-write leaves an orphan dir, not a broken table), then
-    the tiny pointer file is replaced (:func:`_replace_pointer`).
-    The pointer lists every RETAINED version live-first plus a
-    ``#keep=N`` metadata line; ``keep_versions=None`` inherits the
-    table's stored retention (default 2 = live + previous). Versions
-    falling off the retained window are garbage-collected AFTER the
-    commit, so in-flight readers that resolved a retained version
-    finish against intact files.
+    the commit publishes through the commit log + pointer.
+    The pointer lists every RETAINED version live-first plus
+    ``#keep=N`` / ``#seq=N`` metadata lines; ``keep_versions=None``
+    inherits the table's stored retention (default 2 = live +
+    previous). Versions this commit drops off the retained window are
+    garbage-collected AFTER the commit, so in-flight readers that
+    resolved a retained version finish against intact files.
 
-    SINGLE-WRITER assumption: commits are not serialized against each
-    other — two racing commits both read the same predecessor list and
-    one lineage is silently lost (last pointer wins). External
-    serialization (one committer per table — e.g. one streaming query,
-    one maintenance job at a time) is the caller's contract, exactly as
-    with Spark's own dynamic partition overwrite. As a backstop the
-    pointer is RE-READ after the replace and GC is skipped when another
-    writer's pointer superseded ours within the window — so a lost
-    race never deletes the winner's freshly-committed data dirs."""
+    OPTIMISTIC CONCURRENCY — no single-writer assumption: commits
+    serialize through the ``_commits/`` log. Claiming slot N
+    (:func:`_claim_commit` — atomic rename-no-overwrite of a marker
+    carrying the FULL pointer body) is the durable commit; only the
+    claimant of slot N may publish the pointer at seq N, and readers
+    roll the pointer forward through newer markers, so a writer
+    crashing between claim and publish neither wedges nor loses the
+    table. ``expected_seq`` (read-modify-write callers: the seq
+    observed when the base was read) turns a lost race into
+    :class:`ConcurrentCommitError` — never a lost update; blind
+    overwrites (None) re-read and retry the claim internally. GC here
+    deletes ONLY versions this commit drops from its own lineage —
+    never an unreferenced dir, which may be a concurrent writer's
+    in-flight commit (crashed-commit orphans are reclaimed by
+    :func:`vacuum_manifest`)."""
+    import time
     import uuid
 
+    # fast-fail a stale read-modify-write before the expensive write
+    _, _, seq0 = _manifest_read(spark, path)
+    if expected_seq is not None and seq0 != expected_seq:
+        raise ConcurrentCommitError(
+            f"{path}: base read at commit seq {expected_seq}, table now at "
+            f"{seq0}"
+        )
     version = f"v_{uuid.uuid4().hex[:12]}"
     df.write.mode("error").parquet(f"{path}/_data/{version}")
-    prev_versions, prev_keep = _manifest_read(spark, path)
-    keep = prev_keep if keep_versions is None else max(1, keep_versions)
-    retained = ([version] + prev_versions)[:keep]
-    body = "\n".join(retained) + f"\n#keep={keep}\n"
-    _replace_pointer(spark, f"{path}/{_MANIFEST}", body)
-    # GC backstop against a racing writer (see docstring): only the
-    # commit whose pointer is still live may delete version dirs
-    check, _ = _manifest_read(spark, path)
-    if not check or check[0] != version:
-        return
     fs, _, jvm = _hadoop_fs(spark, f"{path}/{_MANIFEST}")
-    keep_set = set(retained)
-    data_p = jvm.org.apache.hadoop.fs.Path(f"{path}/_data")
-    for st in fs.listStatus(data_p):
-        name = st.getPath().getName()
-        if name not in keep_set:
-            fs.delete(st.getPath(), True)
+
+    def _abandon(reason: str) -> None:
+        # our version dir is unreferenced — remove it before raising
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/_data/{version}"), True)
+        raise ConcurrentCommitError(f"{path}: {reason}")
+
+    for attempt in range(64):
+        prev_versions, prev_keep, seq = _manifest_read(spark, path)
+        if expected_seq is not None and seq != expected_seq:
+            _abandon(
+                f"base read at commit seq {expected_seq}, table now at {seq}"
+            )
+        keep = prev_keep if keep_versions is None else max(1, keep_versions)
+        retained = ([version] + prev_versions)[:keep]
+        body = "\n".join(retained) + f"\n#keep={keep}\n#seq={seq + 1}\n"
+        if _claim_commit(spark, path, seq + 1, body):
+            if _raw_pointer_seq(spark, path) > seq:
+                # ABA: our claimed slot number had been used and
+                # vacuumed before a long stall of ours — the published
+                # pointer is already past it. Release and abort.
+                fs.delete(
+                    jvm.org.apache.hadoop.fs.Path(_marker_path(path, seq + 1)),
+                    False,
+                )
+                _abandon(f"stale commit slot {seq + 1} (table moved past it)")
+            break
+        if expected_seq is not None:
+            _abandon(
+                f"lost commit slot {seq + 1} to a concurrent writer"
+            )
+        # blind write racing another blind write: wait for the winner's
+        # state to become readable, then rebuild on top of it
+        time.sleep(min(0.05 * (attempt + 1), 1.0))
+    else:
+        _abandon("could not claim a commit slot after 64 attempts")
+    _publish_pointer(spark, path, body, seq + 1)
+    # lineage-only GC: exactly the versions THIS commit dropped from
+    # the retained window it inherited
+    retained_set = set(retained)
+    for v in prev_versions:
+        if v not in retained_set:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/_data/{v}"), True)
     # a table carrying a stats sidecar keeps it fresh across commits
     # (and GCs sidecars of dropped versions) — data skipping must not
     # silently die at the first merge/compact after write_file_stats
     from async_pipes_spark.sources.stats import refresh_file_stats
 
-    refresh_file_stats(spark, path, retain=keep_set)
+    refresh_file_stats(spark, path, retain=retained_set)
 
 
 def write_manifest_table(
@@ -262,8 +423,8 @@ def write_manifest_table(
     lives in immutable ``_data/v_*`` dirs, a ``_MANIFEST`` pointer file
     names the live one, and every commit is a single-object pointer
     replace — the object-store-safe alternative to the local-FS
-    directory swap. SINGLE WRITER at a time (see
-    :func:`_manifest_commit`). ``keep_versions`` sets the time-travel
+    directory swap, serialized against concurrent writers through the
+    commit log (see :func:`_manifest_commit`). ``keep_versions`` sets the time-travel
     retention depth (stored in the pointer; later commits through
     :func:`merge_upsert` / :func:`purge_tombstones` /
     :func:`compact_small_files` inherit it; default 2 = live +
@@ -279,7 +440,7 @@ def manifest_versions(spark, path: str) -> list[str]:
     listed — it may be partially written, and reading it would be
     silent data loss; only versions a pointer replace actually
     published are time-travelable."""
-    versions, _ = _manifest_read(spark, path)
+    versions, _, _ = _manifest_read(spark, path)
     if not versions:
         raise ValueError(f"not a manifest table (no {_MANIFEST}): {path}")
     return versions
@@ -410,23 +571,13 @@ def _delete_partition_dir(spark, target_path: str, partition_by, row) -> None:
 # one small pointer replace publishes the whole commit, crash-safe for
 # the same reason the flat manifest is (immutable dirs; a failure
 # before the pointer replace leaves orphans, never a broken table).
-# SINGLE WRITER per table, as with the flat manifest.
-
-
-def _read_text(spark, file_path: str) -> str | None:
-    fs, p, jvm = _hadoop_fs(spark, file_path)
-    if not fs.exists(p):
-        return None
-    stream = fs.open(p)
-    try:
-        return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
-    finally:
-        stream.close()
+# Concurrent writers serialize through the SAME _commits/ log as the
+# flat flavor (marker bodies carry the full "#partitioned" pointer).
 
 
 def _pmanifest_read(spark, path: str):
-    """(generations live-first, keep, partition_cols) for a partitioned
-    manifest table, or None if ``path`` is not one."""
+    """(generations live-first, keep, partition_cols, commit seq) for a
+    partitioned manifest table, or None if ``path`` is not one."""
     lines = _manifest_lines(spark, path)
     if not lines or lines[0] != _PMARK:
         return None
@@ -440,12 +591,12 @@ def _pmanifest_read(spark, path: str):
                 pass
         elif ln.startswith("#cols="):
             cols = [c for c in ln[len("#cols=") :].split(",") if c]
-    return gens, keep, cols
+    return gens, keep, cols, _parse_seq(lines)
 
 
 def _pmanifest_mapping(spark, path: str, gen: str) -> dict[str, str]:
     """The {partition_subdir: version} mapping of one generation."""
-    content = _read_text(spark, f"{path}/_gens/{gen}")
+    content = _read_small_file(spark, f"{path}/_gens/{gen}")
     if content is None:
         raise ValueError(f"generation file missing: {path}/_gens/{gen}")
     mapping: dict[str, str] = {}
@@ -464,51 +615,88 @@ def _pmanifest_commit(
     partition_by: Sequence[str],
     new_mapping: dict[str, str],
     keep_versions: int | None = None,
+    expected_seq: int | None = None,
 ) -> None:
     """Publish ``new_mapping`` as the live generation: write an
-    immutable gen file, replace the pointer, then GC generations past
-    the retained window and version dirs no retained generation
-    references. Same race backstop as :func:`_manifest_commit`: GC runs
-    only if our pointer is still live after the replace."""
+    immutable gen file, claim a commit-log slot (the SAME optimistic-
+    concurrency protocol as :func:`_manifest_commit` — ``expected_seq``
+    from a read-modify-write caller turns a lost race into
+    :class:`ConcurrentCommitError`, never a lost update), publish the
+    pointer, then GC the generations this commit drops from its
+    retained window plus the version dirs ONLY those dropped
+    generations referenced (crashed-commit orphans are left for
+    :func:`vacuum_manifest` — an unreferenced dir may be a concurrent
+    writer's in-flight commit)."""
+    import time
     import uuid
 
-    prev = _pmanifest_read(spark, path)
-    gens, stored_keep, stored_cols = prev if prev else ([], 2, [])
-    if stored_cols and list(partition_by) != stored_cols:
-        raise ValueError(
-            f"partition_by {list(partition_by)} != table's partition "
-            f"columns {stored_cols}"
-        )
-    keep = stored_keep if keep_versions is None else max(1, keep_versions)
     gen = f"g_{uuid.uuid4().hex[:12]}"
-    gen_body = "".join(
-        f"{sd}\t{v}\n" for sd, v in sorted(new_mapping.items())
-    )
-    _replace_pointer(spark, f"{path}/_gens/{gen}", gen_body)
-    retained = ([gen] + gens)[:keep]
-    body = (
-        _PMARK
-        + "\n"
-        + "\n".join(retained)
-        + f"\n#keep={keep}\n#cols={','.join(partition_by)}\n"
-    )
-    _replace_pointer(spark, f"{path}/{_MANIFEST}", body)
-    check = _pmanifest_read(spark, path)
-    if not check or not check[0] or check[0][0] != gen:
-        return
-    referenced = set()
-    for g in retained:
-        referenced.update(_pmanifest_mapping(spark, path, g).values())
+    gen_written = False
     fs, _, jvm = _hadoop_fs(spark, f"{path}/{_MANIFEST}")
-    gens_p = jvm.org.apache.hadoop.fs.Path(f"{path}/_gens")
-    for st in fs.listStatus(gens_p):
-        if st.getPath().getName() not in set(retained):
-            fs.delete(st.getPath(), True)
-    data_p = jvm.org.apache.hadoop.fs.Path(f"{path}/_data")
-    if fs.exists(data_p):
-        for st in fs.listStatus(data_p):
-            if st.getPath().getName() not in referenced:
-                fs.delete(st.getPath(), True)
+
+    def _abandon(reason: str) -> None:
+        if gen_written:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/_gens/{gen}"), False)
+        raise ConcurrentCommitError(f"{path}: {reason}")
+
+    for attempt in range(64):
+        prev = _pmanifest_read(spark, path)
+        gens, stored_keep, stored_cols, seq = (
+            prev if prev else ([], 2, [], 0)
+        )
+        if expected_seq is not None and seq != expected_seq:
+            _abandon(
+                f"base read at commit seq {expected_seq}, table now at {seq}"
+            )
+        if stored_cols and list(partition_by) != stored_cols:
+            raise ValueError(
+                f"partition_by {list(partition_by)} != table's partition "
+                f"columns {stored_cols}"
+            )
+        keep = stored_keep if keep_versions is None else max(1, keep_versions)
+        if not gen_written:
+            gen_body = "".join(
+                f"{sd}\t{v}\n" for sd, v in sorted(new_mapping.items())
+            )
+            _replace_pointer(spark, f"{path}/_gens/{gen}", gen_body)
+            gen_written = True
+        retained = ([gen] + gens)[:keep]
+        body = (
+            _PMARK
+            + "\n"
+            + "\n".join(retained)
+            + f"\n#keep={keep}\n#cols={','.join(partition_by)}\n#seq={seq + 1}\n"
+        )
+        if _claim_commit(spark, path, seq + 1, body):
+            if _raw_pointer_seq(spark, path) > seq:
+                fs.delete(
+                    jvm.org.apache.hadoop.fs.Path(_marker_path(path, seq + 1)),
+                    False,
+                )
+                _abandon(f"stale commit slot {seq + 1} (table moved past it)")
+            break
+        if expected_seq is not None:
+            _abandon(f"lost commit slot {seq + 1} to a concurrent writer")
+        time.sleep(min(0.05 * (attempt + 1), 1.0))
+    else:
+        _abandon("could not claim a commit slot after 64 attempts")
+    _publish_pointer(spark, path, body, seq + 1)
+    # lineage-only GC: the generations THIS commit dropped, plus the
+    # version dirs only those dropped generations referenced
+    retained_set = set(retained)
+    dropped = [g for g in gens if g not in retained_set]
+    if not dropped:
+        return
+    still_referenced = set()
+    for g in retained:
+        still_referenced.update(_pmanifest_mapping(spark, path, g).values())
+    doomed_versions = set()
+    for g in dropped:
+        doomed_versions.update(_pmanifest_mapping(spark, path, g).values())
+    for v in doomed_versions - still_referenced:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/_data/{v}"), True)
+    for g in dropped:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/_gens/{g}"), False)
 
 
 def _list_partition_subdirs(spark, version_path: str, depth: int) -> list[str]:
@@ -546,8 +734,9 @@ def write_partitioned_manifest_table(
     data). :func:`merge_upsert` / :func:`purge_tombstones` /
     :func:`compact_small_files` detect the pointer and commit new
     generations through it, rewriting ONLY touched partitions per
-    merge; read via :func:`read_partitioned_manifest`. SINGLE WRITER
-    at a time. ``keep_versions`` = generation retention for time travel
+    merge; read via :func:`read_partitioned_manifest`. Concurrent
+    writers serialize through the same commit log as the flat flavor.
+    ``keep_versions`` = generation retention for time travel
     (stored; default 2)."""
     import uuid
 
@@ -584,7 +773,7 @@ def read_partitioned_manifest(
     info = _pmanifest_read(spark, path)
     if info is None:
         raise ValueError(f"not a partitioned manifest table: {path}")
-    gens, _, _ = info
+    gens = info[0]
     if generation is None:
         generation = gens[0]
     elif generation not in gens:
@@ -626,10 +815,18 @@ def merge_upsert(
     tombstone_col: str | None = None,
     retain_tombstones: bool = True,
     allow_schema_evolution: bool = False,
+    occ_retries: int = 5,
 ) -> None:
     """Keyed upsert into a parquet directory (MERGE semantics without a
     table format): rows in ``updates`` replace target rows with the
     same key; unmatched target rows survive; new keys append.
+
+    On a manifest table (either flavor) the merge is SAFE UNDER
+    CONCURRENT WRITERS: the commit carries the sequence number the
+    base was read at, a racing commit turns into
+    :class:`ConcurrentCommitError` instead of a lost update, and the
+    merge automatically re-reads the new base and re-applies — up to
+    ``occ_retries`` times before letting the error escape.
 
     ``tombstone_col`` (requires ``version_cols``) completes the CDC
     triad with DELETES: an update row whose tombstone flag is true
@@ -735,9 +932,15 @@ def merge_upsert(
             )
         read_path = target_path
         is_manifest = False
+        base_seq = pinfo[3]
         existing = read_partitioned_manifest(spark, target_path)
     else:
-        read_path = _resolve_table_path(spark, target_path)
+        base_versions, _, base_seq = _manifest_read(spark, target_path)
+        read_path = (
+            f"{target_path}/_data/{base_versions[0]}"
+            if base_versions
+            else target_path
+        )
         is_manifest = read_path != target_path
         if is_manifest and partition_by:
             raise ValueError(
@@ -883,7 +1086,33 @@ def merge_upsert(
             }
             for sd in _list_partition_subdirs(spark, vpath, len(partition_by)):
                 new_mapping[sd] = version
-            _pmanifest_commit(spark, target_path, partition_by, new_mapping)
+            try:
+                _pmanifest_commit(
+                    spark,
+                    target_path,
+                    partition_by,
+                    new_mapping,
+                    expected_seq=base_seq,
+                )
+            except ConcurrentCommitError:
+                # a racing commit moved the base: the version dir we
+                # wrote is an orphan (vacuum reclaims it); re-read and
+                # re-apply the merge against the fresh base
+                if occ_retries <= 0:
+                    raise
+                return merge_upsert(
+                    spark,
+                    target_path,
+                    updates,
+                    key_cols,
+                    partition_by=partition_by,
+                    keys_partition_stable=keys_partition_stable,
+                    version_cols=version_cols,
+                    tombstone_col=tombstone_col,
+                    retain_tombstones=retain_tombstones,
+                    allow_schema_evolution=allow_schema_evolution,
+                    occ_retries=occ_retries - 1,
+                )
             return
         # one execution for both consumers below: without the pin, the
         # emptied-partition collect and the write would each run the
@@ -921,8 +1150,24 @@ def merge_upsert(
 
     merged = _merge(existing)
     if is_manifest:
-        # object-store-safe: new immutable version dir + pointer commit
-        _manifest_commit(spark, target_path, merged)
+        # object-store-safe: new immutable version dir + commit-log
+        # claim at the seq the base was read at
+        try:
+            _manifest_commit(spark, target_path, merged, expected_seq=base_seq)
+        except ConcurrentCommitError:
+            if occ_retries <= 0:
+                raise
+            return merge_upsert(
+                spark,
+                target_path,
+                updates,
+                key_cols,
+                version_cols=version_cols,
+                tombstone_col=tombstone_col,
+                retain_tombstones=retain_tombstones,
+                allow_schema_evolution=allow_schema_evolution,
+                occ_retries=occ_retries - 1,
+            )
         return
     staging = f"{target_path}__staging_{uuid.uuid4().hex[:8]}"
     try:
@@ -939,6 +1184,7 @@ def purge_tombstones(
     tombstone_col: str,
     horizon: "Column | None" = None,
     partition_by: Sequence[str] | None = None,
+    occ_retries: int = 5,
 ) -> int:
     """Drop retained soft tombstones from a CDC table — the periodic
     compaction that bounds a ``merge_upsert(retain_tombstones=True)``
@@ -983,13 +1229,29 @@ def purge_tombstones(
             )
         read_path = path
         is_manifest = False
+        base_seq = pinfo[3]
         df = read_partitioned_manifest(spark, path)
     else:
-        read_path = _resolve_table_path(spark, path)
+        base_versions, _, base_seq = _manifest_read(spark, path)
+        read_path = (
+            f"{path}/_data/{base_versions[0]}" if base_versions else path
+        )
         is_manifest = read_path != path
         if is_manifest and partition_by:
             raise ValueError("flat manifest tables are unpartitioned")
         df = spark.read.option("mergeSchema", "true").parquet(read_path)
+
+    def _occ_retry() -> int:
+        if occ_retries <= 0:
+            raise  # noqa: PLE0704 — re-raise the active ConcurrentCommitError
+        return purge_tombstones(
+            spark,
+            path,
+            tombstone_col,
+            horizon=horizon,
+            partition_by=partition_by,
+            occ_retries=occ_retries - 1,
+        )
     if tombstone_col not in df.columns:
         raise ValueError(f"tombstone_col not in table: {tombstone_col}")
     doomed = F.coalesce(F.col(tombstone_col), F.lit(False))
@@ -1039,7 +1301,13 @@ def purge_tombstones(
             }
             for sd in _list_partition_subdirs(spark, vpath, len(partition_by)):
                 new_mapping[sd] = version
-            _pmanifest_commit(spark, path, partition_by, new_mapping)
+            try:
+                _pmanifest_commit(
+                    spark, path, partition_by, new_mapping,
+                    expected_seq=base_seq,
+                )
+            except ConcurrentCommitError:
+                return _occ_retry()
             return purged
         (
             survivors.write.mode("overwrite")
@@ -1057,7 +1325,12 @@ def purge_tombstones(
         return 0
 
     if is_manifest:
-        _manifest_commit(spark, path, df.filter(~doomed))
+        try:
+            _manifest_commit(
+                spark, path, df.filter(~doomed), expected_seq=base_seq
+            )
+        except ConcurrentCommitError:
+            return _occ_retry()
         return purged
     staging = f"{path}__staging_{uuid.uuid4().hex[:8]}"
     try:
@@ -1073,6 +1346,7 @@ def compact_small_files(
     spark,
     path: str,
     target_rows_per_file: int = 1_000_000,
+    occ_retries: int = 5,
 ) -> int:
     """Compact a parquet directory's small-file dust into
     ~``target_rows_per_file`` files (the maintenance job every
@@ -1109,7 +1383,17 @@ def compact_small_files(
             .parquet(vpath)
         )
         subdirs = _list_partition_subdirs(spark, vpath, len(cols))
-        _pmanifest_commit(spark, path, cols, {sd: version for sd in subdirs})
+        try:
+            _pmanifest_commit(
+                spark, path, cols, {sd: version for sd in subdirs},
+                expected_seq=pinfo[3],
+            )
+        except ConcurrentCommitError:
+            if occ_retries <= 0:
+                raise
+            return compact_small_files(
+                spark, path, target_rows_per_file, occ_retries - 1
+            )
         fs, _, jvm = _hadoop_fs(spark, vpath)
         count = 0
         for sd in subdirs:
@@ -1120,12 +1404,22 @@ def compact_small_files(
                     count += 1
         return count
 
-    read_path = _resolve_table_path(spark, path)
+    base_versions, _, base_seq = _manifest_read(spark, path)
+    read_path = f"{path}/_data/{base_versions[0]}" if base_versions else path
     df = spark.read.parquet(read_path)
     n = df.count()
     files = max(1, math.ceil(n / target_rows_per_file))
     if read_path != path:
-        _manifest_commit(spark, path, df.repartition(files))
+        try:
+            _manifest_commit(
+                spark, path, df.repartition(files), expected_seq=base_seq
+            )
+        except ConcurrentCommitError:
+            if occ_retries <= 0:
+                raise
+            return compact_small_files(
+                spark, path, target_rows_per_file, occ_retries - 1
+            )
         # count through the Hadoop FS — a manifest table may live on an
         # object store where os.listdir has no meaning
         fs, live_p, _ = _hadoop_fs(spark, _resolve_table_path(spark, path))
@@ -1152,6 +1446,7 @@ def optimize_zorder(
     path: str,
     zorder_by: Sequence[str],
     target_rows_per_file: int = 1_000_000,
+    occ_retries: int = 5,
 ) -> int:
     """``OPTIMIZE ... ZORDER BY``: one maintenance rewrite that both
     compacts small-file dust AND clusters the data on the Morton
@@ -1210,10 +1505,21 @@ def optimize_zorder(
             .parquet(vpath)
         )
         subdirs = _list_partition_subdirs(spark, vpath, len(cols))
-        _pmanifest_commit(spark, path, cols, {sd: version for sd in subdirs})
+        try:
+            _pmanifest_commit(
+                spark, path, cols, {sd: version for sd in subdirs},
+                expected_seq=pinfo[3],
+            )
+        except ConcurrentCommitError:
+            if occ_retries <= 0:
+                raise
+            return optimize_zorder(
+                spark, path, zorder_by, target_rows_per_file, occ_retries - 1
+            )
         return _count_files(vpath, subdirs)
 
-    read_path = _resolve_table_path(spark, path)
+    base_versions, _, base_seq = _manifest_read(spark, path)
+    read_path = f"{path}/_data/{base_versions[0]}" if base_versions else path
     df = spark.read.parquet(read_path)
     n = df.count()
     files = max(1, math.ceil(n / target_rows_per_file))
@@ -1224,7 +1530,14 @@ def optimize_zorder(
         .drop("_z")
     )
     if read_path != path:  # flat manifest table
-        _manifest_commit(spark, path, clustered)
+        try:
+            _manifest_commit(spark, path, clustered, expected_seq=base_seq)
+        except ConcurrentCommitError:
+            if occ_retries <= 0:
+                raise
+            return optimize_zorder(
+                spark, path, zorder_by, target_rows_per_file, occ_retries - 1
+            )
         return _count_files(_resolve_table_path(spark, path))
     staging = f"{path}__staging_{uuid.uuid4().hex[:8]}"
     try:
@@ -1236,6 +1549,89 @@ def optimize_zorder(
     return sum(
         1 for f in os.listdir(path) if f.endswith(".parquet") and f.startswith("part-")
     )
+
+
+def vacuum_manifest(
+    spark,
+    path: str,
+    grace_seconds: float = 86_400,
+    marker_retain: int = 1_000,
+) -> dict[str, int]:
+    """Reclaim a manifest table's unreferenced storage: ``_data``
+    version dirs (and, for the partitioned flavor, ``_gens`` mapping
+    files) that no RETAINED state references AND whose modification
+    time is older than ``grace_seconds`` — crashed commits' orphans,
+    conflict-abandoned writes, and dirs whose commit-time GC was
+    interrupted. Commit-time GC deliberately deletes only its own
+    dropped lineage (an unreferenced dir may be a concurrent writer's
+    in-flight commit), so this is the periodic sweep that bounds
+    storage, exactly like Delta's VACUUM. The grace window is the
+    safety contract: it must exceed the longest-running concurrent
+    write or time-travel read. Also prunes commit-log markers more
+    than ``marker_retain`` commits behind the live sequence (the
+    post-claim raw-pointer recheck in :func:`_claim_commit` callers
+    keeps even a vacuumed slot number from regressing the table) and
+    stats sidecars of vacuumed versions. Returns per-category delete
+    counts."""
+    import time
+
+    lines = _manifest_lines(spark, path)
+    if not lines:
+        raise ValueError(f"not a manifest table (no {_MANIFEST}): {path}")
+    live_seq = _parse_seq(lines)
+    pinfo = _pmanifest_read(spark, path)
+    if pinfo is not None:
+        retained_gens = set(pinfo[0])
+        referenced = set()
+        for g in pinfo[0]:
+            referenced.update(_pmanifest_mapping(spark, path, g).values())
+    else:
+        retained_gens = set()
+        versions, _, _ = _manifest_read(spark, path)
+        referenced = set(versions)
+    fs, _, jvm = _hadoop_fs(spark, f"{path}/{_MANIFEST}")
+    cutoff_ms = (time.time() - grace_seconds) * 1000.0
+    counts = {"data_dirs": 0, "gen_files": 0, "markers": 0, "stats_sidecars": 0}
+
+    def _sweep(subdir: str, keep: set[str], key: str) -> set[str]:
+        """Delete old entries of ``subdir`` not in ``keep``; return the
+        names deleted."""
+        root = jvm.org.apache.hadoop.fs.Path(f"{path}/{subdir}")
+        gone: set[str] = set()
+        if not fs.exists(root):
+            return gone
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if name.startswith(".") or name in keep:
+                continue  # checksum sidecars / retained entries
+            if st.getModificationTime() >= cutoff_ms:
+                continue  # inside the grace window: possibly in-flight
+            fs.delete(st.getPath(), True)
+            counts[key] += 1
+            gone.add(name)
+        return gone
+
+    _sweep("_data", referenced, "data_dirs")
+    if pinfo is not None:
+        _sweep("_gens", retained_gens, "gen_files")
+    # markers: keep the newest marker_retain slots (and anything
+    # newer than the pointer — unpublished-but-durable commits)
+    commits_p = jvm.org.apache.hadoop.fs.Path(f"{path}/{_COMMITS}")
+    if fs.exists(commits_p):
+        for st in fs.listStatus(commits_p):
+            name = st.getPath().getName()
+            if name.startswith(".") or not name.startswith("c_"):
+                continue
+            try:
+                seq = int(name[2:])
+            except ValueError:
+                continue
+            if seq <= live_seq - marker_retain:
+                fs.delete(st.getPath(), False)
+                counts["markers"] += 1
+    # stats sidecars of unreferenced versions
+    _sweep("_stats", referenced, "stats_sidecars")
+    return counts
 
 
 def manifest_diff(
