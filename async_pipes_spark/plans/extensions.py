@@ -1078,6 +1078,97 @@ def a10_stored_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def a11_index_upsert_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL maintenance of the stored index — the lifecycle a
+    100 TB retrieval corpus actually lives: the index is trained and
+    built on the corpus of the day (here: vec_id >= 60), then the
+    stream of corpus changes is absorbed WITHOUT retraining via
+    ann_index_upsert (encode against the STORED centroids/codebooks —
+    FAISS add() semantics — and key-merge into the codes table; the
+    manifest commit log makes racing upserts safe), re-submitted ids
+    atomically replace their old code row, and ann_index_optimize
+    restores the cell clustering the upserts dilute (the Delta-style
+    write-fast/OPTIMIZE-later contract). Pinned contracts: after
+    upserting the missing slice the codes table covers the corpus
+    one-row-per-id, and serving from the maintained index is
+    BIT-EQUAL to the in-memory ivf_pq_topk on the same artifacts
+    (upsert(encode(rest)) + encode(slice) == encode(full) — same
+    stored geometry, deterministic kernels), with recall@3 vs exact
+    cosine holding the a8/a10 floor."""
+    import shutil
+    import tempfile
+
+    from async_pipes_spark.functions.ann_index import (
+        ann_index_optimize,
+        ann_index_topk,
+        ann_index_upsert,
+        read_ann_index,
+        write_ann_index,
+    )
+    from async_pipes_spark.functions.similarity import ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    base = tempfile.mkdtemp(prefix="a11_annix_")
+    # day-0 build: the index never sees vec_id < 60
+    write_ann_index(
+        spark, emb.filter(F.col("vec_id") >= 60), base,
+        num_centroids=8, m=16, codes_per_subspace=64, iters=4, num_files=8,
+    )
+    # absorb the missing slice + re-submit an already-indexed band
+    # (keyed replace: no duplicate code rows may survive)
+    ann_index_upsert(spark, base, emb.filter(F.col("vec_id") < 60))
+    ann_index_upsert(
+        spark, base,
+        emb.filter((F.col("vec_id") >= 60) & (F.col("vec_id") < 80)),
+    )
+    ann_index_optimize(spark, base, num_files=8)
+    stored = ann_index_topk(
+        spark, base, emb, queries, k=3, shortlist=20, nprobe=3
+    )
+    cents, books = read_ann_index(spark, base)
+    mem = ivf_pq_topk(
+        emb, queries, k=3, codebooks=books, shortlist=20, nprobe=3,
+        centroids=cents,
+    )
+    exact = cosine_topk(emb, queries, k=3)
+    hits = stored.join(exact, ["q_id", "c_id"], "leftsemi")
+    diff = stored.exceptAll(mem).unionByName(mem.exceptAll(stored))
+    from async_pipes_spark.sources.sinks import read_manifest_table
+
+    codes = read_manifest_table(spark, f"{base}/codes")
+    out = (
+        exact.agg(
+            F.count_distinct("q_id").alias("n_queries"),
+            F.count(F.lit(1)).alias("n_exact"),
+        )
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+        .crossJoin(diff.agg(F.count(F.lit(1)).alias("n_diff")))
+        .crossJoin(
+            codes.agg(
+                F.count(F.lit(1)).alias("n_codes"),
+                F.count_distinct("vec_id").alias("n_code_ids"),
+            )
+        )
+        .crossJoin(emb.agg(F.count(F.lit(1)).alias("n_corpus")))
+        .select(
+            "n_queries",
+            "n_exact",
+            (F.col("n_hits") >= F.col("n_exact") * 0.4).alias(
+                "recall_at_least_40pct"
+            ),
+            (F.col("n_diff") == 0).alias("stored_equals_memory"),
+            (
+                (F.col("n_codes") == F.col("n_corpus"))
+                & (F.col("n_code_ids") == F.col("n_corpus"))
+            ).alias("codes_cover_corpus"),
+        )
+        .transform(_pin)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def a9_pq_knn_join_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The complete 100 TB retrieval composition: a6's distributed
     k-NN join (both sides unbounded) scanned over PQ CODES
@@ -2477,6 +2568,7 @@ EXTENSION_QUERIES = {
     "a8_ivfpq_recall_check": a8_ivfpq_recall_check,
     "a9_pq_knn_join_recall": a9_pq_knn_join_recall,
     "a10_stored_index_topk": a10_stored_index_topk,
+    "a11_index_upsert_serving": a11_index_upsert_serving,
     "t1_quality_metrics": t1_quality_metrics,
     "t2_langid": t2_langid,
     "t3_token_counts": t3_token_counts,
@@ -3688,6 +3780,18 @@ EXTENSION_ORACLES = {
                CAST(COUNT(DISTINCT vec_id) * 3 AS BIGINT) AS n_exact,
                true AS recall_at_least_40pct,
                true AS stored_equals_memory
+        FROM embeddings WHERE vec_id < 20
+    """,
+    # incremental index maintenance: the engine-independent contracts
+    # are the a10 pair (recall floor + stored==memory parity, which
+    # here additionally proves upsert(rest)+upsert(slice) == encode
+    # of the full corpus) and one-code-row-per-corpus-id coverage
+    "a11_index_upsert_serving": """
+        SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_queries,
+               CAST(COUNT(DISTINCT vec_id) * 3 AS BIGINT) AS n_exact,
+               true AS recall_at_least_40pct,
+               true AS stored_equals_memory,
+               true AS codes_cover_corpus
         FROM embeddings WHERE vec_id < 20
     """,
     # the PQ-coded k-NN join vs the raw-vector join on the same cells:

@@ -1290,6 +1290,91 @@ def test_ann_index_stored_parity_and_probe_skip(spark, tmp_path):
     assert stored2 == mem
 
 
+def test_ann_index_upsert_appends_replaces_and_optimize(spark, tmp_path):
+    """functions.ann_index incremental maintenance: (1) upserting the
+    missing slice completes coverage one-code-row-per-id; (2) a
+    re-submitted id REPLACES its code row (no duplicate in any cell);
+    (3) a changed embedding re-encodes — its codes match a fresh
+    encode of the new vector; (4) ann_index_optimize restores file
+    pruning and leaves served results bit-identical."""
+    from async_pipes_spark.functions.ann_index import (
+        ann_index_optimize,
+        ann_index_probe_stats,
+        ann_index_topk,
+        ann_index_upsert,
+        read_ann_index,
+        write_ann_index,
+    )
+    from async_pipes_spark.functions.similarity import ivf_pq_encode
+    from async_pipes_spark.sources.sinks import read_manifest_table
+    from async_pipes_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    n_corpus = emb.count()
+    base = str(tmp_path / "ixu")
+    write_ann_index(
+        spark, emb.filter(F.col("vec_id") >= 50), base,
+        num_centroids=8, m=16, codes_per_subspace=64, iters=4, num_files=8,
+    )
+    codes_before = read_manifest_table(spark, f"{base}/codes").count()
+    assert codes_before < n_corpus
+
+    # append the missing slice, then re-submit an already-indexed band
+    ann_index_upsert(spark, base, emb.filter(F.col("vec_id") < 50))
+    ann_index_upsert(
+        spark, base,
+        emb.filter((F.col("vec_id") >= 50) & (F.col("vec_id") < 60)),
+    )
+    codes = read_manifest_table(spark, f"{base}/codes")
+    assert codes.count() == n_corpus
+    assert codes.select("vec_id").distinct().count() == n_corpus
+
+    # a CHANGED vector re-encodes: flip id 55's embedding to id 0's
+    moved = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(F.lit(55).cast("long").alias("vec_id"), "embedding")
+    )
+    ann_index_upsert(spark, base, moved)
+    cents, books = read_ann_index(spark, base)
+    want = {
+        (r["cell"], tuple(r["codes"]))
+        for r in ivf_pq_encode(moved, cents, books, "vec_id", "embedding")
+        .collect()
+    }
+    got = {
+        (r["cell"], tuple(r["codes"]))
+        for r in read_manifest_table(spark, f"{base}/codes")
+        .filter(F.col("vec_id") == 55)
+        .collect()
+    }
+    assert got == want and len(got) == 1
+
+    # optimize restores clustering (pruning works) without changing
+    # served results
+    queries = emb.filter(F.col("vec_id") < 10)
+    pre = sorted(
+        map(
+            tuple,
+            ann_index_topk(
+                spark, base, emb, queries, k=3, shortlist=20, nprobe=3
+            ).collect(),
+        )
+    )
+    n_files = ann_index_optimize(spark, base, num_files=8)
+    assert n_files >= 4
+    kept, total = ann_index_probe_stats(spark, base, [0])
+    assert kept < total, (kept, total)
+    post = sorted(
+        map(
+            tuple,
+            ann_index_topk(
+                spark, base, emb, queries, k=3, shortlist=20, nprobe=3
+            ).collect(),
+        )
+    )
+    assert post == pre
+
+
 def test_prune_files_in_set_semantics(spark, tmp_path):
     """prune_files_in: a file survives iff SOME listed value falls in
     its [min, max] (set probes, not ranges); empty value list is
