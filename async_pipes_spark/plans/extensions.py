@@ -2134,6 +2134,92 @@ def s24_stream_cdc_partitioned_manifest(spark: SparkSession, sf_dir: str) -> Dat
     return out
 
 
+def s28_concurrent_stream_writers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO streaming CDC writers committing to ONE manifest table
+    CONCURRENTLY — the multi-writer lake the optimistic-concurrency
+    commit log exists for. The incoming events split into two disjoint
+    file sets; two independent foreachBatch queries run SIMULTANEOUSLY,
+    each merging its micro-batches into the same flat manifest table.
+    Their commits genuinely race inside one JVM: a merge that loses its
+    commit-log slot gets ConcurrentCommitError internally and REBASES
+    on the winner's version (merge_upsert's occ retry), so no batch's
+    changes are ever lost — the failure mode the pre-OCC single-writer
+    contract ruled out only by fiat. The versioned merge (last-writer-
+    wins on (ts, event_id)) makes the outcome independent of the
+    interleaving, so quiescence has the same deterministic oracle as
+    s20/s23: live version = the global per-user argmax, regardless of
+    which writer landed which key last."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from async_pipes_spark.session import ensure_engine_confs
+    from async_pipes_spark.sources.sinks import (
+        merge_upsert,
+        read_manifest_table,
+        write_manifest_table,
+    )
+
+    base = tempfile.mkdtemp(prefix="s28_occ_")
+    lake = f"{base}/lake"
+    cols = ["user_id", "ts", "event_id", "event_type", "value"]
+
+    session = spark.newSession()
+    ensure_engine_confs(session)
+    session.conf.set("spark.sql.shuffle.partitions", "8")
+
+    ev = load_table(session, sf_dir, "events").select(*cols)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    seed = (
+        ev.filter(F.col("event_id") < 5000)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    write_manifest_table(session, seed, lake)
+
+    updates = ev.filter(F.col("event_id") >= 5000)
+    sources = []
+    for name, part in (("a", 0), ("b", 1)):
+        incoming = f"{base}/incoming_{name}"
+        updates.filter(F.col("event_id") % 2 == part).repartition(
+            3, "user_id"
+        ).write.mode("overwrite").parquet(incoming)
+        sources.append(incoming)
+
+    def upsert(batch: DataFrame, _batch_id: int) -> None:
+        merge_upsert(
+            batch.sparkSession,
+            lake,
+            batch,
+            key_cols=["user_id"],
+            version_cols=["ts", "event_id"],
+            occ_retries=20,  # two writers × few batches: ample headroom
+        )
+
+    queries = [
+        session.readStream.schema(session.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", f"{base}/_checkpoint_{i}")
+        .trigger(availableNow=True)
+        .start()
+        for i, src in enumerate(sources)
+    ]
+    for q in queries:
+        q.awaitTermination()
+    out = (
+        read_manifest_table(session, lake)
+        .select(*cols)
+        .orderBy("user_id")
+        .transform(_pin)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def s21_stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance: a per-(user, day)
     spend rollup kept current under streaming appends. Each micro-batch
@@ -2552,6 +2638,7 @@ EXTENSION_QUERIES = {
     "s22_stream_cdc_deletes": s22_stream_cdc_deletes,
     "s23_stream_cdc_manifest": s23_stream_cdc_manifest,
     "s24_stream_cdc_partitioned_manifest": s24_stream_cdc_partitioned_manifest,
+    "s28_concurrent_stream_writers": s28_concurrent_stream_writers,
     "s25_stream_topk": s25_stream_topk,
     "s27_stream_index_serving": s27_stream_index_serving,
     "z1_zorder_scan": z1_zorder_scan,
@@ -3954,6 +4041,18 @@ EXTENSION_ORACLES = {
     """,
     # manifest-committed CDC quiesces to the same global argmax as s20
     "s23_stream_cdc_manifest": """
+        SELECT user_id, ts, event_id, event_type, value
+        FROM (SELECT user_id, ts, event_id, event_type, value,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events)
+        WHERE rn = 1 ORDER BY user_id
+    """,
+    # two CONCURRENT writers racing commits into one manifest table:
+    # the commutative LWW merge + optimistic-concurrency rebase make
+    # the outcome interleaving-independent, so the quiescence oracle
+    # is exactly s20/s23's — the global per-user argmax
+    "s28_concurrent_stream_writers": """
         SELECT user_id, ts, event_id, event_type, value
         FROM (SELECT user_id, ts, event_id, event_type, value,
                      ROW_NUMBER() OVER (PARTITION BY user_id
