@@ -166,3 +166,57 @@ def group_sample(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_cols: list[str],
+    target_rows: int,
+) -> DataFrame:
+    """Temperature-scaled mixture sampling at α = 1/2 (the multilingual
+    rebalancing pass: sample stratum s with probability ∝ n_s^α, so
+    dominant strata are downweighted and rare ones upweighted relative
+    to natural proportions). A ``target_rows`` budget splits across
+    strata by exact INTEGER sqrt weights — ``isqrt(n_s)`` computed as
+    floor(sqrt) plus a ±1 correction, so a double's rounding at
+    perfect-square boundaries can never diverge from the oracle's
+    arithmetic — and each stratum's keep rate is its quota over its
+    observed count (integer ppm, capped at 100%). Row selection is the
+    deterministic md5 threshold, so the same documents are chosen on
+    any engine, partitioning, or scale.
+
+    Scale shape (smp4's): pass 1 is a tiny per-stratum count
+    reduction; pass 2 re-scans with a pure map-side hash filter
+    against the broadcast rate table. Payloads never shuffle."""
+    if target_rows <= 0:
+        raise ValueError("target_rows must be positive")
+    counts = df.groupBy(strata_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n")
+    )
+    isq0 = "CAST(FLOOR(SQRT(CAST(_n AS DOUBLE))) AS BIGINT)"
+    weighted = counts.selectExpr(
+        strata_col,
+        "_n",
+        f"CASE WHEN {isq0} * {isq0} > _n THEN {isq0} - 1 "
+        f"WHEN ({isq0} + 1) * ({isq0} + 1) <= _n THEN {isq0} + 1 "
+        f"ELSE {isq0} END AS _w",
+    )
+    total = weighted.agg(F.sum("_w").cast("bigint").alias("_w_total"))
+    rates = weighted.crossJoin(F.broadcast(total)).selectExpr(
+        strata_col,
+        # quota = budget share by sqrt weight; rate = quota / count —
+        # two integer divs, exactly as the oracle replays them
+        f"least(CAST({PPM} AS BIGINT), "
+        f"((CAST({target_rows} AS BIGINT) * _w) div _w_total)"
+        f" * CAST({PPM} AS BIGINT) div _n) AS rate_ppm",
+    )
+    kept = df.join(F.broadcast(rates), strata_col)
+    hash10 = F.substring(hash_hex(*key_cols), 1, _NUM_HEX_WIDTH)
+    threshold = F.expr(
+        f"format_string('%0{_NUM_HEX_WIDTH}x',"
+        f" rate_ppm * {_NUM_HEX_SPACE} div {PPM})"
+    )
+    return kept.filter(
+        (F.col("rate_ppm") >= F.lit(PPM)) | (hash10 < threshold)
+    )

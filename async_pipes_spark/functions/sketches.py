@@ -261,3 +261,98 @@ def count_min_lookup(
         .groupBy(*items.columns)
         .agg(F.min("_cm_cnt").cast("bigint").alias(result_col))
     )
+
+
+def quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    sketch_size: int = 256,
+) -> DataFrame:
+    """Mergeable quantile summary (Agarwal et al., "Mergeable
+    Summaries" shape): per Arrow BATCH, sort the batch's values per
+    group and keep ``sketch_size`` evenly-rank-spaced points, each
+    weighted batch_rows/sketch_size. Output (group_cols..., v, w) —
+    a weighted CDF whose rank error vs the true CDF is bounded by
+    Σ_batches m_b/(2B) = n/(2B), independent of partitioning or
+    merge order (the summaries just concatenate).
+
+    Scale shape: ONE pass over the data with NO input shuffle (the
+    kernel runs inside the scan stage), executor memory bounded by the
+    Arrow batch (never the partition), and only the ≤ B-per-batch
+    summary rows ever move. Downstream (:func:`quantile_merge`)
+    shuffles summaries, not data — at 100 TB the quantile job moves
+    megabytes."""
+    if sketch_size < 2:
+        raise ValueError("sketch_size must be >= 2")
+    B = sketch_size
+    fields = df.select(*group_cols, value_col).schema
+    schema_out = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in fields[:-1]]
+        + [f"v {fields[-1].dataType.simpleString()}", "w double"]
+    )
+
+    def summarize(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for key, g in pdf.groupby(group_cols, dropna=False, sort=False):
+                key = key if isinstance(key, tuple) else (key,)
+                v = np.sort(g[value_col].to_numpy())
+                m = len(v)
+                if m <= B:
+                    keep, w = v, np.ones(m)
+                else:
+                    idx = np.floor((np.arange(B) + 0.5) * m / B).astype(np.int64)
+                    keep, w = v[idx], np.full(B, m / B)
+                summ = pd.DataFrame({"v": keep, "w": w})
+                for c, kv in zip(group_cols, key):
+                    summ[c] = kv
+                out.append(summ[[*group_cols, "v", "w"]])
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    return df.select(*group_cols, value_col).mapInPandas(summarize, schema_out)
+
+
+def quantile_merge(
+    summaries: DataFrame,
+    group_cols: list[str],
+    probs: list[float],
+) -> DataFrame:
+    """Merge :func:`quantile_sketch` summaries and read off quantile
+    estimates: per group, sort the weighted points, walk the
+    cumulative weight, and report the first value whose cumulative
+    weight reaches prob×total. Output (group_cols..., prob, est) —
+    est is always one of the input values. The merge is a groupBy over
+    summary rows only (bounded: batches × sketch_size per group), so
+    the shuffle is tiny regardless of corpus size; merging summaries
+    of summaries works identically (weighted points concatenate)."""
+    if not probs:
+        raise ValueError("probs must be non-empty")
+    for p in probs:
+        if not 0.0 < p < 1.0:
+            raise ValueError(f"prob {p} outside (0, 1)")
+    fields = summaries.select(*group_cols, "v").schema
+    schema_out = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in fields[:-1]]
+        + [f"prob double", f"est {fields[-1].dataType.simpleString()}"]
+    )
+    probs_arr = sorted(probs)
+
+    def merge(key, pdf):
+        v = pdf["v"].to_numpy()
+        w = pdf["w"].to_numpy()
+        order = np.argsort(v, kind="stable")
+        v, w = v[order], w[order]
+        cw = np.cumsum(w)
+        total = cw[-1]
+        idx = np.searchsorted(cw, np.asarray(probs_arr) * total, side="left")
+        idx = np.minimum(idx, len(v) - 1)
+        out = pd.DataFrame({"prob": probs_arr, "est": v[idx]})
+        for c, kv in zip(group_cols, key):
+            out[c] = kv
+        return out[[*group_cols, "prob", "est"]]
+
+    return summaries.groupBy(*group_cols).applyInPandas(merge, schema_out)

@@ -216,7 +216,10 @@ def duplicate_ngram_stats(
 
 
 def bigram_lm_scores(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    model_df: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document fluency score under a corpus-trained bigram
     language model — the classic model-based quality signal a
@@ -245,33 +248,48 @@ def bigram_lm_scores(
     Scoring joins per-doc bigrams many-to-ONE to the model — the skew
     shape AQE splits automatically — then one groupBy(doc_id), with
     occurrence multiplicities as weights. Nothing is collected; the
-    model stays distributed."""
+    model stays distributed.
+
+    ``model_df`` trains the LM on a DIFFERENT corpus (the held-out
+    perplexity-gate shape: train on a trusted slice, score candidates
+    against it). Bigrams unseen by the model score probability 0 via a
+    LEFT join (no smoothing — unseen mass simply penalizes the doc,
+    monotone in the filter direction and exactly oracle-replicable);
+    the self-trained path keeps its inner join, where every bigram is
+    its own training evidence and the join kinds coincide."""
     from pyspark.sql import Window
 
     from async_pipes_spark.functions.dedup import shingles
 
-    # the explicit (vacuously true) isnotnull matches the null filter
-    # the scoring join pushes down on ITS side of the subtree — without
-    # it the two consumers' subtrees differ by that one Filter node and
-    # AQE cannot dedupe the stage (kernel would run twice)
-    per_pair = (
-        shingles(df, text_col=text_col, id_col=id_col, n=2)
-        .filter(F.col("shingle").isNotNull())
-        .groupBy("doc_id", "shingle")
-        .agg(F.count(F.lit(1)).alias("m"))
-    )
-    model = per_pair.groupBy("shingle").agg(F.sum("m").alias("c_bg"))
+    def per_pair_of(frame: DataFrame) -> DataFrame:
+        # the explicit (vacuously true) isnotnull matches the null
+        # filter the scoring join pushes down on ITS side of the
+        # subtree — without it the two consumers' subtrees differ by
+        # that one Filter node and AQE cannot dedupe the stage (kernel
+        # would run twice)
+        return (
+            shingles(frame, text_col=text_col, id_col=id_col, n=2)
+            .filter(F.col("shingle").isNotNull())
+            .groupBy("doc_id", "shingle")
+            .agg(F.count(F.lit(1)).alias("m"))
+        )
+
+    per_pair = per_pair_of(df)
+    model_pairs = per_pair if model_df is None else per_pair_of(model_df)
+    model = model_pairs.groupBy("shingle").agg(F.sum("m").alias("c_bg"))
     w1 = Window.partitionBy(F.substring_index("shingle", " ", 1))
     scored = model.select(
         "shingle",
         micro_units(F.col("c_bg") / F.sum("c_bg").over(w1)).alias("p_micro"),
     )
+    how = "inner" if model_df is None else "left"
+    p = F.col("p_micro") if model_df is None else F.coalesce("p_micro", F.lit(0))
     return (
-        per_pair.join(scored, "shingle")
+        per_pair.join(scored, "shingle", how)
         .groupBy("doc_id")
         .agg(
             F.sum("m").alias("n_bigrams"),
-            F.floor(F.sum(F.col("m") * F.col("p_micro")) / F.sum("m") + F.lit(0.5))
+            F.floor(F.sum(F.col("m") * p) / F.sum("m") + F.lit(0.5))
             .cast("bigint")
             .alias("avg_p_micro"),
         )

@@ -141,6 +141,32 @@ def t15_top_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_bigram_stats(docs).orderBy("doc_id")
 
 
+def t16_heldout_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet-style HELD-OUT perplexity gate: train the bigram LM on
+    a deterministic md5 half-split of the corpus (the 'trusted' slice),
+    score the OTHER half against it (functions.text.bigram_lm_scores
+    with model_df), and keep documents whose mean conditional bigram
+    probability clears the threshold. Unlike t7 (self-trained), unseen
+    bigrams here score zero via the left join — candidate text unlike
+    the training slice is penalized, which is the entire point of the
+    filter. Scale shape: two shingle-kernel scans (train + score),
+    model stays distributed, scoring is a many-to-one join + one
+    groupBy — no collect, no smoothing tables."""
+    from async_pipes_spark.functions.text import bigram_lm_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    train = docs.filter(split < F.lit("8"))
+    held = docs.filter(split >= F.lit("8"))
+    scored = bigram_lm_scores(held, model_df=train)
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "avg_p_micro",
+        (F.col("avg_p_micro") >= F.lit(33000)).alias("keep"),
+    ).orderBy("doc_id")
+
+
 def d13_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global SEGMENT-level dedup MATERIALIZED — the RefinedWeb /
     CCNet line-dedup family, the granularity the doc-level families
@@ -678,6 +704,32 @@ def smp5_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         prefix_sum(keyed, "_skey", "_one", out_col="pos")
         .select("doc_id", "pos")
         .orderBy("pos")
+    )
+
+
+def smp6_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source rebalancing (α = 1/2): a 300-doc
+    budget splits across sources ∝ sqrt(n_source) — the multilingual /
+    multi-source mixing pass that upweights rare sources against
+    natural proportions (functions.sampling.temperature_mixture_
+    sample). All-integer arithmetic (exact isqrt + two integer divs +
+    md5 threshold) keeps the selection bit-identical on any engine or
+    partitioning; the oracle replays it verbatim. Scale shape: one
+    tiny count reduction, then a map-side broadcast-rate hash filter —
+    document payloads never shuffle."""
+    from async_pipes_spark.functions.sampling import temperature_mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = temperature_mixture_sample(
+        docs, strata_col="source", key_cols=["doc_id"], target_rows=300
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("rate_ppm").alias("rate_ppm"),
+        )
+        .orderBy("source")
     )
 
 
@@ -1509,6 +1561,64 @@ def mm3_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm4_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup over DECODED pixels — the multimodal
+    counterpart of d5's text fingerprint dedup: every document's BMP
+    (mm3's deterministic generator, so the SQL oracle can derive the
+    pixels arithmetically) runs through the real header-parsing
+    decoder, the decoded (width, height, mean gray) collapse into a
+    quantized perceptual fingerprint (mean binned to 32 gray levels —
+    visually-close images collide, the aHash idea reduced to its
+    oracle-checkable core), and each fingerprint keeps its minimum
+    doc_id as canonical. Scale shape: decode is one Arrow kernel pass
+    inside the scan stage; the only shuffle is the groupBy on the
+    ~|fingerprint-space| keys with map-side partial aggregation —
+    payloads never move, exactly how a 100 TB image lake dedups
+    (pHash in place of the mean bin, same plan)."""
+    import pandas as pd
+
+    from async_pipes_spark.multimodal.binary import bmp_encode, extract_features
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        bmp_encode((int(n) % 16) + 1, 2, int(n) % 251)
+                        for n in pdf["n_chars"]
+                    ],
+                    "source": pdf["source"],
+                }
+            )
+
+    media = to_media(
+        docs.select("doc_id", "n_chars", "source").mapInPandas(
+            gen, "doc_id bigint, payload binary, source string"
+        ),
+        "payload",
+        "bmp",
+        "source",
+    )
+    feats = extract_features(media, id_col="doc_id")
+    return (
+        feats.select(
+            "doc_id",
+            "width",
+            "height",
+            (F.col("mean_px_milli") / F.lit(8000)).cast("bigint").alias("gray_bin"),
+        )
+        .groupBy("width", "height", "gray_bin")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_images"),
+        )
+        .orderBy("width", "gray_bin")
+    )
+
+
 def mm2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-frame-sampling shape (1 → M explode through an Arrow
     kernel): every 2nd 64-byte frame of each payload, with per-frame
@@ -1765,6 +1875,65 @@ def k3_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_n",
         (F.col("cms_n") >= F.col("exact_n")).alias("no_underestimate"),
     ).orderBy("tok")
+
+
+def k5_quantile_sketch_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (functions.sketches.quantile_sketch /
+    quantile_merge) verified as a TOLERANCE PROPERTY, r12-style: per
+    order status, estimate p25/p50/p75 of the order value from
+    per-Arrow-batch weighted summaries (B=256 points each, rank-error
+    bound n/2B ≈ 0.2%), then check IN SPARK that each estimate's true
+    rank lands within 1% of target — the oracle reproduces the exact
+    group counts plus the literal property flags. Unlike r12's
+    approx_percentile this sketch is engine-portable AND mergeable
+    (summaries concatenate), so at 100 TB the data never shuffles:
+    the scan emits kilobyte summaries, the merge moves only those,
+    and the verification pass is one broadcast join + conditional
+    counts."""
+    from async_pipes_spark.functions.money import cents
+    from async_pipes_spark.functions.sketches import (
+        quantile_merge,
+        quantile_sketch,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    vals = orders.select(
+        "o_orderstatus", cents("o_totalprice").alias("c")
+    )
+    est = quantile_merge(
+        quantile_sketch(vals, "c", ["o_orderstatus"], sketch_size=256),
+        ["o_orderstatus"],
+        [0.25, 0.5, 0.75],
+    )
+    wide = est.groupBy("o_orderstatus").agg(
+        F.max(F.when(F.col("prob") == 0.25, F.col("est"))).alias("q25"),
+        F.max(F.when(F.col("prob") == 0.50, F.col("est"))).alias("q50"),
+        F.max(F.when(F.col("prob") == 0.75, F.col("est"))).alias("q75"),
+    )
+    j = vals.join(F.broadcast(wide), "o_orderstatus")
+    ranks = j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(
+                F.when(F.col("c") <= F.col(q), F.lit(1)).otherwise(F.lit(0))
+            ).alias(f"r{q}")
+            for q in ("q25", "q50", "q75")
+        ],
+    )
+
+    def within(rank_col: str, p: float):
+        slack = F.lit(0.01) * F.col("n") + F.lit(1.0)
+        return (
+            F.abs(F.col(rank_col) - F.lit(p) * F.col("n")) <= slack
+        )
+
+    return ranks.select(
+        "o_orderstatus",
+        "n",
+        (
+            within("rq25", 0.25) & within("rq50", 0.50) & within("rq75", 0.75)
+        ).alias("within_1pct"),
+    ).orderBy("o_orderstatus")
 
 
 def s16_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2612,6 +2781,7 @@ EXTENSION_QUERIES = {
     "d13_boilerplate_scrub": d13_boilerplate_scrub,
     "t6_repetition": t6_repetition,
     "t15_top_bigram": t15_top_bigram,
+    "t16_heldout_perplexity_gate": t16_heldout_perplexity_gate,
     "t7_bigram_lm": t7_bigram_lm,
     "t8_redact": t8_redact,
     "t9_chunking": t9_chunking,
@@ -2630,6 +2800,7 @@ EXTENSION_QUERIES = {
     "smp3_group_sample": smp3_group_sample,
     "smp4_weighted_mixture": smp4_weighted_mixture,
     "smp5_corpus_shuffle": smp5_corpus_shuffle,
+    "smp6_temperature_mixture": smp6_temperature_mixture,
     "s17_stream_redact": s17_stream_redact,
     "s18_stream_simhash": s18_stream_simhash,
     "s19_stream_dedup_against_static": s19_stream_dedup_against_static,
@@ -2666,11 +2837,13 @@ EXTENSION_QUERIES = {
     "k1_kmv_distinct": k1_kmv_distinct,
     "k2_bloom_membership": k2_bloom_membership,
     "k3_countmin_topk": k3_countmin_topk,
+    "k5_quantile_sketch_check": k5_quantile_sketch_check,
     "smp1_hash_sample": smp1_hash_sample,
     "smp2_stratified_sample": smp2_stratified_sample,
     "mm1_media_features": mm1_media_features,
     "mm2_frame_sample": mm2_frame_sample,
     "mm3_bmp_decode": mm3_bmp_decode,
+    "mm4_image_dedup": mm4_image_dedup,
     "b1_builder_route": b1_builder_route,
     "b2_flatten_positions": b2_flatten_positions,
     "s9_tumbling_stream": s9_tumbling_stream,
@@ -3565,6 +3738,19 @@ EXTENSION_ORACLES = {
                CAST((n_chars % 251) * 1000 AS BIGINT) AS mean_px_milli
         FROM documents ORDER BY doc_id
     """,
+    # the decoded perceptual fingerprint is pixel-derived on the Spark
+    # side (real BMP parse) and arithmetic on the oracle side — mm3's
+    # verification idea extended to the dedup aggregate
+    "mm4_image_dedup": """
+        SELECT CAST((n_chars % 16) + 1 AS BIGINT) AS width,
+               CAST(2 AS BIGINT) AS height,
+               CAST(((n_chars % 251) * 1000) // 8000 AS BIGINT) AS gray_bin,
+               MIN(doc_id) AS canonical_doc_id,
+               COUNT(*) AS n_images
+        FROM documents
+        GROUP BY 1, 2, 3
+        ORDER BY width, gray_bin
+    """,
     # bloom bitset is engine-replicable (md5-derived positions) but the
     # membership CONTRACT is what matters: zero false negatives exactly,
     # FPR bounded — the r12/r13 tolerance-property pattern
@@ -3577,6 +3763,14 @@ EXTENSION_ORACLES = {
     """,
     # the sketch itself is engine-replicable (md5-derived buckets), so
     # the oracle rebuilds it and the ESTIMATES hash-match, not just the
+    # sketch estimates are implementation-specific; the engine-
+    # independent contract is the 1%-rank tolerance property, which
+    # the Spark side PROVES against exact ranks and the oracle asserts
+    # (r12's pattern)
+    "k5_quantile_sketch_check": """
+        SELECT o_orderstatus, COUNT(*) AS n, true AS within_1pct
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
     # no-underestimate property
     "k3_countmin_topk": """
         WITH toks AS (
@@ -3959,6 +4153,45 @@ EXTENSION_ORACLES = {
     """
     ),
     # top-bigram coverage: most frequent bigram per doc, ties to the
+    # held-out gate: LM trained on the md5 half-split, unseen bigrams
+    # score 0 through the LEFT join — replayed verbatim
+    "t16_heldout_perplexity_gate": """
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+            FROM documents
+        ),
+        bg AS (
+            SELECT a.doc_id, a.tok || ' ' || b.tok AS shingle
+            FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        ),
+        train_bg AS (
+            SELECT * FROM bg
+            WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+        ),
+        held_bg AS (
+            SELECT * FROM bg
+            WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= '8'
+        ),
+        model AS (SELECT shingle, COUNT(*) AS c_bg FROM train_bg GROUP BY shingle),
+        prefix AS (
+            SELECT split_part(shingle, ' ', 1) AS w1, SUM(c_bg) AS c_w1
+            FROM model GROUP BY 1
+        ),
+        scored AS (
+            SELECT m.shingle,
+                   CAST(FLOOR((CAST(m.c_bg AS DOUBLE) / p.c_w1) * 1000000 + 0.5)
+                        AS BIGINT) AS p_micro
+            FROM model m JOIN prefix p ON split_part(m.shingle, ' ', 1) = p.w1
+        )
+        SELECT h.doc_id, COUNT(*) AS n_bigrams,
+               CAST(FLOOR(SUM(COALESCE(s.p_micro, 0)) / COUNT(*) + 0.5)
+                    AS BIGINT) AS avg_p_micro,
+               CAST(FLOOR(SUM(COALESCE(s.p_micro, 0)) / COUNT(*) + 0.5)
+                    AS BIGINT) >= 33000 AS keep
+        FROM held_bg h LEFT JOIN scored s USING (shingle)
+        GROUP BY h.doc_id ORDER BY h.doc_id
+    """,
     # lexicographically largest bigram (the engine's struct-max order)
     "t15_top_bigram": """
         WITH toks AS (
@@ -4029,6 +4262,40 @@ EXTENSION_ORACLES = {
         LEFT JOIN tot t ON d.doc_id = t.doc_id
         LEFT JOIN asm a ON d.doc_id = a.doc_id
         ORDER BY d.doc_id
+    """,
+    # temperature mixing: exact isqrt weights + integer-ppm rates +
+    # md5 threshold — replayed verbatim (smp4's mechanics, sqrt scale)
+    "smp6_temperature_mixture": """
+        WITH c AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents GROUP BY source
+        ),
+        w AS (
+            SELECT source, n,
+                   CASE WHEN s0 * s0 > n THEN s0 - 1
+                        WHEN (s0 + 1) * (s0 + 1) <= n THEN s0 + 1
+                        ELSE s0 END AS w
+            FROM (SELECT source, n,
+                         CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT) AS s0
+                  FROM c)
+        ),
+        r AS (
+            SELECT source,
+                   CAST(LEAST(CAST(1000000 AS BIGINT),
+                         ((CAST(300 AS BIGINT) * w)
+                          // CAST((SELECT SUM(w) FROM w) AS BIGINT))
+                         * CAST(1000000 AS BIGINT) // n) AS BIGINT) AS rate_ppm
+            FROM w
+        ),
+        kept AS (
+            SELECT d.source, r.rate_ppm
+            FROM documents d JOIN r USING (source)
+            WHERE r.rate_ppm >= 1000000
+               OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 10)
+                  < printf('%010x', r.rate_ppm * 1099511627776 // 1000000)
+        )
+        SELECT source, COUNT(*) AS n_kept, MIN(rate_ppm) AS rate_ppm
+        FROM kept GROUP BY source ORDER BY source
     """,
     # the epoch-shuffle manifest: rank in md5-of-id order (the engine
     # computes it through the distributed prefix scan, never a global

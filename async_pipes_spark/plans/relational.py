@@ -373,6 +373,87 @@ def r17_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def r18_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-FREE co-located join + aggregation via bucketed layout
+    (sources.sinks.write_bucketed_table). Both sides land pre-hashed on
+    the join key into the same bucket scheme (8 buckets, sorted), so
+    the SortMergeJoin consumes the scans' reported hash partitioning
+    directly and the per-order aggregation reuses it (HashPartitioning
+    on a subset of the grouping keys satisfies the agg's clustered
+    distribution): ZERO Exchange between scan and result — plan-pinned
+    in tests/test_plans.py. At 100 TB this is the storage-layout
+    contract that turns every repeated fact-fact join on the
+    distribution key from a full re-shuffle into a local merge;
+    shuffle once at ingest, never again. Broadcast is disabled in the
+    cloned session to force the merge path the pin is about."""
+    import shutil
+    import tempfile
+
+    from async_pipes_spark.session import ensure_engine_confs
+    from async_pipes_spark.session import pin as _pin
+    from async_pipes_spark.sources.sinks import write_bucketed_table
+
+    session = spark.newSession()
+    ensure_engine_confs(session)
+    session.conf.set("spark.sql.shuffle.partitions", "8")
+    session.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+    base = tempfile.mkdtemp(prefix="r18_buckets_")
+    li = load_table(session, sf_dir, "lineitem").select(
+        "l_orderkey", cents("l_extendedprice").alias("price_cents")
+    )
+    orders = load_table(session, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    # one file per bucket (repartition shares bucketBy's hash), so the
+    # sorted buckets also skip the pre-merge Sort
+    write_bucketed_table(
+        li.repartition(8, "l_orderkey"),
+        "r18_lineitem_b",
+        ["l_orderkey"],
+        8,
+        sort_cols=["l_orderkey"],
+        path=f"{base}/lineitem",
+    )
+    write_bucketed_table(
+        orders.repartition(8, "o_orderkey"),
+        "r18_orders_b",
+        ["o_orderkey"],
+        8,
+        sort_cols=["o_orderkey"],
+        path=f"{base}/orders",
+    )
+    try:
+        out = (
+            r18_joined_plan(session)
+            .orderBy("o_orderkey")
+            .transform(_pin)
+        )
+    finally:
+        session.sql("DROP TABLE IF EXISTS r18_lineitem_b")
+        session.sql("DROP TABLE IF EXISTS r18_orders_b")
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+def r18_joined_plan(session: SparkSession) -> DataFrame:
+    """The exchange-free join+agg over the two bucketed tables —
+    factored out so the plan test can pin its physical shape (one
+    SortMergeJoin, zero Exchange, zero Sort below the join)."""
+    return (
+        session.table("r18_lineitem_b")
+        .join(
+            session.table("r18_orders_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("price_cents").alias("total_cents"),
+        )
+    )
+
+
 RELATIONAL_QUERIES = {
     "r1_rollup": r1_rollup,
     "r2_set_ops": r2_set_ops,
@@ -391,6 +472,7 @@ RELATIONAL_QUERIES = {
     "r15_resample_ffill": r15_resample_ffill,
     "r16_grouping_sets": r16_grouping_sets,
     "r17_salted_join": r17_salted_join,
+    "r18_bucketed_join": r18_bucketed_join,
 }
 
 _APPROX_CHECK_ORACLES = {
@@ -553,6 +635,15 @@ RELATIONAL_ORACLES = {
                CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority
+    """,
+    # the bucketed layout must be invisible in the result — the oracle
+    # is the direct join + per-order GROUP BY
+    "r18_bucketed_join": """
+        SELECT o_orderkey, o_orderpriority, COUNT(*) AS n_items,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderkey, o_orderpriority
+        ORDER BY o_orderkey
     """,
     **_APPROX_CHECK_ORACLES,
     **_R14_ORACLE,

@@ -48,13 +48,24 @@ def write_bucketed_table(
     num_buckets: int,
     sort_cols: Sequence[str] | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
-    """Persist as a bucketed (optionally sorted) managed table: joins
-    and aggregations on ``bucket_cols`` against other tables bucketed
-    the same way run shuffle-free."""
+    """Persist as a bucketed (optionally sorted) table: joins and
+    aggregations on ``bucket_cols`` against other tables bucketed the
+    same way run shuffle-free — the rows land pre-hashed into
+    ``num_buckets`` files per write task, and the scan reports that
+    hash partitioning to the planner, so no Exchange is needed on
+    either side. ``path`` makes it an EXTERNAL table at that location
+    (the data outlives/escapes the warehouse dir; DROP TABLE removes
+    only the catalog entry). Bucket-file fan-out: each write task emits
+    one file per bucket it holds — ``df.repartition(num_buckets,
+    *bucket_cols)`` first to get exactly one file per bucket (Spark's
+    repartition and bucketBy share the Murmur3-pmod hash)."""
     writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
 
 

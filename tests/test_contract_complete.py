@@ -24,39 +24,41 @@ def test_queries_and_oracles_share_order():
 
 
 def test_stale_and_new_queries_inside_coverage_window():
-    """Rotation policy, round 7 (r6 verdict item 1): the 15 queries NEW
+    """Rotation policy, round 7 (r6 verdict item 1): the 18 queries NEW
     this round (a8 composed IVFPQ, s24 partitioned-manifest CDC, a9
     PQ-coded k-NN join, d13 segment dedup, t15 top-bigram, s25
     streaming retrieval, z1 z-order layout, f1 fuzzy join, s26
     manifest diff, z2 stats-pruned scan, a10 stored-index serving,
     r17 skew-salted join, s27 streaming index serving, a11 index
-    upsert + optimize, s28 concurrent stream writers) and the 11
-    stale-row queries (t13/smp4/pipe1 — r05 hash-reds from the
-    since-fixed oracle casts — plus the deferred
-    p3/p5/p6/x1/x3/b2/t5/t6) must LEAD the first 50 entries, followed
-    by the r05-green families due a refresh; each new query displaces
-    one refresh candidate past the cut
-    (t11/t12/t14/s17-s22/g1/g2/bpe1/bpe2 join r1-r10 — green every
-    round since r01/r02, the deepest evidence — first in line for
-    round 8)."""
+    upsert + optimize, s28 concurrent stream writers, r18 bucketed
+    shuffle-free join, k5 mergeable quantile sketch, mm4 perceptual
+    image dedup, smp6 temperature mixing, t16 held-out perplexity
+    gate) and the 11 stale-row
+    queries (t13/smp4/pipe1 — r05 hash-reds from the since-fixed
+    oracle casts — plus the deferred p3/p5/p6/x1/x3/b2/t5/t6) must
+    LEAD the first 50 entries, followed by the r05-green families due
+    a refresh; each new query displaces one refresh candidate past
+    the cut (d10/t7-t12/t14/s17-s22/g1/g2/bpe1/bpe2 join r1-r10 —
+    green every round since r01/r02, the deepest evidence — first in
+    line for round 8)."""
     import re
 
     qs = list(entry.queries())
     first50 = qs[:50]
-    # the 26 must-record queries lead the window outright
-    assert [k.split("_", 1)[0] for k in qs[:26]] == [
+    # the 31 must-record queries lead the window outright
+    assert [k.split("_", 1)[0] for k in qs[:31]] == [
         "a8", "s24", "a9", "d13", "t15", "s25", "z1", "f1", "s26",
-        "z2", "a10", "r17", "s27", "a11", "s28",
+        "z2", "a10", "r17", "s27", "a11", "s28", "r18", "k5", "mm4",
+        "smp6", "t16",
         "t13", "smp4", "pipe1",
         "p3", "p5", "p6", "x1", "x3", "b2", "t5", "t6",
-    ], qs[:26]
+    ], qs[:31]
     # the rest of the window: the r05-green refresh families that fit
     must_cover = [
         k
         for k in entry.queries()
         if re.match(
-            r"^(r1[1-6]|a[234]|k[14]|smp[123]|mm1|v[123]|d9|d10"
-            r"|t(7|8|9|10))_",
+            r"^(r1[1-6]|a[234]|k[14]|smp[123]_|mm1|v[123]|d9_)",
             k,
         )
     ]
@@ -64,11 +66,12 @@ def test_stale_and_new_queries_inside_coverage_window():
     assert not missing, f"driver window misses: {missing}"
     # deferred to round 8, right after the cut: the displaced refresh
     # candidates then r1-r10
-    assert [k.split("_", 1)[0] for k in qs[50:73]] == [
-        "t11", "t12", "t14", "s17", "s18", "s19", "s20", "s21", "s22",
+    assert [k.split("_", 1)[0] for k in qs[50:78]] == [
+        "d10", "t7", "t8", "t9", "t10", "t11", "t12", "t14",
+        "s17", "s18", "s19", "s20", "s21", "s22",
         "g1", "g2", "bpe1", "bpe2",
         *[f"r{i}" for i in range(1, 11)],
-    ], qs[50:73]
+    ], qs[50:78]
 
 
 def test_priority_list_covers_all_keys():

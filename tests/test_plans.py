@@ -292,3 +292,54 @@ def test_f1_fuzzy_join_windows_are_per_string(spark):
     assert specs, txt
     for line in specs:
         assert "l_id" in line or "r_id" in line, line
+
+
+def test_r18_bucketed_join_is_exchange_free(spark):
+    """r18: both sides bucketed on the join key → the SortMergeJoin
+    AND the per-order aggregation consume the scans' reported hash
+    partitioning — the executed plan has ZERO Exchange and both scans
+    read as bucketed. This is the shuffle-once-at-ingest contract the
+    bucketed layout exists for."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from async_pipes_spark.functions.money import cents
+    from async_pipes_spark.plans.relational import r18_joined_plan
+    from async_pipes_spark.session import ensure_engine_confs
+    from async_pipes_spark.sources.sinks import write_bucketed_table
+    from async_pipes_spark.sources.tables import load_table
+
+    session = spark.newSession()
+    ensure_engine_confs(session)
+    session.conf.set("spark.sql.shuffle.partitions", "8")
+    session.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    base = tempfile.mkdtemp(prefix="r18_plan_")
+    li = load_table(session, SF_SMOKE, "lineitem").select(
+        "l_orderkey", cents("l_extendedprice").alias("price_cents")
+    )
+    orders = load_table(session, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    write_bucketed_table(
+        li.repartition(8, "l_orderkey"), "r18_lineitem_b", ["l_orderkey"],
+        8, sort_cols=["l_orderkey"], path=f"{base}/li",
+    )
+    write_bucketed_table(
+        orders.repartition(8, "o_orderkey"), "r18_orders_b", ["o_orderkey"],
+        8, sort_cols=["o_orderkey"], path=f"{base}/orders",
+    )
+    try:
+        df = r18_joined_plan(session)
+        df.collect()  # let AQE finalize
+        txt = df._jdf.queryExecution().executedPlan().toString()
+        final = txt.split("== Initial Plan ==")[0]
+        assert "SortMergeJoin" in final, final
+        assert "Exchange" not in final, final
+        assert final.count("Bucketed: true") == 2, final
+    finally:
+        session.sql("DROP TABLE IF EXISTS r18_lineitem_b")
+        session.sql("DROP TABLE IF EXISTS r18_orders_b")
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)

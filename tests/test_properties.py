@@ -365,3 +365,61 @@ def test_weighted_mixture_zero_token_stratum_survives(spark):
         df, "lang", {"de": 1_000_000}, "toks", 100, ["doc_id"]
     )
     assert none.filter("lang = 'en'").count() == 0
+
+
+def test_temperature_mixture_sqrt_rebalance_and_invariance(spark):
+    """temperature_mixture_sample (α=1/2): a dominant stratum's keep
+    RATE drops below a rare stratum's (sqrt rebalancing), the rare
+    stratum's quota covering it entirely keeps ALL its rows, and the
+    selection is identical under any input partitioning. Also pins the
+    exact integer arithmetic: with n=900 vs n=9 (isqrt 30 vs 3,
+    total 33) and target 120, quotas are 109//.. -> floor exact."""
+    import pytest as _pytest
+
+    from async_pipes_spark.functions.sampling import temperature_mixture_sample
+
+    rows = [(i, "big" if i < 900 else "rare") for i in range(909)]
+    df = spark.createDataFrame(rows, "doc_id bigint, src string")
+    kept = temperature_mixture_sample(
+        df, strata_col="src", key_cols=["doc_id"], target_rows=120
+    )
+    rates = {
+        r.src: r.rate_ppm
+        for r in kept.select("src", "rate_ppm").distinct().collect()
+    }
+    # big: quota = 120*30//33 = 109 of 900 -> 121111 ppm
+    # rare: quota = 120*3//33 = 10 >= 9 -> capped at 100%
+    assert rates["big"] == 120 * 30 // 33 * 1_000_000 // 900, rates
+    assert rates["rare"] == 1_000_000, rates
+    counts = {r.src: r["count"] for r in kept.groupBy("src").count().collect()}
+    assert counts["rare"] == 9  # rate 100% keeps every row
+    assert 0 < counts["big"] < 300  # ~12% of 900, hash noise allowed
+    sel = sorted(r.doc_id for r in kept.collect())
+    kept2 = temperature_mixture_sample(
+        df.repartition(11), strata_col="src", key_cols=["doc_id"], target_rows=120
+    )
+    assert sorted(r.doc_id for r in kept2.collect()) == sel
+    with _pytest.raises(ValueError, match="target_rows"):
+        temperature_mixture_sample(df, "src", ["doc_id"], 0)
+
+
+def test_bigram_lm_heldout_scores_unseen_as_zero(spark):
+    """bigram_lm_scores(model_df=...): a held-out document whose
+    bigrams never appear in the training slice scores avg_p_micro 0
+    (left-join zero, no smoothing); a document repeating a trained
+    bigram scores exactly the model's conditional probability."""
+    from async_pipes_spark.functions.text import bigram_lm_scores
+
+    train = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c")], "doc_id bigint, text string"
+    )
+    held = spark.createDataFrame(
+        [(10, "x y x"), (11, "a b")], "doc_id bigint, text string"
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_p_micro)
+        for r in bigram_lm_scores(held, model_df=train).collect()
+    }
+    assert got[10] == (2, 0)  # 'x y'/'y x' unseen -> zero
+    # model: c('a b')=2, c('a c')=1, prefix 'a' total 3 -> P(b|a)=2/3
+    assert got[11] == (1, 666667)

@@ -1510,3 +1510,61 @@ def test_sidecar_follows_manifest_commits(spark, tmp_path):
     v3 = spark.range(0, 10).select(F.col("id"))  # 'v' gone
     write_manifest_table(spark, v3, path)
     assert prune_files(spark, path, {"v": (0, 1)}) is None
+
+
+def test_quantile_sketch_tolerance_and_exactness(spark):
+    """The mergeable quantile summary's rank-error contract: on a
+    skewed (lognormal-ish) 40k-row corpus with B=128 the estimate's
+    true rank stays within the n/2B bound (checked at 1%); and when a
+    group fits inside one summary (n <= B) the estimate IS the exact
+    lower quantile."""
+    import numpy as np
+    import pandas as pd
+
+    from async_pipes_spark.functions.sketches import (
+        quantile_merge,
+        quantile_sketch,
+    )
+
+    rng = np.random.RandomState(7)
+    big = pd.DataFrame(
+        {"g": "big", "v": np.exp(rng.normal(0, 2, 40_000)) * 1000}
+    )
+    small_vals = np.arange(100, dtype=np.float64)
+    small = pd.DataFrame({"g": "small", "v": rng.permutation(small_vals)})
+    df = spark.createDataFrame(pd.concat([big, small])).repartition(8)
+
+    probs = [0.1, 0.5, 0.9]
+    est = {
+        (r["g"], r["prob"]): r["est"]
+        for r in quantile_merge(
+            quantile_sketch(df, "v", ["g"], sketch_size=128), ["g"], probs
+        ).collect()
+    }
+    bv = np.sort(big["v"].to_numpy())
+    for p in probs:
+        rank = np.searchsorted(bv, est[("big", p)], side="right")
+        assert abs(rank - p * len(bv)) <= 0.01 * len(bv) + 1, (p, rank)
+    for p in probs:
+        exact = np.sort(small_vals)[
+            int(np.ceil(p * len(small_vals))) - 1
+        ]
+        assert est[("small", p)] == exact, (p, est[("small", p)], exact)
+
+
+def test_quantile_sketch_rejects_bad_params(spark):
+    import pytest
+
+    from async_pipes_spark.functions.sketches import (
+        quantile_merge,
+        quantile_sketch,
+    )
+
+    df = spark.range(10).withColumnRenamed("id", "v")
+    with pytest.raises(ValueError, match="sketch_size"):
+        quantile_sketch(df, "v", [], sketch_size=1)
+    summ = quantile_sketch(df.selectExpr("'a' AS g", "v"), "v", ["g"])
+    with pytest.raises(ValueError, match="non-empty"):
+        quantile_merge(summ, ["g"], [])
+    with pytest.raises(ValueError, match="outside"):
+        quantile_merge(summ, ["g"], [1.5])
