@@ -125,6 +125,54 @@ def weighted_mixture_sample(
     )
 
 
+def split_assign(
+    df: DataFrame,
+    group_cols: list[str],
+    splits_ppm: dict[str, int],
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-proof train/val/test assignment: adds ``split_col``
+    naming the split each row belongs to, where the split is a pure
+    function of the GROUP key hash — so every row of a group (the
+    leakage unit: a near-dup fingerprint, a source domain, a user id)
+    lands in the SAME split by construction. Splitting on row ids
+    instead is the classic eval-contamination bug: near-identical
+    documents straddle train and test.
+
+    ``splits_ppm`` maps split name -> parts-per-million share, in
+    priority order, summing to exactly 1e6: the hash space [0, 16^12)
+    is carved into consecutive intervals, the last split taking the
+    remainder (so ppm rounding can never orphan a hash value).
+
+    Scale shape: a pure map-side projection — no shuffle, no stats
+    pass, no join. Re-running on a grown corpus never moves a
+    previously assigned group (assignment depends only on the group
+    key), so splits are append-stable across corpus versions — the
+    same property that makes :func:`hash_sample` nest across rates."""
+    names = list(splits_ppm)
+    if not names:
+        raise ValueError("splits_ppm must name at least one split")
+    bad = {s: p for s, p in splits_ppm.items() if not 0 <= p <= PPM}
+    if bad:
+        raise ValueError(f"split shares must be in [0, {PPM}] ppm: {bad}")
+    if sum(splits_ppm.values()) != PPM:
+        raise ValueError(
+            f"split shares must sum to exactly {PPM} ppm, got "
+            f"{sum(splits_ppm.values())}"
+        )
+    h = hash_hex(*group_cols)
+    expr: Column | None = None
+    cum = 0
+    for name in names[:-1]:
+        cum += splits_ppm[name]
+        cond = h < F.lit(_threshold_hex(cum))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    assigned = (
+        F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    )
+    return df.withColumn(split_col, assigned)
+
+
 def group_sample(
     df: DataFrame,
     group_cols: list[str],

@@ -733,6 +733,43 @@ def smp6_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def smp7_leakproof_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-proof train/val/test split (80/10/10): the split is a
+    pure function of the near-dup GROUP key — d5's canonical token-set
+    fingerprint — so duplicate and reordered-copy documents land in the
+    SAME split by construction (functions.sampling.split_assign).
+    Splitting on doc_id instead is the classic eval-contamination bug.
+    Returns per-split doc/group counts plus ``leaky_groups``, the
+    honestly-computed count of fingerprints straddling >1 split (0 by
+    construction; the oracle recomputes rather than assumes it).
+
+    Scale shape: assignment is a zero-shuffle map-side projection —
+    at 100 TB the split itself is free; only the audit aggregations
+    shuffle (once on the fingerprint, once on the split label). The
+    assignment is append-stable: growing the corpus never moves a
+    previously assigned group."""
+    from async_pipes_spark.functions.sampling import split_assign
+    from async_pipes_spark.functions.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint("text").alias("grp")
+    )
+    a = split_assign(
+        docs, ["grp"], {"train": 800_000, "val": 100_000, "test": 100_000}
+    )
+    per = a.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("grp").alias("n_groups"),
+    )
+    leaks = (
+        a.groupBy("grp")
+        .agg(F.countDistinct("split").alias("_ns"))
+        .filter(F.col("_ns") > 1)
+        .agg(F.count(F.lit(1)).alias("leaky_groups"))
+    )
+    return per.crossJoin(F.broadcast(leaks)).orderBy("split")
+
+
 def bpe1_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer training on the engine: the first 6 BPE merges learned
     from the corpus word-frequency table (functions.bpe — Sennrich
@@ -2801,6 +2838,7 @@ EXTENSION_QUERIES = {
     "smp4_weighted_mixture": smp4_weighted_mixture,
     "smp5_corpus_shuffle": smp5_corpus_shuffle,
     "smp6_temperature_mixture": smp6_temperature_mixture,
+    "smp7_leakproof_split": smp7_leakproof_split,
     "s17_stream_redact": s17_stream_redact,
     "s18_stream_simhash": s18_stream_simhash,
     "s19_stream_dedup_against_static": s19_stream_dedup_against_static,
@@ -4296,6 +4334,35 @@ EXTENSION_ORACLES = {
         )
         SELECT source, COUNT(*) AS n_kept, MIN(rate_ppm) AS rate_ppm
         FROM kept GROUP BY source ORDER BY source
+    """,
+    # leakage-proof split: assignment replayed as the same md5
+    # interval arithmetic over d5's token-set fingerprint; the leak
+    # audit is recomputed, not assumed zero
+    "smp7_leakproof_split": f"""
+        WITH a AS (
+            SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct(
+                       string_split(text, ' '))), ' ')) AS grp
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id, grp,
+                   CASE WHEN substring(md5(grp), 1, 12)
+                             < '{_threshold_hex(800_000)}' THEN 'train'
+                        WHEN substring(md5(grp), 1, 12)
+                             < '{_threshold_hex(900_000)}' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM a
+        ),
+        leaks AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS leaky_groups
+            FROM (SELECT grp FROM s
+                  GROUP BY grp HAVING COUNT(DISTINCT split) > 1)
+        )
+        SELECT split, COUNT(*) AS n_docs,
+               COUNT(DISTINCT grp) AS n_groups, leaky_groups
+        FROM s CROSS JOIN leaks
+        GROUP BY split, leaky_groups ORDER BY split
     """,
     # the epoch-shuffle manifest: rank in md5-of-id order (the engine
     # computes it through the distributed prefix scan, never a global

@@ -229,6 +229,23 @@ def test_t13_bins_have_no_global_window(spark):
         assert "_pid" in line, line
 
 
+def test_split_assign_is_shuffle_free_projection(spark):
+    """split_assign: the train/val/test assignment itself must plan as
+    a pure map-side projection — zero Exchange, zero join, zero
+    aggregate. At 100 TB the split is free; anything else means the
+    assignment accidentally grew a stats pass."""
+    from async_pipes_spark.functions.sampling import split_assign
+
+    df = spark.range(1000).selectExpr("id AS doc_id", "id % 7 AS grp")
+    txt = plan_text(
+        split_assign(df, ["grp"], {"train": 900_000, "test": 100_000}),
+        "formatted",
+    )
+    assert "Exchange" not in txt, txt
+    assert "Join" not in txt, txt
+    assert "Aggregate" not in txt, txt
+
+
 def test_bpe2_encode_is_broadcast_vocab_join(spark):
     """bpe2: encoding joins the corpus against the once-segmented
     vocab via broadcast — the corpus side must not shuffle."""

@@ -403,6 +403,48 @@ def test_temperature_mixture_sqrt_rebalance_and_invariance(spark):
         temperature_mixture_sample(df, "src", ["doc_id"], 0)
 
 
+def test_split_assign_group_disjoint_and_invariant(spark):
+    """split_assign: every row of a group gets the SAME split label
+    (the leakage-proof property), shares must sum to 1e6 ppm, the
+    assignment is identical under any partitioning, and it is
+    append-stable (growing the corpus never moves an existing group)."""
+    import pytest as _pytest
+
+    from async_pipes_spark.functions.sampling import split_assign
+
+    rows = [(i, f"g{i % 40}") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id bigint, grp string")
+    shares = {"train": 800_000, "val": 100_000, "test": 100_000}
+    a = split_assign(df, ["grp"], shares)
+    per_group = (
+        a.groupBy("grp").agg(F.countDistinct("split").alias("ns")).collect()
+    )
+    assert all(r.ns == 1 for r in per_group)  # group-disjoint
+    got = {(r.doc_id, r.split) for r in a.collect()}
+    a2 = split_assign(df.repartition(13), ["grp"], shares)
+    assert {(r.doc_id, r.split) for r in a2.collect()} == got
+    # append-stability: the 40-group assignment is a subset of the
+    # 80-group corpus's assignment
+    grown = spark.createDataFrame(
+        [(i, f"g{i % 80}") for i in range(800)], "doc_id bigint, grp string"
+    )
+    g_map = {
+        r.grp: r.split
+        for r in split_assign(grown, ["grp"], shares)
+        .select("grp", "split")
+        .distinct()
+        .collect()
+    }
+    for r in a.select("grp", "split").distinct().collect():
+        assert g_map[r.grp] == r.split
+    with _pytest.raises(ValueError, match="sum to exactly"):
+        split_assign(df, ["grp"], {"train": 900_000, "test": 200_000})
+    with _pytest.raises(ValueError, match="at least one"):
+        split_assign(df, ["grp"], {})
+    with _pytest.raises(ValueError, match="in \\[0,"):
+        split_assign(df, ["grp"], {"a": -1, "b": 1_000_001})
+
+
 def test_bigram_lm_heldout_scores_unseen_as_zero(spark):
     """bigram_lm_scores(model_df=...): a held-out document whose
     bigrams never appear in the training slice scores avg_p_micro 0
