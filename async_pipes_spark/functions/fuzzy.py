@@ -17,15 +17,28 @@ literature), re-expressed here Spark-first:
   order). Blocking on the rarest grams makes posting lists short BY
   CONSTRUCTION — the hot-gram problem (every name sharing a common
   prefix) never forms a quadratic bucket.
-- **Short strings** (length < q·(d+1) + d, where the gram bound can
-  be vacuous) go through *symmetric delete neighborhoods* (the
-  SymSpell idea): if ``ed(s, t) ≤ d`` then deleting ≤ d characters
-  from each reaches a common string. Neighborhood size is bounded by
-  a small constant because the strings themselves are short.
+- **Short strings** (length < ``delete_max_len``) go through
+  *symmetric delete neighborhoods* (the SymSpell idea): if
+  ``ed(s, t) ≤ d`` then deleting ≤ d characters from each reaches a
+  common string. Neighborhood size is ``len+1`` keys at d=1 (LINEAR —
+  cheap far beyond "short") and ~``len²/2`` at d=2.
 
-The two membership ranges overlap on ``[q·(d+1), q·(d+1) + d)`` so
-every qualifying pair is caught by at least one path (a pair's two
-lengths differ by ≤ d). Candidates are deduplicated and verified
+The path boundary is a COST choice, not a correctness one: any
+boundary ≥ ``q·(d+1) + d`` is complete (below it the gram bound can
+be vacuous). Gram blocking is the safe default for free text, but on
+KEY-STRUCTURED corpora (serial-numbered names, ids, titles sharing a
+long template) the gram alphabet is tiny, so even the rarest-gram
+posting lists go quadratic — 15k TPC-H customer names produce 21M
+gram candidates but only ~300k delete keys whose buckets are
+near-singletons (the bucket key is the whole string minus d chars —
+specific by construction, where a q-gram never is). Hence
+``delete_max_len`` defaults well above the completeness floor (40 at
+d=1, 24 at d=2 — past which neighborhood shuffle bytes ~len^(d+1)
+overtake gram costs) and is caller-tunable per corpus shape.
+
+Both length ranges overlap on ``[q·(d+1), delete_max_len)`` and a
+qualifying pair's two lengths differ by ≤ d, so every pair lands with
+BOTH strings inside at least one path. Candidates are deduplicated and verified
 with the JVM ``levenshtein(l, r, threshold)`` (banded DP, O(d·n))
 — no Python in any hot path; everything is whole-stage-codegen
 expressions plus three key-partitioned shuffles (gram df count,
@@ -106,11 +119,25 @@ def fuzzy_join(
     right_on: tuple[str, str],
     max_dist: int = 1,
     q: int = 2,
+    delete_max_len: int | None = None,
+    _canonical: bool = False,
 ) -> DataFrame:
     """All pairs (one per left×right id pair) whose text columns are
     within Levenshtein distance ``max_dist`` — EXACT result, never an
     all-pairs plan. ``left_on``/``right_on`` are ``(id_col,
     text_col)``. Returns ``l_id, l_text, r_id, r_text, dist``.
+
+    ``delete_max_len``: strings shorter than this take the
+    delete-neighborhood path, the rest the rarest-gram path — a cost
+    boundary, not a correctness one (module docstring; any value is
+    clamped up to the q·(d+1)+d completeness floor). Lower it for
+    free-text corpora, raise it for key-structured ones.
+
+    ``_canonical`` (internal, :func:`fuzzy_pairs`): self-join callers
+    only want ``l_id < r_id``, so the filter is applied at candidate
+    generation — BEFORE the dedup shuffle and the DP verification —
+    halving both, instead of verifying each pair twice plus n exact
+    self-pairs and discarding the waste afterwards.
 
     Rows with NULL text never match (SQL comparison semantics).
     See the module docstring for the blocking proof and the scale
@@ -123,7 +150,11 @@ def fuzzy_join(
         raise ValueError(f"q must be >= 2, got {q}")
     d = max_dist
     long_min = q * (d + 1)  # gram count filter provably non-vacuous
-    short_max = long_min + d  # partners of sub-long_min strings
+    if delete_max_len is None:
+        delete_max_len = 40 if d == 1 else 24
+    # completeness floor: partners of sub-long_min strings must also
+    # take the delete path (their lengths reach long_min + d - 1)
+    short_max = max(long_min + d, delete_max_len)
     plen = q * d + 1
 
     L = left.select(
@@ -141,12 +172,20 @@ def fuzzy_join(
         "r_id", "r_t", F.explode(F.expr(_neighborhood_expr("r_t", d))).alias("k")
     )
     cand_short = ls.join(rs, "k").select("l_id", "l_t", "r_id", "r_t")
+    if _canonical:
+        cand_short = cand_short.where(F.col("l_id") < F.col("r_id"))
 
-    # long path: rarest-gram prefix postings
-    lg = L.where(F.length("l_t") >= long_min).select(
+    # long path: rarest-gram prefix postings. Starts d below the
+    # delete path's ceiling — NOT at long_min — so the two paths share
+    # only the d-wide boundary band instead of re-running every
+    # mid-length string through both. Completeness: a pair with its
+    # longer string ≥ short_max has its shorter ≥ short_max - d (both
+    # here); a pair with both < short_max is wholly in the short path.
+    gram_min = max(long_min, short_max - d)
+    lg = L.where(F.length("l_t") >= gram_min).select(
         "l_id", "l_t", F.explode(F.expr(_grams_expr("l_t", q))).alias("g")
     )
-    rg = R.where(F.length("r_t") >= long_min).select(
+    rg = R.where(F.length("r_t") >= gram_min).select(
         "r_id", "r_t", F.explode(F.expr(_grams_expr("r_t", q))).alias("g")
     )
     dfreq = (
@@ -160,11 +199,15 @@ def fuzzy_join(
         .join(_prefix_grams(rg, "r_id", dfreq, plen), "g")
         .select("l_id", "l_t", "r_id", "r_t")
     )
+    if _canonical:
+        cand_long = cand_long.where(F.col("l_id") < F.col("r_id"))
 
     return (
         cand_short.unionByName(cand_long)
-        .distinct()
+        # length band BEFORE the dedup shuffle: a cheap codegen filter
+        # that shrinks the distinct's exchange, not just the DP input
         .where(F.abs(F.length("l_t") - F.length("r_t")) <= d)
+        .distinct()
         .withColumn("dist", F.levenshtein("l_t", "r_t", d))
         .where(F.col("dist") >= 0)  # banded DP returns -1 past the budget
         .withColumn(
@@ -176,10 +219,25 @@ def fuzzy_join(
 
 
 def fuzzy_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_dist: int = 1, q: int = 2
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 1,
+    q: int = 2,
+    delete_max_len: int | None = None,
 ) -> DataFrame:
     """Self-join form: canonical (l_id < r_id) pairs within
-    ``max_dist`` — the near-duplicate-record report."""
+    ``max_dist`` — the near-duplicate-record report. Canonicalization
+    happens at candidate generation (see ``_canonical``), so neither
+    the mirror of a pair nor the n self-pairs ever reach the dedup
+    shuffle or the DP verification."""
     return fuzzy_join(
-        df, df, (id_col, text_col), (id_col, text_col), max_dist, q
-    ).where(F.col("l_id") < F.col("r_id"))
+        df,
+        df,
+        (id_col, text_col),
+        (id_col, text_col),
+        max_dist,
+        q,
+        delete_max_len,
+        _canonical=True,
+    )
