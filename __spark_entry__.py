@@ -57,7 +57,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: — r05 hash-red from the since-fixed HUGEINT casts, judge-re-verified
 #: green; p3/p5/p6/x1/x3/b2/t5/t6 — the r6-promised deferral), then
 #: 18 of the 47 r05-green queries. The displaced refresh candidates
-#: (d10/t7-t12/t14/s17-s22/g1/g2/bpe1/bpe2) and r1-r10 (green
+#: (d9/d10/t7-t12/t14/s17-s22/g1/g2/bpe1/bpe2) and r1-r10 (green
 #: since r01/r02, re-verified r05 — the deepest evidence in the
 #: contract) defer to round 8 and sit first after the cut; the 50
 #: r06-green queries hold the tail. Every query keeps its oracle
