@@ -71,12 +71,14 @@ def write_ann_index(
     training samples for centroids/codebooks); the codes table commit
     is object-store-safe (manifest pointer) and cell-clustered so
     probes prune files. Returns ``{"files": N, "cells": K}``."""
+    n = corpus.count()  # one count shared by both training samplers
     cents = kmeans_centroids(
-        corpus, k=num_centroids, iters=iters, id_col=id_col, vec_col=vec_col
+        corpus, k=num_centroids, iters=iters, id_col=id_col, vec_col=vec_col,
+        n_rows=n,
     )
     books = pq_codebooks(
         corpus, m=m, k=codes_per_subspace, id_col=id_col, vec_col=vec_col,
-        iters=iters,
+        iters=iters, n_rows=n,
     )
     write_manifest_table(spark, cents, f"{path}/centroids")
     book_rows = [
@@ -91,7 +93,14 @@ def write_ann_index(
         ),
         f"{path}/codebooks",
     )
-    encoded = ivf_pq_encode(corpus, cents, books, id_col, vec_col)
+    # pin the encode output before the range shuffle: repartitionByRange
+    # samples its child for range boundaries, so an unpinned encode would
+    # run the full corpus kernel TWICE (sample pass + write pass). The
+    # pinned table is the CODES (16-32× smaller than the corpus), so the
+    # materialization is cheap relative to the corpus re-read it saves.
+    from async_pipes_spark.session import pin
+
+    encoded = pin(ivf_pq_encode(corpus, cents, books, id_col, vec_col))
     write_manifest_table(
         spark,
         encoded.repartitionByRange(num_files, "cell").sortWithinPartitions(
@@ -128,8 +137,13 @@ def ann_index_upsert(
     the clustered layout. This is precisely Delta/Iceberg's
     write-fast/OPTIMIZE-later contract, and the churn a retrieval
     corpus sees between optimizes is small relative to the base."""
+    from async_pipes_spark.session import pin
+
     cents, books = read_ann_index(spark, path)
-    encoded = ivf_pq_encode(vectors, cents, books, id_col, vec_col)
+    # the merge references its update set more than once (key probe,
+    # anti-join, union) — pin the tiny codes batch so the encode kernel
+    # runs exactly once over the incoming vectors
+    encoded = pin(ivf_pq_encode(vectors, cents, books, id_col, vec_col))
     merge_upsert(spark, f"{path}/codes", encoded, [id_col])
 
 

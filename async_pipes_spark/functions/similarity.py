@@ -266,6 +266,7 @@ def kmeans_centroids(
     max_sample: int = 100_000,
     iters: int = 10,
     seed: int = 13,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Sampled-KMeans IVF centroids — the production centroid source
     (the query operators default to a deterministic id-prefix only so
@@ -283,10 +284,12 @@ def kmeans_centroids(
     is a hash-threshold filter on the id (not ``sample()``, whose
     per-partition RNG changes with the layout), ordered by id before
     the limit so the same corpus yields the same centroids on any
-    cluster."""
+    cluster. ``n_rows`` lets a caller that already counted the corpus
+    (e.g. an index build training centroids AND codebooks over the
+    same table) skip the count job."""
     import numpy as np
 
-    n = corpus.count()
+    n = corpus.count() if n_rows is None else n_rows
     if n == 0:
         raise ValueError("cannot build centroids from an empty corpus")
     if k is None:
@@ -804,6 +807,7 @@ def pq_codebooks(
     max_sample: int = 100_000,
     iters: int = 10,
     seed: int = 29,
+    n_rows: int | None = None,
 ):
     """Product-quantization codebooks: split the embedding dimension
     into ``m`` contiguous subspaces and train a ``k``-centroid KMeans
@@ -818,10 +822,11 @@ def pq_codebooks(
     Lloyd's per subspace (k·m tiny problems), same seed → same books
     on any partitioning. Returns a numpy array of shape (m, k, d/m)
     wrapped in a plain list-of-lists (driver-side object, closed over
-    by the encode/scan kernels — it is a few KB)."""
+    by the encode/scan kernels — it is a few KB). ``n_rows`` skips the
+    count job when the caller already holds the corpus size."""
     import numpy as np
 
-    n = corpus.count()
+    n = corpus.count() if n_rows is None else n_rows
     if n == 0:
         raise ValueError("cannot train codebooks on an empty corpus")
     if k > 256:

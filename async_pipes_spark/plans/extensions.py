@@ -1084,7 +1084,9 @@ def a8_ivfpq_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = ivf_pq_topk(
         emb, queries, k=3, codebooks=books, shortlist=20, nprobe=3, centroids=cents
     )
-    exact = cosine_topk(emb, queries, k=3)
+    # exact feeds both the denominator agg and the hits join — pin the
+    # tiny (|queries|·k)-row result so the brute-force scan runs once
+    exact = _pin(cosine_topk(emb, queries, k=3))
     hits = approx.join(exact, ["q_id", "c_id"], "leftsemi")
     return (
         exact.agg(
@@ -1135,15 +1137,21 @@ def a10_stored_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, emb, base, num_centroids=8, m=16, codes_per_subspace=64,
         iters=4, num_files=8,
     )
-    stored = ann_index_topk(
-        spark, base, emb, queries, k=3, shortlist=20, nprobe=3
+    # each comparison operand feeds 2-3 subtrees of the verification
+    # plan (hits join, both exceptAll directions, the denominator agg);
+    # pinning the tiny (|queries|·k)-row results runs each full serving
+    # pipeline exactly once instead of per-reference
+    stored = _pin(
+        ann_index_topk(spark, base, emb, queries, k=3, shortlist=20, nprobe=3)
     )
     cents, books = read_ann_index(spark, base)
-    mem = ivf_pq_topk(
-        emb, queries, k=3, codebooks=books, shortlist=20, nprobe=3,
-        centroids=cents,
+    mem = _pin(
+        ivf_pq_topk(
+            emb, queries, k=3, codebooks=books, shortlist=20, nprobe=3,
+            centroids=cents,
+        )
     )
-    exact = cosine_topk(emb, queries, k=3)
+    exact = _pin(cosine_topk(emb, queries, k=3))
     hits = stored.join(exact, ["q_id", "c_id"], "leftsemi")
     diff = stored.exceptAll(mem).unionByName(mem.exceptAll(stored))
     out = (
@@ -1212,15 +1220,20 @@ def a11_index_upsert_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter((F.col("vec_id") >= 60) & (F.col("vec_id") < 80)),
     )
     ann_index_optimize(spark, base, num_files=8)
-    stored = ann_index_topk(
-        spark, base, emb, queries, k=3, shortlist=20, nprobe=3
+    # pin the comparison operands (see a10): each is referenced by 2-3
+    # verification subtrees and each unpinned reference re-runs a full
+    # serving pipeline
+    stored = _pin(
+        ann_index_topk(spark, base, emb, queries, k=3, shortlist=20, nprobe=3)
     )
     cents, books = read_ann_index(spark, base)
-    mem = ivf_pq_topk(
-        emb, queries, k=3, codebooks=books, shortlist=20, nprobe=3,
-        centroids=cents,
+    mem = _pin(
+        ivf_pq_topk(
+            emb, queries, k=3, codebooks=books, shortlist=20, nprobe=3,
+            centroids=cents,
+        )
     )
-    exact = cosine_topk(emb, queries, k=3)
+    exact = _pin(cosine_topk(emb, queries, k=3))
     hits = stored.join(exact, ["q_id", "c_id"], "leftsemi")
     diff = stored.exceptAll(mem).unionByName(mem.exceptAll(stored))
     from async_pipes_spark.sources.sinks import read_manifest_table
@@ -1282,7 +1295,9 @@ def a9_pq_knn_join_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     left = emb.filter(F.col("vec_id") % 3 == 0)
     books = pq_codebooks(emb, m=16, k=64, iters=4)
     pq = ivf_pq_knn_join(left, emb, k=2, codebooks=books, shortlist=20, nprobe=2)
-    raw = ivf_knn_join(left, emb, k=2, nprobe=2)
+    # raw feeds both the denominator agg and the hits join — pin it so
+    # the raw-vector join (cogroup + window) runs once
+    raw = _pin(ivf_knn_join(left, emb, k=2, nprobe=2))
     hits = pq.join(raw, ["q_id", "c_id"], "leftsemi")
     return (
         raw.agg(
@@ -2622,7 +2637,9 @@ def s27_stream_index_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     served = session.read.parquet(outdir)
     queries = emb.filter(F.col("vec_id") < 20)
-    exact = cosine_topk(emb, queries, k=3)
+    # exact feeds the denominator agg and the hits join — pin it so the
+    # brute-force scan runs once
+    exact = _pin(cosine_topk(emb, queries, k=3))
     hits = served.join(exact, ["q_id", "c_id"], "leftsemi")
     out = (
         exact.agg(
@@ -2639,6 +2656,85 @@ def s27_stream_index_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "recall_at_least_40pct"
             ),
         )
+        .transform(_pin)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+def s29_stream_near_dup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-crawl gate with NEAR-dup semantics — s19's
+    exact-fingerprint anti-join upgraded to MinHash-LSH: the lake's
+    banded signature table (doc_id < 250, built once and STORED — at
+    100 TB this is a maintained table, not a recomputation) drops any
+    arriving document that shares a (band, sig) bucket with it. Each
+    micro-batch computes its own signatures (one Arrow kernel pass
+    over the batch — only (doc, band, sig) rows leave the Python
+    worker), semi-joins the broadcast seen-set for the doomed ids, and
+    appends the survivors; un-signable docs (NULL text / shorter than
+    a shingle) have no bands and pass, matching the batch operator.
+    Appends are replay-guarded by once_per_batch markers. Per-trigger
+    cost scales with batch size × num_bands, never with lake size
+    (the signature side broadcasts here; key-partition it on (band,
+    sig) when the lake's signature table outgrows broadcast). The
+    quiesced per-source survivor counts equal the one-shot batch gate
+    under ANY batching — the oracle replays the identical md5 banded
+    signatures."""
+    import shutil
+    import tempfile
+
+    from async_pipes_spark.functions.dedup import minhash_signatures
+    from async_pipes_spark.session import ensure_engine_confs
+    from async_pipes_spark.streaming.run import once_per_batch
+
+    base = tempfile.mkdtemp(prefix="s29_gate_")
+    incoming, outdir, seendir = f"{base}/in", f"{base}/out", f"{base}/seen"
+
+    session = spark.newSession()
+    ensure_engine_confs(session)
+    session.conf.set("spark.sql.shuffle.partitions", "8")
+
+    docs = load_table(session, sf_dir, "documents")
+    # the lake side: banded signatures of the already-ingested corpus,
+    # stored once (the production shape — a crawler maintains this
+    # table; it is never recomputed per trigger)
+    minhash_signatures(docs.filter(F.col("doc_id") < 250)).select(
+        "band", "sig"
+    ).distinct().write.mode("overwrite").parquet(seendir)
+    # 4 files -> 4 micro-batches under maxFilesPerTrigger=1
+    docs.filter(F.col("doc_id") >= 250).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(incoming)
+
+    def gate(batch: DataFrame, _batch_id: int) -> None:
+        sess = batch.sparkSession
+        seen = sess.read.parquet(seendir)
+        doomed = (
+            minhash_signatures(batch)
+            .join(F.broadcast(seen), ["band", "sig"], "leftsemi")
+            .select("doc_id")
+            .distinct()
+        )
+        batch.join(doomed, "doc_id", "left_anti").select(
+            "doc_id", "source"
+        ).write.mode("append").parquet(outdir)
+
+    q = (
+        session.readStream.schema(session.read.parquet(incoming).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(incoming)
+        .writeStream.foreachBatch(once_per_batch(gate, f"{base}/_applied"))
+        .option("checkpointLocation", f"{base}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    out = (
+        session.read.parquet(outdir)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+        .orderBy("source")
         .transform(_pin)
     )
     shutil.rmtree(base, ignore_errors=True)
@@ -2850,6 +2946,7 @@ EXTENSION_QUERIES = {
     "s28_concurrent_stream_writers": s28_concurrent_stream_writers,
     "s25_stream_topk": s25_stream_topk,
     "s27_stream_index_serving": s27_stream_index_serving,
+    "s29_stream_near_dup_gate": s29_stream_near_dup_gate,
     "z1_zorder_scan": z1_zorder_scan,
     "z2_stats_pruned_scan": z2_stats_pruned_scan,
     "f1_fuzzy_name_pairs": f1_fuzzy_name_pairs,
@@ -4413,6 +4510,37 @@ EXTENSION_ORACLES = {
                true AS recall_at_least_40pct
         FROM embeddings WHERE vec_id < 20
     """,
+    # the near-dup crawl gate quiesces to the one-shot batch gate:
+    # fresh docs sharing ANY (band, sig) bucket with the doc_id<250
+    # lake drop; the oracle replays the identical md5 banded minhash
+    "s29_stream_near_dup_gate": (
+        "WITH "
+        + _SHINGLES.format(doc_filter="")
+        + """,
+        hashes AS (
+            SELECT doc_id, t.i,
+                   min(md5(CAST(t.i AS VARCHAR) || '|' || shingle)) AS mh
+            FROM sh CROSS JOIN generate_series(0, 7) t(i)
+            GROUP BY doc_id, t.i
+        ),
+        bands AS (
+            SELECT doc_id, i // 2 AS band,
+                   string_agg(mh, '|' ORDER BY i) AS sig
+            FROM hashes GROUP BY doc_id, i // 2
+        ),
+        seen AS (SELECT DISTINCT band, sig FROM bands WHERE doc_id < 250),
+        doomed AS (
+            SELECT DISTINCT b.doc_id
+            FROM bands b JOIN seen s USING (band, sig)
+            WHERE b.doc_id >= 250
+        )
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_new
+        FROM documents d
+        WHERE d.doc_id >= 250
+          AND d.doc_id NOT IN (SELECT doc_id FROM doomed)
+        GROUP BY source ORDER BY source
+    """
+    ),
     # per-batch streaming retrieval unions to the one-shot exact
     # top-1 (each query arrives exactly once) — x2's oracle shape
     "s25_stream_topk": """
