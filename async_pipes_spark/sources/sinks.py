@@ -815,6 +815,92 @@ def read_partitioned_manifest(
     return df
 
 
+def restore_manifest_table(
+    spark, path: str, to: str, occ_retries: int = 5
+) -> None:
+    """RESTORE — rollback as a new commit, POINTER-ONLY (the Delta
+    RESTORE shape): re-publish a retained older version (flat
+    manifest: a ``v_*`` from :func:`manifest_versions`) or generation
+    (partitioned: a ``g_*`` from
+    :func:`partitioned_manifest_generations`) as the new live state.
+    No data is copied or rewritten — version dirs are immutable, so
+    making an old one live again costs one commit-log claim + pointer
+    replace however large the table (the production answer to a bad
+    merge landing at 100 TB). The restore is itself a normal commit:
+    it serializes through the commit log against concurrent writers,
+    inherits the table's retention, and keeps the rolled-back state in
+    the retained window (it becomes 'previous', so a restore is
+    time-travelable and restorable-back). Restoring the live state is
+    a no-op. Only RETAINED states can be restored — anything older was
+    GC'd with its data."""
+    import time
+
+    if _pmanifest_read(spark, path) is not None:
+        last: Exception | None = None
+        for attempt in range(max(1, occ_retries)):
+            gens, _keep, cols, seq = _pmanifest_read(spark, path)
+            if to not in gens:
+                raise ValueError(
+                    f"generation {to!r} not retained (have {gens}); only "
+                    "retained generations can be restored"
+                )
+            if gens[0] == to:
+                return  # already live
+            mapping = _pmanifest_mapping(spark, path, to)
+            try:
+                # a fresh gen file with the restored mapping: retention
+                # GC keeps every version dir the restored mapping
+                # references (the new generation references them)
+                _pmanifest_commit(spark, path, cols, mapping, expected_seq=seq)
+                return
+            except ConcurrentCommitError as e:
+                last = e
+                time.sleep(min(0.05 * (attempt + 1), 1.0))
+        raise ConcurrentCommitError(
+            f"restore of {path} lost {occ_retries} commit races"
+        ) from last
+
+    fs, _, jvm = _hadoop_fs(spark, f"{path}/{_MANIFEST}")
+    for attempt in range(64):
+        versions, keep, seq = _manifest_read(spark, path)
+        if not versions:
+            raise ValueError(f"not a manifest table (no {_MANIFEST}): {path}")
+        if to not in versions:
+            raise ValueError(
+                f"version {to!r} not retained (have {versions}); only "
+                "retained versions can be restored"
+            )
+        if versions[0] == to:
+            return  # already live
+        retained = ([to] + [v for v in versions if v != to])[:keep]
+        body = "\n".join(retained) + f"\n#keep={keep}\n#seq={seq + 1}\n"
+        if _claim_commit(spark, path, seq + 1, body):
+            if _raw_pointer_seq(spark, path) > seq:
+                fs.delete(
+                    jvm.org.apache.hadoop.fs.Path(_marker_path(path, seq + 1)),
+                    False,
+                )
+                raise ConcurrentCommitError(
+                    f"{path}: stale restore slot {seq + 1} (table moved past it)"
+                )
+            break
+        time.sleep(min(0.05 * (attempt + 1), 1.0))
+    else:
+        raise ConcurrentCommitError(
+            f"{path}: could not claim a commit slot after 64 attempts"
+        )
+    _publish_pointer(spark, path, body, seq + 1)
+    # a restore re-orders the retained list without growing it, so it
+    # drops versions only when the stored list already exceeded keep
+    retained_set = set(retained)
+    for v in versions:
+        if v not in retained_set:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/_data/{v}"), True)
+    from async_pipes_spark.sources.stats import refresh_file_stats
+
+    refresh_file_stats(spark, path, retain=retained_set)
+
+
 def merge_upsert(
     spark,
     target_path: str,

@@ -1895,3 +1895,132 @@ def test_manifest_diff_schema_mismatch_raises(spark, tmp_path):
     new_v, old_v = manifest_versions(spark, path)[:2]
     with pytest.raises(ValueError, match="matching schemas"):
         manifest_diff(spark, path, old_v, new_v, ["k"])
+
+
+def test_restore_manifest_table_flat(spark, tmp_path):
+    """RESTORE is a pointer-only commit: the rolled-back version
+    becomes live again with no data rewrite, the displaced live state
+    stays retained (restore is reversible), restoring the live version
+    is a no-op, and unretained versions are rejected."""
+    import pytest
+
+    from async_pipes_spark.sources.sinks import (
+        manifest_versions,
+        merge_upsert,
+        read_manifest_table,
+        restore_manifest_table,
+        write_manifest_table,
+    )
+
+    path = str(tmp_path / "t")
+    write_manifest_table(
+        spark,
+        spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, s string"),
+        path,
+        keep_versions=3,
+    )
+    v0 = manifest_versions(spark, path)[0]
+    merge_upsert(
+        spark, path, spark.createDataFrame([(2, "B"), (3, "c")], "k bigint, s string"), ["k"]
+    )
+    v1 = manifest_versions(spark, path)[0]
+    assert v1 != v0
+
+    restore_manifest_table(spark, path, v0)
+    vs = manifest_versions(spark, path)
+    # pointer-only: the restored list re-orders, it does not mint a dir
+    assert vs[0] == v0 and v1 in vs
+    assert {(r.k, r.s) for r in read_manifest_table(spark, path).collect()} == {
+        (1, "a"),
+        (2, "b"),
+    }
+    # reversible: the bad merge is still retained, restore forward
+    restore_manifest_table(spark, path, v1)
+    assert manifest_versions(spark, path)[0] == v1
+    assert read_manifest_table(spark, path).count() == 3
+    # no-op restore of the live version leaves the list unchanged
+    before = manifest_versions(spark, path)
+    restore_manifest_table(spark, path, v1)
+    assert manifest_versions(spark, path) == before
+    with pytest.raises(ValueError, match="not retained"):
+        restore_manifest_table(spark, path, "v_nope")
+
+
+def test_restore_manifest_table_then_merge_continues_lineage(spark, tmp_path):
+    """A merge after a restore builds on the RESTORED state (the
+    rolled-back rows stay gone), and the commit log keeps serializing:
+    the post-restore merge gets the next sequence, not a conflict."""
+    from async_pipes_spark.sources.sinks import (
+        manifest_versions,
+        merge_upsert,
+        read_manifest_table,
+        restore_manifest_table,
+        write_manifest_table,
+    )
+
+    path = str(tmp_path / "t")
+    write_manifest_table(
+        spark, spark.createDataFrame([(1, 10)], "k bigint, v bigint"), path
+    )
+    v0 = manifest_versions(spark, path)[0]
+    merge_upsert(
+        spark, path, spark.createDataFrame([(1, 99)], "k bigint, v bigint"), ["k"]
+    )
+    restore_manifest_table(spark, path, v0)
+    merge_upsert(
+        spark, path, spark.createDataFrame([(2, 20)], "k bigint, v bigint"), ["k"]
+    )
+    assert {(r.k, r.v) for r in read_manifest_table(spark, path).collect()} == {
+        (1, 10),
+        (2, 20),
+    }
+
+
+def test_restore_partitioned_manifest(spark, tmp_path):
+    """Partitioned restore re-publishes the old generation's mapping as
+    a NEW generation: reads roll back (including a key that had moved
+    partition), the version dirs the restored mapping references
+    survive the retention GC, and unretained generations are
+    rejected."""
+    import pytest
+
+    from async_pipes_spark.sources.sinks import (
+        merge_upsert,
+        partitioned_manifest_generations,
+        read_partitioned_manifest,
+        restore_manifest_table,
+        write_partitioned_manifest_table,
+    )
+
+    path = str(tmp_path / "p")
+    write_partitioned_manifest_table(
+        spark,
+        spark.createDataFrame(
+            [(1, "x", 10), (2, "y", 20)], "k bigint, p string, v bigint"
+        ),
+        path,
+        ["p"],
+        keep_versions=3,
+    )
+    g0 = partitioned_manifest_generations(spark, path)[0]
+    # the merge MOVES key 1 from p=x to p=y and upserts a new key
+    merge_upsert(
+        spark,
+        path,
+        spark.createDataFrame([(1, "y", 11), (3, "x", 30)], "k bigint, p string, v bigint"),
+        ["k"],
+        partition_by=["p"],
+    )
+    assert {
+        (r.k, r.p, r.v) for r in read_partitioned_manifest(spark, path).collect()
+    } == {(1, "y", 11), (2, "y", 20), (3, "x", 30)}
+
+    restore_manifest_table(spark, path, g0)
+    assert {
+        (r.k, r.p, r.v) for r in read_partitioned_manifest(spark, path).collect()
+    } == {(1, "x", 10), (2, "y", 20)}
+    # restore minted a fresh generation whose mapping equals g0's
+    gens = partitioned_manifest_generations(spark, path)
+    assert gens[0] != g0 and len(gens) == 3
+    with pytest.raises(ValueError, match="not retained"):
+        restore_manifest_table(spark, path, "g_nope")
