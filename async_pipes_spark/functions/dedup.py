@@ -736,6 +736,7 @@ def decontaminate_corpus(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = DEFAULT_SHINGLE,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Benchmark decontamination as a MATERIALIZATION (the action d6's
     contamination report informs): remove from the training corpus
@@ -743,8 +744,10 @@ def decontaminate_corpus(
     shingles with the benchmark slice (``benchmark_pred`` over the
     row), then drop the benchmark slice itself — the standard
     train-test-overlap scrub (GPT-3 appx C) run before training.
-    Returns the clean training rows (id + group columns only; join
-    payloads back by id if needed).
+    Returns the clean training rows — id + group columns by default;
+    ``keep_cols`` carries other payload columns through instead (the
+    anti-join is keys-only-broadcast either way, so carrying payloads
+    costs nothing extra — they were never shuffled).
 
     Scale shape: one shingle-kernel pass over each side; the overlap
     check is a semi join keyed on shingle (benchmark shingle sets are
@@ -776,7 +779,8 @@ def decontaminate_corpus(
         .filter(F.col("n_shared") >= min_shared)
         .select(id_col)
     )
-    return train.select(id_col, group_col).join(
+    cols = [group_col] if keep_cols is None else list(keep_cols)
+    return train.select(id_col, *cols).join(
         F.broadcast(doomed), id_col, "left_anti"
     )
 

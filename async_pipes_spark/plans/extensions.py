@@ -841,6 +841,59 @@ def pipe1_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipe2_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus build v2 — the round-6/7 operators COMPOSED into the
+    training-prep pipeline a real run ships: quality gate →
+    benchmark DECONTAMINATION (src0 is the held-out eval slice;
+    training docs sharing ≥ 5 shingles with it are scrubbed, d11's
+    operator) → exact dedup (min doc_id per md5(text)) →
+    LEAKAGE-PROOF train/val/test split keyed on the near-dup
+    fingerprint (smp7's operator — reordered copies that survive
+    exact dedup still co-assign) → per-(split, source) accounting.
+
+    One lazy plan end-to-end. Scale shapes, in order: the gate is a
+    map-side filter pushed into the scan; decontamination is one
+    shingle-kernel pass per side + a shingle-keyed semi join + a
+    keys-only broadcast anti-join (payloads ride through un-shuffled
+    via keep_cols); the exact dedup is the one corpus-wide shuffle;
+    the split assignment is a zero-shuffle map-side projection of the
+    fingerprint hash; only the report aggregation shuffles again."""
+    from pyspark.sql import Window
+
+    from async_pipes_spark.functions.dedup import decontaminate_corpus
+    from async_pipes_spark.functions.sampling import split_assign
+    from async_pipes_spark.functions.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    gated = docs.filter(F.col("n_chars") >= 50)
+    clean = decontaminate_corpus(
+        gated,
+        F.col("source") == "src0",
+        min_shared=5,
+        keep_cols=["source", "text"],
+    )
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    deduped = (
+        clean.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    assigned = split_assign(
+        deduped.withColumn("grp", fingerprint("text")),
+        ["grp"],
+        {"train": 800_000, "val": 100_000, "test": 100_000},
+    )
+    return (
+        assigned.groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("grp").alias("n_groups"),
+            F.sum(token_count_ws("text").cast("bigint")).alias("ws_tokens"),
+        )
+        .orderBy("split", "source")
+    )
+
+
 def bpe2_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The tokenizer APPLIED: per-document word and subword counts
     under the 6 learned merges (functions.bpe.tokenized_lengths —
@@ -2930,6 +2983,7 @@ EXTENSION_QUERIES = {
     "bpe1_learn_merges": bpe1_learn_merges,
     "bpe2_tokenize_corpus": bpe2_tokenize_corpus,
     "pipe1_curation_pipeline": pipe1_curation_pipeline,
+    "pipe2_training_prep": pipe2_training_prep,
     "smp3_group_sample": smp3_group_sample,
     "smp4_weighted_mixture": smp4_weighted_mixture,
     "smp5_corpus_shuffle": smp5_corpus_shuffle,
@@ -3497,6 +3551,47 @@ EXTENSION_ORACLES = {
     "bpe2_tokenize_corpus": _bpe_encode_oracle(6),
     # the composed nightly corpus build: gate → exact dedup (min id per
     # md5) → mixture rates over the SURVIVING token mass → accounting
+    # corpus build v2 composed: gate -> decontaminate (d11's CTEs over
+    # the gated slice) -> exact dedup -> fingerprint-keyed split (smp7's
+    # hash intervals) -> per-(split, source) accounting
+    "pipe2_training_prep": (
+        "WITH "
+        + _SHINGLES.format(doc_filter=" WHERE n_chars >= 50")
+        + f""",
+        g AS (SELECT doc_id, source, text FROM documents
+              WHERE n_chars >= 50),
+        bsh AS (SELECT DISTINCT sh.shingle
+                FROM sh JOIN g USING (doc_id) WHERE g.source = 'src0'),
+        tsh AS (SELECT DISTINCT sh.doc_id, sh.shingle
+                FROM sh JOIN g USING (doc_id) WHERE g.source <> 'src0'),
+        doomed AS (SELECT doc_id FROM tsh JOIN bsh USING (shingle)
+                   GROUP BY doc_id HAVING COUNT(*) >= 5),
+        clean AS (SELECT doc_id, source, text FROM g
+                  WHERE source <> 'src0'
+                    AND doc_id NOT IN (SELECT doc_id FROM doomed)),
+        dedup AS (SELECT doc_id, source, text
+                  FROM (SELECT *, ROW_NUMBER() OVER (
+                            PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                        FROM clean)
+                  WHERE rn = 1),
+        sp AS (SELECT source, text,
+                      md5(array_to_string(list_sort(list_distinct(
+                          string_split(text, ' '))), ' ')) AS grp
+               FROM dedup),
+        lab AS (SELECT source, grp,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+                       CASE WHEN substring(md5(grp), 1, 12)
+                                 < '{_threshold_hex(800_000)}' THEN 'train'
+                            WHEN substring(md5(grp), 1, 12)
+                                 < '{_threshold_hex(900_000)}' THEN 'val'
+                            ELSE 'test' END AS split
+                FROM sp)
+        SELECT split, source, COUNT(*) AS n_docs,
+               COUNT(DISTINCT grp) AS n_groups,
+               CAST(SUM(toks) AS BIGINT) AS ws_tokens
+        FROM lab GROUP BY split, source ORDER BY split, source
+    """
+    ),
     "pipe1_curation_pipeline": """
         WITH gated AS (
             SELECT doc_id, lang, text,
