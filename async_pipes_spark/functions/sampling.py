@@ -57,6 +57,28 @@ _NUM_HEX_WIDTH = 10
 _NUM_HEX_SPACE = 16**_NUM_HEX_WIDTH  # 1099511627776
 
 
+def _rate_threshold_keep(
+    df: DataFrame, rates: DataFrame, strata_col: str, key_cols: list[str]
+) -> DataFrame:
+    """The shared tail of every data-derived-rate sampler: broadcast
+    the per-stratum ``rate_ppm`` table onto the corpus and keep rows by
+    the deterministic md5 threshold, computed INSIDE the plan
+    (``printf('%010x', rate_ppm · 16^10 ÷ 1e6)`` — integer ops only,
+    bit-identical on any engine). A stratum at rate ≥ 100% keeps every
+    row via the short-circuit (its 11-hex-char threshold would compare
+    wrongly against 10-char hashes). One definition so the threshold
+    arithmetic can never drift between the samplers."""
+    kept = df.join(F.broadcast(rates), strata_col)
+    hash10 = F.substring(hash_hex(*key_cols), 1, _NUM_HEX_WIDTH)
+    threshold = F.expr(
+        f"format_string('%0{_NUM_HEX_WIDTH}x',"
+        f" rate_ppm * {_NUM_HEX_SPACE} div {PPM})"
+    )
+    return kept.filter(
+        (F.col("rate_ppm") >= F.lit(PPM)) | (hash10 < threshold)
+    )
+
+
 def weighted_mixture_sample(
     df: DataFrame,
     strata_col: str,
@@ -114,15 +136,7 @@ def weighted_mixture_sample(
             f" * CAST({PPM} AS BIGINT) div _tok_total) END AS rate_ppm",
         )
     )
-    kept = df.join(F.broadcast(rates), strata_col)
-    hash10 = F.substring(hash_hex(*key_cols), 1, _NUM_HEX_WIDTH)
-    threshold = F.expr(
-        f"format_string('%0{_NUM_HEX_WIDTH}x',"
-        f" rate_ppm * {_NUM_HEX_SPACE} div {PPM})"
-    )
-    return kept.filter(
-        (F.col("rate_ppm") >= F.lit(PPM)) | (hash10 < threshold)
-    )
+    return _rate_threshold_keep(df, rates, strata_col, key_cols)
 
 
 def split_assign(
@@ -259,12 +273,4 @@ def temperature_mixture_sample(
         f"((CAST({target_rows} AS BIGINT) * _w) div _w_total)"
         f" * CAST({PPM} AS BIGINT) div _n) AS rate_ppm",
     )
-    kept = df.join(F.broadcast(rates), strata_col)
-    hash10 = F.substring(hash_hex(*key_cols), 1, _NUM_HEX_WIDTH)
-    threshold = F.expr(
-        f"format_string('%0{_NUM_HEX_WIDTH}x',"
-        f" rate_ppm * {_NUM_HEX_SPACE} div {PPM})"
-    )
-    return kept.filter(
-        (F.col("rate_ppm") >= F.lit(PPM)) | (hash10 < threshold)
-    )
+    return _rate_threshold_keep(df, rates, strata_col, key_cols)

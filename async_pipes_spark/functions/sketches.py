@@ -285,6 +285,18 @@ def quantile_sketch(
     megabytes."""
     if sketch_size < 2:
         raise ValueError("sketch_size must be >= 2")
+    clash = {c for c in group_cols if c in ("v", "w")} | (
+        {value_col} if value_col == "w" else set()
+    )
+    if clash:
+        # the summary schema reserves 'v'/'w'; a group column of either
+        # name (or a value column named 'w') would silently clobber the
+        # sorted values or weights. A value column named 'v' is fine —
+        # it maps onto the summary's own value column.
+        raise ValueError(
+            f"column names {sorted(clash)} collide with the summary's "
+            "reserved 'v'/'w' columns; alias them before sketching"
+        )
     B = sketch_size
     fields = df.select(*group_cols, value_col).schema
     schema_out = ", ".join(
@@ -334,6 +346,12 @@ def quantile_merge(
     for p in probs:
         if not 0.0 < p < 1.0:
             raise ValueError(f"prob {p} outside (0, 1)")
+    bad = {c for c in group_cols if c in ("v", "w", "prob", "est")}
+    if bad:
+        raise ValueError(
+            f"group columns {sorted(bad)} collide with the summary/output's "
+            "reserved v/w/prob/est columns; alias them before sketching"
+        )
     fields = summaries.select(*group_cols, "v").schema
     schema_out = ", ".join(
         [f"{f.name} {f.dataType.simpleString()}" for f in fields[:-1]]

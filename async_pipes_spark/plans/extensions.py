@@ -3580,9 +3580,9 @@ EXTENSION_ORACLES = {
                FROM dedup),
         lab AS (SELECT source, grp,
                        CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
-                       CASE WHEN substring(md5(grp), 1, 12)
+                       CASE WHEN substring(md5(COALESCE(grp, chr(0))), 1, 12)
                                  < '{_threshold_hex(800_000)}' THEN 'train'
-                            WHEN substring(md5(grp), 1, 12)
+                            WHEN substring(md5(COALESCE(grp, chr(0))), 1, 12)
                                  < '{_threshold_hex(900_000)}' THEN 'val'
                             ELSE 'test' END AS split
                 FROM sp)
@@ -4539,9 +4539,9 @@ EXTENSION_ORACLES = {
         ),
         s AS (
             SELECT doc_id, grp,
-                   CASE WHEN substring(md5(grp), 1, 12)
+                   CASE WHEN substring(md5(COALESCE(grp, chr(0))), 1, 12)
                              < '{_threshold_hex(800_000)}' THEN 'train'
-                        WHEN substring(md5(grp), 1, 12)
+                        WHEN substring(md5(COALESCE(grp, chr(0))), 1, 12)
                              < '{_threshold_hex(900_000)}' THEN 'val'
                         ELSE 'test' END AS split
             FROM a

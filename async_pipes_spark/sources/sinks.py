@@ -364,7 +364,6 @@ def _manifest_commit(
     never an unreferenced dir, which may be a concurrent writer's
     in-flight commit (crashed-commit orphans are reclaimed by
     :func:`vacuum_manifest`)."""
-    import time
     import uuid
 
     # fast-fail a stale read-modify-write before the expensive write
@@ -378,9 +377,44 @@ def _manifest_commit(
     df.write.mode("error").parquet(f"{path}/_data/{version}")
     fs, _, jvm = _hadoop_fs(spark, f"{path}/{_MANIFEST}")
 
-    def _abandon(reason: str) -> None:
+    def make_retained(prev_versions: list[str], prev_keep: int):
+        keep = prev_keep if keep_versions is None else max(1, keep_versions)
+        return ([version] + prev_versions)[:keep], keep
+
+    def abandon_cleanup() -> None:
         # our version dir is unreferenced — remove it before raising
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/_data/{version}"), True)
+
+    _flat_pointer_commit(
+        spark, path, make_retained, expected_seq, abandon_cleanup
+    )
+
+
+def _flat_pointer_commit(
+    spark,
+    path: str,
+    make_retained,
+    expected_seq: int | None = None,
+    abandon_cleanup=None,
+) -> None:
+    """The ONE claim→publish→GC sequence for flat-manifest pointer
+    commits, shared by :func:`_manifest_commit` (new data version) and
+    :func:`restore_manifest_table` (pointer-only re-ordering) so the
+    concurrency-critical protocol — OCC fast-fail, slot claim, ABA
+    guard + marker release, publish, lineage-only GC, sidecar refresh —
+    has exactly one definition. ``make_retained(prev_versions,
+    prev_keep) -> (retained, keep) | None`` builds each attempt's
+    retained list from fresh state (None = nothing to do, return
+    without committing); ``abandon_cleanup`` runs before every
+    ConcurrentCommitError (a data-version commit deletes its
+    unreferenced dir here)."""
+    import time
+
+    fs, _, jvm = _hadoop_fs(spark, f"{path}/{_MANIFEST}")
+
+    def _abandon(reason: str) -> None:
+        if abandon_cleanup is not None:
+            abandon_cleanup()
         raise ConcurrentCommitError(f"{path}: {reason}")
 
     for attempt in range(64):
@@ -389,8 +423,10 @@ def _manifest_commit(
             _abandon(
                 f"base read at commit seq {expected_seq}, table now at {seq}"
             )
-        keep = prev_keep if keep_versions is None else max(1, keep_versions)
-        retained = ([version] + prev_versions)[:keep]
+        made = make_retained(prev_versions, prev_keep)
+        if made is None:
+            return  # no-op against the current state
+        retained, keep = made
         body = "\n".join(retained) + f"\n#keep={keep}\n#seq={seq + 1}\n"
         if _claim_commit(spark, path, seq + 1, body):
             if _raw_pointer_seq(spark, path) > seq:
@@ -860,9 +896,7 @@ def restore_manifest_table(
             f"restore of {path} lost {occ_retries} commit races"
         ) from last
 
-    fs, _, jvm = _hadoop_fs(spark, f"{path}/{_MANIFEST}")
-    for attempt in range(64):
-        versions, keep, seq = _manifest_read(spark, path)
+    def make_retained(versions: list[str], keep: int):
         if not versions:
             raise ValueError(f"not a manifest table (no {_MANIFEST}): {path}")
         if to not in versions:
@@ -871,34 +905,13 @@ def restore_manifest_table(
                 "retained versions can be restored"
             )
         if versions[0] == to:
-            return  # already live
-        retained = ([to] + [v for v in versions if v != to])[:keep]
-        body = "\n".join(retained) + f"\n#keep={keep}\n#seq={seq + 1}\n"
-        if _claim_commit(spark, path, seq + 1, body):
-            if _raw_pointer_seq(spark, path) > seq:
-                fs.delete(
-                    jvm.org.apache.hadoop.fs.Path(_marker_path(path, seq + 1)),
-                    False,
-                )
-                raise ConcurrentCommitError(
-                    f"{path}: stale restore slot {seq + 1} (table moved past it)"
-                )
-            break
-        time.sleep(min(0.05 * (attempt + 1), 1.0))
-    else:
-        raise ConcurrentCommitError(
-            f"{path}: could not claim a commit slot after 64 attempts"
-        )
-    _publish_pointer(spark, path, body, seq + 1)
-    # a restore re-orders the retained list without growing it, so it
-    # drops versions only when the stored list already exceeded keep
-    retained_set = set(retained)
-    for v in versions:
-        if v not in retained_set:
-            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/_data/{v}"), True)
-    from async_pipes_spark.sources.stats import refresh_file_stats
+            return None  # already live — nothing to commit
+        # a restore re-orders the retained list without growing it, so
+        # the shared GC drops versions only when the stored list
+        # already exceeded keep
+        return ([to] + [v for v in versions if v != to])[:keep], keep
 
-    refresh_file_stats(spark, path, retain=retained_set)
+    _flat_pointer_commit(spark, path, make_retained)
 
 
 def merge_upsert(

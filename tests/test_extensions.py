@@ -712,3 +712,66 @@ def test_top_bigram_stats_semantics(spark):
     assert out[1].top_frac_micro == 1_000_000  # 2*3/6
     assert (out[2].n_tokens, out[2].top_bigram, out[2].top_count) == (4, "z w", 1)
     assert out[2].top_frac_micro == 500_000  # 2*1/4
+
+
+def test_split_assign_null_group_matches_oracle_sentinel(spark):
+    """smp7/pipe2's oracles sentinel-encode NULL group keys
+    (COALESCE(grp, chr(0))) because split_assign hashes NULL through
+    _null_safe_key's NUL sentinel — a NULL-group row must land in the
+    SAME split on both engines, not fall through the oracle's CASE to
+    the last split."""
+    import duckdb
+
+    from async_pipes_spark.functions.sampling import _threshold_hex, split_assign
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b c")], "doc_id bigint, grp string"
+    )
+    got = {
+        r.doc_id: r.split
+        for r in split_assign(
+            df, ["grp"], {"train": 800_000, "val": 100_000, "test": 100_000}
+        ).collect()
+    }
+    want = {
+        r[0]: r[1]
+        for r in duckdb.sql(
+            f"""
+            SELECT doc_id,
+                   CASE WHEN substring(md5(COALESCE(grp, chr(0))), 1, 12)
+                             < '{_threshold_hex(800_000)}' THEN 'train'
+                        WHEN substring(md5(COALESCE(grp, chr(0))), 1, 12)
+                             < '{_threshold_hex(900_000)}' THEN 'val'
+                        ELSE 'test' END
+            FROM (VALUES (1, NULL), (2, 'a b c')) t(doc_id, grp)
+            """
+        ).fetchall()
+    }
+    assert got == want and got[1] == "train"
+
+
+def test_quantile_sketch_rejects_reserved_column_names(spark):
+    """A group column named 'v'/'w' (sketch) or 'v'/'w'/'prob'/'est'
+    (merge) would silently clobber the summary's value/weight columns;
+    both entry points must reject with a clear error instead."""
+    import pytest
+
+    from async_pipes_spark.functions.sketches import quantile_merge, quantile_sketch
+
+    df = spark.createDataFrame([(1, 2.0)], "v bigint, x double")
+    with pytest.raises(ValueError, match="reserved"):
+        quantile_sketch(df, "x", ["v"])
+    with pytest.raises(ValueError, match="reserved"):
+        quantile_sketch(
+            spark.createDataFrame([(1, 2.0)], "g bigint, w double"), "w", ["g"]
+        )
+    # a VALUE column named 'v' is allowed — it maps onto the summary's
+    # own value column (k5's tests rely on it)
+    assert quantile_sketch(
+        spark.createDataFrame([(1, 2.0)], "g bigint, v double"), "v", ["g"]
+    ).columns == ["g", "v", "w"]
+    summ = quantile_sketch(
+        spark.createDataFrame([(1, 2.0)], "g bigint, x double"), "x", ["g"]
+    ).withColumnRenamed("g", "est")
+    with pytest.raises(ValueError, match="reserved"):
+        quantile_merge(summ, ["est"], [0.5])
