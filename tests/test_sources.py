@@ -1724,16 +1724,19 @@ def test_partitioned_manifest_randomized_model(spark, tmp_path):
 def test_flat_manifest_randomized_model(spark, tmp_path):
     """The flat-manifest twin of the partitioned randomized model:
     random interleavings of versioned CDC merges (upserts + deletes),
-    tombstone purges and compactions against an UNPARTITIONED manifest
-    table — after every step the pointer resolves and the live version
-    equals the Python model."""
+    tombstone purges, compactions, and pointer-only RESTOREs against an
+    UNPARTITIONED manifest table — after every step the pointer
+    resolves and the live version equals the Python model (a restore
+    rewinds the model to the restored version's recorded snapshot)."""
     import random
 
     from async_pipes_spark.sources.sinks import (
         compact_small_files,
+        manifest_versions,
         merge_upsert,
         purge_tombstones,
         read_manifest_table,
+        restore_manifest_table,
         write_manifest_table,
     )
 
@@ -1746,9 +1749,16 @@ def test_flat_manifest_randomized_model(spark, tmp_path):
             model[k] = (v, s, d)
         schema = "k bigint, ver bigint, s string, dead boolean"
         write_manifest_table(spark, spark.createDataFrame(init, schema), tgt)
+        # version-id -> model snapshot, for replaying restores; entries
+        # age out of restorability with the retained window, but stale
+        # dict entries are harmless (restore targets come from the live
+        # retained list)
+        snap = {manifest_versions(spark, tgt)[0]: dict(model)}
         ver = 0
-        for _step in range(8):
-            op = rng.choice(["merge", "merge", "merge", "purge", "compact"])
+        for _step in range(10):
+            op = rng.choice(
+                ["merge", "merge", "merge", "purge", "compact", "restore"]
+            )
             if op == "merge":
                 rows = []
                 for _ in range(rng.randrange(1, 4)):
@@ -1771,8 +1781,13 @@ def test_flat_manifest_randomized_model(spark, tmp_path):
                 assert purged == sum(1 for v in model.values() if v[2])
                 for k in [k for k, v in model.items() if v[2]]:
                     del model[k]
+            elif op == "restore":
+                to = rng.choice(manifest_versions(spark, tgt))
+                restore_manifest_table(spark, tgt, to)
+                model = dict(snap[to])
             else:
                 compact_small_files(spark, tgt, target_rows_per_file=1000)
+            snap[manifest_versions(spark, tgt)[0]] = dict(model)
             want = sorted((k, v, s, d) for k, (v, s, d) in model.items())
             got = sorted(
                 tuple(r)
