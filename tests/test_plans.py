@@ -202,6 +202,20 @@ def test_pipe1_quality_gate_pushes_into_scan(spark):
     assert "CartesianProduct" not in txt, txt
 
 
+def test_pipe2_gate_pushdown_and_broadcast_scrub(spark):
+    """pipe2: the quality gate must reach every documents scan
+    (PushedFilters — the decontamination kernels and the dedup window
+    all read the GATED subset, not the corpus), the contaminated-id
+    removal must be a broadcast LeftAnti (payloads never shuffle for
+    the scrub), and nothing may go cartesian."""
+    from async_pipes_spark.plans.extensions import pipe2_training_prep
+
+    txt = plan_text(pipe2_training_prep(spark, SF_SMOKE), "formatted")
+    assert "GreaterThanOrEqual(n_chars,50)" in txt, txt
+    assert "BroadcastHashJoin LeftAnti BuildRight" in txt, txt
+    assert "CartesianProduct" not in txt, txt
+
+
 def test_d10_survivor_removal_is_broadcast_anti_join(spark):
     """d10: the doomed-id set is dup-cluster-sized, so corpus removal
     must be a broadcast LeftAnti — corpus payloads never shuffle for
