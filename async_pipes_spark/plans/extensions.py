@@ -1724,6 +1724,34 @@ def mm4_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm5_audio_envelope_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO near-dup bucketing over an opaque PCM-shaped payload
+    (multimodal.binary.audio_envelope): each document's bytes stand in
+    for an unsigned 8-bit PCM stream, one Arrow kernel pass computes
+    the integer energy envelope of the first 8 × 32-sample frames and
+    fingerprints it, and every envelope fingerprint keeps its minimum
+    doc_id as the canonical recording — d5's fingerprint-dedup plan on
+    the audio axis, payloads never shuffle (only (id, n_frames, fp)
+    rows leave the kernel; the canonical resolution is a fp-keyed
+    groupBy + broadcast-scale join). The oracle re-derives every frame
+    energy arithmetically from the characters (ord == utf-8 byte on
+    this ASCII corpus) and replays the identical md5."""
+    from async_pipes_spark.multimodal.binary import audio_envelope
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = to_media(
+        docs.withColumn("payload", F.encode("text", "utf-8")),
+        "payload",
+        "raw",
+        "source",
+    )
+    env = audio_envelope(media, frame_samples=32, max_frames=8)
+    canon = env.groupBy("env_fp").agg(F.min("doc_id").alias("canonical_id"))
+    return env.join(canon, "env_fp").select(
+        "doc_id", "n_frames", "env_fp", "canonical_id"
+    ).orderBy("doc_id")
+
+
 def mm2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-frame-sampling shape (1 → M explode through an Arrow
     kernel): every 2nd 64-byte frame of each payload, with per-frame
@@ -3033,6 +3061,7 @@ EXTENSION_QUERIES = {
     "mm2_frame_sample": mm2_frame_sample,
     "mm3_bmp_decode": mm3_bmp_decode,
     "mm4_image_dedup": mm4_image_dedup,
+    "mm5_audio_envelope_dedup": mm5_audio_envelope_dedup,
     "b1_builder_route": b1_builder_route,
     "b2_flatten_positions": b2_flatten_positions,
     "s9_tumbling_stream": s9_tumbling_stream,
@@ -3971,6 +4000,36 @@ EXTENSION_ORACLES = {
     # the decoded perceptual fingerprint is pixel-derived on the Spark
     # side (real BMP parse) and arithmetic on the oracle side — mm3's
     # verification idea extended to the dedup aggregate
+    # audio envelope: every frame energy re-derived from the characters
+    # (ord == utf-8 byte on the ASCII corpus), exact integer division,
+    # identical md5 fingerprint; docs without one full 32-byte frame
+    # emit no row (the no-bands convention)
+    "mm5_audio_envelope_dedup": """
+        WITH ch AS (
+            -- constant series (8 frames x 32 samples = positions 1..256;
+            -- generate_series can't take a lateral column arg), clipped
+            -- per doc to its complete frames
+            SELECT doc_id, (t.i - 1) // 32 AS frame,
+                   ord(substr(text, CAST(t.i AS INTEGER), 1)) AS v
+            FROM documents, generate_series(1, 256) t(i)
+            WHERE text IS NOT NULL
+              AND t.i <= least(len(text) // 32, 8) * 32
+        ),
+        fr AS (
+            SELECT doc_id, frame, SUM(v) // 32 AS energy
+            FROM ch GROUP BY doc_id, frame
+        ),
+        env AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+                   md5(string_agg(CAST(energy AS VARCHAR), '|' ORDER BY frame)) AS env_fp
+            FROM fr GROUP BY doc_id
+        ),
+        canon AS (SELECT env_fp, MIN(doc_id) AS canonical_id
+                  FROM env GROUP BY env_fp)
+        SELECT e.doc_id, e.n_frames, e.env_fp, c.canonical_id
+        FROM env e JOIN canon c USING (env_fp)
+        ORDER BY e.doc_id
+    """,
     "mm4_image_dedup": """
         SELECT CAST((n_chars % 16) + 1 AS BIGINT) AS width,
                CAST(2 AS BIGINT) AS height,

@@ -775,3 +775,38 @@ def test_quantile_sketch_rejects_reserved_column_names(spark):
     ).withColumnRenamed("g", "est")
     with pytest.raises(ValueError, match="reserved"):
         quantile_merge(summ, ["est"], [0.5])
+
+
+def test_audio_envelope_semantics(spark):
+    """audio_envelope: integer frame energies over uint8 samples; a
+    payload below one full frame emits NO row; identical loudness
+    contours collide on env_fp (the dedup bucket); non-raw media
+    raises the honest decoder stub error."""
+    import pytest
+
+    from async_pipes_spark.multimodal.binary import audio_envelope, to_media
+
+    rows = [
+        (1, bytes([10] * 64)),        # 2 full frames of constant 10
+        (2, bytes([10] * 64)),        # identical contour -> same fp
+        (3, bytes([10] * 31)),        # under one frame -> no row
+        (4, bytes([10] * 32 + [200] * 32)),  # different contour
+    ]
+    media = to_media(
+        spark.createDataFrame(rows, "doc_id bigint, payload binary")
+        .withColumn("source", F.lit("s")),
+        "payload", "raw", "source",
+    )
+    got = {r.doc_id: (r.n_frames, r.env_fp) for r in audio_envelope(
+        media, frame_samples=32, max_frames=8
+    ).collect()}
+    assert set(got) == {1, 2, 4}
+    assert got[1] == got[2] and got[1][0] == 2
+    assert got[4][1] != got[1][1]
+    bad = to_media(
+        spark.createDataFrame([(9, b"x" * 64)], "doc_id bigint, payload binary")
+        .withColumn("source", F.lit("s")),
+        "payload", "wav", "source",
+    )
+    with pytest.raises(Exception, match="audio decoder"):
+        audio_envelope(bad).collect()
