@@ -810,3 +810,46 @@ def test_audio_envelope_semantics(spark):
     )
     with pytest.raises(Exception, match="audio decoder"):
         audio_envelope(bad).collect()
+
+
+def test_audio_envelope_matches_python_model_on_random_payloads(spark):
+    """audio_envelope vs a direct Python model over seeded-random
+    payloads of adversarial lengths (0, sub-frame, exact-frame,
+    frame±1, many-frame): same rows, same fingerprints, regardless of
+    partitioning."""
+    import hashlib
+    import random
+
+    from async_pipes_spark.multimodal.binary import audio_envelope, to_media
+
+    rng = random.Random(7)
+    lens = [0, 1, 31, 32, 33, 63, 64, 65, 255, 256, 257, 400] + [
+        rng.randrange(0, 400) for _ in range(38)
+    ]
+    rows = [
+        (i, bytes(rng.randrange(256) for _ in range(n)))
+        for i, n in enumerate(lens)
+    ]
+
+    def model(payload, frame=32, max_frames=8):
+        k = min(len(payload) // frame, max_frames)
+        if k == 0:
+            return None
+        energies = [
+            sum(payload[f * frame : (f + 1) * frame]) // frame for f in range(k)
+        ]
+        return k, hashlib.md5("|".join(map(str, energies)).encode()).hexdigest()
+
+    want = {i: m for i, (p) in [(i, p) for i, p in rows] if (m := model(p))}
+    for parts in (1, 7):
+        media = to_media(
+            spark.createDataFrame(rows, "doc_id bigint, payload binary")
+            .repartition(parts)
+            .withColumn("source", F.lit("s")),
+            "payload", "raw", "source",
+        )
+        got = {
+            r.doc_id: (r.n_frames, r.env_fp)
+            for r in audio_envelope(media).collect()
+        }
+        assert got == want
