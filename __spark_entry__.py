@@ -43,7 +43,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: cut at entry #50), so dict order IS driver coverage. Policy: queries
 #: new this round and queries without a fresh driver row come FIRST;
 #: the freshest greens rotate to the tail. Round-7 window (the r6
-#: verdict's item 1, executed): the 24 NEW queries (a8 composed IVFPQ,
+#: verdict's item 1, executed): the 25 NEW queries (a8 composed IVFPQ,
 #: s24 partitioned-manifest CDC, a9 PQ-coded k-NN join, d13 segment
 #: dedup, t15 top-bigram, s25 streaming retrieval, z1 z-order layout,
 #: f1 fuzzy join, s26 manifest diff, z2 stats-pruned scan, a10 stored
@@ -53,13 +53,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #: perceptual image dedup, smp6 temperature mixing, t16 held-out
 #: perplexity gate, smp7 leakage-proof group-disjoint split, s29
 #: streaming near-dup gate, pipe2 composed training prep, mm5 audio
-#: envelope dedup), then the 11
+#: envelope dedup, z3 bloom-pruned point lookup), then the 11
 #: queries whose only driver rows
 #: predate r05's oracle-cast fixes or date to r01-r04 (t13/smp4/pipe1
 #: — r05 hash-red from the since-fixed HUGEINT casts, judge-re-verified
 #: green; p3/p5/p6/x1/x3/b2/t5/t6 — the r6-promised deferral), then
-#: 15 of the 47 r05-green queries. The displaced refresh candidates
-#: (v1-v3/d9/d10/t7-t12/t14/s17-s22/g1/g2/bpe1/bpe2) and r1-r10 (green
+#: 14 of the 47 r05-green queries. The displaced refresh candidates
+#: (mm1/v1-v3/d9/d10/t7-t12/t14/s17-s22/g1/g2/bpe1/bpe2) and r1-r10 (green
 #: since r01/r02, re-verified r05 — the deepest evidence in the
 #: contract) defer to round 8 and sit first after the cut; the 50
 #: r06-green queries hold the tail. Every query keeps its oracle
@@ -68,7 +68,7 @@ _PRIORITY = [
     # new in round 7 — first driver row needed
     "a8_", "s24_", "a9_", "d13_", "t15_", "s25_", "z1_", "f1_", "s26_",
     "z2_", "a10_", "r17_", "s27_", "a11_", "s28_", "r18_", "k5_", "mm4_",
-    "smp6_", "t16_", "smp7_", "s29_", "pipe2_", "mm5_",
+    "smp6_", "t16_", "smp7_", "s29_", "pipe2_", "mm5_", "z3_",
     # only driver rows are stale (r05 hash-red from oracle casts fixed
     # in r6, or r01-r04 greens) — the verdict's rotation list
     "t13_", "smp4_", "pipe1_",

@@ -2904,6 +2904,45 @@ def z2_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def z3_bloom_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-lookup data skipping via per-FILE BLOOM sidecars
+    (sources.stats.write_file_bloom — the Delta bloom-index idiom,
+    complementing z2's [min, max] stats): orders land in 16
+    hash-distributed files, the ADVERSARIAL layout for range stats —
+    every file spans the whole o_orderkey domain, so min/max pruning
+    keeps all 16 — then two equality probes (the min and max order
+    keys) each open only the files whose bloom admits the value
+    (no-false-negative guarantee makes the pruning conservative; the
+    residual equality applies row-level). The skip win itself is
+    pinned in pytest; the oracle proves the index never changes
+    results — it IS the plain filter."""
+    import shutil
+    import tempfile
+
+    from async_pipes_spark.functions.money import cents
+    from async_pipes_spark.sources.stats import (
+        read_bloom_pruned,
+        write_file_bloom,
+    )
+
+    base = tempfile.mkdtemp(prefix="z3_bloom_")
+    path = f"{base}/t"
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", cents("o_totalprice").alias("price_cents")
+    )
+    orders.repartition(16).write.mode("overwrite").parquet(path)
+    write_file_bloom(spark, path, ["o_orderkey"])
+    lo, hi = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    out = (
+        read_bloom_pruned(spark, path, "o_orderkey", lo)
+        .unionByName(read_bloom_pruned(spark, path, "o_orderkey", hi))
+        .orderBy("o_orderkey")
+        .transform(_pin)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def s26_manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-data-feed between two manifest-table commits
     (sources.sinks.manifest_diff): build a customer balance table,
@@ -3031,6 +3070,7 @@ EXTENSION_QUERIES = {
     "s29_stream_near_dup_gate": s29_stream_near_dup_gate,
     "z1_zorder_scan": z1_zorder_scan,
     "z2_stats_pruned_scan": z2_stats_pruned_scan,
+    "z3_bloom_pruned_lookup": z3_bloom_pruned_lookup,
     "f1_fuzzy_name_pairs": f1_fuzzy_name_pairs,
     "s26_manifest_diff": s26_manifest_diff,
     "g1_pagerank": g1_pagerank,
@@ -4726,6 +4766,18 @@ EXTENSION_ORACLES = {
         FROM orders
         WHERE o_custkey < 100
           AND CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) < 5000000
+        ORDER BY o_orderkey
+    """,
+    # the bloom index never changes results: the oracle is the plain
+    # equality filter on the min and max order keys
+    "z3_bloom_pruned_lookup": """
+        SELECT o_orderkey, o_custkey,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+        FROM orders
+        WHERE o_orderkey IN (
+            (SELECT MIN(o_orderkey) FROM orders),
+            (SELECT MAX(o_orderkey) FROM orders)
+        )
         ORDER BY o_orderkey
     """,
     # skipping must never change results: same plain-filter oracle as

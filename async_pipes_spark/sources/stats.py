@@ -395,3 +395,209 @@ def read_stats_pruned(spark, path: str, bounds: Bounds) -> DataFrame:
             spark.read.parquet(_resolve_table_path(spark, path)), bounds
         ).where(F.lit(False))
     return _residual(spark.read.parquet(*kept), bounds)
+
+
+# ---- per-file BLOOM sidecars (point-lookup skipping) -----------------
+
+#: one row per (file, column): a packed little-endian bitset
+BLOOM_SCHEMA = (
+    "file string, col string, num_bits bigint, num_hashes bigint, bits binary"
+)
+
+
+def _bloom_dir(path: str, version: str | None) -> str:
+    return f"{path}/_bloom/{version or 'flat'}"
+
+
+def _file_uri_col():
+    """``input_file_name()`` normalized to the Hadoop-qualified form
+    :func:`_list_parquet_files` produces: local files come back as
+    ``file:///p`` from the scan but ``file:/p`` from makeQualified —
+    the sidecar must store the listing's form or every staleness check
+    reads as stale. Remote URIs (scheme://authority/...) agree between
+    the two already."""
+    return F.regexp_replace(F.input_file_name(), "^file:/+", "file:/")
+
+
+def write_file_bloom(
+    spark,
+    path: str,
+    cols: Sequence[str],
+    bits_per_key: int = 16,
+    num_hashes: int = 4,
+    max_bits: int = 1 << 23,
+) -> int:
+    """Per-FILE Bloom filters for point-lookup data skipping — the
+    Delta bloom-index idiom, complementing the [min, max] sidecar: a
+    selective equality probe on a HIGH-CARDINALITY, UNCLUSTERED column
+    (where every file's min/max spans the whole domain and range
+    stats prune nothing) opens only the files whose bloom admits the
+    value. Same md5-position formula as the engine's query-level Bloom
+    (:func:`~async_pipes_spark.functions.sketches._bloom_positions`),
+    so the planner replays it driver-side per file.
+
+    Build shape (needs data pages, unlike footer stats — exactly like
+    Delta, which computes bloom indexes at write): ONE scan projecting
+    (input_file_name, key), a broadcast join of the tiny per-file
+    sizing table (``bits_per_key`` × file rows, capped at
+    ``max_bits``), the k md5 positions in whole-stage codegen, one
+    distinct shuffle of (file, col, position) rows — bounded by
+    distinct keys × k, never payloads — and a per-file Arrow kernel
+    packs the bitset; the sidecar is ``num_bits/8`` bytes per
+    (file, column). NULLs set no bits (an equality probe never matches
+    NULL). Returns the number of data files indexed."""
+    import numpy as np
+    import pandas as pd
+
+    if _pmanifest_read(spark, path) is not None:
+        raise ValueError(
+            f"{path} is a PARTITIONED manifest table — bloom sidecars "
+            "cover flat manifest tables and plain parquet directories"
+        )
+    if bits_per_key < 1 or num_hashes < 1:
+        raise ValueError("bits_per_key and num_hashes must be >= 1")
+    data_dir = _resolve_table_path(spark, path)
+    df = spark.read.parquet(data_dir)
+    bad = [c for c in cols if c not in df.columns]
+    if bad:
+        raise ValueError(f"write_file_bloom: missing columns {bad}")
+    version = manifest_version(spark, path)
+    files = _list_parquet_files(spark, data_dir)
+    # per-file sizing: bits_per_key × rows, capped; one tiny counts
+    # aggregation (n_files rows), broadcast back onto the key scan
+    sizes = (
+        df.select(_file_uri_col().alias("file"))
+        .groupBy("file")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            "file",
+            F.least(
+                F.greatest(F.col("_n") * bits_per_key, F.lit(64)),
+                F.lit(max_bits),
+            ).alias("num_bits"),
+        )
+    )
+    parts = []
+    for c in cols:
+        key = F.col(c).cast("string")
+        rows = (
+            df.select(_file_uri_col().alias("file"), key.alias("_k"))
+            .where(F.col("_k").isNotNull())
+            .join(F.broadcast(sizes), "file")
+        )
+        pos = F.explode(
+            F.array(
+                *[
+                    F.pmod(
+                        F.conv(
+                            F.substring(
+                                F.md5(F.concat(F.lit(f"{i}|"), F.col("_k"))),
+                                1,
+                                15,
+                            ),
+                            16,
+                            10,
+                        ).cast("long"),
+                        F.col("num_bits"),
+                    )
+                    for i in range(num_hashes)
+                ]
+            )
+        )
+        parts.append(
+            rows.select("file", "num_bits", pos.alias("pos"))
+            .withColumn("col", F.lit(c))
+            .distinct()
+        )
+    allpos = parts[0]
+    for p in parts[1:]:
+        allpos = allpos.unionByName(p)
+
+    def pack(key, pdf):
+        m = int(pdf["num_bits"].iloc[0])
+        bits = np.zeros((m + 7) // 8, dtype=np.uint8)
+        pos = pdf["pos"].to_numpy(dtype=np.int64)
+        np.bitwise_or.at(
+            bits, pos // 8, (1 << (pos % 8).astype(np.uint8)).astype(np.uint8)
+        )
+        return pd.DataFrame(
+            {
+                "file": [key[0]],
+                "col": [key[1]],
+                "num_bits": [m],
+                "num_hashes": [num_hashes],
+                "bits": [bits.tobytes()],
+            }
+        )
+
+    sidecar = allpos.groupBy("file", "col").applyInPandas(pack, BLOOM_SCHEMA)
+    sidecar.coalesce(1).write.mode("overwrite").parquet(
+        _bloom_dir(path, version)
+    )
+    return len(files)
+
+
+def prune_files_bloom(
+    spark, path: str, col: str, value
+) -> tuple[list[str], int] | None:
+    """Point-lookup planning: (surviving files, total files) for an
+    equality scan ``col = value``, or None when no usable bloom sidecar
+    exists (missing, stale, or not covering ``col``). Conservative by
+    the Bloom no-false-negative guarantee: a file is dropped only when
+    some probe bit is UNSET — the value provably never occurred in it;
+    false positives only keep extra files. The probe is driver-side
+    arithmetic over the tiny sidecar (k md5 positions per file against
+    its own bitset)."""
+    import hashlib
+
+    if value is None:
+        raise ValueError("bloom pruning needs a non-NULL probe value")
+    version = manifest_version(spark, path)
+    bd = _bloom_dir(path, version)
+    fs, p, _ = _hadoop_fs(spark, bd)
+    if not fs.exists(p):
+        return None
+    sidecar = [
+        r
+        for r in spark.read.parquet(bd).collect()
+        if r["col"] == col
+    ]
+    if not sidecar:
+        return None
+    data_dir = _resolve_table_path(spark, path)
+    listed = _list_parquet_files(spark, data_dir)
+    if {r["file"] for r in sidecar} != set(listed):
+        return None  # stale sidecar (plain dir rewritten in place)
+    key = str(value)
+    kept = []
+    for r in sidecar:
+        m = r["num_bits"]
+        bits = bytes(r["bits"])
+        hit = True
+        for i in range(r["num_hashes"]):
+            pos = (
+                int(hashlib.md5(f"{i}|{key}".encode()).hexdigest()[:15], 16)
+                % m
+            )
+            if not (bits[pos // 8] >> (pos % 8)) & 1:
+                hit = False
+                break
+        if hit:
+            kept.append(r["file"])
+    return sorted(kept), len(listed)
+
+
+def read_bloom_pruned(spark, path: str, col: str, value) -> DataFrame:
+    """Equality scan ``col = value`` opening ONLY the files whose bloom
+    admits the value; result is EXACTLY the plain filtered read (the
+    residual equality still applies row-level; a missing/stale sidecar
+    falls back to the plain scan — the index is an optimization, never
+    a correctness dependency)."""
+    plan = prune_files_bloom(spark, path, col, value)
+    base = spark.read.parquet(_resolve_table_path(spark, path))
+    if plan is None:
+        return base.where(F.col(col) == F.lit(value))
+    kept, _total = plan
+    if not kept:
+        return base.where(F.lit(False))
+    return spark.read.parquet(*kept).where(F.col(col) == F.lit(value))

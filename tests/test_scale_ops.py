@@ -1568,3 +1568,49 @@ def test_quantile_sketch_rejects_bad_params(spark):
         quantile_merge(summ, ["g"], [])
     with pytest.raises(ValueError, match="outside"):
         quantile_merge(summ, ["g"], [1.5])
+
+
+def test_bloom_sidecar_prunes_where_minmax_cannot(spark, tmp_path):
+    """Per-file bloom vs range stats on the adversarial layout: 16
+    hash-distributed files each spanning the whole key domain — the
+    [min, max] sidecar keeps ALL files for a point probe, the bloom
+    sidecar opens only the file(s) whose filter admits the value (and
+    never loses the row: no-false-negative guarantee). Stale sidecars
+    fall back to the plain scan."""
+    from async_pipes_spark.sources.stats import (
+        prune_files,
+        prune_files_bloom,
+        read_bloom_pruned,
+        write_file_bloom,
+        write_file_stats,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 20_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    df.repartition(16).write.mode("overwrite").parquet(path)
+    write_file_stats(spark, path, ["k"])
+    write_file_bloom(spark, path, ["k"])
+
+    probe = 12_345
+    # range stats are useless here: every file spans ~the whole domain
+    kept_minmax, total = prune_files(spark, path, {"k": (probe, probe)})
+    assert total == 16 and len(kept_minmax) == 16
+    kept_bloom, total_b = prune_files_bloom(spark, path, "k", probe)
+    assert total_b == 16 and 1 <= len(kept_bloom) <= 4, kept_bloom
+    rows = read_bloom_pruned(spark, path, "k", probe).collect()
+    assert [(r.k, r.v) for r in rows] == [(probe, probe % 97)]
+    # a value that never occurred: bloom may keep false-positive files,
+    # but the residual filter returns nothing
+    assert read_bloom_pruned(spark, path, "k", 999_999).count() == 0
+    # unknown column / missing sidecar → None (caller falls back)
+    assert prune_files_bloom(spark, path, "v2", probe) is None
+    # stale sidecar (dir rewritten in place) → None, read falls back
+    df.repartition(3).write.mode("overwrite").parquet(path)
+    assert prune_files_bloom(spark, path, "k", probe) is None
+    assert read_bloom_pruned(spark, path, "k", probe).count() == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-NULL"):
+        prune_files_bloom(spark, path, "k", None)
