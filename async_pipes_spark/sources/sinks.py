@@ -455,12 +455,17 @@ def _flat_pointer_commit(
     for v in prev_versions:
         if v not in retained_set:
             fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/_data/{v}"), True)
-    # a table carrying a stats sidecar keeps it fresh across commits
-    # (and GCs sidecars of dropped versions) — data skipping must not
-    # silently die at the first merge/compact after write_file_stats
-    from async_pipes_spark.sources.stats import refresh_file_stats
+    # a table carrying a stats/bloom sidecar keeps it fresh across
+    # commits (and GCs sidecars of dropped versions) — data skipping
+    # must not silently die at the first merge/compact after
+    # write_file_stats / write_file_bloom
+    from async_pipes_spark.sources.stats import (
+        refresh_file_bloom,
+        refresh_file_stats,
+    )
 
     refresh_file_stats(spark, path, retain=retained_set)
+    refresh_file_bloom(spark, path, retain=retained_set)
 
 
 def write_manifest_table(

@@ -287,6 +287,49 @@ def refresh_file_stats(
     return n
 
 
+def refresh_file_bloom(
+    spark, path: str, retain: set[str] | None = None
+) -> int:
+    """The bloom twin of :func:`refresh_file_stats`: a table that
+    carries any ``_bloom`` sidecar gets it rebuilt for the live version
+    after every commit (columns inherited; ones dropped by schema
+    evolution are skipped), and sidecars of versions outside ``retain``
+    are GC'd. No sidecar → no-op. Unlike footer stats this rebuild
+    SCANS the key column's data pages — that is the standing cost of a
+    bloom index (Delta computes them at write for the same reason),
+    paid only by tables that opted in via
+    :func:`write_file_bloom`."""
+    bloom_root = f"{path}/_bloom"
+    fs, bp, jvm = _hadoop_fs(spark, bloom_root)
+    if not fs.exists(bp):
+        return 0
+    names = [st.getPath().getName() for st in fs.listStatus(bp)]
+    if not names:
+        return 0
+    live = manifest_version(spark, path)
+    target = live or "flat"
+    src = target if target in names else sorted(names)[0]
+    cols = [
+        r["col"]
+        for r in spark.read.parquet(f"{bloom_root}/{src}")
+        .select("col")
+        .distinct()
+        .collect()
+    ]
+    df = spark.read.parquet(_resolve_table_path(spark, path))
+    cols = [c for c in cols if c in df.columns]
+    n = 0
+    if cols:
+        n = write_file_bloom(spark, path, cols)
+    keep = set(retain or ()) | {target}
+    for name in names:
+        if name not in keep or (not cols and name == target):
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(f"{bloom_root}/{name}"), True
+            )
+    return n
+
+
 def _load_sidecar(spark, path: str, version: str | None):
     sd = _stats_dir(path, version)
     fs, p, _ = _hadoop_fs(spark, sd)

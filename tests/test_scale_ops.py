@@ -1614,3 +1614,43 @@ def test_bloom_sidecar_prunes_where_minmax_cannot(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="non-NULL"):
         prune_files_bloom(spark, path, "k", None)
+
+
+def test_bloom_sidecar_survives_manifest_commits(spark, tmp_path):
+    """A manifest table that opted into a bloom index keeps it alive
+    across commits (merge/compact/restore all route through
+    _flat_pointer_commit's refresh) — pruning still plans after the
+    merge, the old version's sidecar is GC'd with its version, and the
+    post-merge probe sees the NEW rows (no false negatives against the
+    fresh data)."""
+    from async_pipes_spark.sources.sinks import (
+        merge_upsert,
+        write_manifest_table,
+    )
+    from async_pipes_spark.sources.stats import (
+        prune_files_bloom,
+        read_bloom_pruned,
+        write_file_bloom,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 2_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    write_manifest_table(spark, df.repartition(8), path)
+    write_file_bloom(spark, path, ["k"])
+    assert prune_files_bloom(spark, path, "k", 7) is not None
+    merge_upsert(
+        spark,
+        path,
+        spark.createDataFrame([(1_000_000, 1)], "k bigint, v bigint"),
+        ["k"],
+    )
+    plan = prune_files_bloom(spark, path, "k", 1_000_000)
+    assert plan is not None, "bloom sidecar died at the first merge"
+    kept, total = plan
+    assert 1 <= len(kept) <= total
+    rows = read_bloom_pruned(spark, path, "k", 1_000_000).collect()
+    assert [(r.k, r.v) for r in rows] == [(1_000_000, 1)]
+    # pre-merge keys still probe correctly through the rebuilt sidecar
+    assert read_bloom_pruned(spark, path, "k", 7).count() == 1
