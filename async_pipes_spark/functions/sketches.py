@@ -71,21 +71,38 @@ def kmv_distinct(df: DataFrame, cols: list[str], k: int = 256) -> DataFrame:
     return kth.select("kth_hash", est.alias("est_distinct"))
 
 
-def _bloom_positions(cols: list[str], num_bits: int, num_hashes: int):
+def _bloom_positions(cols: list[str], num_bits, num_hashes: int):
     """The md5-derived bit positions of one key, as JVM columns:
     position_i = int(md5("i|" + key)[:15 hex], 16) % m, with
     key = values cast to string joined by unit separator 0x1f. Pure
     whole-stage-codegen (md5/conv/pmod are built-ins) — no Python
     touches a row — and engine-replicable (the same formula is plain
-    SQL in DuckDB or anything with md5)."""
+    SQL in DuckDB or anything with md5). ``num_bits`` may be an int or
+    a Column (per-file filter sizes — the file-level bloom sidecar).
+    :func:`bloom_positions_py` is the driver-side twin; the two MUST
+    stay bit-identical or skipping grows false negatives."""
     key = _null_safe_key(cols)
+    m = F.lit(num_bits) if isinstance(num_bits, int) else num_bits
     return [
         F.pmod(
             F.conv(
                 F.substring(F.md5(F.concat(F.lit(f"{i}|"), key)), 1, 15), 16, 10
             ).cast("long"),
-            F.lit(num_bits),
+            m,
         )
+        for i in range(num_hashes)
+    ]
+
+
+def bloom_positions_py(key: str, num_bits: int, num_hashes: int) -> list[int]:
+    """Driver-side twin of :func:`_bloom_positions` for a single
+    already-rendered key string — used by planners that probe stored
+    per-file filters without launching a job. Same formula, same
+    bytes."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{i}|{key}".encode()).hexdigest()[:15], 16) % num_bits
         for i in range(num_hashes)
     ]
 

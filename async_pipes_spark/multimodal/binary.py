@@ -227,6 +227,8 @@ def audio_envelope(
         for pdf in it:
             ids, nfr, fps = [], [], []
             for i, m in zip(pdf[id_col], pdf["media"]):
+                if m is None or m["payload"] is None:
+                    continue  # NULL payload: nothing to sign, no row
                 if m["media_type"] != "raw":
                     raise NotImplementedError(
                         f"audio decoder for {m['media_type']!r} not available"

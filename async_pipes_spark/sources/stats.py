@@ -236,22 +236,18 @@ def write_file_stats(spark, path: str, cols: Sequence[str]) -> int:
     return len(files)
 
 
-def refresh_file_stats(
-    spark, path: str, retain: set[str] | None = None
-) -> int:
-    """Keep a table's sidecar FRESH across commits: if ``path`` carries
-    any ``_stats`` sidecar, rebuild it for the current live version
-    (columns inherited from the existing sidecar, dropping any that no
-    longer exist as numeric columns after schema evolution) and delete
-    sidecars for versions outside ``retain`` (default: just the live
-    one kept plus whatever still exists). No sidecar → no-op, returns
-    0. :func:`~async_pipes_spark.sources.sinks._manifest_commit` calls
-    this after every pointer replace, so merge/purge/compact/OPTIMIZE
-    never silently turn data skipping off — the footer sweep over the
-    new version's files is the standing cost of keeping the skip index
-    alive, exactly as in Delta/Iceberg stats collection."""
-    stats_root = f"{path}/_stats"
-    fs, sp, jvm = _hadoop_fs(spark, stats_root)
+def _refresh_sidecar(spark, path, root_name, col_filter, rebuild, retain):
+    """The ONE refresh/GC loop for per-version sidecars (shared by
+    ``_stats`` and ``_bloom`` so the src-selection, column-inheritance,
+    and GC edge cases can never drift): if any sidecar exists under
+    ``<path>/<root_name>``, rebuild it for the live version — columns
+    inherited from an existing sidecar, filtered by ``col_filter(df,
+    col)`` (schema evolution may have dropped some) — via
+    ``rebuild(cols, src_df)``, then delete sidecars of versions outside
+    ``retain``. Returns files indexed (0 = no sidecar or no surviving
+    columns)."""
+    root = f"{path}/{root_name}"
+    fs, sp, jvm = _hadoop_fs(spark, root)
     if not fs.exists(sp):
         return 0
     names = [st.getPath().getName() for st in fs.listStatus(sp)]
@@ -262,29 +258,43 @@ def refresh_file_stats(
     # inherit the column set from an existing sidecar (prefer the
     # live version's own if present, else any — commits share cols)
     src = target if target in names else sorted(names)[0]
-    cols = [
-        r["col"]
-        for r in spark.read.parquet(f"{stats_root}/{src}")
-        .select("col")
-        .distinct()
-        .collect()
-    ]
+    src_df = spark.read.parquet(f"{root}/{src}")
+    cols = [r["col"] for r in src_df.select("col").distinct().collect()]
     df = spark.read.parquet(_resolve_table_path(spark, path))
-    cols = [
-        c
-        for c in cols
-        if c in df.columns and isinstance(df.schema[c].dataType, _NUMERIC_TYPES)
-    ]
-    n = 0
-    if cols:
-        n = write_file_stats(spark, path, cols)
+    cols = [c for c in cols if col_filter(df, c)]
+    n = rebuild(cols, src_df) if cols else 0
     keep = set(retain or ()) | {target}
     for name in names:
         if name not in keep or (not cols and name == target):
-            fs.delete(
-                jvm.org.apache.hadoop.fs.Path(f"{stats_root}/{name}"), True
-            )
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{root}/{name}"), True)
     return n
+
+
+def refresh_file_stats(
+    spark, path: str, retain: set[str] | None = None
+) -> int:
+    """Keep a table's stats sidecar FRESH across commits (columns
+    inherited, non-numeric ones dropped after schema evolution; no
+    sidecar = no-op).
+    :func:`~async_pipes_spark.sources.sinks._manifest_commit` calls
+    this after every pointer replace, so merge/purge/compact/OPTIMIZE
+    never silently turn data skipping off — the footer sweep over the
+    new version's files is the standing cost of keeping the skip index
+    alive, exactly as in Delta/Iceberg stats collection."""
+
+    def numeric(df, c):
+        return c in df.columns and isinstance(
+            df.schema[c].dataType, _NUMERIC_TYPES
+        )
+
+    return _refresh_sidecar(
+        spark,
+        path,
+        "_stats",
+        numeric,
+        lambda cols, _src: write_file_stats(spark, path, cols),
+        retain,
+    )
 
 
 def refresh_file_bloom(
@@ -292,42 +302,33 @@ def refresh_file_bloom(
 ) -> int:
     """The bloom twin of :func:`refresh_file_stats`: a table that
     carries any ``_bloom`` sidecar gets it rebuilt for the live version
-    after every commit (columns inherited; ones dropped by schema
-    evolution are skipped), and sidecars of versions outside ``retain``
-    are GC'd. No sidecar → no-op. Unlike footer stats this rebuild
-    SCANS the key column's data pages — that is the standing cost of a
-    bloom index (Delta computes them at write for the same reason),
-    paid only by tables that opted in via
+    after every commit WITH THE PARAMETERS IT OPTED IN WITH
+    (bits_per_key / num_hashes are stored in the sidecar rows — a
+    tuned low-FPR index must not silently downgrade to defaults at the
+    first merge), and sidecars of dropped versions are GC'd. Unlike
+    footer stats this rebuild SCANS the key columns' data pages — the
+    standing cost of a bloom index (Delta computes them at write for
+    the same reason), paid only by tables that opted in via
     :func:`write_file_bloom`."""
-    bloom_root = f"{path}/_bloom"
-    fs, bp, jvm = _hadoop_fs(spark, bloom_root)
-    if not fs.exists(bp):
-        return 0
-    names = [st.getPath().getName() for st in fs.listStatus(bp)]
-    if not names:
-        return 0
-    live = manifest_version(spark, path)
-    target = live or "flat"
-    src = target if target in names else sorted(names)[0]
-    cols = [
-        r["col"]
-        for r in spark.read.parquet(f"{bloom_root}/{src}")
-        .select("col")
-        .distinct()
-        .collect()
-    ]
-    df = spark.read.parquet(_resolve_table_path(spark, path))
-    cols = [c for c in cols if c in df.columns]
-    n = 0
-    if cols:
-        n = write_file_bloom(spark, path, cols)
-    keep = set(retain or ()) | {target}
-    for name in names:
-        if name not in keep or (not cols and name == target):
-            fs.delete(
-                jvm.org.apache.hadoop.fs.Path(f"{bloom_root}/{name}"), True
-            )
-    return n
+
+    def rebuild(cols, src_df):
+        params = src_df.select("bits_per_key", "num_hashes").first()
+        return write_file_bloom(
+            spark,
+            path,
+            cols,
+            bits_per_key=int(params["bits_per_key"]),
+            num_hashes=int(params["num_hashes"]),
+        )
+
+    return _refresh_sidecar(
+        spark,
+        path,
+        "_bloom",
+        lambda df, c: c in df.columns,
+        rebuild,
+        retain,
+    )
 
 
 def _load_sidecar(spark, path: str, version: str | None):
@@ -442,9 +443,11 @@ def read_stats_pruned(spark, path: str, bounds: Bounds) -> DataFrame:
 
 # ---- per-file BLOOM sidecars (point-lookup skipping) -----------------
 
-#: one row per (file, column): a packed little-endian bitset
+#: one row per (file, column): a packed little-endian bitset plus the
+#: parameters the index was built with (refresh re-reads them)
 BLOOM_SCHEMA = (
-    "file string, col string, num_bits bigint, num_hashes bigint, bits binary"
+    "file string, col string, num_bits bigint, num_hashes bigint, "
+    "bits_per_key bigint, bits binary"
 )
 
 
@@ -475,9 +478,9 @@ def write_file_bloom(
     selective equality probe on a HIGH-CARDINALITY, UNCLUSTERED column
     (where every file's min/max spans the whole domain and range
     stats prune nothing) opens only the files whose bloom admits the
-    value. Same md5-position formula as the engine's query-level Bloom
-    (:func:`~async_pipes_spark.functions.sketches._bloom_positions`),
-    so the planner replays it driver-side per file.
+    value. Positions come from the ONE shared md5 formula
+    (:func:`~async_pipes_spark.functions.sketches._bloom_positions`);
+    the planner replays its driver-side twin per file.
 
     Build shape (needs data pages, unlike footer stats — exactly like
     Delta, which computes bloom indexes at write): ONE scan projecting
@@ -487,10 +490,16 @@ def write_file_bloom(
     distinct shuffle of (file, col, position) rows — bounded by
     distinct keys × k, never payloads — and a per-file Arrow kernel
     packs the bitset; the sidecar is ``num_bits/8`` bytes per
-    (file, column). NULLs set no bits (an equality probe never matches
-    NULL). Returns the number of data files indexed."""
+    (file, column). Keys are rendered via Spark's CAST(col AS STRING)
+    — the probe renders through the same cast, or skipping would grow
+    false negatives. A zero-row file or an all-NULL key column gets an
+    explicit EMPTY filter row (probes never admit it — correct, it
+    holds no matching row — and the staleness file-set check stays
+    satisfiable). Returns the number of data files indexed."""
     import numpy as np
     import pandas as pd
+
+    from async_pipes_spark.functions.sketches import _bloom_positions
 
     if _pmanifest_read(spark, path) is not None:
         raise ValueError(
@@ -529,23 +538,7 @@ def write_file_bloom(
             .join(F.broadcast(sizes), "file")
         )
         pos = F.explode(
-            F.array(
-                *[
-                    F.pmod(
-                        F.conv(
-                            F.substring(
-                                F.md5(F.concat(F.lit(f"{i}|"), F.col("_k"))),
-                                1,
-                                15,
-                            ),
-                            16,
-                            10,
-                        ).cast("long"),
-                        F.col("num_bits"),
-                    )
-                    for i in range(num_hashes)
-                ]
-            )
+            F.array(*_bloom_positions(["_k"], F.col("num_bits"), num_hashes))
         )
         parts.append(
             rows.select("file", "num_bits", pos.alias("pos"))
@@ -569,14 +562,32 @@ def write_file_bloom(
                 "col": [key[1]],
                 "num_bits": [m],
                 "num_hashes": [num_hashes],
+                "bits_per_key": [bits_per_key],
                 "bits": [bits.tobytes()],
             }
         )
 
+    out_dir = _bloom_dir(path, version)
     sidecar = allpos.groupBy("file", "col").applyInPandas(pack, BLOOM_SCHEMA)
-    sidecar.coalesce(1).write.mode("overwrite").parquet(
-        _bloom_dir(path, version)
-    )
+    sidecar.coalesce(1).write.mode("overwrite").parquet(out_dir)
+    # zero-row files and all-NULL key columns produced no row above —
+    # without an explicit row the staleness check ({sidecar files} ==
+    # {listed files}) would read the index as permanently stale
+    have = {
+        (r["file"], r["col"])
+        for r in spark.read.parquet(out_dir).select("file", "col").collect()
+    }
+    missing = [(f, c) for f in files for c in cols if (f, c) not in have]
+    if missing:
+        m_empty = 64
+        empty = bytearray((m_empty + 7) // 8)
+        spark.createDataFrame(
+            [
+                (f, c, m_empty, num_hashes, bits_per_key, bytes(empty))
+                for f, c in missing
+            ],
+            BLOOM_SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(out_dir)
     return len(files)
 
 
@@ -588,10 +599,14 @@ def prune_files_bloom(
     exists (missing, stale, or not covering ``col``). Conservative by
     the Bloom no-false-negative guarantee: a file is dropped only when
     some probe bit is UNSET — the value provably never occurred in it;
-    false positives only keep extra files. The probe is driver-side
-    arithmetic over the tiny sidecar (k md5 positions per file against
-    its own bitset)."""
-    import hashlib
+    false positives only keep extra files. The probe value is rendered
+    through Spark's CAST(value AS <column type> AS STRING), matching
+    the build side exactly (``str(value)`` would diverge on doubles,
+    booleans, decimals — false negatives). The probe itself is
+    driver-side arithmetic over the tiny sidecar (k md5 positions per
+    file against its own bitset), reading ONLY the probed column's
+    rows."""
+    from async_pipes_spark.functions.sketches import bloom_positions_py
 
     if value is None:
         raise ValueError("bloom pruning needs a non-NULL probe value")
@@ -600,28 +615,40 @@ def prune_files_bloom(
     fs, p, _ = _hadoop_fs(spark, bd)
     if not fs.exists(p):
         return None
-    sidecar = [
-        r
-        for r in spark.read.parquet(bd).collect()
-        if r["col"] == col
-    ]
+    sidecar = (
+        spark.read.parquet(bd).where(F.col("col") == F.lit(col)).collect()
+    )
     if not sidecar:
         return None
     data_dir = _resolve_table_path(spark, path)
     listed = _list_parquet_files(spark, data_dir)
     if {r["file"] for r in sidecar} != set(listed):
         return None  # stale sidecar (plain dir rewritten in place)
-    key = str(value)
+    base = spark.read.parquet(data_dir)
+    if col not in base.columns:
+        return None
+    rendered = (
+        spark.range(1)
+        .select(
+            F.lit(value)
+            .cast(base.schema[col].dataType)
+            .cast("string")
+            .alias("k")
+        )
+        .first()["k"]
+    )
+    if rendered is None:
+        raise ValueError(
+            f"probe value {value!r} does not cast to column {col}'s type "
+            f"{base.schema[col].dataType.simpleString()}"
+        )
     kept = []
     for r in sidecar:
-        m = r["num_bits"]
         bits = bytes(r["bits"])
         hit = True
-        for i in range(r["num_hashes"]):
-            pos = (
-                int(hashlib.md5(f"{i}|{key}".encode()).hexdigest()[:15], 16)
-                % m
-            )
+        for pos in bloom_positions_py(
+            rendered, r["num_bits"], r["num_hashes"]
+        ):
             if not (bits[pos // 8] >> (pos % 8)) & 1:
                 hit = False
                 break

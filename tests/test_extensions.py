@@ -791,6 +791,7 @@ def test_audio_envelope_semantics(spark):
         (2, bytes([10] * 64)),        # identical contour -> same fp
         (3, bytes([10] * 31)),        # under one frame -> no row
         (4, bytes([10] * 32 + [200] * 32)),  # different contour
+        (5, None),                    # NULL payload -> no row, no crash
     ]
     media = to_media(
         spark.createDataFrame(rows, "doc_id bigint, payload binary")

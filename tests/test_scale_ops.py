@@ -1654,3 +1654,78 @@ def test_bloom_sidecar_survives_manifest_commits(spark, tmp_path):
     assert [(r.k, r.v) for r in rows] == [(1_000_000, 1)]
     # pre-merge keys still probe correctly through the rebuilt sidecar
     assert read_bloom_pruned(spark, path, "k", 7).count() == 1
+
+
+def test_bloom_probe_type_rendering_and_null_key_files(spark, tmp_path):
+    """The three review repros: (1) probe values render through
+    Spark's CAST chain, not Python str() — a double key probed as 1e7
+    must hit ('1.0E7' vs '10000000.0' was a silent FALSE NEGATIVE);
+    (2) an int column probed with a float still hits; (3) a file whose
+    key column is entirely NULL gets an explicit empty-filter row, so
+    the sidecar stays staleness-consistent (pruning still PLANS) and
+    the all-NULL file is correctly dropped."""
+    from async_pipes_spark.sources.stats import (
+        prune_files_bloom,
+        read_bloom_pruned,
+        write_file_bloom,
+    )
+
+    # (1) double keys
+    pd_path = str(tmp_path / "dbl")
+    spark.createDataFrame(
+        [(1.0e7,), (2.5,)], "k double"
+    ).repartition(2).write.parquet(pd_path)
+    write_file_bloom(spark, pd_path, ["k"])
+    assert read_bloom_pruned(spark, pd_path, "k", 1e7).count() == 1
+    assert read_bloom_pruned(spark, pd_path, "k", 2.5).count() == 1
+
+    # (2) int keys probed with a float
+    pi_path = str(tmp_path / "int")
+    spark.createDataFrame([(7,), (9,)], "k bigint").repartition(
+        2
+    ).write.parquet(pi_path)
+    write_file_bloom(spark, pi_path, ["k"])
+    assert read_bloom_pruned(spark, pi_path, "k", 7.0).count() == 1
+
+    # (3) one file all-NULL in the key column
+    pn_path = str(tmp_path / "nul")
+    spark.createDataFrame([(1, 10), (2, 20)], "k bigint, v bigint").coalesce(
+        1
+    ).write.parquet(pn_path)
+    spark.createDataFrame(
+        [(None, 30), (None, 40)], "k bigint, v bigint"
+    ).coalesce(1).write.mode("append").parquet(pn_path)
+    write_file_bloom(spark, pn_path, ["k"])
+    plan = prune_files_bloom(spark, pn_path, "k", 1)
+    assert plan is not None, "all-NULL file killed the sidecar"
+    kept, total = plan
+    assert total == 2 and len(kept) == 1  # the all-NULL file is dropped
+    assert read_bloom_pruned(spark, pn_path, "k", 1).count() == 1
+
+
+def test_bloom_refresh_preserves_tuned_parameters(spark, tmp_path):
+    """A tuned index (bits_per_key=64, num_hashes=6) must survive a
+    manifest commit with its parameters intact — not silently downgrade
+    to the 16/4 defaults (the ~100x-FPR review finding)."""
+    from async_pipes_spark.sources.sinks import (
+        merge_upsert,
+        write_manifest_table,
+    )
+    from async_pipes_spark.sources.stats import (
+        _bloom_dir,
+        write_file_bloom,
+    )
+    from async_pipes_spark.sources.sinks import manifest_version
+
+    path = str(tmp_path / "t")
+    write_manifest_table(
+        spark, spark.range(0, 300).select(F.col("id").alias("k")), path
+    )
+    write_file_bloom(spark, path, ["k"], bits_per_key=64, num_hashes=6)
+    merge_upsert(
+        spark, path, spark.createDataFrame([(777,)], "k bigint"), ["k"]
+    )
+    side = spark.read.parquet(
+        _bloom_dir(path, manifest_version(spark, path))
+    ).first()
+    assert (side["bits_per_key"], side["num_hashes"]) == (64, 6)
