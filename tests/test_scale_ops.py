@@ -1729,3 +1729,40 @@ def test_bloom_refresh_preserves_tuned_parameters(spark, tmp_path):
         _bloom_dir(path, manifest_version(spark, path))
     ).first()
     assert (side["bits_per_key"], side["num_hashes"]) == (64, 6)
+
+
+def test_bloom_probe_parity_across_key_types(spark, tmp_path):
+    """Rendering parity build-vs-probe for every key type a lake
+    realistically blooms: bigint (negative included), double
+    (negative / fractional / exponent-rendered), string (unicode,
+    empty), boolean, decimal. For every stored value, the probe MUST
+    admit its file (no false negatives — the bug class the review
+    repro'd on doubles) and read_bloom_pruned must equal the plain
+    filter."""
+    from async_pipes_spark.sources.stats import (
+        read_bloom_pruned,
+        write_file_bloom,
+    )
+
+    cases = [
+        ("bigint", [(-7,), (0,), (12345678901,)]),
+        ("double", [(-2.5,), (0.125,), (1.0e7,), (3.0,)]),
+        ("string", [("",), ("héllo wörld",), ("a\tb",)]),
+        ("boolean", [(True,), (False,)]),
+        ("decimal(9,2)", [(None,)]),  # filled below
+    ]
+    from decimal import Decimal
+
+    cases[-1] = ("decimal(9,2)", [(Decimal("12.50"),), (Decimal("-0.25"),)])
+    for i, (typ, vals) in enumerate(cases):
+        path = str(tmp_path / f"t{i}")
+        spark.createDataFrame(vals, f"k {typ}").repartition(2).write.parquet(
+            path
+        )
+        write_file_bloom(spark, path, ["k"])
+        for (v,) in vals:
+            got = read_bloom_pruned(spark, path, "k", v).count()
+            want = (
+                spark.read.parquet(path).where(F.col("k") == F.lit(v)).count()
+            )
+            assert got == want == 1, (typ, v, got, want)
