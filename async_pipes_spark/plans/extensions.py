@@ -1735,10 +1735,19 @@ def mm5_audio_envelope_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows leave the kernel; the canonical resolution is a fp-keyed
     groupBy + broadcast-scale join). The oracle re-derives every frame
     energy arithmetically from the characters (ord == utf-8 byte on
-    this ASCII corpus) and replays the identical md5."""
+    this ASCII corpus) and replays the identical md5. The char==byte
+    equivalence the oracle depends on is ENFORCED here, not assumed: a
+    runtime assert fails the query on any non-ASCII text (length ==
+    octet_length per row, inside a filter so Catalyst cannot prune the
+    check away) instead of silently diverging from the oracle."""
     from async_pipes_spark.multimodal.binary import audio_envelope
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.assert_true(
+            F.coalesce(F.length("text") == F.octet_length("text"), F.lit(True)),
+            F.lit("mm5 oracle requires ASCII-only text (char index == byte index)"),
+        ).isNull()
+    )
     media = to_media(
         docs.withColumn("payload", F.encode("text", "utf-8")),
         "payload",
@@ -3632,11 +3641,12 @@ EXTENSION_ORACLES = {
         bsh AS (SELECT DISTINCT sh.shingle
                 FROM sh JOIN g USING (doc_id) WHERE g.source = 'src0'),
         tsh AS (SELECT DISTINCT sh.doc_id, sh.shingle
-                FROM sh JOIN g USING (doc_id) WHERE g.source <> 'src0'),
+                FROM sh JOIN g USING (doc_id)
+                WHERE (g.source <> 'src0' OR g.source IS NULL)),
         doomed AS (SELECT doc_id FROM tsh JOIN bsh USING (shingle)
                    GROUP BY doc_id HAVING COUNT(*) >= 5),
         clean AS (SELECT doc_id, source, text FROM g
-                  WHERE source <> 'src0'
+                  WHERE (source <> 'src0' OR source IS NULL)
                     AND doc_id NOT IN (SELECT doc_id FROM doomed)),
         dedup AS (SELECT doc_id, source, text
                   FROM (SELECT *, ROW_NUMBER() OVER (

@@ -577,6 +577,23 @@ def write_file_bloom(
         (r["file"], r["col"])
         for r in spark.read.parquet(out_dir).select("file", "col").collect()
     }
+    # fail LOUDLY when the scan's input_file_name() URIs and the Hadoop
+    # listing disagree (a table path with spaces / percent-encoded
+    # characters: the scan reports the encoded URI, makeQualified the
+    # decoded one, and _file_uri_col only normalizes slash count) —
+    # otherwise every (file, col) looks missing, the staleness set-check
+    # reads permanently stale, and the opted-in index dies silently
+    extra = {f for f, _ in have} - set(files)
+    if extra:
+        fs, out_p, _ = _hadoop_fs(spark, out_dir)
+        fs.delete(out_p, True)  # stale-by-construction — don't leave it
+        raise ValueError(
+            "write_file_bloom: scanned file URIs do not match the directory "
+            f"listing (e.g. {sorted(extra)[0]!r} not in the listed set) — "
+            "the table path needs URI escaping (space or percent-encoded "
+            "characters), which this sidecar's file-identity comparison "
+            "does not support; use a plain [A-Za-z0-9._/-] table path"
+        )
     missing = [(f, c) for f in files for c in cols if (f, c) not in have]
     if missing:
         m_empty = 64

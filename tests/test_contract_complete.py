@@ -24,7 +24,7 @@ def test_queries_and_oracles_share_order():
 
 
 def test_stale_and_new_queries_inside_coverage_window():
-    """Rotation policy, round 7 (r6 verdict item 1): the 23 queries NEW
+    """Rotation policy, round 7 (r6 verdict item 1): the 25 queries NEW
     this round (a8 composed IVFPQ, s24 partitioned-manifest CDC, a9
     PQ-coded k-NN join, d13 segment dedup, t15 top-bigram, s25
     streaming retrieval, z1 z-order layout, f1 fuzzy join, s26
