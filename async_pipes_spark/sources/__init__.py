@@ -12,6 +12,8 @@ from async_pipes_spark.sources.sinks import (  # noqa: F401
     manifest_version,
     manifest_versions,
     merge_upsert,
+    mor_deltas,
+    mor_upsert,
     partitioned_manifest_generations,
     purge_tombstones,
     read_manifest_table,

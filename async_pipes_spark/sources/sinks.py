@@ -131,6 +131,40 @@ _COMMITS = "_commits"
 _PMARK = "#partitioned"
 
 
+# ---- merge-on-read states --------------------------------------------
+#
+# A pointer STATE line is either a plain copy-on-write state ("v_<id>"
+# flat / "g_<id>" partitioned — the pre-MOR format, unchanged) or a
+# merge-on-read state "v_<id>+x_<d1>+x_<d2>": the base version plus an
+# ordered (oldest-first) list of immutable DELTA dirs under _data/,
+# each holding one mor_upsert's update rows and a _spec control file
+# naming the key/version/tombstone columns the table resolves by.
+# Reads resolve base ∪ deltas with the SAME last-writer-wins window
+# merge_upsert applies at write (version desc, later-delta-wins on
+# ties, full-row-hash tiebreak), so a MOR table reads exactly what the
+# equivalent sequence of copy-on-write merges would have stored; a
+# compaction (compact_small_files / optimize_zorder) folds the deltas
+# into a fresh base and publishes a plain state line again.
+
+
+def _state_base(state: str) -> str:
+    """The base version/generation name of a pointer state line."""
+    return state.split("+", 1)[0]
+
+
+def _state_deltas(state: str) -> list[str]:
+    """The merge-on-read delta dir names of a state line, oldest
+    first (empty for a plain copy-on-write state)."""
+    return state.split("+")[1:]
+
+
+def _state_data_dirs(state: str) -> list[str]:
+    """Every ``_data/`` dir a FLAT state references (base + deltas) —
+    the GC/vacuum refcount unit. (Partitioned states refcount their
+    base through the generation mapping instead.)"""
+    return state.split("+")
+
+
 class ConcurrentCommitError(RuntimeError):
     """Another writer committed to the manifest table between this
     writer's read of the base state and its commit attempt, so the
@@ -272,15 +306,36 @@ def _manifest_read(spark, path: str) -> tuple[list[str], int, int]:
 
 
 def manifest_version(spark, path: str) -> str | None:
-    """The live data version of a manifest table, or None if ``path``
-    is not one (no ``_MANIFEST`` pointer present)."""
+    """The live BASE data version of a manifest table, or None if
+    ``path`` is not one (no ``_MANIFEST`` pointer present). On a
+    merge-on-read state this is the base version only — outstanding
+    deltas are reported by :func:`mor_deltas`, and a read of just the
+    base dir is NOT the table (use :func:`read_manifest_table`)."""
     versions, _, _ = _manifest_read(spark, path)
-    return versions[0] if versions else None
+    return _state_base(versions[0]) if versions else None
+
+
+def mor_deltas(spark, path: str) -> list[str]:
+    """The live state's outstanding merge-on-read delta dirs, oldest
+    first ([] for a copy-on-write state, a partitioned manifest, or a
+    plain directory). Non-empty means: reads must resolve (the engine's
+    readers do), stats/bloom sidecars cover only the base (their
+    planners fall back), and a compaction will fold the backlog."""
+    versions, _, _ = _manifest_read(spark, path)
+    if versions:
+        return _state_deltas(versions[0])
+    pinfo = _pmanifest_read(spark, path)
+    if pinfo is not None and pinfo[0]:
+        return _state_deltas(pinfo[0][0])
+    return []
 
 
 def _resolve_table_path(spark, path: str) -> str:
-    """Data directory to READ for a table path: the live version dir of
-    a manifest table, or the path itself for a plain parquet dir."""
+    """Data directory to READ for a table path: the live BASE version
+    dir of a manifest table, or the path itself for a plain parquet
+    dir. Callers that can see merge-on-read tables must check
+    :func:`mor_deltas` — the base dir alone is not the table when
+    deltas are outstanding."""
     v = manifest_version(spark, path)
     return f"{path}/_data/{v}" if v else path
 
@@ -449,23 +504,35 @@ def _flat_pointer_commit(
     else:
         _abandon("could not claim a commit slot after 64 attempts")
     _publish_pointer(spark, path, body, seq + 1)
-    # lineage-only GC: exactly the versions THIS commit dropped from
-    # the retained window it inherited
+    # lineage-only GC: exactly the states THIS commit dropped from the
+    # retained window it inherited — REFCOUNTED over data dirs, because
+    # merge-on-read states share dirs (state "v_a+x_1" and its parent
+    # "v_a" both reference v_a; dropping the parent must not delete the
+    # live state's base)
     retained_set = set(retained)
-    for v in prev_versions:
-        if v not in retained_set:
-            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/_data/{v}"), True)
+    retained_dirs: set[str] = set()
+    for s in retained:
+        retained_dirs.update(_state_data_dirs(s))
+    for s in prev_versions:
+        if s in retained_set:
+            continue
+        for d in _state_data_dirs(s):
+            if d not in retained_dirs:
+                fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/_data/{d}"), True)
     # a table carrying a stats/bloom sidecar keeps it fresh across
     # commits (and GCs sidecars of dropped versions) — data skipping
     # must not silently die at the first merge/compact after
-    # write_file_stats / write_file_bloom
+    # write_file_stats / write_file_bloom. Sidecars are named by BASE
+    # version (they index base files; MOR-backlogged states skip
+    # pruning until compaction publishes a fresh base).
     from async_pipes_spark.sources.stats import (
         refresh_file_bloom,
         refresh_file_stats,
     )
 
-    refresh_file_stats(spark, path, retain=retained_set)
-    refresh_file_bloom(spark, path, retain=retained_set)
+    retained_bases = {_state_base(s) for s in retained}
+    refresh_file_stats(spark, path, retain=retained_bases)
+    refresh_file_bloom(spark, path, retain=retained_bases)
 
 
 def write_manifest_table(
@@ -500,30 +567,264 @@ def manifest_versions(spark, path: str) -> list[str]:
 
 def read_manifest_table(spark, path: str, version: str | None = None) -> DataFrame:
     """Read a manifest table (mergeSchema, matching the engine's CDC
-    read discipline): the live version by default, or — TIME TRAVEL
-    over the retained window — any version still listed by
+    read discipline): the live state by default, or — TIME TRAVEL
+    over the retained window — any state still listed by
     :func:`manifest_versions` (GC keeps the newest ``keep_versions``
     commits, default live + previous, so recent history stays readable
-    until it ages out)."""
+    until it ages out). A merge-on-read state (``v_base+x_d1+...``)
+    resolves base ∪ deltas at read via the same last-writer-wins
+    window the copy-on-write merge applies at write — the returned
+    DataFrame is row-for-row what the equivalent
+    :func:`merge_upsert` sequence would have stored (soft tombstone
+    rows included; readers filter them exactly as on a COW table)."""
+    states, _, _ = _manifest_read(spark, path)
     if version is None:
-        version = manifest_version(spark, path)
-        if version is None:
+        if not states:
             if _pmanifest_read(spark, path) is not None:
                 raise ValueError(
                     f"{path} is a PARTITIONED manifest table; read it with "
                     "read_partitioned_manifest()"
                 )
             raise ValueError(f"not a manifest table (no {_MANIFEST}): {path}")
+        state = states[0]
     else:
-        retained = manifest_versions(spark, path)
-        if version not in retained:
+        if version not in states:
             raise ValueError(
-                f"version {version!r} not retained (have {retained}); "
+                f"version {version!r} not retained (have {states}); "
                 "manifest GC keeps the newest keep_versions commits only"
             )
-    return spark.read.option("mergeSchema", "true").parquet(
-        f"{path}/_data/{version}"
+        state = version
+    base = spark.read.option("mergeSchema", "true").parquet(
+        f"{path}/_data/{_state_base(state)}"
     )
+    deltas = _state_deltas(state)
+    if not deltas:
+        return base
+    return _mor_resolve(spark, path, base, deltas)
+
+
+def _write_mor_spec(
+    spark, path: str, delta: str,
+    key_cols: Sequence[str], version_cols: Sequence[str],
+    tombstone_col: str | None,
+) -> None:
+    body = (
+        f"keys={','.join(key_cols)}\n"
+        f"versions={','.join(version_cols)}\n"
+        f"tombstone={tombstone_col or ''}\n"
+    )
+    _replace_pointer(spark, f"{path}/_data/{delta}/_spec", body)
+
+
+def _read_mor_spec(
+    spark, path: str, delta: str
+) -> tuple[list[str], list[str], str | None]:
+    """(key_cols, version_cols, tombstone_col) a delta dir resolves
+    by. Every delta of one table carries the same spec
+    (:func:`mor_upsert` validates against the live backlog's)."""
+    content = _read_small_file(spark, f"{path}/_data/{delta}/_spec")
+    if content is None:
+        raise ValueError(f"merge-on-read delta missing its _spec: {delta}")
+    vals = {"keys": "", "versions": "", "tombstone": ""}
+    for ln in _split_lines(content):
+        k, _, v = ln.partition("=")
+        vals[k] = v
+    keys = [c for c in vals["keys"].split(",") if c]
+    vers = [c for c in vals["versions"].split(",") if c]
+    return keys, vers, vals["tombstone"] or None
+
+
+def _mor_resolve(
+    spark, path: str, base: DataFrame, deltas: Sequence[str]
+) -> DataFrame:
+    """Resolve a merge-on-read state to the table it denotes. The
+    ordering reproduces :func:`merge_upsert`'s write-time window
+    EXACTLY — version tuple desc, then later-source-wins (base < older
+    delta < newer delta, the associative form of COW's
+    update-beats-incumbent tie rule), then the full-row-hash tiebreak —
+    so resolving all deltas in ONE window equals applying them as
+    sequential copy-on-write merges. NULL-key rows replay COW's
+    join semantics (NULL never matches): base NULL-key rows always
+    survive, and each delta's NULL-key rows resolve only among
+    themselves — one window partitioned by (key, source) instead of
+    (key)."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    keys, vers, tomb = _read_mor_spec(spark, path, deltas[0])
+    parts = [base.withColumn("_src", F.lit(0))]
+    for i, d in enumerate(deltas, start=1):
+        dd = spark.read.option("mergeSchema", "true").parquet(
+            f"{path}/_data/{d}"
+        )
+        parts.append(dd.withColumn("_src", F.lit(i)))
+    allrows = reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+    )
+    if tomb:
+        # same normalization as the COW soft-tombstone store: stored
+        # NULL ≡ live (pre-tombstone base files lack the column)
+        allrows = allrows.withColumn(
+            tomb, F.coalesce(F.col(tomb), F.lit(False))
+        )
+    cols = [c for c in allrows.columns if c != "_src"]
+    tiebreak = []
+    if not any("map<" in t for c, t in allrows.dtypes if c != "_src"):
+        # sorted-column struct = the same canonical hash merge_upsert
+        # breaks write-time ties with — resolution must pick the SAME
+        # winner a COW merge would have stored
+        tiebreak = [F.hash(F.struct(*sorted(cols))).desc()]
+    has_null_key = reduce(
+        Column.__or__, [F.col(k).isNull() for k in keys]
+    )
+    main = allrows.filter(~has_null_key)
+    nullp = allrows.filter(has_null_key)
+    if vers:
+        w = Window.partitionBy(*keys).orderBy(
+            *[F.col(c).desc() for c in vers], F.col("_src").desc(), *tiebreak
+        )
+        resolved_main = (
+            main.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_src")
+        )
+        # NULL-key delta rows: resolve within their own batch only
+        wn = Window.partitionBy(*keys, "_src").orderBy(
+            *[F.col(c).desc() for c in vers], *tiebreak
+        )
+        resolved_null = (
+            nullp.filter(F.col("_src") > 0)
+            .withColumn("_rn", F.row_number().over(wn))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_src")
+            .unionByName(nullp.filter(F.col("_src") == 0).drop("_src"))
+        )
+        return resolved_main.unionByName(resolved_null)
+    # no version columns: unconditional replace — ALL rows of the
+    # newest delta containing the key survive (matching COW's
+    # keep ∪ updates, which does not dedup within a batch)
+    mx = main.groupBy(*keys).agg(F.max("_src").alias("_mx"))
+    resolved_main = (
+        main.join(mx, list(keys))
+        .where(F.col("_src") == F.col("_mx"))
+        .drop("_src", "_mx")
+    )
+    return resolved_main.unionByName(nullp.drop("_src"))
+
+
+def mor_upsert(
+    spark,
+    path: str,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    version_cols: Sequence[str] | None = None,
+    tombstone_col: str | None = None,
+    occ_retries: int = 5,
+    auto_compact_deltas: int | None = None,
+) -> None:
+    """MERGE-ON-READ upsert into a manifest table (either flavor): the
+    write is O(update rows) — one immutable delta dir plus one pointer
+    commit — however large the table, instead of copy-on-write's
+    O(touched partitions) rewrite (:func:`merge_upsert`). The deferred
+    cost lands at read: readers resolve base ∪ deltas through one
+    last-writer-wins window (:func:`_mor_resolve`), so the table reads
+    exactly what the equivalent COW merge sequence would have stored.
+    Bound the backlog with ``auto_compact_deltas`` (fold the deltas
+    into a fresh base via :func:`compact_small_files` once the live
+    state carries that many) or schedule compaction explicitly — at
+    100 TB this is Delta/Iceberg's deletion-file trade: trickle writes
+    stop rewriting partitions, OPTIMIZE restores scan speed and data
+    skipping (stats/bloom planners skip MOR-backlogged states).
+
+    Semantics match :func:`merge_upsert` with ``version_cols`` /
+    soft tombstones: LWW on the version tuple, later batch wins ties,
+    deletes are stored tombstone rows (``retain_tombstones=False``'s
+    hard-delete mode is COW-only — hard deletes don't commute with a
+    read-time-resolved log; purge after compaction instead). All
+    deltas of one table must share (key_cols, version_cols,
+    tombstone_col) — validated against the outstanding backlog's spec.
+
+    CONCURRENCY: appending a delta does not depend on the base state,
+    so a lost commit race is retried blind (re-read live state, append
+    to it) — concurrent MOR writers all land, no
+    :class:`ConcurrentCommitError` under normal contention, and mixed
+    COW/MOR writers still serialize through the same commit log."""
+    if tombstone_col:
+        if not version_cols:
+            raise ValueError("tombstone_col requires version_cols")
+        if tombstone_col not in updates.columns:
+            raise ValueError(f"tombstone_col not in updates: {tombstone_col}")
+    version_cols = list(version_cols or [])
+    if version_cols:
+        bad = [c for c in version_cols if c not in updates.columns]
+        if bad:
+            raise ValueError(f"version_cols not in schema: {bad}")
+
+    import uuid
+
+    pinfo = _pmanifest_read(spark, path)
+    states, _, _ = _manifest_read(spark, path)
+    if pinfo is not None:
+        live = pinfo[0][0] if pinfo[0] else None
+    else:
+        live = states[0] if states else None
+    if live is None:
+        raise ValueError(
+            f"not a manifest table: {path} — create it with "
+            "write_manifest_table() or write_partitioned_manifest_table() "
+            "first (the delta log needs a base state to attach to)"
+        )
+    # spec must match the outstanding backlog's (readers resolve the
+    # whole backlog with ONE spec)
+    backlog = _state_deltas(live)
+    if backlog:
+        k0, v0, t0 = _read_mor_spec(spark, path, backlog[0])
+        if (list(key_cols), version_cols, tombstone_col) != (k0, v0, t0):
+            raise ValueError(
+                f"merge-on-read spec mismatch: table resolves by keys={k0} "
+                f"versions={v0} tombstone={t0}; got keys={list(key_cols)} "
+                f"versions={version_cols} tombstone={tombstone_col}"
+            )
+    # schema contract: same columns as the table, modulo the tombstone
+    # bootstrap (the flag may be new; resolution coalesces it)
+    existing_cols = set(
+        (read_partitioned_manifest(spark, path) if pinfo is not None
+         else read_manifest_table(spark, path)).columns
+    )
+    flag = {tombstone_col} if tombstone_col else set()
+    mismatch = (set(updates.columns) - flag) ^ (existing_cols - flag)
+    if mismatch:
+        raise ValueError(f"update schema mismatch on columns: {sorted(mismatch)}")
+
+    delta = f"x_{uuid.uuid4().hex[:12]}"
+    out = updates
+    if tombstone_col:
+        out = out.withColumn(
+            tombstone_col, F.coalesce(F.col(tombstone_col), F.lit(False))
+        )
+    out.write.mode("error").parquet(f"{path}/_data/{delta}")
+    _write_mor_spec(spark, path, delta, key_cols, version_cols, tombstone_col)
+    fs, _, jvm = _hadoop_fs(spark, f"{path}/{_MANIFEST}")
+
+    def abandon_cleanup() -> None:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/_data/{delta}"), True)
+
+    if pinfo is not None:
+        _pmanifest_append_delta(spark, path, delta, abandon_cleanup)
+    else:
+        def make_retained(prev_states: list[str], prev_keep: int):
+            if not prev_states:
+                raise ValueError(f"manifest table lost its states: {path}")
+            return (
+                [f"{prev_states[0]}+{delta}"] + prev_states
+            )[:prev_keep], prev_keep
+
+        _flat_pointer_commit(spark, path, make_retained,
+                             abandon_cleanup=abandon_cleanup)
+    if auto_compact_deltas is not None:
+        if len(mor_deltas(spark, path)) >= auto_compact_deltas:
+            compact_small_files(spark, path, occ_retries=occ_retries)
 
 
 _PART_SAFE = set("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789._-")
@@ -661,34 +962,31 @@ def _pmanifest_mapping(spark, path: str, gen: str) -> dict[str, str]:
     return mapping
 
 
-def _pmanifest_commit(
+def _pmanifest_publish(
     spark,
     path: str,
-    partition_by: Sequence[str],
-    new_mapping: dict[str, str],
-    keep_versions: int | None = None,
+    make_retained,
     expected_seq: int | None = None,
+    abandon_cleanup=None,
 ) -> None:
-    """Publish ``new_mapping`` as the live generation: write an
-    immutable gen file, claim a commit-log slot (the SAME optimistic-
-    concurrency protocol as :func:`_manifest_commit` — ``expected_seq``
-    from a read-modify-write caller turns a lost race into
-    :class:`ConcurrentCommitError`, never a lost update), publish the
-    pointer, then GC the generations this commit drops from its
-    retained window plus the version dirs ONLY those dropped
-    generations referenced (crashed-commit orphans are left for
-    :func:`vacuum_manifest` — an unreferenced dir may be a concurrent
-    writer's in-flight commit)."""
+    """The ONE claim→publish→GC sequence for partitioned-manifest
+    pointer commits — the pmanifest twin of :func:`_flat_pointer_commit`,
+    shared by :func:`_pmanifest_commit` (new generation),
+    :func:`_pmanifest_append_delta` (merge-on-read append), and the
+    pmanifest RESTORE (line re-ordering). ``make_retained(states, keep,
+    cols, seq) -> (retained, keep, cols) | None`` builds each attempt's
+    retained STATE list (composite ``g_x+x_d`` lines allowed) from
+    fresh pointer state; None = no-op. GC is REFCOUNTED across retained
+    states: a gen file / version dir / delta dir is deleted only when
+    no retained state references it (merge-on-read states share their
+    base generation with the state they extended)."""
     import time
-    import uuid
 
-    gen = f"g_{uuid.uuid4().hex[:12]}"
-    gen_written = False
     fs, _, jvm = _hadoop_fs(spark, f"{path}/{_MANIFEST}")
 
     def _abandon(reason: str) -> None:
-        if gen_written:
-            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/_gens/{gen}"), False)
+        if abandon_cleanup is not None:
+            abandon_cleanup()
         raise ConcurrentCommitError(f"{path}: {reason}")
 
     for attempt in range(64):
@@ -700,24 +998,15 @@ def _pmanifest_commit(
             _abandon(
                 f"base read at commit seq {expected_seq}, table now at {seq}"
             )
-        if stored_cols and list(partition_by) != stored_cols:
-            raise ValueError(
-                f"partition_by {list(partition_by)} != table's partition "
-                f"columns {stored_cols}"
-            )
-        keep = stored_keep if keep_versions is None else max(1, keep_versions)
-        if not gen_written:
-            gen_body = "".join(
-                f"{sd}\t{v}\n" for sd, v in sorted(new_mapping.items())
-            )
-            _replace_pointer(spark, f"{path}/_gens/{gen}", gen_body)
-            gen_written = True
-        retained = ([gen] + gens)[:keep]
+        made = make_retained(gens, stored_keep, stored_cols, seq)
+        if made is None:
+            return
+        retained, keep, cols = made
         body = (
             _PMARK
             + "\n"
             + "\n".join(retained)
-            + f"\n#keep={keep}\n#cols={','.join(partition_by)}\n#seq={seq + 1}\n"
+            + f"\n#keep={keep}\n#cols={','.join(cols)}\n#seq={seq + 1}\n"
         )
         if _claim_commit(spark, path, seq + 1, body):
             if _raw_pointer_seq(spark, path) > seq:
@@ -733,22 +1022,100 @@ def _pmanifest_commit(
     else:
         _abandon("could not claim a commit slot after 64 attempts")
     _publish_pointer(spark, path, body, seq + 1)
-    # lineage-only GC: the generations THIS commit dropped, plus the
-    # version dirs only those dropped generations referenced
+    # lineage-only GC, refcounted over retained states: dropped states'
+    # gen files, version dirs, and merge-on-read delta dirs are deleted
+    # only when NO retained state still references them
     retained_set = set(retained)
-    dropped = [g for g in gens if g not in retained_set]
+    dropped = [s for s in gens if s not in retained_set]
     if not dropped:
         return
+    retained_bases = {_state_base(s) for s in retained}
+    retained_deltas: set[str] = set()
+    for s in retained:
+        retained_deltas.update(_state_deltas(s))
     still_referenced = set()
-    for g in retained:
-        still_referenced.update(_pmanifest_mapping(spark, path, g).values())
+    for b in retained_bases:
+        still_referenced.update(_pmanifest_mapping(spark, path, b).values())
+    dropped_bases = {_state_base(s) for s in dropped} - retained_bases
     doomed_versions = set()
-    for g in dropped:
-        doomed_versions.update(_pmanifest_mapping(spark, path, g).values())
+    for b in dropped_bases:
+        doomed_versions.update(_pmanifest_mapping(spark, path, b).values())
     for v in doomed_versions - still_referenced:
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/_data/{v}"), True)
-    for g in dropped:
-        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/_gens/{g}"), False)
+    for s in dropped:
+        for d in _state_deltas(s):
+            if d not in retained_deltas:
+                fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/_data/{d}"), True)
+    for b in dropped_bases:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/_gens/{b}"), False)
+
+
+def _pmanifest_commit(
+    spark,
+    path: str,
+    partition_by: Sequence[str],
+    new_mapping: dict[str, str],
+    keep_versions: int | None = None,
+    expected_seq: int | None = None,
+) -> None:
+    """Publish ``new_mapping`` as the live generation: write an
+    immutable gen file, claim a commit-log slot (the SAME optimistic-
+    concurrency protocol as :func:`_manifest_commit` — ``expected_seq``
+    from a read-modify-write caller turns a lost race into
+    :class:`ConcurrentCommitError`, never a lost update), publish the
+    pointer, then GC the states this commit drops from its retained
+    window (refcounted — see :func:`_pmanifest_publish`; crashed
+    commits' orphans are left for :func:`vacuum_manifest`). The new
+    live state carries NO merge-on-read deltas: a full-mapping commit
+    (write/merge/compact/OPTIMIZE) is by construction a resolution of
+    whatever backlog the previous state carried."""
+    import uuid
+
+    gen = f"g_{uuid.uuid4().hex[:12]}"
+    gen_written = False
+    fs, _, jvm = _hadoop_fs(spark, f"{path}/{_MANIFEST}")
+
+    def abandon_cleanup() -> None:
+        if gen_written:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/_gens/{gen}"), False)
+
+    def make_retained(gens, stored_keep, stored_cols, seq):
+        nonlocal gen_written
+        if stored_cols and list(partition_by) != stored_cols:
+            raise ValueError(
+                f"partition_by {list(partition_by)} != table's partition "
+                f"columns {stored_cols}"
+            )
+        keep = stored_keep if keep_versions is None else max(1, keep_versions)
+        if not gen_written:
+            gen_body = "".join(
+                f"{sd}\t{v}\n" for sd, v in sorted(new_mapping.items())
+            )
+            _replace_pointer(spark, f"{path}/_gens/{gen}", gen_body)
+            gen_written = True
+        return ([gen] + gens)[:keep], keep, list(partition_by)
+
+    _pmanifest_publish(
+        spark, path, make_retained, expected_seq, abandon_cleanup
+    )
+
+
+def _pmanifest_append_delta(
+    spark, path: str, delta: str, abandon_cleanup
+) -> None:
+    """Append one merge-on-read delta dir to the live partitioned
+    state: the new line is ``<live>+<delta>`` — no gen file is written,
+    no partition is rewritten; the generation mapping stays the live
+    base's. Blind-retried on commit races (the delta's content does not
+    depend on the base state)."""
+
+    def make_retained(gens, keep, cols, seq):
+        if not gens:
+            raise ValueError(f"partitioned manifest lost its states: {path}")
+        return ([f"{gens[0]}+{delta}"] + gens)[:keep], keep, cols
+
+    _pmanifest_publish(spark, path, make_retained,
+                       abandon_cleanup=abandon_cleanup)
 
 
 def _list_partition_subdirs(spark, version_path: str, depth: int) -> list[str]:
@@ -833,7 +1200,7 @@ def read_partitioned_manifest(
             f"generation {generation!r} not retained (have {gens}); "
             "manifest GC keeps the newest keep_versions generations only"
         )
-    mapping = _pmanifest_mapping(spark, path, generation)
+    mapping = _pmanifest_mapping(spark, path, _state_base(generation))
     if not mapping:
         raise ValueError(
             f"generation {generation!r} of {path} has no live partitions "
@@ -853,6 +1220,12 @@ def read_partitioned_manifest(
     df = parts[0]
     for p in parts[1:]:
         df = df.unionByName(p, allowMissingColumns=True)
+    deltas = _state_deltas(generation)
+    if deltas:
+        # merge-on-read state: the generation mapping is the BASE;
+        # delta dirs hold whole rows (partition columns as ordinary
+        # columns) and resolve through the shared LWW window
+        df = _mor_resolve(spark, path, df, deltas)
     return df
 
 
@@ -874,32 +1247,25 @@ def restore_manifest_table(
     time-travelable and restorable-back). Restoring the live state is
     a no-op. Only RETAINED states can be restored — anything older was
     GC'd with its data."""
-    import time
-
     if _pmanifest_read(spark, path) is not None:
-        last: Exception | None = None
-        for attempt in range(max(1, occ_retries)):
-            gens, _keep, cols, seq = _pmanifest_read(spark, path)
+        # pointer-only re-ordering, exactly like the flat flavor: the
+        # restored STATE line (generation + any merge-on-read deltas it
+        # carried) becomes live again; no gen file or data is written,
+        # and the refcounting GC keeps everything the retained states
+        # reference. Commit races are blind-retried inside the shared
+        # publisher (re-reading fresh state each attempt).
+        def make_retained(gens, keep, cols, seq):
             if to not in gens:
                 raise ValueError(
                     f"generation {to!r} not retained (have {gens}); only "
                     "retained generations can be restored"
                 )
             if gens[0] == to:
-                return  # already live
-            mapping = _pmanifest_mapping(spark, path, to)
-            try:
-                # a fresh gen file with the restored mapping: retention
-                # GC keeps every version dir the restored mapping
-                # references (the new generation references them)
-                _pmanifest_commit(spark, path, cols, mapping, expected_seq=seq)
-                return
-            except ConcurrentCommitError as e:
-                last = e
-                time.sleep(min(0.05 * (attempt + 1), 1.0))
-        raise ConcurrentCommitError(
-            f"restore of {path} lost {occ_retries} commit races"
-        ) from last
+                return None  # already live
+            return ([to] + [g for g in gens if g != to])[:keep], keep, cols
+
+        _pmanifest_publish(spark, path, make_retained)
+        return
 
     def make_retained(versions: list[str], keep: int):
         if not versions:
@@ -1032,6 +1398,14 @@ def merge_upsert(
     # inference can pick an old file and silently drop the newer
     # columns — for tombstones that resurrected deleted keys (caught
     # by live repro, not theory)
+    if mor_deltas(spark, target_path):
+        raise ValueError(
+            f"{target_path} carries outstanding merge-on-read deltas — a "
+            "copy-on-write merge would rewrite partitions WITHOUT the "
+            "backlog's rows and lose them. Either continue with "
+            "mor_upsert() or fold the backlog first "
+            "(compact_small_files / optimize_zorder)"
+        )
     pinfo = _pmanifest_read(spark, target_path)
     is_pmanifest = pinfo is not None
     if is_pmanifest:
@@ -1118,10 +1492,14 @@ def merge_upsert(
         # resolve the same way on every run/partitioning, or a replay
         # after a crash could produce a different table; only fully
         # identical rows remain interchangeable. Skipped when a map
-        # column makes the row unhashable.
+        # column makes the row unhashable. The struct's fields are in
+        # SORTED column-name order — canonical, so the merge-on-read
+        # resolver (:func:`_mor_resolve`) reproduces the same winner
+        # even though its read-side column order differs (partitioned
+        # reads put partition columns last).
         tiebreak = []
         if not any("map<" in t for _, t in updates.dtypes):
-            tiebreak = [F.hash(F.struct(*updates.columns)).desc()]
+            tiebreak = [F.hash(F.struct(*sorted(updates.columns))).desc()]
         w = Window.partitionBy(*key_cols).orderBy(
             *[F.col(c).desc() for c in version_cols],
             F.col("_upd").desc(),
@@ -1330,6 +1708,12 @@ def purge_tombstones(
     import shutil
     import uuid
 
+    if mor_deltas(spark, path):
+        raise ValueError(
+            f"{path} carries outstanding merge-on-read deltas — purge "
+            "operates on stored rows; fold the backlog first "
+            "(compact_small_files / optimize_zorder), then purge"
+        )
     pinfo = _pmanifest_read(spark, path)
     is_pmanifest = pinfo is not None
     if is_pmanifest:
@@ -1520,8 +1904,15 @@ def compact_small_files(
         return count
 
     base_versions, _, base_seq = _manifest_read(spark, path)
-    read_path = f"{path}/_data/{base_versions[0]}" if base_versions else path
-    df = spark.read.parquet(read_path)
+    if base_versions:
+        # resolves any merge-on-read backlog: the committed version is
+        # a plain state line again (the OPTIMIZE that restores scan
+        # speed and data skipping after a run of mor_upserts)
+        df = read_manifest_table(spark, path)
+        read_path = f"{path}/_data/{base_versions[0]}"
+    else:
+        read_path = path
+        df = spark.read.parquet(read_path)
     n = df.count()
     files = max(1, math.ceil(n / target_rows_per_file))
     if read_path != path:
@@ -1634,8 +2025,13 @@ def optimize_zorder(
         return _count_files(vpath, subdirs)
 
     base_versions, _, base_seq = _manifest_read(spark, path)
-    read_path = f"{path}/_data/{base_versions[0]}" if base_versions else path
-    df = spark.read.parquet(read_path)
+    if base_versions:
+        # resolves any merge-on-read backlog (see compact_small_files)
+        df = read_manifest_table(spark, path)
+        read_path = f"{path}/_data/{base_versions[0]}"
+    else:
+        read_path = path
+        df = spark.read.parquet(read_path)
     n = df.count()
     files = max(1, math.ceil(n / target_rows_per_file))
     clustered = (
@@ -1696,14 +2092,22 @@ def vacuum_manifest(
     live_seq = _parse_seq(lines)
     pinfo = _pmanifest_read(spark, path)
     if pinfo is not None:
-        retained_gens = set(pinfo[0])
+        # referenced: base version dirs through each retained state's
+        # generation mapping, plus merge-on-read delta dirs named on
+        # the state lines; _gens sweep keeps retained BASE gen files
+        retained_gens = {_state_base(s) for s in pinfo[0]}
         referenced = set()
-        for g in pinfo[0]:
-            referenced.update(_pmanifest_mapping(spark, path, g).values())
+        for s in pinfo[0]:
+            referenced.update(
+                _pmanifest_mapping(spark, path, _state_base(s)).values()
+            )
+            referenced.update(_state_deltas(s))
     else:
         retained_gens = set()
         versions, _, _ = _manifest_read(spark, path)
-        referenced = set(versions)
+        referenced = set()
+        for s in versions:
+            referenced.update(_state_data_dirs(s))
     fs, _, jvm = _hadoop_fs(spark, f"{path}/{_MANIFEST}")
     cutoff_ms = (time.time() - grace_seconds) * 1000.0
     counts = {"data_dirs": 0, "gen_files": 0, "markers": 0, "stats_sidecars": 0}

@@ -53,7 +53,21 @@ from async_pipes_spark.sources.sinks import (
     _pmanifest_read,
     _resolve_table_path,
     manifest_version,
+    mor_deltas,
 )
+
+
+def _resolved_read(spark, path: str) -> DataFrame:
+    """The CORRECT full read of a flat table path for pruned-scan
+    fallbacks: resolves a manifest table through
+    ``read_manifest_table`` (which applies any merge-on-read backlog —
+    the base dir alone is not the table then), plain parquet scan
+    otherwise."""
+    from async_pipes_spark.sources.sinks import read_manifest_table
+
+    if manifest_version(spark, path) is not None:
+        return read_manifest_table(spark, path)
+    return spark.read.parquet(path)
 
 #: long-format stats schema: one row per (file, column)
 STATS_SCHEMA = (
@@ -215,6 +229,13 @@ def write_file_stats(spark, path: str, cols: Sequence[str]) -> int:
             "file-stats sidecars cover flat manifest tables and plain "
             "parquet directories"
         )
+    if mor_deltas(spark, path):
+        raise ValueError(
+            f"{path} carries outstanding merge-on-read deltas — sidecars "
+            "index base files only and would skip rows the deltas supersede "
+            "or add; fold the backlog first (compact_small_files / "
+            "optimize_zorder), then build"
+        )
     df = spark.read.parquet(_resolve_table_path(spark, path))
     bad = [
         c
@@ -255,6 +276,16 @@ def _refresh_sidecar(spark, path, root_name, col_filter, rebuild, retain):
         return 0
     live = manifest_version(spark, path)
     target = live or "flat"
+    if mor_deltas(spark, path):
+        # merge-on-read backlog: the live state has no complete base to
+        # index (building would raise). Keep retained versions' sidecars
+        # (still valid for their immutable dirs), GC the rest; the next
+        # compaction publishes a delta-free base and rebuilds.
+        keep = set(retain or ()) | {target}
+        for name in names:
+            if name not in keep:
+                fs.delete(jvm.org.apache.hadoop.fs.Path(f"{root}/{name}"), True)
+        return 0
     # inherit the column set from an existing sidecar (prefer the
     # live version's own if present, else any — commits share cols)
     src = target if target in names else sorted(names)[0]
@@ -348,7 +379,11 @@ def prune_files(
     exists (missing, or stale for a plain directory that was
     rewritten). A file survives unless some bounded column's stats
     PROVE it empty of matches; only the survivors are collected — the
-    bounded scan-plan artifact."""
+    bounded scan-plan artifact. A merge-on-read backlog disables
+    pruning (None): the sidecar covers base files only, and a pruned
+    base scan would miss rows the deltas supersede or add."""
+    if mor_deltas(spark, path):
+        return None
     version = manifest_version(spark, path)
     sidecar = _load_sidecar(spark, path, version)
     if sidecar is None:
@@ -387,6 +422,8 @@ def prune_files_in(
     driver-side set by construction (probe lists, partition keys)."""
     if not values:
         raise ValueError("prune_files_in needs a non-empty value list")
+    if mor_deltas(spark, path):
+        return None  # sidecar covers base files only (see prune_files)
     version = manifest_version(spark, path)
     sidecar = _load_sidecar(spark, path, version)
     if sidecar is None:
@@ -429,15 +466,13 @@ def read_stats_pruned(spark, path: str, bounds: Bounds) -> DataFrame:
     a correctness dependency."""
     plan = prune_files(spark, path, bounds)
     if plan is None:
-        return _residual(
-            spark.read.parquet(_resolve_table_path(spark, path)), bounds
-        )
+        return _residual(_resolved_read(spark, path), bounds)
     kept, _total = plan
     if not kept:
         # provably empty: keep the schema, scan nothing
-        return _residual(
-            spark.read.parquet(_resolve_table_path(spark, path)), bounds
-        ).where(F.lit(False))
+        return _residual(_resolved_read(spark, path), bounds).where(
+            F.lit(False)
+        )
     return _residual(spark.read.parquet(*kept), bounds)
 
 
@@ -505,6 +540,12 @@ def write_file_bloom(
         raise ValueError(
             f"{path} is a PARTITIONED manifest table — bloom sidecars "
             "cover flat manifest tables and plain parquet directories"
+        )
+    if mor_deltas(spark, path):
+        raise ValueError(
+            f"{path} carries outstanding merge-on-read deltas — sidecars "
+            "index base files only; fold the backlog first "
+            "(compact_small_files / optimize_zorder), then build"
         )
     if bits_per_key < 1 or num_hashes < 1:
         raise ValueError("bits_per_key and num_hashes must be >= 1")
@@ -627,6 +668,8 @@ def prune_files_bloom(
 
     if value is None:
         raise ValueError("bloom pruning needs a non-NULL probe value")
+    if mor_deltas(spark, path):
+        return None  # sidecar covers base files only (see prune_files)
     version = manifest_version(spark, path)
     bd = _bloom_dir(path, version)
     fs, p, _ = _hadoop_fs(spark, bd)
@@ -681,7 +724,7 @@ def read_bloom_pruned(spark, path: str, col: str, value) -> DataFrame:
     falls back to the plain scan — the index is an optimization, never
     a correctness dependency)."""
     plan = prune_files_bloom(spark, path, col, value)
-    base = spark.read.parquet(_resolve_table_path(spark, path))
+    base = _resolved_read(spark, path)
     if plan is None:
         return base.where(F.col(col) == F.lit(value))
     kept, _total = plan

@@ -12,11 +12,110 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+REPO = Path(__file__).resolve().parent
+
+
+def _ab_vs_prev_round(sf_dir: str, cpus: int) -> dict | None:
+    """Interleaved A/B against the previous round's commit — the ONE
+    way to make round-over-round perf a signal instead of host weather
+    (r7's headline read 1.4x slower than r6 on untouched code; an
+    idle-machine re-run proved the host was simply slower that
+    session). Method: check out the last ``round N:`` commit in a git
+    worktree, then alternate full-suite passes HEAD↔prev, each in its
+    own subprocess/JVM (tools/ab_pass.py), so whatever the machine is
+    doing lands on BOTH sides of every ratio. Reports per-family
+    ``head_best / prev_best`` over best-of-passes. Returns None (and
+    the record omits the section) when there is no previous round
+    commit or the worktree can't be created — never fails the bench.
+    Knobs: SPARK_GRAFT_AB=0 disables; SPARK_GRAFT_AB_PASSES (default
+    2) passes per side."""
+    if os.environ.get("SPARK_GRAFT_AB", "1") == "0":
+        return None
+
+    def git(*args: str) -> str:
+        return subprocess.run(
+            ["git", "-C", str(REPO), *args],
+            check=True, capture_output=True, text=True,
+        ).stdout.strip()
+
+    try:
+        prev = git("log", "--grep=^round [0-9]*:", "-n1", "--format=%H")
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return None
+    if not prev:
+        return None  # round 1: nothing to compare against
+    wt = REPO / ".ab_prev"
+    try:
+        if wt.exists():
+            subprocess.run(
+                ["git", "-C", str(REPO), "worktree", "remove", "--force", str(wt)],
+                capture_output=True,
+            )
+        git("worktree", "add", "--detach", str(wt), prev)
+    except subprocess.CalledProcessError:
+        return None
+    try:
+        passes = max(1, int(os.environ.get("SPARK_GRAFT_AB_PASSES", "2")))
+        best: dict[str, dict[str, float]] = {"head": {}, "prev": {}}
+        for i in range(passes):
+            # alternate which side runs first: the second runner of a
+            # back-to-back pair inherits a warmer OS page cache and a
+            # quieter host (a 1-pass probe measured family-clustered
+            # 2-5x "regressions" on IDENTICAL code from position alone);
+            # with alternation + best-of, each side gets every position
+            order = (("head", REPO), ("prev", wt))
+            for side, root in order if i % 2 == 0 else order[::-1]:
+                proc = subprocess.run(
+                    [
+                        sys.executable, str(REPO / "tools" / "ab_pass.py"),
+                        "--root", str(root),
+                        "--sf-dir", sf_dir, "--cpus", str(cpus),
+                    ],
+                    capture_output=True, text=True, timeout=3600,
+                )
+                if proc.returncode != 0:
+                    # prev may predate a query/module this pass needs;
+                    # an A/B that can't run both sides reports nothing
+                    # rather than a one-sided number
+                    return {"prev_commit": prev[:12], "error": "pass failed",
+                            "detail": proc.stderr.strip()[-300:]}
+                line = proc.stdout.strip().splitlines()[-1]
+                for name, sec in json.loads(line)["queries"].items():
+                    cur = best[side].get(name)
+                    best[side][name] = sec if cur is None else min(cur, sec)
+        shared = set(best["head"]) & set(best["prev"])
+        fam_head: dict[str, float] = {}
+        fam_prev: dict[str, float] = {}
+        for name in shared:
+            fam = name.split("_", 1)[0]
+            fam_head[fam] = fam_head.get(fam, 0.0) + best["head"][name]
+            fam_prev[fam] = fam_prev.get(fam, 0.0) + best["prev"][name]
+        ratios = {
+            fam: round(fam_head[fam] / fam_prev[fam], 3)
+            for fam in sorted(fam_head)
+            if fam_prev[fam] > 0
+        }
+        head_total = sum(best["head"][n] for n in shared)
+        prev_total = sum(best["prev"][n] for n in shared)
+        return {
+            "prev_commit": prev[:12],
+            "passes": passes,
+            "suite_ratio": round(head_total / prev_total, 3) if prev_total else None,
+            "new_queries": sorted(set(best["head"]) - set(best["prev"])),
+            "ratio_vs_prev": ratios,
+        }
+    finally:
+        subprocess.run(
+            ["git", "-C", str(REPO), "worktree", "remove", "--force", str(wt)],
+            capture_output=True,
+        )
 
 
 def main() -> None:
@@ -97,6 +196,14 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         prepared[name] = round(best, 4)
 
+    # interleaved A/B vs the previous round's commit (per-family
+    # ratios measured back-to-back on this host, so "family X got
+    # slower" is decidable in-record); never fails the bench
+    try:
+        ab = _ab_vs_prev_round(sf_dir, cpus)
+    except Exception as e:  # noqa: BLE001
+        ab = {"error": f"{type(e).__name__}: {e}"[:300]}
+
     # headline value = the BASELINE.md-comparable declared suite;
     # extension operators (no DuckDB baseline exists for them) are
     # reported alongside
@@ -117,6 +224,8 @@ def main() -> None:
         "declared": {q: timings[q] for q in DECLARED_QUERIES},
         "value": declared_total,
     }
+    if ab is not None:
+        full["ab"] = ab
     print(json.dumps(full))
     # persist the untruncated record next to this file: the driver keeps
     # only the last ~2000 chars of stdout, and the full-name line above
@@ -144,11 +253,27 @@ def main() -> None:
             name.split("_", 1)[0]: round(t, 3) for name, t in timings.items()
         },
     }
+    if ab is not None and "ratio_vs_prev" in ab:
+        compact["ab"] = {
+            "prev": ab["prev_commit"][:7],
+            "suite_ratio": ab["suite_ratio"],
+            "ratio_vs_prev": ab["ratio_vs_prev"],
+        }
+    elif ab is not None:
+        compact["ab"] = {k: ab[k] for k in ("prev_commit", "error") if k in ab}
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:  # degrade resolution before letting the tail cut
         compact["queries"] = {
             k: round(v, 2) for k, v in compact["queries"].items()
         }
+        if "ab" in compact and "ratio_vs_prev" in compact["ab"]:
+            # keep the suite ratio + the 10 most-moved families
+            moved = sorted(
+                compact["ab"]["ratio_vs_prev"].items(),
+                key=lambda kv: abs(kv[1] - 1.0),
+                reverse=True,
+            )[:10]
+            compact["ab"]["ratio_vs_prev"] = dict(sorted(moved))
         line = json.dumps(compact, separators=(",", ":"))
     print(line)
     spark.stop()

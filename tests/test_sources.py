@@ -2034,8 +2034,14 @@ def test_restore_partitioned_manifest(spark, tmp_path):
     assert {
         (r.k, r.p, r.v) for r in read_partitioned_manifest(spark, path).collect()
     } == {(1, "x", 10), (2, "y", 20)}
-    # restore minted a fresh generation whose mapping equals g0's
+    # restore is POINTER-ONLY (round 8, matching the flat flavor and
+    # Delta RESTORE): g0's state line moves back to the front — no
+    # fresh generation file, no data written, and a merge-on-read
+    # state's delta list survives the round trip
     gens = partitioned_manifest_generations(spark, path)
-    assert gens[0] != g0 and len(gens) == 3
+    assert gens[0] == g0 and len(gens) == 2
+    # restoring the live state is a no-op
+    restore_manifest_table(spark, path, g0)
+    assert partitioned_manifest_generations(spark, path) == gens
     with pytest.raises(ValueError, match="not retained"):
         restore_manifest_table(spark, path, "g_nope")
