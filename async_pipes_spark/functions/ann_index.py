@@ -47,11 +47,104 @@ from async_pipes_spark.functions.similarity import (
 )
 from async_pipes_spark.sources.sinks import (
     ConcurrentCommitError,
+    _claim_commit,
+    _manifest_lines,
+    _manifest_read,
+    _marker_path,
+    _publish_pointer,
     merge_upsert,
     read_manifest_table,
     write_manifest_table,
 )
 from async_pipes_spark.sources.stats import prune_files_in, write_file_stats
+
+#: the three sub-tables one index commit spans
+_INDEX_TABLES = ("centroids", "codebooks", "codes")
+
+
+def _index_pointer_read(spark, path: str) -> tuple[dict[str, str] | None, int]:
+    """({table: pinned state} or None if no index pointer, commit seq)
+    from the INDEX-ROOT pointer — the one commit object spanning the
+    three sub-tables. The body is ALL ``#``-metadata lines
+    (``#annindex`` + ``#table=name:state``), so generic manifest
+    parsers see zero data versions at the index root and never mistake
+    it for a manifest table."""
+    lines = _manifest_lines(spark, path)
+    if not lines or lines[0] != "#annindex":
+        return None, 0
+    pinned: dict[str, str] = {}
+    seq = 0
+    for ln in lines:
+        if ln.startswith("#table="):
+            name, _, state = ln[len("#table=") :].partition(":")
+            pinned[name] = state
+        elif ln.startswith("#seq="):
+            try:
+                seq = int(ln[len("#seq=") :])
+            except ValueError:
+                pass
+    return pinned, seq
+
+
+def _index_pointer_commit(spark, path: str) -> dict[str, str]:
+    """Publish the CURRENT live states of the three sub-tables as one
+    atomic index generation, through the same commit-log claim the
+    manifest tables use (markers under ``<path>/_commits`` carry the
+    full body; readers roll forward). Re-reads the live states on
+    every claim attempt, so losing a race to a concurrent index writer
+    just repins the NEWER consistent triple (sub-table commits already
+    serialized through their own logs). Returns the pinned triple."""
+    import time
+
+    from async_pipes_spark.sources.sinks import _hadoop_fs, _raw_pointer_seq
+
+    fs, _, jvm = _hadoop_fs(spark, f"{path}/{'_MANIFEST'}")
+    for attempt in range(64):
+        _, seq = _index_pointer_read(spark, path)
+        pinned = {}
+        for t in _INDEX_TABLES:
+            states, _, _ = _manifest_read(spark, f"{path}/{t}")
+            if not states:
+                raise ValueError(
+                    f"index sub-table missing: {path}/{t} — "
+                    "write_ann_index() builds all three before the root commit"
+                )
+            pinned[t] = states[0]
+        body = (
+            "#annindex\n"
+            + "".join(f"#table={t}:{pinned[t]}\n" for t in _INDEX_TABLES)
+            + f"#seq={seq + 1}\n"
+        )
+        if _claim_commit(spark, path, seq + 1, body):
+            if _raw_pointer_seq(spark, path) > seq:
+                fs.delete(
+                    jvm.org.apache.hadoop.fs.Path(_marker_path(path, seq + 1)),
+                    False,
+                )
+                raise ConcurrentCommitError(
+                    f"{path}: stale index commit slot {seq + 1}"
+                )
+            _publish_pointer(spark, path, body, seq + 1)
+            return pinned
+        time.sleep(min(0.05 * (attempt + 1), 1.0))
+    raise ConcurrentCommitError(
+        f"{path}: could not claim an index commit slot after 64 attempts"
+    )
+
+
+def _index_read_states(spark, path: str) -> dict[str, str | None]:
+    """The consistent sub-table states a reader should use: the root
+    pointer's pinned triple when present (atomic — a crash between
+    sub-table commits leaves this on the previous complete index), or
+    live states for pre-pointer indexes (back-compat; such an index
+    was built by a single writer or not at all)."""
+    pinned, _ = _index_pointer_read(spark, path)
+    if pinned is None:
+        return {t: None for t in _INDEX_TABLES}
+    missing = [t for t in _INDEX_TABLES if t not in pinned]
+    if missing:
+        raise ValueError(f"index pointer at {path} missing tables: {missing}")
+    return pinned  # type: ignore[return-value]
 
 
 def write_ann_index(
@@ -109,6 +202,12 @@ def write_ann_index(
         f"{path}/codes",
     )
     n_files = write_file_stats(spark, f"{path}/codes", ["cell"])
+    # ONE root commit publishes the (centroids, codebooks, codes)
+    # triple atomically — a crash anywhere above leaves readers on the
+    # previous complete index (or, for a first build, on a loudly
+    # missing index), never on codes encoded against codebooks that
+    # never published
+    _index_pointer_commit(spark, path)
     return {"files": n_files, "cells": num_centroids}
 
 
@@ -145,6 +244,9 @@ def ann_index_upsert(
     # runs exactly once over the incoming vectors
     encoded = pin(ivf_pq_encode(vectors, cents, books, id_col, vec_col))
     merge_upsert(spark, f"{path}/codes", encoded, [id_col])
+    # republish the root triple at the merged codes state — readers
+    # switch atomically from (old codes) to (new codes), never partway
+    _index_pointer_commit(spark, path)
 
 
 def ann_index_optimize(
@@ -178,6 +280,7 @@ def ann_index_optimize(
         if occ_retries <= 0:
             raise
         return ann_index_optimize(spark, path, num_files, occ_retries - 1)
+    _index_pointer_commit(spark, path)
     # the commit already refreshed the stats sidecar; just report the
     # committed file count
     from async_pipes_spark.sources.sinks import _hadoop_fs, _resolve_table_path
@@ -194,9 +297,16 @@ def ann_index_optimize(
 def read_ann_index(spark: SparkSession, path: str):
     """(centroids DataFrame, codebooks list-of-lists) from a stored
     index — both tiny artifacts; the codes table stays on disk and is
-    only file-pruned + scanned per query block."""
-    cents = read_manifest_table(spark, f"{path}/centroids")
-    rows = read_manifest_table(spark, f"{path}/codebooks").collect()
+    only file-pruned + scanned per query block. Reads the states the
+    INDEX-ROOT pointer pins, so the pair is always from one atomic
+    index commit."""
+    states = _index_read_states(spark, path)
+    cents = read_manifest_table(
+        spark, f"{path}/centroids", version=states["centroids"]
+    )
+    rows = read_manifest_table(
+        spark, f"{path}/codebooks", version=states["codebooks"]
+    ).collect()
     by_sub: dict[int, dict[int, list[float]]] = {}
     for r in rows:
         by_sub.setdefault(r["subspace"], {})[r["code"]] = list(r["center"])
@@ -248,15 +358,29 @@ def ann_index_topk(
     probed = sorted(int(c) for c in cent_ids[member.any(axis=0)])
 
     codes_path = f"{path}/codes"
-    plan = prune_files_in(spark, codes_path, "cell", probed)
-    if plan is None:  # sidecar missing/stale: full codes table
-        encoded = read_manifest_table(spark, codes_path)
+    pinned = _index_read_states(spark, path)["codes"]
+    codes_states, _, _ = _manifest_read(spark, codes_path)
+    live = codes_states[0] if codes_states else None
+    # file pruning plans against the LIVE state's sidecar — usable only
+    # while the root pointer pins exactly that state (a concurrent
+    # writer advancing codes between its merge and its root publish
+    # opens a brief window; the pinned read stays consistent, just
+    # unpruned)
+    plan = (
+        prune_files_in(spark, codes_path, "cell", probed)
+        if pinned is None or pinned == live
+        else None
+    )
+    if plan is None:  # sidecar missing/stale (or pin behind live)
+        encoded = read_manifest_table(spark, codes_path, version=pinned)
     else:
         kept, _total = plan
         encoded = (
             spark.read.parquet(*kept)
             if kept
-            else read_manifest_table(spark, codes_path).where(F.lit(False))
+            else read_manifest_table(
+                spark, codes_path, version=pinned
+            ).where(F.lit(False))
         )
     return ivf_pq_topk(
         corpus,

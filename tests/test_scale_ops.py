@@ -1375,6 +1375,111 @@ def test_ann_index_upsert_appends_replaces_and_optimize(spark, tmp_path):
     assert post == pre
 
 
+def test_ann_index_root_commit_is_atomic_across_tables(spark, tmp_path):
+    """The stored index's three tables commit as ONE unit (round 8,
+    verdict 'wrong #1'): a writer crashing between sub-table commits —
+    simulated by landing real centroids/codebooks/codes sub-commits
+    WITHOUT the root pointer publish — leaves readers on the previous
+    COMPLETE index generation, bit-equal results; the next successful
+    index operation repins the fresh consistent triple."""
+    from async_pipes_spark.functions.ann_index import (
+        _index_pointer_read,
+        ann_index_topk,
+        ann_index_upsert,
+        read_ann_index,
+        write_ann_index,
+    )
+    from async_pipes_spark.functions.similarity import (
+        kmeans_centroids,
+        pq_codebooks,
+    )
+    from async_pipes_spark.sources.sinks import (
+        read_manifest_table,
+        write_manifest_table,
+    )
+    from async_pipes_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    base = str(tmp_path / "ixa")
+    write_ann_index(
+        spark, emb, base, num_centroids=8, m=16, codes_per_subspace=64,
+        iters=4, num_files=8,
+    )
+    pinned1, seq1 = _index_pointer_read(spark, base)
+    assert pinned1 is not None and set(pinned1) == {
+        "centroids", "codebooks", "codes",
+    }
+    queries = emb.filter(F.col("vec_id") < 10)
+    before = sorted(
+        map(
+            tuple,
+            ann_index_topk(
+                spark, base, emb, queries, k=3, shortlist=20, nprobe=3
+            ).collect(),
+        )
+    )
+
+    # TORN WRITE: a rebuild with DIFFERENT geometry commits its
+    # centroids + codebooks sub-tables, then "crashes" before the codes
+    # commit and the root publish
+    n = emb.count()
+    cents2 = kmeans_centroids(
+        emb, k=4, iters=2, id_col="vec_id", vec_col="embedding", n_rows=n
+    )
+    write_manifest_table(spark, cents2, f"{base}/centroids")
+    books2 = pq_codebooks(
+        emb, m=8, k=16, id_col="vec_id", vec_col="embedding", iters=2,
+        n_rows=n,
+    )
+    write_manifest_table(
+        spark,
+        spark.createDataFrame(
+            [
+                (j, c, list(map(float, center)))
+                for j, book in enumerate(books2)
+                for c, center in enumerate(book)
+            ],
+            "subspace int, code int, center array<double>",
+        ),
+        f"{base}/codebooks",
+    )
+    # live centroids are now the torn writer's 4-cell train...
+    assert read_manifest_table(spark, f"{base}/centroids").count() == 4
+    # ...but the INDEX still reads and serves the pinned 8-cell triple
+    pinned_after, seq_after = _index_pointer_read(spark, base)
+    assert (pinned_after, seq_after) == (pinned1, seq1)
+    cents_r, books_r = read_ann_index(spark, base)
+    assert cents_r.count() == 8 and len(books_r) == 16
+    torn = sorted(
+        map(
+            tuple,
+            ann_index_topk(
+                spark, base, emb, queries, k=3, shortlist=20, nprobe=3
+            ).collect(),
+        )
+    )
+    assert torn == before
+
+    # recovery: a successful index operation repins a consistent triple
+    # (the torn sub-commits become 'previous' states and age out)
+    write_ann_index(
+        spark, emb, base, num_centroids=8, m=16, codes_per_subspace=64,
+        iters=4, num_files=8,
+    )
+    pinned2, seq2 = _index_pointer_read(spark, base)
+    assert seq2 > seq1 and pinned2 != pinned1
+    after = ann_index_topk(
+        spark, base, emb, queries, k=3, shortlist=20, nprobe=3
+    )
+    assert after.count() == 30
+
+    # an upsert also republishes the root (its codes merge is atomic
+    # for readers)
+    ann_index_upsert(spark, base, emb.filter(F.col("vec_id") < 5))
+    pinned3, seq3 = _index_pointer_read(spark, base)
+    assert seq3 > seq2 and pinned3["codes"] != pinned2["codes"]
+
+
 def test_prune_files_in_set_semantics(spark, tmp_path):
     """prune_files_in: a file survives iff SOME listed value falls in
     its [min, max] (set probes, not ranges); empty value list is
