@@ -39,61 +39,51 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 #: Driver-contract ordering. The verification driver records correctness
-#: rows for the FIRST 50 ``queries()`` entries per round (r02-r06 all
+#: rows for the FIRST 50 ``queries()`` entries per round (r02-r07 all
 #: cut at entry #50), so dict order IS driver coverage. Policy: queries
 #: new this round and queries without a fresh driver row come FIRST;
-#: the freshest greens rotate to the tail. Round-7 window (the r6
-#: verdict's item 1, executed): the 25 NEW queries (a8 composed IVFPQ,
-#: s24 partitioned-manifest CDC, a9 PQ-coded k-NN join, d13 segment
-#: dedup, t15 top-bigram, s25 streaming retrieval, z1 z-order layout,
-#: f1 fuzzy join, s26 manifest diff, z2 stats-pruned scan, a10 stored
-#: IVFPQ index, r17 skew-salted join, s27 streaming index serving,
-#: a11 incremental index upsert, s28 concurrent-writer CDC, r18
-#: bucketed shuffle-free join, k5 mergeable quantile sketch, mm4
-#: perceptual image dedup, smp6 temperature mixing, t16 held-out
-#: perplexity gate, smp7 leakage-proof group-disjoint split, s29
-#: streaming near-dup gate, pipe2 composed training prep, mm5 audio
-#: envelope dedup, z3 bloom-pruned point lookup), then the 11
-#: queries whose only driver rows
-#: predate r05's oracle-cast fixes or date to r01-r04 (t13/smp4/pipe1
-#: — r05 hash-red from the since-fixed HUGEINT casts, judge-re-verified
-#: green; p3/p5/p6/x1/x3/b2/t5/t6 — the r6-promised deferral), then
-#: 14 of the 47 r05-green queries. The displaced refresh candidates
-#: (mm1/v1-v3/d9/d10/t7-t12/t14/s17-s22/g1/g2/bpe1/bpe2) and r1-r10 (green
-#: since r01/r02, re-verified r05 — the deepest evidence in the
-#: contract) defer to round 8 and sit first after the cut; the 50
-#: r06-green queries hold the tail. Every query keeps its oracle
-#: regardless of position.
+#: the freshest greens rotate to the tail. Round-8 window (the r7
+#: verdict's item 2, executed): the 2 NEW queries (z4 auto-pruning
+#: scan planner, s30 streaming merge-on-read upsert), then ALL 33
+#: queries whose freshest driver rows date to r05 (bpe1/bpe2, d9/d10,
+#: g1/g2, mm1, r1-r10, s17-s22, t7-t12/t14, v1-v3 — the judge
+#: re-verified them green in the r7 sweep; this window gives every one
+#: a fresh driver row, after which EVERY query in the contract holds a
+#: row from r6 or later), then 15 refreshes from the r06-green set
+#: (a6/a7/d11/d12/smp5/s23/mm2/mm3/p1/p2/p4/p7/p8/p9/x2 — the oldest
+#: evidence after the rotation). 2 + 33 + 15 = 50 exactly. The
+#: remaining r06-green queries sit first after the cut (round-9
+#: refresh candidates); the 50 r07-green queries hold the tail. Every
+#: query keeps its oracle regardless of position.
 _PRIORITY = [
-    # new in round 7 — first driver row needed
-    "a8_", "s24_", "a9_", "d13_", "t15_", "s25_", "z1_", "f1_", "s26_",
-    "z2_", "a10_", "r17_", "s27_", "a11_", "s28_", "r18_", "k5_", "mm4_",
-    "smp6_", "t16_", "smp7_", "s29_", "pipe2_", "mm5_", "z3_",
-    # only driver rows are stale (r05 hash-red from oracle casts fixed
-    # in r6, or r01-r04 greens) — the verdict's rotation list
-    "t13_", "smp4_", "pipe1_",
-    "p3_", "p5_", "p6_", "x1_", "x3_", "b2_", "t5_", "t6_",
-    # r05-green rows due a refresh, minus r1_-r10_ deferred below
-    *[f"r{i}_" for i in range(11, 17)],
-    "a2_", "a3_", "a4_", "k1_", "k4_",
-    "smp1_", "smp2_", "smp3_", "mm1_",
-    "v1_", "v2_", "v3_",
-    "d9_", "d10_",
-    "t7_", "t8_", "t9_", "t10_", "t11_", "t12_", "t14_",
-    "s17_", "s18_", "s19_", "s20_", "s21_", "s22_",
-    "g1_", "g2_", "bpe1_", "bpe2_",
-    # deferred to round 8 (r05-green, green every round since r01/r02;
-    # bpe2 sits just past the 50-cut — a9's slot — and goes first)
+    # new in round 8 — first driver row needed
+    "z4_", "s30_",
+    # the 33 r05-row queries — the r7 verdict's rotation list, complete
+    "bpe1_", "bpe2_", "d9_", "d10_", "g1_", "g2_", "mm1_",
     *[f"r{i}_" for i in range(1, 11)],
-    # r06-green tail (freshest driver rows in the contract)
+    "s17_", "s18_", "s19_", "s20_", "s21_", "s22_",
+    "t7_", "t8_", "t9_", "t10_", "t11_", "t12_", "t14_",
+    "v1_", "v2_", "v3_",
+    # 15 r06-green refreshes (oldest evidence once the 33 rotate)
     "a6_", "a7_", "d11_", "d12_", "smp5_", "s23_", "mm2_", "mm3_",
-    "p1_", "p2_", "p4_", "p7_", "p8_", "p9_",
-    "x2_", "x4_", "x5_", "x6_",
+    "p1_", "p2_", "p4_", "p7_", "p8_", "p9_", "x2_",
+    # ---- 50-cut ----
+    # r06-green remainder: first in line for the round-9 window
+    "x4_", "x5_", "x6_",
     "j1_", "j2_", "j3_", "j4_", "j5_",
     "k2_", "k3_", "a1_", "a5_", "b1_",
     "s4_", "s5_", "s9_", "s10_", "s11_", "s12_", "s13_", "s14_", "s15_", "s16_",
     "d1_", "d2_", "d3_", "d4_", "d5_", "d6_", "d7_", "d8_",
     "t1_", "t2_", "t3_", "t4_",
+    # r07-green tail (freshest driver rows in the contract)
+    "a8_", "s24_", "a9_", "d13_", "t15_", "s25_", "z1_", "f1_", "s26_",
+    "z2_", "a10_", "r17_", "s27_", "a11_", "s28_", "r18_", "k5_", "mm4_",
+    "smp6_", "t16_", "smp7_", "s29_", "pipe2_", "mm5_", "z3_",
+    "t13_", "smp4_", "pipe1_",
+    "p3_", "p5_", "p6_", "x1_", "x3_", "b2_", "t5_", "t6_",
+    *[f"r{i}_" for i in range(11, 17)],
+    "a2_", "a3_", "a4_", "k1_", "k4_",
+    "smp1_", "smp2_", "smp3_",
 ]
 
 

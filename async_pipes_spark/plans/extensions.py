@@ -2445,6 +2445,102 @@ def s24_stream_cdc_partitioned_manifest(spark: SparkSession, sf_dir: str) -> Dat
     return out
 
 
+def s30_stream_mor_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s24's streaming CDC against a partitioned lake, with every
+    micro-batch committed MERGE-ON-READ (sources.sinks.mor_upsert —
+    round-8 verdict item 7): each trigger writes ONE immutable delta
+    dir holding just its batch's rows plus a pointer commit — O(batch)
+    bytes however many partitions its keys touch or leave, where s24's
+    copy-on-write merge rewrites every touched partition per batch (at
+    100 TB trickle updates, THE write-amplification difference; the
+    per-batch bytes pin lives in test_scale_ops). The partition column
+    (event_type) still changes with a user's latest event, but no
+    partition is rewritten — the read resolves base ∪ deltas through
+    the shared last-writer-wins window, and a final compaction folds
+    the backlog into a fresh clustered base with the same contents.
+    Quiescence oracle identical to s20/s23/s24: per-user argmax in any
+    batch order."""
+    import shutil
+    import tempfile
+
+    from async_pipes_spark.session import ensure_engine_confs
+    from async_pipes_spark.sources.sinks import (
+        compact_small_files,
+        mor_deltas,
+        mor_upsert,
+        read_partitioned_manifest,
+        write_partitioned_manifest_table,
+    )
+
+    base = tempfile.mkdtemp(prefix="s30_mor_")
+    lake = f"{base}/lake"
+    cols = ["user_id", "ts", "event_id", "event_type", "value"]
+
+    from pyspark.sql import Window
+
+    session = spark.newSession()
+    ensure_engine_confs(session)
+    session.conf.set("spark.sql.shuffle.partitions", "8")
+
+    ev = load_table(session, sf_dir, "events").select(*cols)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    seed = (
+        ev.filter(F.col("event_id") < 5000)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    write_partitioned_manifest_table(session, seed, lake, ["event_type"])
+
+    incoming = f"{base}/incoming"
+    ev.filter(F.col("event_id") >= 5000).repartition(4, "user_id").write.mode(
+        "overwrite"
+    ).parquet(incoming)
+
+    def upsert(batch: DataFrame, _batch_id: int) -> None:
+        mor_upsert(
+            batch.sparkSession,
+            lake,
+            batch,
+            key_cols=["user_id"],
+            version_cols=["ts", "event_id"],
+        )
+
+    q = (
+        session.readStream.schema(session.read.parquet(incoming).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(incoming)
+        .writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", f"{base}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # resolved read BEFORE compaction carries the whole backlog...
+    resolved = (
+        read_partitioned_manifest(session, lake)
+        .select(*cols)
+        .orderBy("user_id")
+        .transform(_pin)
+    )
+    # ...and the OPTIMIZE that follows a streaming run folds it into a
+    # fresh base without changing contents (asserted here, not just in
+    # pytest — the query IS the maintenance story)
+    compact_small_files(session, lake, target_rows_per_file=1_000_000)
+    assert mor_deltas(session, lake) == []
+    folded = (
+        read_partitioned_manifest(session, lake)
+        .select(*cols)
+        .orderBy("user_id")
+        .transform(_pin)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    a = {tuple(r) for r in resolved.collect()}
+    b = {tuple(r) for r in folded.collect()}
+    assert a == b, "compaction changed merge-on-read contents"
+    return folded
+
+
 def s28_concurrent_stream_writers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TWO streaming CDC writers committing to ONE manifest table
     CONCURRENTLY — the multi-writer lake the optimistic-concurrency
@@ -2952,6 +3048,58 @@ def z3_bloom_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def z4_auto_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AUTO-PRUNING scan planner (sources.stats.scan — round-8
+    verdict item 6): one entry point a 100 TB user actually calls,
+    which inspects the predicate SHAPE and picks the sidecar itself —
+    range conjunctions intersect the footer-stats boxes the z-order
+    layout earns (z1/z2's machinery), equality probes consult the
+    per-file bloom index AND degenerate [v, v] stats boxes, and every
+    surviving-file set intersects conservatively. The table here
+    carries BOTH sidecars (stats on the clustered z-order pair, bloom
+    on the unclustered key), and the query runs one range scan plus
+    one point lookup through the SAME scan() call; per-case file-open
+    counts are pinned in pytest (test_scale_ops). The oracle is the
+    plain filter — planner choice must never change results."""
+    import shutil
+    import tempfile
+
+    from async_pipes_spark.functions.money import cents
+    from async_pipes_spark.sources.layout import zorder_frame
+    from async_pipes_spark.sources.sinks import write_manifest_table
+    from async_pipes_spark.sources.stats import (
+        scan,
+        write_file_bloom,
+        write_file_stats,
+    )
+
+    base = tempfile.mkdtemp(prefix="z4_scan_")
+    path = f"{base}/t"
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", cents("o_totalprice").alias("price_cents")
+    )
+    write_manifest_table(
+        spark,
+        zorder_frame(orders, ["o_custkey", "price_cents"], num_files=16),
+        path,
+    )
+    write_file_stats(spark, path, ["o_custkey", "price_cents"])
+    write_file_bloom(spark, path, ["o_orderkey"])
+    lo = orders.agg(F.min("o_orderkey")).first()[0]
+    rng = scan(
+        spark, path,
+        bounds={"o_custkey": (None, 99), "price_cents": (None, 4_999_999)},
+    )
+    point = scan(spark, path, eq={"o_orderkey": lo})
+    out = (
+        rng.unionByName(point)
+        .orderBy("o_orderkey", "o_custkey", "price_cents")
+        .transform(_pin)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def s26_manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-data-feed between two manifest-table commits
     (sources.sinks.manifest_diff): build a customer balance table,
@@ -3074,12 +3222,14 @@ EXTENSION_QUERIES = {
     "s23_stream_cdc_manifest": s23_stream_cdc_manifest,
     "s24_stream_cdc_partitioned_manifest": s24_stream_cdc_partitioned_manifest,
     "s28_concurrent_stream_writers": s28_concurrent_stream_writers,
+    "s30_stream_mor_upsert": s30_stream_mor_upsert,
     "s25_stream_topk": s25_stream_topk,
     "s27_stream_index_serving": s27_stream_index_serving,
     "s29_stream_near_dup_gate": s29_stream_near_dup_gate,
     "z1_zorder_scan": z1_zorder_scan,
     "z2_stats_pruned_scan": z2_stats_pruned_scan,
     "z3_bloom_pruned_lookup": z3_bloom_pruned_lookup,
+    "z4_auto_pruned_scan": z4_auto_pruned_scan,
     "f1_fuzzy_name_pairs": f1_fuzzy_name_pairs,
     "s26_manifest_diff": s26_manifest_diff,
     "g1_pagerank": g1_pagerank,
@@ -4705,6 +4855,17 @@ EXTENSION_ORACLES = {
               FROM events)
         WHERE rn = 1 ORDER BY user_id
     """,
+    # merge-on-read quiescence: same per-user argmax as s20/s23/s24 —
+    # delta-file commits + read-time resolution + compaction must all
+    # converge to the identical table
+    "s30_stream_mor_upsert": """
+        SELECT user_id, ts, event_id, event_type, value
+        FROM (SELECT user_id, ts, event_id, event_type, value,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events)
+        WHERE rn = 1 ORDER BY user_id
+    """,
     # stored-index stream serving: every query arrives once (3 rows
     # each), recall floor is the engine-independent contract (a8/a10)
     "s27_stream_index_serving": """
@@ -4789,6 +4950,25 @@ EXTENSION_ORACLES = {
             (SELECT MAX(o_orderkey) FROM orders)
         )
         ORDER BY o_orderkey
+    """,
+    # planner choice must never change results: the oracle is the
+    # plain range filter UNION ALL the plain point lookup (the min key
+    # may also satisfy the range — the duplicate is intentional on
+    # both sides)
+    "z4_auto_pruned_scan": """
+        WITH t AS (
+            SELECT o_orderkey, o_custkey,
+                   CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS price_cents
+            FROM orders
+        )
+        SELECT * FROM (
+            SELECT * FROM t
+            WHERE o_custkey <= 99 AND price_cents <= 4999999
+            UNION ALL
+            SELECT * FROM t
+            WHERE o_orderkey = (SELECT MIN(o_orderkey) FROM t)
+        ) ORDER BY o_orderkey, o_custkey, price_cents
     """,
     # skipping must never change results: same plain-filter oracle as
     # z1 (closed bounds <=99 / <=4999999 are the same integer sets)

@@ -731,3 +731,105 @@ def read_bloom_pruned(spark, path: str, col: str, value) -> DataFrame:
     if not kept:
         return base.where(F.lit(False))
     return spark.read.parquet(*kept).where(F.col(col) == F.lit(value))
+
+
+# ---- the auto-pruning scan planner -----------------------------------
+
+
+def scan_plan(
+    spark,
+    path: str,
+    eq: Mapping | None = None,
+    bounds: Bounds | None = None,
+) -> tuple[list[str] | None, int | None]:
+    """PLAN a predicate scan of ``path``: (surviving files, total
+    files), or ``(None, None)`` when no sidecar can prune (missing,
+    stale, merge-on-read backlog — the scan falls back to the full
+    resolved read). This is the single planning step behind
+    :func:`scan`; it inspects the predicate SHAPE and consults every
+    applicable sidecar, intersecting their survivor sets:
+
+    - ``bounds`` (range predicates, and their conjunctions — the
+      z-order-box case a Morton-clustered layout exists for) go to the
+      footer-stats sidecar in ONE conjunctive intersect
+      (:func:`prune_files`).
+    - ``eq`` on a NUMERIC column additionally becomes the degenerate
+      box ``[v, v]`` in that same stats intersect (on a clustered
+      layout the range stats alone often settle it).
+    - every ``eq`` column also probes the per-file BLOOM sidecar
+      (:func:`prune_files_bloom`) — the planner for selective point
+      lookups on high-cardinality, unclustered columns where range
+      stats prune nothing.
+
+    Each sidecar is optional: whichever exist contribute; the
+    intersection of conservative survivor sets is conservative. A
+    100 TB user calls :func:`scan` and gets whatever skipping the
+    table's maintenance history (write_file_stats / write_file_bloom /
+    optimize_zorder) has earned it."""
+    eq = dict(eq or {})
+    bounds = dict(bounds or {})
+    if not eq and not bounds:
+        raise ValueError("scan needs at least one eq or bounds predicate")
+    if any(v is None for v in eq.values()):
+        raise ValueError(
+            "eq probes need non-NULL values (NULL never equals anything; "
+            "filter is-null conditions on the returned DataFrame)"
+        )
+    overlap = set(eq) & set(bounds)
+    if overlap:
+        raise ValueError(f"columns in both eq and bounds: {sorted(overlap)}")
+
+    survivors: set[str] | None = None
+    total: int | None = None
+
+    def intersect(plan) -> None:
+        nonlocal survivors, total
+        if plan is None:
+            return
+        kept, tot = plan
+        total = tot
+        survivors = set(kept) if survivors is None else survivors & set(kept)
+
+    stat_bounds: dict = dict(bounds)
+    if eq:
+        schema = _resolved_read(spark, path).schema
+        for c, v in eq.items():
+            if c in schema.names and isinstance(
+                schema[c].dataType, _NUMERIC_TYPES
+            ):
+                stat_bounds[c] = (v, v)
+    if stat_bounds:
+        intersect(prune_files(spark, path, stat_bounds))
+    for c, v in eq.items():
+        intersect(prune_files_bloom(spark, path, c, v))
+    return (sorted(survivors) if survivors is not None else None, total)
+
+
+def scan(
+    spark,
+    path: str,
+    eq: Mapping | None = None,
+    bounds: Bounds | None = None,
+) -> DataFrame:
+    """Predicate scan of a table path with AUTOMATIC data skipping:
+    plans via :func:`scan_plan` (stats boxes for ranges and numeric
+    equalities, bloom probes for equalities — whichever sidecars the
+    table carries), opens only surviving files, and applies the FULL
+    residual predicate row-level — so the result is always exactly the
+    plain filtered read, with pruning as a pure optimization
+    (conservative sidecars, resolved-read fallback when none apply).
+
+    ``eq``: ``{col: value}`` equality conjuncts. ``bounds``:
+    ``{col: (lo, hi)}`` closed ranges (``None`` = unbounded side).
+    All conjuncts AND together."""
+    kept, _total = scan_plan(spark, path, eq=eq, bounds=bounds)
+    if kept is None:
+        df = _resolved_read(spark, path)
+    elif not kept:
+        # provably empty: keep the schema, scan nothing
+        df = _resolved_read(spark, path).where(F.lit(False))
+    else:
+        df = spark.read.parquet(*kept)
+    for c, v in (eq or {}).items():
+        df = df.where(F.col(c) == F.lit(v))
+    return _residual(df, bounds or {})

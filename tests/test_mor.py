@@ -176,6 +176,67 @@ def test_mor_write_amplification_is_o_delta(spark, tmp_path):
     assert mor_delta * 10 < cow_delta, (mor_delta, cow_delta)
 
 
+def test_mor_partitioned_per_batch_bytes_below_cow(spark, tmp_path):
+    """The s30 claim, pinned: on a PARTITIONED lake where every batch's
+    keys move across partitions (s24's worst case), a merge-on-read
+    batch writes bytes proportional to the BATCH, while the
+    copy-on-write merge rewrites every touched partition — strictly
+    more, per batch, on the same update stream."""
+    import os
+
+    from async_pipes_spark.sources.sinks import (
+        write_partitioned_manifest_table,
+    )
+
+    def _files(p):
+        out = {}
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                fp = os.path.join(root, f)
+                out[fp] = os.path.getsize(fp)
+        return out
+
+    def _written(p, before):
+        # bytes WRITTEN this step = sizes of files that did not exist
+        # before (net tree growth would be confounded by retention GC
+        # deleting aged-out versions)
+        after = _files(p)
+        return sum(sz for fp, sz in after.items() if fp not in before)
+
+    # 2000 rows across 4 partitions; each batch updates 3 keys and
+    # MOVES them to a different partition value
+    base_df = spark.range(2000).select(
+        F.col("id").alias("k"), F.lit(0).alias("ver"),
+        F.md5(F.col("id").cast("string")).alias("s"),
+        (F.col("id") % 4).cast("int").alias("p"),
+    )
+    cow = str(tmp_path / "bcow")
+    mor = str(tmp_path / "bmor")
+    for tgt in (cow, mor):
+        write_partitioned_manifest_table(spark, base_df, tgt, ["p"])
+    bschema = "k bigint, ver bigint, s string, p int"
+    cow_bytes, mor_bytes = [], []
+    for i in range(1, 4):
+        batch = [(j, i, f"b{i}", (j + i) % 4) for j in range(3 * i, 3 * i + 3)]
+        bdf = spark.createDataFrame(batch, bschema)
+        b0 = _files(cow)
+        merge_upsert(spark, cow, bdf, ["k"], partition_by=["p"],
+                     version_cols=["ver"])
+        cow_bytes.append(_written(cow, b0))
+        b0 = _files(mor)
+        mor_upsert(spark, mor, bdf, ["k"], version_cols=["ver"])
+        mor_bytes.append(_written(mor, b0))
+    # every single batch: MOR delta bytes strictly below the COW
+    # touched-partition rewrite (3-row deltas vs multi-partition
+    # version dirs)
+    for cb, mb in zip(cow_bytes, mor_bytes):
+        assert mb < cb, (mor_bytes, cow_bytes)
+    # and the tables still read identically
+    assert _rows(
+        read_partitioned_manifest(spark, cow), "k", "ver", "s", "p"
+    ) == _rows(read_partitioned_manifest(spark, mor), "k", "ver", "s", "p")
+
+
 def test_mor_concurrent_writers_all_land(spark, tmp_path):
     """Concurrent MOR writers: delta appends don't depend on the base
     state, so racing commits blind-retry and every batch lands —
