@@ -18,6 +18,7 @@ from async_pipes_spark.sources.sinks import (  # noqa: F401
     purge_tombstones,
     read_manifest_table,
     read_partitioned_manifest,
+    read_table,
     restore_manifest_table,
     vacuum_manifest,
     write_bucketed_table,

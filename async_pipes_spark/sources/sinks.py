@@ -1206,6 +1206,22 @@ def read_partitioned_manifest(
             f"generation {generation!r} of {path} has no live partitions "
             "(schema unknown for an empty table)"
         )
+    df = _read_pmapping(spark, path, mapping)
+    deltas = _state_deltas(generation)
+    if deltas:
+        # merge-on-read state: the generation mapping is the BASE;
+        # delta dirs hold whole rows (partition columns as ordinary
+        # columns) and resolve through the shared LWW window
+        df = _mor_resolve(spark, path, df, deltas)
+    return df
+
+
+def _read_pmapping(spark, path: str, mapping: dict[str, str]) -> DataFrame:
+    """Union of per-version scans over EXACTLY the partition subdirs in
+    ``mapping`` — partition columns from dir names (``basePath``),
+    mixed file schemas merged. The one mapping→DataFrame construction,
+    shared by the full generation read and the partition-pruned scan
+    planner."""
     by_version: dict[str, list[str]] = {}
     for sd, v in mapping.items():
         by_version.setdefault(v, []).append(sd)
@@ -1220,13 +1236,21 @@ def read_partitioned_manifest(
     df = parts[0]
     for p in parts[1:]:
         df = df.unionByName(p, allowMissingColumns=True)
-    deltas = _state_deltas(generation)
-    if deltas:
-        # merge-on-read state: the generation mapping is the BASE;
-        # delta dirs hold whole rows (partition columns as ordinary
-        # columns) and resolve through the shared LWW window
-        df = _mor_resolve(spark, path, df, deltas)
     return df
+
+
+def read_table(spark, path: str) -> DataFrame:
+    """THE universal read for any engine table path — what a user (and
+    the scan planner's fallback) should call without knowing the
+    table's commit flavor: a partitioned manifest reads through its
+    live generation mapping, a flat manifest through its pointer (any
+    merge-on-read backlog resolved), anything else as a plain parquet
+    directory."""
+    if _pmanifest_read(spark, path) is not None:
+        return read_partitioned_manifest(spark, path)
+    if manifest_version(spark, path) is not None:
+        return read_manifest_table(spark, path)
+    return spark.read.parquet(path)
 
 
 def restore_manifest_table(

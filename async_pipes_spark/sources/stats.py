@@ -58,16 +58,12 @@ from async_pipes_spark.sources.sinks import (
 
 
 def _resolved_read(spark, path: str) -> DataFrame:
-    """The CORRECT full read of a flat table path for pruned-scan
-    fallbacks: resolves a manifest table through
-    ``read_manifest_table`` (which applies any merge-on-read backlog —
-    the base dir alone is not the table then), plain parquet scan
-    otherwise."""
-    from async_pipes_spark.sources.sinks import read_manifest_table
+    """The CORRECT full read of a table path for pruned-scan
+    fallbacks: any commit flavor, any merge-on-read backlog —
+    :func:`~async_pipes_spark.sources.sinks.read_table`."""
+    from async_pipes_spark.sources.sinks import read_table
 
-    if manifest_version(spark, path) is not None:
-        return read_manifest_table(spark, path)
-    return spark.read.parquet(path)
+    return read_table(spark, path)
 
 #: long-format stats schema: one row per (file, column)
 STATS_SCHEMA = (
@@ -821,7 +817,19 @@ def scan(
 
     ``eq``: ``{col: value}`` equality conjuncts. ``bounds``:
     ``{col: (lo, hi)}`` closed ranges (``None`` = unbounded side).
-    All conjuncts AND together."""
+    All conjuncts AND together.
+
+    On a PARTITIONED manifest table, an equality on a partition column
+    prunes through the generation MAPPING instead (only matching
+    ``col=val`` subdirs are read — the partition-pruning every
+    Hive-layout engine plans); other predicates apply as residuals.
+    A merge-on-read backlog disables the mapping prune (a delta may
+    move a key INTO the probed partition while its losing base row
+    sits outside the pruned read — resolution needs every row of a
+    key) and falls back to the resolved read."""
+    pinfo = _pmanifest_read(spark, path)
+    if pinfo is not None:
+        return _scan_pmanifest(spark, path, pinfo, eq or {}, bounds or {})
     kept, _total = scan_plan(spark, path, eq=eq, bounds=bounds)
     if kept is None:
         df = _resolved_read(spark, path)
@@ -833,3 +841,67 @@ def scan(
     for c, v in (eq or {}).items():
         df = df.where(F.col(c) == F.lit(v))
     return _residual(df, bounds or {})
+
+
+def _scan_pmanifest(
+    spark, path: str, pinfo, eq: Mapping, bounds: Bounds
+) -> DataFrame:
+    """The partitioned-manifest arm of :func:`scan`: equality conjuncts
+    on PARTITION columns restrict the generation mapping to matching
+    ``col=val`` subdirs before any file opens; everything (including
+    the partition equalities — dir naming stringifies values, so the
+    row-level filter is the authority) applies as a residual. Falls
+    back to the full resolved read when no partition equality exists
+    or a merge-on-read backlog is outstanding."""
+    from async_pipes_spark.sources.sinks import (
+        _partition_subdir,
+        _pmanifest_mapping,
+        _read_pmapping,
+        _state_base,
+        _state_deltas,
+    )
+
+    eq = dict(eq)
+    bounds = dict(bounds)
+    if not eq and not bounds:
+        raise ValueError("scan needs at least one eq or bounds predicate")
+    if any(v is None for v in eq.values()):
+        raise ValueError(
+            "eq probes need non-NULL values (NULL never equals anything; "
+            "filter is-null conditions on the returned DataFrame)"
+        )
+    overlap = set(eq) & set(bounds)
+    if overlap:
+        raise ValueError(f"columns in both eq and bounds: {sorted(overlap)}")
+
+    def residual(df: DataFrame) -> DataFrame:
+        for c, v in eq.items():
+            df = df.where(F.col(c) == F.lit(v))
+        return _residual(df, bounds)
+
+    live = pinfo[0][0]
+    pcols = pinfo[2]
+    eq_p = {c: v for c, v in eq.items() if c in pcols}
+    if not eq_p or _state_deltas(live):
+        return residual(_resolved_read(spark, path))
+    # expected `col=val` segment per probed partition column, rendered
+    # exactly as the write side renders subdirs; unescapable values
+    # can't name a subdir, so nothing can match — provably empty
+    try:
+        segs = {
+            c: _partition_subdir([c], {c: v}) for c, v in eq_p.items()
+        }
+    except ValueError:
+        return residual(_resolved_read(spark, path)).where(F.lit(False))
+    mapping = _pmanifest_mapping(spark, path, _state_base(live))
+    pruned = {
+        sd: v
+        for sd, v in mapping.items()
+        if all(seg in sd.split("/") for seg in segs.values())
+    }
+    if not pruned:
+        # no live partition matches: keep the schema, scan nothing
+        return residual(_read_pmapping(spark, path, mapping)).where(
+            F.lit(False)
+        )
+    return residual(_read_pmapping(spark, path, pruned))

@@ -63,8 +63,16 @@ def _ab_vs_prev_round(sf_dir: str, cpus: int) -> dict | None:
         return None
     try:
         passes = max(1, int(os.environ.get("SPARK_GRAFT_AB_PASSES", "2")))
+        # wall-clock budget so the A/B degrades (fewer passes) instead
+        # of blowing the driver's bench window; at least one complete
+        # HEAD+prev pair always runs
+        budget = float(os.environ.get("SPARK_GRAFT_AB_BUDGET_SEC", "1500"))
+        t_start = time.perf_counter()
         best: dict[str, dict[str, float]] = {"head": {}, "prev": {}}
+        done_passes = 0
         for i in range(passes):
+            if i > 0 and time.perf_counter() - t_start > budget * (i / passes):
+                break  # over pro-rata budget: settle for completed pairs
             # alternate which side runs first: the second runner of a
             # back-to-back pair inherits a warmer OS page cache and a
             # quieter host (a 1-pass probe measured family-clustered
@@ -90,6 +98,7 @@ def _ab_vs_prev_round(sf_dir: str, cpus: int) -> dict | None:
                 for name, sec in json.loads(line)["queries"].items():
                     cur = best[side].get(name)
                     best[side][name] = sec if cur is None else min(cur, sec)
+            done_passes = i + 1
         shared = set(best["head"]) & set(best["prev"])
         fam_head: dict[str, float] = {}
         fam_prev: dict[str, float] = {}
@@ -106,7 +115,7 @@ def _ab_vs_prev_round(sf_dir: str, cpus: int) -> dict | None:
         prev_total = sum(best["prev"][n] for n in shared)
         return {
             "prev_commit": prev[:12],
-            "passes": passes,
+            "passes": done_passes,
             "suite_ratio": round(head_total / prev_total, 3) if prev_total else None,
             "new_queries": sorted(set(best["head"]) - set(best["prev"])),
             "ratio_vs_prev": ratios,

@@ -1572,6 +1572,65 @@ def test_scan_planner_picks_sidecar_per_predicate(spark, tmp_path):
         scan(spark, path, eq={"a": 1}, bounds={"a": (None, 7)})
 
 
+def test_scan_partition_prunes_pmanifest_mapping(spark, tmp_path):
+    """scan() on a PARTITIONED manifest: an equality on a partition
+    column restricts the generation MAPPING to matching col=val
+    subdirs before any file opens (inputFiles pins it); non-partition
+    predicates fall back to the full mapped read; a merge-on-read
+    backlog disables mapping pruning (a delta can move a key INTO the
+    probed partition) but stays correct; read_table() reads any
+    flavor."""
+    from async_pipes_spark.sources.sinks import (
+        compact_small_files,
+        mor_upsert,
+        read_table,
+        write_partitioned_manifest_table,
+    )
+    from async_pipes_spark.sources.stats import scan
+
+    path = str(tmp_path / "pm")
+    df = spark.range(400).select(
+        F.col("id").alias("k"), F.lit(0).alias("ver"),
+        (F.col("id") % 4).cast("int").alias("p"),
+    )
+    write_partitioned_manifest_table(spark, df, path, ["p"])
+
+    got = scan(spark, path, eq={"p": 2}, bounds={"k": (None, 49)})
+    want = sorted(
+        (r["k"], r["ver"], r["p"])
+        for r in df.where((F.col("p") == 2) & (F.col("k") <= 49)).collect()
+    )
+    assert sorted((r["k"], r["ver"], r["p"]) for r in got.collect()) == want
+    # the mapping prune opened ONLY p=2 subdirs
+    opened = got.inputFiles()
+    assert opened and all("/p=2/" in f for f in opened), opened[:3]
+    # unmatched partition value: provably empty, schema kept
+    assert scan(spark, path, eq={"p": 99}).count() == 0
+    # no partition equality -> full mapped read, residual only
+    assert scan(spark, path, bounds={"k": (10, 12)}).count() == 3
+
+    # merge-on-read backlog: mapping prune off (correctness first) —
+    # a delta MOVES k=7 into p=2; the pruned-read-under-backlog bug
+    # would miss its losing/winning rows
+    mor_upsert(
+        spark, path,
+        spark.createDataFrame([(7, 5, 2)], "k bigint, ver bigint, p int"),
+        ["k"], version_cols=["ver"],
+    )
+    got2 = scan(spark, path, eq={"p": 2})
+    rows2 = {(r["k"], r["ver"], r["p"]) for r in got2.collect()}
+    assert (7, 5, 2) in rows2 and (7, 0, 3) not in rows2
+    # read_table resolves the backlog on any flavor
+    assert (7, 5, 2) in {
+        (r["k"], r["ver"], r["p"]) for r in read_table(spark, path).collect()
+    }
+    # compaction revives the mapping prune
+    compact_small_files(spark, path, target_rows_per_file=1000)
+    got3 = scan(spark, path, eq={"p": 2})
+    assert {(r["k"], r["ver"], r["p"]) for r in got3.collect()} == rows2
+    assert all("/p=2/" in f for f in got3.inputFiles())
+
+
 def test_prune_files_in_set_semantics(spark, tmp_path):
     """prune_files_in: a file survives iff SOME listed value falls in
     its [min, max] (set probes, not ranges); empty value list is

@@ -5,6 +5,12 @@ dir, compare row count + column set + order-insensitive value hash
 driver hashes). Usage:
 
     python tools/sweep.py [sf_dir] [query ...]
+
+Set SPARK_GRAFT_SWEEP_JSON=<path> to also write the full result map as
+JSON (CORRECTNESS-row shaped, plus wall seconds) — committed per round
+as SWEEP_r{N}.json so every contract query carries same-round evidence
+without waiting on the driver's 50-row rotation window (VERDICT r7
+item 5).
 """
 
 from __future__ import annotations
@@ -44,6 +50,7 @@ def main() -> int:
         )
 
     failures = 0
+    record: dict[str, dict] = {}
     for name, fn in queries.items():
         t0 = time.perf_counter()
         try:
@@ -64,12 +71,46 @@ def main() -> int:
             status = "PASS" if not problems else "FAIL " + "; ".join(problems)
             if problems:
                 failures += 1
+            record[name] = {
+                "rows_match": len(srows) == len(drows),
+                "schema_match": sorted(scols) == sorted(dcols),
+                "hash_match": not problems,
+                "spark_rows": len(srows),
+                "oracle_rows": len(drows),
+                "sec": round(dt, 2),
+                "err": "; ".join(problems) or None,
+            }
             print(f"{name:34s} {status}  ({len(srows)} rows, {dt:.2f}s)", flush=True)
         except Exception as e:  # noqa: BLE001
             failures += 1
+            record[name] = {
+                "rows_match": False,
+                "schema_match": False,
+                "hash_match": False,
+                "spark_rows": None,
+                "oracle_rows": None,
+                "sec": round(time.perf_counter() - t0, 2),
+                "err": f"{type(e).__name__}: {e}"[:300],
+            }
             print(f"{name:34s} ERR {type(e).__name__}: {e}", flush=True)
             traceback.print_exc()
     print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
+    out_json = os.environ.get("SPARK_GRAFT_SWEEP_JSON")
+    if out_json:
+        import json
+
+        Path(out_json).write_text(
+            json.dumps(
+                {
+                    "sf_dir": sf_dir,
+                    "queries": len(record),
+                    "failures": failures,
+                    "results": record,
+                },
+                indent=1,
+            )
+            + "\n"
+        )
     spark.stop()
     return 1 if failures else 0
 
