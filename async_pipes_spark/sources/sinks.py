@@ -750,6 +750,8 @@ def mor_upsert(
     to it) — concurrent MOR writers all land, no
     :class:`ConcurrentCommitError` under normal contention, and mixed
     COW/MOR writers still serialize through the same commit log."""
+    if not key_cols:
+        raise ValueError("key_cols is required (resolution is per key)")
     if tombstone_col:
         if not version_cols:
             raise ValueError("tombstone_col requires version_cols")
