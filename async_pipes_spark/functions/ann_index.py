@@ -217,6 +217,7 @@ def ann_index_upsert(
     vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    merge_on_read: bool = False,
 ) -> None:
     """Incrementally maintain a stored index — the FAISS ``add()``
     semantics at lake scale: encode ``vectors`` with the STORED
@@ -235,15 +236,30 @@ def ann_index_upsert(
     stops being skippable) until :func:`ann_index_optimize` restores
     the clustered layout. This is precisely Delta/Iceberg's
     write-fast/OPTIMIZE-later contract, and the churn a retrieval
-    corpus sees between optimizes is small relative to the base."""
+    corpus sees between optimizes is small relative to the base.
+
+    ``merge_on_read=True`` switches the codes commit to
+    :func:`~async_pipes_spark.sources.sinks.mor_upsert`: the write is
+    O(batch) — one delta dir + pointer append — instead of the COW
+    merge's full codes-table rewrite (at 100 TB index churn, THE
+    maintenance cost). Until :func:`ann_index_optimize` folds the
+    backlog, file pruning is suspended (the stats planner skips
+    MOR-backlogged states) and serving reads resolve base ∪ deltas —
+    correct, just unskipped; stick to one mode between optimizes (the
+    COW merge refuses a backlogged table rather than dropping delta
+    rows)."""
     from async_pipes_spark.session import pin
+    from async_pipes_spark.sources.sinks import mor_upsert
 
     cents, books = read_ann_index(spark, path)
     # the merge references its update set more than once (key probe,
     # anti-join, union) — pin the tiny codes batch so the encode kernel
     # runs exactly once over the incoming vectors
     encoded = pin(ivf_pq_encode(vectors, cents, books, id_col, vec_col))
-    merge_upsert(spark, f"{path}/codes", encoded, [id_col])
+    if merge_on_read:
+        mor_upsert(spark, f"{path}/codes", encoded, [id_col])
+    else:
+        merge_upsert(spark, f"{path}/codes", encoded, [id_col])
     # republish the root triple at the merged codes state — readers
     # switch atomically from (old codes) to (new codes), never partway
     _index_pointer_commit(spark, path)
@@ -270,7 +286,10 @@ def ann_index_optimize(
     versions, _, base_seq = _manifest_read(spark, codes_path)
     if not versions:
         raise ValueError(f"not a stored index codes table: {codes_path}")
-    codes = spark.read.parquet(f"{codes_path}/_data/{versions[0]}")
+    # resolved read: folds any merge-on-read backlog a run of
+    # ann_index_upsert(merge_on_read=True) left — the committed version
+    # is a plain clustered state again, reviving file pruning
+    codes = read_manifest_table(spark, codes_path)
     clustered = codes.repartitionByRange(num_files, "cell").sortWithinPartitions(
         "cell", "vec_id"
     )

@@ -1375,6 +1375,86 @@ def test_ann_index_upsert_appends_replaces_and_optimize(spark, tmp_path):
     assert post == pre
 
 
+def test_ann_index_mor_upsert_serves_identically(spark, tmp_path):
+    """ann_index_upsert(merge_on_read=True): the codes commit is one
+    delta dir (the BASE version dir is untouched — no index rewrite per
+    add batch), serving resolves base ∪ delta to the same rows a COW
+    upsert stores, topk answers match the in-memory operator on the
+    same artifacts, and ann_index_optimize folds the backlog back to a
+    plain clustered state with pruning revived."""
+    from async_pipes_spark.functions.ann_index import (
+        ann_index_optimize,
+        ann_index_probe_stats,
+        ann_index_topk,
+        ann_index_upsert,
+        read_ann_index,
+        write_ann_index,
+    )
+    from async_pipes_spark.functions.similarity import ivf_pq_topk
+    from async_pipes_spark.sources.sinks import (
+        manifest_versions,
+        mor_deltas,
+        read_manifest_table,
+    )
+    from async_pipes_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    n_corpus = emb.count()
+    base = str(tmp_path / "ixm")
+    write_ann_index(
+        spark, emb.filter(F.col("vec_id") >= 50), base,
+        num_centroids=8, m=16, codes_per_subspace=64, iters=4, num_files=8,
+    )
+    base_state = manifest_versions(spark, f"{base}/codes")[0]
+
+    ann_index_upsert(
+        spark, base, emb.filter(F.col("vec_id") < 50), merge_on_read=True
+    )
+    # one delta appended; the base version dir untouched
+    live = manifest_versions(spark, f"{base}/codes")[0]
+    assert live.startswith(base_state + "+")
+    assert len(mor_deltas(spark, f"{base}/codes")) == 1
+    codes = read_manifest_table(spark, f"{base}/codes")
+    assert codes.count() == n_corpus
+    assert codes.select("vec_id").distinct().count() == n_corpus
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    stored = sorted(
+        map(
+            tuple,
+            ann_index_topk(
+                spark, base, emb, queries, k=3, shortlist=20, nprobe=3
+            ).collect(),
+        )
+    )
+    cents, books = read_ann_index(spark, base)
+    mem = sorted(
+        map(
+            tuple,
+            ivf_pq_topk(
+                emb, queries, k=3, codebooks=books, shortlist=20, nprobe=3,
+                centroids=cents,
+            ).collect(),
+        )
+    )
+    assert stored == mem and len(stored) == 30
+
+    # optimize folds the backlog; pruning revives; answers unchanged
+    ann_index_optimize(spark, base, num_files=8)
+    assert mor_deltas(spark, f"{base}/codes") == []
+    kept, total = ann_index_probe_stats(spark, base, [0])
+    assert kept < total
+    post = sorted(
+        map(
+            tuple,
+            ann_index_topk(
+                spark, base, emb, queries, k=3, shortlist=20, nprobe=3
+            ).collect(),
+        )
+    )
+    assert post == stored
+
+
 def test_ann_index_root_commit_is_atomic_across_tables(spark, tmp_path):
     """The stored index's three tables commit as ONE unit (round 8,
     verdict 'wrong #1'): a writer crashing between sub-table commits —
