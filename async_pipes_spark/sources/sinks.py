@@ -655,6 +655,16 @@ def _mor_resolve(
     keys, vers, tomb = _read_mor_spec(spark, path, deltas[0])
     parts = [base.withColumn("_src", F.lit(0))]
     for i, d in enumerate(deltas, start=1):
+        if i > 1 and _read_mor_spec(spark, path, d) != (keys, vers, tomb):
+            # two first-writers racing an empty backlog with DIFFERENT
+            # specs can both land (each saw no backlog to validate
+            # against); resolving their union under one spec would be
+            # silently wrong — fail loudly instead
+            raise ValueError(
+                f"merge-on-read backlog mixes resolution specs at {d}; "
+                "restore_manifest_table() to a retained state before the "
+                "mix, then keep writers on one spec"
+            )
         dd = spark.read.option("mergeSchema", "true").parquet(
             f"{path}/_data/{d}"
         )
@@ -720,6 +730,7 @@ def mor_upsert(
     key_cols: Sequence[str],
     version_cols: Sequence[str] | None = None,
     tombstone_col: str | None = None,
+    allow_schema_evolution: bool = False,
     occ_retries: int = 5,
     auto_compact_deltas: int | None = None,
 ) -> None:
@@ -789,15 +800,30 @@ def mor_upsert(
                 f"versions={version_cols} tombstone={tombstone_col}"
             )
     # schema contract: same columns as the table, modulo the tombstone
-    # bootstrap (the flag may be new; resolution coalesces it)
+    # bootstrap (the flag may be new; resolution coalesces it).
+    # ``allow_schema_evolution`` admits ADDITIVE change exactly like
+    # the COW merge: columns new in ``updates`` simply ride the delta —
+    # the resolved read's unionByName(allowMissingColumns) gives stored
+    # rows NULL there, the same table the COW evolution stores. An
+    # update batch MISSING an existing column still errors (silently
+    # nulling replaced rows' payload is a bug, not evolution).
     existing_cols = set(
         (read_partitioned_manifest(spark, path) if pinfo is not None
          else read_manifest_table(spark, path)).columns
     )
     flag = {tombstone_col} if tombstone_col else set()
-    mismatch = (set(updates.columns) - flag) ^ (existing_cols - flag)
-    if mismatch:
-        raise ValueError(f"update schema mismatch on columns: {sorted(mismatch)}")
+    if allow_schema_evolution:
+        missing = (existing_cols - flag) - set(updates.columns)
+        if missing:
+            raise ValueError(
+                f"update schema missing existing columns: {sorted(missing)}"
+            )
+    else:
+        mismatch = (set(updates.columns) - flag) ^ (existing_cols - flag)
+        if mismatch:
+            raise ValueError(
+                f"update schema mismatch on columns: {sorted(mismatch)}"
+            )
 
     delta = f"x_{uuid.uuid4().hex[:12]}"
     out = updates
@@ -1406,6 +1432,10 @@ def merge_upsert(
     Scale notes: the anti-join shuffles on the key unless the update
     set is broadcastable (it usually is — updates are small relative to
     the lake; AQE broadcasts under the threshold automatically).
+    For trickle updates where even the touched-partition rewrite is the
+    dominant cost, :func:`mor_upsert` commits the same change as an
+    O(update rows) merge-on-read delta instead (read-time resolution,
+    folded by compaction).
     """
     import shutil
     import uuid

@@ -63,6 +63,24 @@ def _ab_vs_prev_round(sf_dir: str, cpus: int) -> dict | None:
         return None
     try:
         passes = max(1, int(os.environ.get("SPARK_GRAFT_AB_PASSES", "2")))
+        # scope: 'family' (default) times ONE representative query per
+        # family — a pass costs a fraction of the full contract, so
+        # BOTH alternating passes fit the budget (the sf0.1 full-scope
+        # pass pair overran it, degraded to a single pass, and
+        # single-pass per-family ratios are position noise in both
+        # directions — 12x swings on identical code); 'full' times
+        # every query
+        scope = os.environ.get("SPARK_GRAFT_AB_SCOPE", "family")
+        names_arg: list[str] = []
+        if scope != "full":
+            from async_pipes_spark.plans.declared import DECLARED_QUERIES as dq
+            from async_pipes_spark.plans.extensions import EXTENSION_QUERIES as eq
+            from async_pipes_spark.plans.joins import JOIN_QUERIES as jq
+            from async_pipes_spark.plans.relational import RELATIONAL_QUERIES as rq
+            fam_rep: dict[str, str] = {}
+            for name in sorted({**dq, **rq, **eq, **jq}):
+                fam_rep.setdefault(name.split("_", 1)[0], name)
+            names_arg = ["--names", ",".join(sorted(fam_rep.values()))]
         # wall-clock budget so the A/B degrades (fewer passes) instead
         # of blowing the driver's bench window; at least one complete
         # HEAD+prev pair always runs
@@ -85,6 +103,7 @@ def _ab_vs_prev_round(sf_dir: str, cpus: int) -> dict | None:
                         sys.executable, str(REPO / "tools" / "ab_pass.py"),
                         "--root", str(root),
                         "--sf-dir", sf_dir, "--cpus", str(cpus),
+                        *names_arg,
                     ],
                     capture_output=True, text=True, timeout=3600,
                 )
@@ -113,13 +132,23 @@ def _ab_vs_prev_round(sf_dir: str, cpus: int) -> dict | None:
         }
         head_total = sum(best["head"][n] for n in shared)
         prev_total = sum(best["prev"][n] for n in shared)
-        return {
+        out = {
             "prev_commit": prev[:12],
             "passes": done_passes,
+            "scope": scope,
             "suite_ratio": round(head_total / prev_total, 3) if prev_total else None,
             "new_queries": sorted(set(best["head"]) - set(best["prev"])),
             "ratio_vs_prev": ratios,
         }
+        if done_passes < 2:
+            # one pass = no order alternation: HEAD always ran first
+            # (colder), so per-family ratios carry position bias and
+            # single-run noise — keep the suite number, flag the rest
+            out["low_confidence"] = (
+                "single pass (budget): per-family ratios are position-"
+                "biased; raise SPARK_GRAFT_AB_BUDGET_SEC"
+            )
+        return out
     finally:
         subprocess.run(
             ["git", "-C", str(REPO), "worktree", "remove", "--force", str(wt)],

@@ -390,6 +390,50 @@ def test_mor_unversioned_replace_matches_cow(spark, tmp_path):
         )
 
 
+def test_mor_additive_schema_evolution_matches_cow(spark, tmp_path):
+    """allow_schema_evolution: a new update column rides the delta and
+    stored rows read NULL there — exactly the table the COW evolution
+    stores; a batch MISSING an existing column still errors; without
+    the flag the new column is rejected."""
+    cow = str(tmp_path / "ecow")
+    mor = str(tmp_path / "emor")
+    seed_rows = [(1, 0, "a", False), (2, 0, "b", False)]
+    for tgt in (cow, mor):
+        write_manifest_table(
+            spark, spark.createDataFrame(seed_rows, SCHEMA), tgt
+        )
+    evolved = "k bigint, ver bigint, s string, dead boolean, extra bigint"
+    b1 = spark.createDataFrame([(2, 5, "B", False, 42)], evolved)
+    with pytest.raises(ValueError, match="mismatch"):
+        mor_upsert(spark, mor, b1, ["k"], version_cols=["ver"],
+                   tombstone_col="dead")
+    merge_upsert(spark, cow, b1, ["k"], version_cols=["ver"],
+                 tombstone_col="dead", allow_schema_evolution=True)
+    mor_upsert(spark, mor, b1, ["k"], version_cols=["ver"],
+               tombstone_col="dead", allow_schema_evolution=True)
+    cols = ("k", "ver", "s", "dead", "extra")
+    assert _rows(read_manifest_table(spark, cow), *cols) == _rows(
+        read_manifest_table(spark, mor), *cols
+    )
+    # a later batch carrying the evolved schema merges normally, and a
+    # batch missing an EXISTING column still errors even with the flag
+    b2 = spark.createDataFrame([(1, 6, "A", False, 7)], evolved)
+    merge_upsert(spark, cow, b2, ["k"], version_cols=["ver"],
+                 tombstone_col="dead")
+    mor_upsert(spark, mor, b2, ["k"], version_cols=["ver"],
+               tombstone_col="dead")
+    assert _rows(read_manifest_table(spark, cow), *cols) == _rows(
+        read_manifest_table(spark, mor), *cols
+    )
+    with pytest.raises(ValueError, match="missing existing"):
+        mor_upsert(spark, mor, b2.drop("s"), ["k"], version_cols=["ver"],
+                   tombstone_col="dead", allow_schema_evolution=True)
+    # compaction folds the evolved backlog losslessly
+    before = _rows(read_manifest_table(spark, mor), *cols)
+    compact_small_files(spark, mor, target_rows_per_file=1000)
+    assert _rows(read_manifest_table(spark, mor), *cols) == before
+
+
 def test_mor_auto_compact_bounds_backlog(spark, tmp_path):
     tgt = str(tmp_path / "auto")
     write_manifest_table(

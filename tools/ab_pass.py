@@ -28,6 +28,11 @@ def main() -> int:
     ap.add_argument("--root", required=True, help="repo root to import from")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument(
+        "--names",
+        default="",
+        help="comma-separated query subset (default: the whole contract)",
+    )
     args = ap.parse_args()
 
     sys.path.insert(0, args.root)
@@ -44,10 +49,15 @@ def main() -> int:
     queries.update(RELATIONAL_QUERIES)
     queries.update(EXTENSION_QUERIES)
     queries.update(JOIN_QUERIES)
+    if args.names:
+        wanted = {n for n in args.names.split(",") if n}
+        # silently skip names this side doesn't have (prev may predate
+        # a query; the parent ratios only shared names anyway)
+        queries = {n: fn for n, fn in queries.items() if n in wanted}
 
     spark = get_spark("ab-pass", cpus=args.cpus)
     # identical warmup on both sides (JVM + file listing), excluded
-    queries["p6_map_reduce"](spark, args.sf_dir).collect()
+    DECLARED_QUERIES["p6_map_reduce"](spark, args.sf_dir).collect()
 
     timings: dict[str, float] = {}
     for name, fn in queries.items():
