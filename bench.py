@@ -22,7 +22,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 REPO = Path(__file__).resolve().parent
 
 
-def _ab_vs_prev_round(sf_dir: str, cpus: int) -> dict | None:
+def _ab_vs_prev_round(
+    sf_dir: str, cpus: int, head_timings: dict[str, float] | None = None
+) -> dict | None:
     """Interleaved A/B against the previous round's commit — the ONE
     way to make round-over-round perf a signal instead of host weather
     (r7's headline read 1.4x slower than r6 on untouched code; an
@@ -63,34 +65,33 @@ def _ab_vs_prev_round(sf_dir: str, cpus: int) -> dict | None:
         return None
     try:
         passes = max(1, int(os.environ.get("SPARK_GRAFT_AB_PASSES", "2")))
-        # scope: 'family' (default) times ONE representative query per
-        # family — a pass costs a fraction of the full contract, so
-        # BOTH alternating passes fit the budget (the sf0.1 full-scope
-        # pass pair overran it, degraded to a single pass, and
-        # single-pass per-family ratios are position noise in both
-        # directions — 12x swings on identical code); 'full' times
-        # every query
-        scope = os.environ.get("SPARK_GRAFT_AB_SCOPE", "family")
+        # scope: 'hot' (default) times only the queries whose HEAD
+        # measurement cleared SPARK_GRAFT_AB_MIN_SEC (default 0.5 s) —
+        # the HEAD-vs-HEAD control showed sub-second single-query
+        # ratios are weather no matter how they're measured, and
+        # dropping them shrinks a pass enough that BOTH alternating
+        # passes fit the budget (the full-contract pass pair overran
+        # it at sf0.1, degraded to a single pass, and single-pass
+        # ratios are position noise in both directions — 12x swings on
+        # identical code); 'full' times every query
+        scope = os.environ.get("SPARK_GRAFT_AB_SCOPE", "hot")
         names_arg: list[str] = []
-        if scope != "full":
-            from async_pipes_spark.plans.declared import DECLARED_QUERIES as dq
-            from async_pipes_spark.plans.extensions import EXTENSION_QUERIES as eq
-            from async_pipes_spark.plans.joins import JOIN_QUERIES as jq
-            from async_pipes_spark.plans.relational import RELATIONAL_QUERIES as rq
-            fam_rep: dict[str, str] = {}
-            for name in sorted({**dq, **rq, **eq, **jq}):
-                fam_rep.setdefault(name.split("_", 1)[0], name)
-            names_arg = ["--names", ",".join(sorted(fam_rep.values()))]
+        if scope != "full" and head_timings:
+            floor = float(os.environ.get("SPARK_GRAFT_AB_MIN_SEC", "0.5"))
+            hot = sorted(n for n, t in head_timings.items() if t >= floor)
+            if hot:
+                names_arg = ["--names", ",".join(hot)]
         # wall-clock budget so the A/B degrades (fewer passes) instead
         # of blowing the driver's bench window; at least one complete
         # HEAD+prev pair always runs
-        budget = float(os.environ.get("SPARK_GRAFT_AB_BUDGET_SEC", "1500"))
+        budget = float(os.environ.get("SPARK_GRAFT_AB_BUDGET_SEC", "2400"))
         t_start = time.perf_counter()
         best: dict[str, dict[str, float]] = {"head": {}, "prev": {}}
         done_passes = 0
         for i in range(passes):
-            if i > 0 and time.perf_counter() - t_start > budget * (i / passes):
-                break  # over pro-rata budget: settle for completed pairs
+            elapsed = time.perf_counter() - t_start
+            if i > 0 and elapsed * (i + 1) / i > budget:
+                break  # projected total over budget: settle for done pairs
             # alternate which side runs first: the second runner of a
             # back-to-back pair inherits a warmer OS page cache and a
             # quieter host (a 1-pass probe measured family-clustered
@@ -238,7 +239,7 @@ def main() -> None:
     # ratios measured back-to-back on this host, so "family X got
     # slower" is decidable in-record); never fails the bench
     try:
-        ab = _ab_vs_prev_round(sf_dir, cpus)
+        ab = _ab_vs_prev_round(sf_dir, cpus, head_timings=timings)
     except Exception as e:  # noqa: BLE001
         ab = {"error": f"{type(e).__name__}: {e}"[:300]}
 
