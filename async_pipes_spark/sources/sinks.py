@@ -320,14 +320,15 @@ def mor_deltas(spark, path: str) -> list[str]:
     first ([] for a copy-on-write state, a partitioned manifest, or a
     plain directory). Non-empty means: reads must resolve (the engine's
     readers do), stats/bloom sidecars cover only the base (their
-    planners fall back), and a compaction will fold the backlog."""
-    versions, _, _ = _manifest_read(spark, path)
-    if versions:
-        return _state_deltas(versions[0])
-    pinfo = _pmanifest_read(spark, path)
-    if pinfo is not None and pinfo[0]:
-        return _state_deltas(pinfo[0][0])
-    return []
+    planners fall back), and a compaction will fold the backlog.
+    ONE pointer read decides both manifest flavors — this sits on hot
+    commit paths (a foreachBatch merge calls it per micro-batch), so
+    it must not stack py4j small-file probes."""
+    lines = _manifest_lines(spark, path)
+    if not lines:
+        return []
+    states = [ln for ln in lines if not ln.startswith("#")]
+    return _state_deltas(states[0]) if states else []
 
 
 def _resolve_table_path(spark, path: str) -> str:
@@ -1454,17 +1455,24 @@ def merge_upsert(
     # inference can pick an old file and silently drop the newer
     # columns — for tombstones that resurrected deleted keys (caught
     # by live repro, not theory)
-    if mor_deltas(spark, target_path):
-        raise ValueError(
-            f"{target_path} carries outstanding merge-on-read deltas — a "
-            "copy-on-write merge would rewrite partitions WITHOUT the "
-            "backlog's rows and lose them. Either continue with "
-            "mor_upsert() or fold the backlog first "
-            "(compact_small_files / optimize_zorder)"
-        )
+    def _refuse_backlog(live_state: str | None) -> None:
+        # derived from the pointer read the merge ALREADY did — a
+        # standalone mor_deltas() probe here costs ~0.4 s of py4j
+        # small-file round trips per micro-batch merge (measured via
+        # the s22 A/B ratio)
+        if live_state and _state_deltas(live_state):
+            raise ValueError(
+                f"{target_path} carries outstanding merge-on-read deltas — "
+                "a copy-on-write merge would rewrite partitions WITHOUT "
+                "the backlog's rows and lose them. Either continue with "
+                "mor_upsert() or fold the backlog first "
+                "(compact_small_files / optimize_zorder)"
+            )
+
     pinfo = _pmanifest_read(spark, target_path)
     is_pmanifest = pinfo is not None
     if is_pmanifest:
+        _refuse_backlog(pinfo[0][0] if pinfo[0] else None)
         if not partition_by:
             raise ValueError(
                 "partitioned manifest table: pass partition_by="
@@ -1481,6 +1489,7 @@ def merge_upsert(
         existing = read_partitioned_manifest(spark, target_path)
     else:
         base_versions, _, base_seq = _manifest_read(spark, target_path)
+        _refuse_backlog(base_versions[0] if base_versions else None)
         read_path = (
             f"{target_path}/_data/{base_versions[0]}"
             if base_versions
@@ -1764,15 +1773,20 @@ def purge_tombstones(
     import shutil
     import uuid
 
-    if mor_deltas(spark, path):
-        raise ValueError(
-            f"{path} carries outstanding merge-on-read deltas — purge "
-            "operates on stored rows; fold the backlog first "
-            "(compact_small_files / optimize_zorder), then purge"
-        )
+    def _refuse_backlog(live_state: str | None) -> None:
+        # derived from the pointer reads below — see merge_upsert's
+        # twin for why a standalone mor_deltas() probe is too hot here
+        if live_state and _state_deltas(live_state):
+            raise ValueError(
+                f"{path} carries outstanding merge-on-read deltas — purge "
+                "operates on stored rows; fold the backlog first "
+                "(compact_small_files / optimize_zorder), then purge"
+            )
+
     pinfo = _pmanifest_read(spark, path)
     is_pmanifest = pinfo is not None
     if is_pmanifest:
+        _refuse_backlog(pinfo[0][0] if pinfo[0] else None)
         if not partition_by:
             raise ValueError(
                 f"partitioned manifest table: pass partition_by={pinfo[2]}"
@@ -1788,6 +1802,7 @@ def purge_tombstones(
         df = read_partitioned_manifest(spark, path)
     else:
         base_versions, _, base_seq = _manifest_read(spark, path)
+        _refuse_backlog(base_versions[0] if base_versions else None)
         read_path = (
             f"{path}/_data/{base_versions[0]}" if base_versions else path
         )
