@@ -317,10 +317,13 @@ def manifest_version(spark, path: str) -> str | None:
 
 def mor_deltas(spark, path: str) -> list[str]:
     """The live state's outstanding merge-on-read delta dirs, oldest
-    first ([] for a copy-on-write state, a partitioned manifest, or a
-    plain directory). Non-empty means: reads must resolve (the engine's
-    readers do), stats/bloom sidecars cover only the base (their
-    planners fall back), and a compaction will fold the backlog.
+    first — for BOTH manifest flavors (a flat manifest's pointer
+    states and a partitioned manifest's live generation state both
+    carry their deltas in the state line this parses); [] for a
+    copy-on-write state or a plain directory. Non-empty means: reads
+    must resolve (the engine's readers do), stats/bloom sidecars cover
+    only the base (their planners prune the base and union resolved
+    deltas, or fall back), and a compaction will fold the backlog.
     ONE pointer read decides both manifest flavors — this sits on hot
     commit paths (a foreachBatch merge calls it per micro-batch), so
     it must not stack py4j small-file probes."""
@@ -608,55 +611,128 @@ def _write_mor_spec(
     spark, path: str, delta: str,
     key_cols: Sequence[str], version_cols: Sequence[str],
     tombstone_col: str | None,
+    era_cols: Sequence[str] | None = None,
 ) -> None:
     body = (
         f"keys={','.join(key_cols)}\n"
         f"versions={','.join(version_cols)}\n"
         f"tombstone={tombstone_col or ''}\n"
     )
+    if era_cols:
+        # the batch's OWN column set at write time — the columns the
+        # equivalent COW merge would have hashed its tie-break over
+        # (merge_upsert hashes sorted(updates.columns)); recorded so
+        # the read-time resolver reproduces the same winner across an
+        # additive schema evolution inside one backlog
+        body += f"cols={','.join(era_cols)}\n"
     _replace_pointer(spark, f"{path}/_data/{delta}/_spec", body)
 
 
 def _read_mor_spec(
     spark, path: str, delta: str
-) -> tuple[list[str], list[str], str | None]:
-    """(key_cols, version_cols, tombstone_col) a delta dir resolves
-    by. Every delta of one table carries the same spec
-    (:func:`mor_upsert` validates against the live backlog's)."""
+) -> tuple[list[str], list[str], str | None, list[str]]:
+    """(key_cols, version_cols, tombstone_col, era_cols) a delta dir
+    resolves by. Every delta of one table carries the same
+    (keys, versions, tombstone) spec (:func:`mor_upsert` validates
+    against the live backlog's); ``era_cols`` is the batch's write-time
+    column set for the tie-break hash ([] on pre-recording deltas —
+    the resolver falls back to the post-union column set)."""
     content = _read_small_file(spark, f"{path}/_data/{delta}/_spec")
     if content is None:
         raise ValueError(f"merge-on-read delta missing its _spec: {delta}")
-    vals = {"keys": "", "versions": "", "tombstone": ""}
+    vals = {"keys": "", "versions": "", "tombstone": "", "cols": ""}
     for ln in _split_lines(content):
         k, _, v = ln.partition("=")
         vals[k] = v
     keys = [c for c in vals["keys"].split(",") if c]
     vers = [c for c in vals["versions"].split(",") if c]
-    return keys, vers, vals["tombstone"] or None
+    era = [c for c in vals["cols"].split(",") if c]
+    return keys, vers, vals["tombstone"] or None, era
+
+
+#: backlog parquet bytes under which the delta key set is explicitly
+#: broadcast (the untouched-base split then costs ZERO base shuffle);
+#: above it the joins fall back to plain equi-joins and AQE decides —
+#: a backlog that large means compaction is overdue anyway
+_MOR_BROADCAST_MAX_BYTES = 64 << 20
+
+
+def _mor_backlog_bytes(spark, path: str, deltas: Sequence[str]) -> int:
+    """Total on-disk bytes of a MOR backlog's delta dirs — ONE
+    getContentSummary per delta (the backlog is short by design:
+    ``auto_compact_deltas`` bounds it). Unknown sizes report huge, so
+    the caller never broadcasts blind."""
+    fs, _, jvm = _hadoop_fs(spark, f"{path}/_data")
+    total = 0
+    for d in deltas:
+        try:
+            total += fs.getContentSummary(
+                jvm.org.apache.hadoop.fs.Path(f"{path}/_data/{d}")
+            ).getLength()
+        except Exception:
+            return 1 << 62
+    return total
 
 
 def _mor_resolve(
-    spark, path: str, base: DataFrame, deltas: Sequence[str]
+    spark,
+    path: str,
+    base: DataFrame,
+    deltas: Sequence[str],
+    untouched_base: DataFrame | None = None,
 ) -> DataFrame:
-    """Resolve a merge-on-read state to the table it denotes. The
-    ordering reproduces :func:`merge_upsert`'s write-time window
-    EXACTLY — version tuple desc, then later-source-wins (base < older
-    delta < newer delta, the associative form of COW's
-    update-beats-incumbent tie rule), then the full-row-hash tiebreak —
-    so resolving all deltas in ONE window equals applying them as
-    sequential copy-on-write merges. NULL-key rows replay COW's
-    join semantics (NULL never matches): base NULL-key rows always
-    survive, and each delta's NULL-key rows resolve only among
-    themselves — one window partitioned by (key, source) instead of
-    (key)."""
+    """Resolve a merge-on-read state to the table it denotes,
+    reproducing the equivalent sequence of :func:`merge_upsert` COW
+    merges row-for-row — via COW's OWN keep/contested split, not a
+    whole-table window:
+
+    - **untouched** base rows (key matches no delta — the anti-join
+      side every COW merge passes through verbatim) survive UNCHANGED,
+      duplicates included, with NO shuffle: the delta key set is tiny
+      (O(backlog)), so the anti-join broadcasts and the base flows
+      straight through. This is the Iceberg equality-delete /
+      Delta deletion-vector read shape.
+    - **contested** rows (delta rows + base rows sharing their keys)
+      run the last-writer-wins window merge_upsert applies at write:
+      version tuple desc, then later-source-wins (base < older delta <
+      newer delta — the associative form of COW's update-beats-
+      incumbent tie rule), then the write-era full-row-hash tiebreak.
+      Only this (small) slice shuffles.
+    - with NO version columns the replace is unconditional — a base
+      row NEVER wins a contested key — so the contested side needs no
+      base rows at all: winners are the max-source delta rows per key.
+    - NULL-key rows replay COW's join semantics (NULL never matches):
+      base NULL-key rows always survive; each delta's NULL-key rows
+      resolve only among themselves (versioned spec) or pass through
+      (unversioned, matching COW's no-dedup-within-batch union).
+
+    The tiebreak hash covers each row's WRITE-ERA column set (recorded
+    in the delta's ``_spec``; base rows use the first delta's era —
+    COW resolves base ties at the first merge that contests them, over
+    that batch's columns with evolved columns read as NULL). Pre-
+    recording deltas fall back to the post-union column set; a tie
+    between EQUAL version tuples inside such a delta across an
+    additive-evolution boundary may then resolve to a different (still
+    deterministic) winner than the COW sequence — the one documented
+    parity caveat.
+
+    ``untouched_base`` (optional) substitutes a FILE-PRUNED base scan
+    on the untouched branch only — for planner callers
+    (:func:`async_pipes_spark.sources.stats.scan`) that prove via
+    sidecars the dropped files hold no rows matching their residual
+    predicate, which they re-apply row-level. Contested keys always
+    resolve against the FULL ``base`` (a stale delta must lose to a
+    base winner the predicate-prune might have dropped)."""
     from functools import reduce
 
     from pyspark.sql import Window
 
-    keys, vers, tomb = _read_mor_spec(spark, path, deltas[0])
-    parts = [base.withColumn("_src", F.lit(0))]
+    keys, vers, tomb, _ = _read_mor_spec(spark, path, deltas[0])
+    dparts: list[DataFrame] = []
+    eras: list[list[str]] = []
     for i, d in enumerate(deltas, start=1):
-        if i > 1 and _read_mor_spec(spark, path, d) != (keys, vers, tomb):
+        ki, vi, ti, ci = _read_mor_spec(spark, path, d)
+        if i > 1 and (ki, vi, ti) != (keys, vers, tomb):
             # two first-writers racing an empty backlog with DIFFERENT
             # specs can both land (each saw no backlog to validate
             # against); resolving their union under one spec would be
@@ -669,59 +745,114 @@ def _mor_resolve(
         dd = spark.read.option("mergeSchema", "true").parquet(
             f"{path}/_data/{d}"
         )
-        parts.append(dd.withColumn("_src", F.lit(i)))
-    allrows = reduce(
-        lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+        dparts.append(dd.withColumn("_src", F.lit(i)))
+        eras.append(ci)
+    dunion = reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), dparts
     )
-    if tomb:
-        # same normalization as the COW soft-tombstone store: stored
-        # NULL ≡ live (pre-tombstone base files lack the column)
-        allrows = allrows.withColumn(
-            tomb, F.coalesce(F.col(tomb), F.lit(False))
-        )
-    cols = [c for c in allrows.columns if c != "_src"]
-    tiebreak = []
-    if not any("map<" in t for c, t in allrows.dtypes if c != "_src"):
-        # sorted-column struct = the same canonical hash merge_upsert
-        # breaks write-time ties with — resolution must pick the SAME
-        # winner a COW merge would have stored
-        tiebreak = [F.hash(F.struct(*sorted(cols))).desc()]
+    kept_src = untouched_base if untouched_base is not None else base
+    # output column order = base columns then evolution columns, the
+    # same order the previous whole-union resolver produced
+    out_cols = list(base.columns) + [
+        c for c in dunion.columns
+        if c not in set(base.columns) and c != "_src"
+    ]
+
+    out_types = {
+        **{f.name: f.dataType for f in dunion.schema.fields},
+        **{f.name: f.dataType for f in base.schema.fields},
+    }
+
+    def norm(df: DataFrame) -> DataFrame:
+        # align every branch to the post-union schema (evolution
+        # columns NULL where a source predates them — exactly what the
+        # COW merge's existing.withColumn(NULL-cast) materializes) and
+        # apply the soft-tombstone normalization: stored NULL ≡ live
+        # (pre-tombstone base files lack the column)
+        for c in out_cols:
+            if c not in df.columns:
+                df = df.withColumn(c, F.lit(None).cast(out_types[c]))
+        if tomb:
+            df = df.withColumn(tomb, F.coalesce(F.col(tomb), F.lit(False)))
+        return df.select(*out_cols, *(
+            ["_src"] if "_src" in df.columns else []
+        ))
+
     has_null_key = reduce(
         Column.__or__, [F.col(k).isNull() for k in keys]
     )
-    main = allrows.filter(~has_null_key)
-    nullp = allrows.filter(has_null_key)
-    if vers:
-        w = Window.partitionBy(*keys).orderBy(
-            *[F.col(c).desc() for c in vers], F.col("_src").desc(), *tiebreak
-        )
-        resolved_main = (
-            main.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn", "_src")
-        )
-        # NULL-key delta rows: resolve within their own batch only
-        wn = Window.partitionBy(*keys, "_src").orderBy(
-            *[F.col(c).desc() for c in vers], *tiebreak
-        )
-        resolved_null = (
-            nullp.filter(F.col("_src") > 0)
-            .withColumn("_rn", F.row_number().over(wn))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn", "_src")
-            .unionByName(nullp.filter(F.col("_src") == 0).drop("_src"))
-        )
-        return resolved_main.unionByName(resolved_null)
-    # no version columns: unconditional replace — ALL rows of the
-    # newest delta containing the key survive (matching COW's
-    # keep ∪ updates, which does not dedup within a batch)
-    mx = main.groupBy(*keys).agg(F.max("_src").alias("_mx"))
-    resolved_main = (
-        main.join(mx, list(keys))
-        .where(F.col("_src") == F.col("_mx"))
-        .drop("_src", "_mx")
+    dkeys = dunion.filter(~has_null_key).select(*keys).distinct()
+    small_backlog = (
+        _mor_backlog_bytes(spark, path, deltas) <= _MOR_BROADCAST_MAX_BYTES
     )
-    return resolved_main.unionByName(nullp.drop("_src"))
+    if small_backlog:
+        dkeys = F.broadcast(dkeys)
+    # untouched branch: ONE anti-join, ONE base scan — no window, no
+    # dedup, no shuffle (broadcast build side). NULL-key base rows
+    # survive through the anti-join itself (NULL matches no delta key —
+    # the same join semantics that carry them through COW's keep side)
+    untouched = norm(kept_src.join(dkeys, list(keys), "left_anti"))
+    d_main = norm(dunion.filter(~has_null_key))
+    d_null = norm(dunion.filter(has_null_key))
+    if not vers:
+        # unconditional replace: ALL rows of the newest delta
+        # containing the key survive (COW's keep ∪ updates does not
+        # dedup within a batch); base rows of contested keys die, so
+        # the contested side never reads the base
+        mx = d_main.groupBy(*keys).agg(F.max("_src").alias("_mx"))
+        if small_backlog:
+            mx = F.broadcast(mx)
+        winners = (
+            d_main.join(mx, list(keys))
+            .where(F.col("_src") == F.col("_mx"))
+            .drop("_src", "_mx")
+        )
+        return untouched.unionByName(winners).unionByName(
+            d_null.drop("_src")
+        )
+    # versioned spec: contested base rows CAN win (stale delta) — pull
+    # exactly the touched slice of the full base through the window
+    # (no null-key filter needed: a NULL key matches nothing in a semi
+    # join, so the touched slice is non-null-keyed by construction)
+    cbase = norm(
+        base.withColumn("_src", F.lit(0)).join(dkeys, list(keys), "left_semi")
+    )
+    contested = cbase.unionByName(d_main)
+    tiebreak = []
+    if not any("map<" in t for c, t in contested.dtypes if c != "_src"):
+        # write-era sorted-column struct = the same canonical hash
+        # merge_upsert breaks write-time ties with — resolution must
+        # pick the SAME winner a COW merge would have stored. Hash
+        # only ever decides ties WITHIN one source (version tuple and
+        # _src order first), so each source hashes its own era.
+        fallback = sorted(out_cols)
+
+        def era_hash(era: list[str]):
+            cols_i = sorted(era) if era else fallback
+            return F.hash(F.struct(*cols_i))
+
+        tb = era_hash(eras[0])  # base ties: first contesting merge's era
+        for i, era in enumerate(eras, start=1):
+            tb = F.when(F.col("_src") == i, era_hash(era)).otherwise(tb)
+        tiebreak = [tb.desc()]
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.col(c).desc() for c in vers], F.col("_src").desc(), *tiebreak
+    )
+    resolved_main = (
+        contested.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_src")
+    )
+    # NULL-key delta rows: resolve within their own batch only
+    wn = Window.partitionBy(*keys, "_src").orderBy(
+        *[F.col(c).desc() for c in vers], *tiebreak
+    )
+    resolved_null = (
+        d_null.withColumn("_rn", F.row_number().over(wn))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_src")
+    )
+    return untouched.unionByName(resolved_main).unionByName(resolved_null)
 
 
 def mor_upsert(
@@ -793,7 +924,7 @@ def mor_upsert(
     # whole backlog with ONE spec)
     backlog = _state_deltas(live)
     if backlog:
-        k0, v0, t0 = _read_mor_spec(spark, path, backlog[0])
+        k0, v0, t0, _ = _read_mor_spec(spark, path, backlog[0])
         if (list(key_cols), version_cols, tombstone_col) != (k0, v0, t0):
             raise ValueError(
                 f"merge-on-read spec mismatch: table resolves by keys={k0} "
@@ -833,7 +964,10 @@ def mor_upsert(
             tombstone_col, F.coalesce(F.col(tombstone_col), F.lit(False))
         )
     out.write.mode("error").parquet(f"{path}/_data/{delta}")
-    _write_mor_spec(spark, path, delta, key_cols, version_cols, tombstone_col)
+    _write_mor_spec(
+        spark, path, delta, key_cols, version_cols, tombstone_col,
+        era_cols=out.columns,
+    )
     fs, _, jvm = _hadoop_fs(spark, f"{path}/{_MANIFEST}")
 
     def abandon_cleanup() -> None:

@@ -634,3 +634,109 @@ def test_mor_manifest_randomized_model(spark, tmp_path):
                 assert plan is None
             else:
                 assert plan is not None, (seed, _step, op)
+
+
+def test_mor_untouched_duplicate_base_rows_survive(spark, tmp_path):
+    """THE round-9 advisor repro (round-8 ADVICE, high): duplicate-key
+    base rows whose key NO delta touches must survive row-for-row —
+    exactly like merge_upsert, whose anti-join passes them through.
+    The previous whole-union window collapsed them to one row, and
+    compaction then persisted the loss."""
+    tgt = str(tmp_path / "dup")
+    base = [(1, 0, "a1", False), (1, 0, "a2", False), (2, 0, "b", False)]
+    write_manifest_table(spark, spark.createDataFrame(base, SCHEMA), tgt)
+    mor_upsert(
+        spark, tgt,
+        spark.createDataFrame([(2, 5, "B", False)], SCHEMA),
+        ["k"], version_cols=["ver"], tombstone_col="dead",
+    )
+    want = [
+        (1, 0, "a1", False), (1, 0, "a2", False), (2, 5, "B", False),
+    ]
+    assert _rows(read_manifest_table(spark, tgt)) == want
+    # ... and compaction persists the SAME table (no silent row loss)
+    compact_small_files(spark, tgt, target_rows_per_file=1000)
+    assert _rows(read_manifest_table(spark, tgt)) == want
+
+    # COW oracle on the identical sequence
+    cow = str(tmp_path / "dupcow")
+    write_manifest_table(spark, spark.createDataFrame(base, SCHEMA), cow)
+    merge_upsert(
+        spark, cow,
+        spark.createDataFrame([(2, 5, "B", False)], SCHEMA),
+        ["k"], version_cols=["ver"], tombstone_col="dead",
+    )
+    assert _rows(read_manifest_table(spark, cow)) == want
+
+
+def test_mor_untouched_base_branch_is_shuffle_free(spark, tmp_path):
+    """SCALE PIN (round-8 verdict item 2): the resolved read of a
+    backlogged table must NOT shuffle the untouched base — the delta
+    key set broadcasts, the anti/semi joins are BroadcastHashJoin, and
+    the only Exchange feeds the window over the CONTESTED slice. A
+    SortMergeJoin (or any hash-partitioning of the full base for a
+    join) in this plan is the 100 TB regression this test exists to
+    catch."""
+    tgt = str(tmp_path / "sf")
+    write_manifest_table(
+        spark,
+        spark.createDataFrame(
+            [(k, 0, f"s{k}", False) for k in range(500)], SCHEMA
+        ).repartition(4),
+        tgt,
+    )
+    mor_upsert(
+        spark, tgt,
+        spark.createDataFrame([(7, 1, "seven", False)], SCHEMA),
+        ["k"], version_cols=["ver"], tombstone_col="dead",
+    )
+    df = read_manifest_table(spark, tgt)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # untouched branch = broadcast ANTI join (pass-through, no window)
+    assert "LeftAnti" in plan, plan
+    # contested branch = broadcast SEMI join into the LWW window
+    assert "LeftSemi" in plan, plan
+
+
+def test_mor_unversioned_contested_never_scans_base(spark, tmp_path):
+    """With NO version columns the replace is unconditional — a base
+    row never wins a contested key — so the resolved plan reads the
+    base exactly ONCE (the untouched anti-join); the winners side is
+    deltas-only. Pinned via the plan's scan count of the base dir."""
+    tgt = str(tmp_path / "uv")
+    write_manifest_table(
+        spark,
+        spark.createDataFrame(
+            [(k, 0, f"s{k}", False) for k in range(100)], SCHEMA
+        ),
+        tgt,
+    )
+    from async_pipes_spark.sources.sinks import manifest_version
+
+    base_v = manifest_version(spark, tgt)
+    mor_upsert(
+        spark, tgt,
+        spark.createDataFrame([(3, 9, "three", False)], SCHEMA),
+        ["k"],
+    )
+    df = read_manifest_table(spark, tgt)
+    want = sorted(
+        [(k, 0, f"s{k}", False) for k in range(100) if k != 3]
+        + [(3, 9, "three", False)]
+    )
+    assert _rows(df) == want
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    base_scans = sum(
+        1
+        for ln in plan.splitlines()
+        if ln.strip().startswith("Location") and base_v in ln
+    )
+    assert base_scans == 1, plan
