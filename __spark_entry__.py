@@ -39,51 +39,55 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 #: Driver-contract ordering. The verification driver records correctness
-#: rows for the FIRST 50 ``queries()`` entries per round (r02-r07 all
+#: rows for the FIRST 50 ``queries()`` entries per round (r02-r08 all
 #: cut at entry #50), so dict order IS driver coverage. Policy: queries
 #: new this round and queries without a fresh driver row come FIRST;
-#: the freshest greens rotate to the tail. Round-8 window (the r7
-#: verdict's item 2, executed): the 2 NEW queries (z4 auto-pruning
-#: scan planner, s30 streaming merge-on-read upsert), then ALL 33
-#: queries whose freshest driver rows date to r05 (bpe1/bpe2, d9/d10,
-#: g1/g2, mm1, r1-r10, s17-s22, t7-t12/t14, v1-v3 — the judge
-#: re-verified them green in the r7 sweep; this window gives every one
-#: a fresh driver row, after which EVERY query in the contract holds a
-#: row from r6 or later), then 15 refreshes from the r06-green set
-#: (a6/a7/d11/d12/smp5/s23/mm2/mm3/p1/p2/p4/p7/p8/p9/x2 — the oldest
-#: evidence after the rotation). 2 + 33 + 15 = 50 exactly. The
-#: remaining r06-green queries sit first after the cut (round-9
-#: refresh candidates); the 50 r07-green queries hold the tail. Every
-#: query keeps its oracle regardless of position.
+#: the freshest greens rotate to the tail. Round-9 window (the r8
+#: verdict's item 5, executed): the 1 NEW query (z5 skipping under a
+#: live merge-on-read backlog), then the 5 queries whose CODE PATHS
+#: round 9 rewrote (s30/z4 ride the new keep/contested MOR resolver
+#: and delta-aware scan planner; a10/a11/s27 ride the explicit-states
+#: index pointer commit and backlogged-probe pruning), then ALL 35
+#: queries whose freshest driver rows date to r06 (x4-x6, j1-j5,
+#: k2/k3, a1/a5, b1, s4/s5/s9-s16, d1-d8, t1-t4 — the exact rotation
+#: list the r8 verdict staged; SWEEP_r08 re-proved them green
+#: same-round), then 9 refreshes from the oldest r07-green evidence
+#: (a8/s24/a9/d13/t15/s25/z1/f1/s26 — z1 doubles as the verdict's
+#: item-8 watch). 1 + 5 + 35 + 9 = 50 exactly. After this window every
+#: contract query holds a driver row from r7 or later. Every query
+#: keeps its oracle regardless of position.
 _PRIORITY = [
-    # new in round 8 — first driver row needed
-    "z4_", "s30_",
-    # the 33 r05-row queries — the r7 verdict's rotation list, complete
-    "bpe1_", "bpe2_", "d9_", "d10_", "g1_", "g2_", "mm1_",
-    *[f"r{i}_" for i in range(1, 11)],
-    "s17_", "s18_", "s19_", "s20_", "s21_", "s22_",
-    "t7_", "t8_", "t9_", "t10_", "t11_", "t12_", "t14_",
-    "v1_", "v2_", "v3_",
-    # 15 r06-green refreshes (oldest evidence once the 33 rotate)
-    "a6_", "a7_", "d11_", "d12_", "smp5_", "s23_", "mm2_", "mm3_",
-    "p1_", "p2_", "p4_", "p7_", "p8_", "p9_", "x2_",
-    # ---- 50-cut ----
-    # r06-green remainder: first in line for the round-9 window
+    # new in round 9 — first driver row needed
+    "z5_",
+    # code paths rewritten in round 9 (MOR resolve, delta-aware
+    # pruning, index pointer commit) — re-verify first
+    "s30_", "z4_", "a10_", "a11_", "s27_",
+    # the 35 r06-row queries — the r8 verdict's rotation list, complete
     "x4_", "x5_", "x6_",
     "j1_", "j2_", "j3_", "j4_", "j5_",
     "k2_", "k3_", "a1_", "a5_", "b1_",
     "s4_", "s5_", "s9_", "s10_", "s11_", "s12_", "s13_", "s14_", "s15_", "s16_",
     "d1_", "d2_", "d3_", "d4_", "d5_", "d6_", "d7_", "d8_",
     "t1_", "t2_", "t3_", "t4_",
-    # r07-green tail (freshest driver rows in the contract)
+    # 9 oldest-r07 refreshes (incl. the z1 perf watch)
     "a8_", "s24_", "a9_", "d13_", "t15_", "s25_", "z1_", "f1_", "s26_",
-    "z2_", "a10_", "r17_", "s27_", "a11_", "s28_", "r18_", "k5_", "mm4_",
+    # ---- 50-cut ----
+    # r07-green remainder
+    "z2_", "r17_", "s28_", "r18_", "k5_", "mm4_",
     "smp6_", "t16_", "smp7_", "s29_", "pipe2_", "mm5_", "z3_",
     "t13_", "smp4_", "pipe1_",
     "p3_", "p5_", "p6_", "x1_", "x3_", "b2_", "t5_", "t6_",
     *[f"r{i}_" for i in range(11, 17)],
     "a2_", "a3_", "a4_", "k1_", "k4_",
     "smp1_", "smp2_", "smp3_",
+    # r08-green tail (freshest driver rows in the contract)
+    "bpe1_", "bpe2_", "d9_", "d10_", "g1_", "g2_", "mm1_",
+    *[f"r{i}_" for i in range(1, 11)],
+    "s17_", "s18_", "s19_", "s20_", "s21_", "s22_",
+    "t7_", "t8_", "t9_", "t10_", "t11_", "t12_", "t14_",
+    "v1_", "v2_", "v3_",
+    "a6_", "a7_", "d11_", "d12_", "smp5_", "s23_", "mm2_", "mm3_",
+    "p1_", "p2_", "p4_", "p7_", "p8_", "p9_", "x2_",
 ]
 
 

@@ -86,14 +86,26 @@ def _index_pointer_read(spark, path: str) -> tuple[dict[str, str] | None, int]:
     return pinned, seq
 
 
-def _index_pointer_commit(spark, path: str) -> dict[str, str]:
-    """Publish the CURRENT live states of the three sub-tables as one
-    atomic index generation, through the same commit-log claim the
+def _index_pointer_commit(
+    spark, path: str, states: dict[str, str] | None = None
+) -> dict[str, str]:
+    """Publish one atomic index generation — a (centroids, codebooks,
+    codes) state triple — through the same commit-log claim the
     manifest tables use (markers under ``<path>/_commits`` carry the
-    full body; readers roll forward). Re-reads the live states on
-    every claim attempt, so losing a race to a concurrent index writer
-    just repins the NEWER consistent triple (sub-table commits already
-    serialized through their own logs). Returns the pinned triple."""
+    full body; readers roll forward).
+
+    ``states``: the triple the CALLER knows to be consistent (the
+    states its own sub-table commits produced / its encode actually
+    read). Pass it whenever available — re-reading live states here
+    could pin a MIXED triple under a concurrent writer (new codebooks
+    with old codes: the round-8 advisor finding). Omitted entries (or
+    ``states=None``) fall back to the sub-table's live state — the
+    single-writer/back-compat path. The atomicity guarantee is
+    SINGLE-WRITER crash safety (a crash between sub-table commits and
+    the root publish leaves readers on the previous complete index);
+    concurrent REBUILD vs UPSERT writers each pin a self-consistent
+    triple, last publish wins, and an aged-out pin self-repairs at
+    read (:func:`_index_read_states`). Returns the pinned triple."""
     import time
 
     from async_pipes_spark.sources.sinks import _hadoop_fs, _raw_pointer_seq
@@ -103,13 +115,16 @@ def _index_pointer_commit(spark, path: str) -> dict[str, str]:
         _, seq = _index_pointer_read(spark, path)
         pinned = {}
         for t in _INDEX_TABLES:
-            states, _, _ = _manifest_read(spark, f"{path}/{t}")
-            if not states:
+            if states and states.get(t):
+                pinned[t] = states[t]
+                continue
+            live, _, _ = _manifest_read(spark, f"{path}/{t}")
+            if not live:
                 raise ValueError(
                     f"index sub-table missing: {path}/{t} — "
                     "write_ann_index() builds all three before the root commit"
                 )
-            pinned[t] = states[0]
+            pinned[t] = live[0]
         body = (
             "#annindex\n"
             + "".join(f"#table={t}:{pinned[t]}\n" for t in _INDEX_TABLES)
@@ -137,14 +152,26 @@ def _index_read_states(spark, path: str) -> dict[str, str | None]:
     pointer's pinned triple when present (atomic — a crash between
     sub-table commits leaves this on the previous complete index), or
     live states for pre-pointer indexes (back-compat; such an index
-    was built by a single writer or not at all)."""
+    was built by a single writer or not at all).
+
+    SELF-REPAIR: a pinned state that aged out of its sub-table's
+    retained window (a crash between a sub-table commit and the root
+    publish, followed by enough later commits for GC to drop the
+    pinned version) would make every read raise "not retained" on a
+    healthy index — so a no-longer-retained pin falls back to that
+    sub-table's LIVE state (newer than the pin by construction: states
+    only leave the window by being superseded)."""
     pinned, _ = _index_pointer_read(spark, path)
     if pinned is None:
         return {t: None for t in _INDEX_TABLES}
     missing = [t for t in _INDEX_TABLES if t not in pinned]
     if missing:
         raise ValueError(f"index pointer at {path} missing tables: {missing}")
-    return pinned  # type: ignore[return-value]
+    out: dict[str, str | None] = {}
+    for t in _INDEX_TABLES:
+        retained, _, _ = _manifest_read(spark, f"{path}/{t}")
+        out[t] = pinned[t] if pinned[t] in retained else None
+    return out
 
 
 def write_ann_index(
@@ -164,6 +191,11 @@ def write_ann_index(
     training samples for centroids/codebooks); the codes table commit
     is object-store-safe (manifest pointer) and cell-clustered so
     probes prune files. Returns ``{"files": N, "cells": K}``."""
+    committed: dict[str, str] = {}
+
+    def _live(t: str) -> str:
+        return _manifest_read(spark, f"{path}/{t}")[0][0]
+
     n = corpus.count()  # one count shared by both training samplers
     cents = kmeans_centroids(
         corpus, k=num_centroids, iters=iters, id_col=id_col, vec_col=vec_col,
@@ -174,6 +206,7 @@ def write_ann_index(
         iters=iters, n_rows=n,
     )
     write_manifest_table(spark, cents, f"{path}/centroids")
+    committed["centroids"] = _live("centroids")
     book_rows = [
         (j, c, list(map(float, center)))
         for j, book in enumerate(books)
@@ -186,6 +219,7 @@ def write_ann_index(
         ),
         f"{path}/codebooks",
     )
+    committed["codebooks"] = _live("codebooks")
     # pin the encode output before the range shuffle: repartitionByRange
     # samples its child for range boundaries, so an unpinned encode would
     # run the full corpus kernel TWICE (sample pass + write pass). The
@@ -202,12 +236,14 @@ def write_ann_index(
         f"{path}/codes",
     )
     n_files = write_file_stats(spark, f"{path}/codes", ["cell"])
+    committed["codes"] = _live("codes")
     # ONE root commit publishes the (centroids, codebooks, codes)
     # triple atomically — a crash anywhere above leaves readers on the
     # previous complete index (or, for a first build, on a loudly
     # missing index), never on codes encoded against codebooks that
-    # never published
-    _index_pointer_commit(spark, path)
+    # never published. The triple is the states THIS build committed
+    # (not a live re-read, which a concurrent writer could mix)
+    _index_pointer_commit(spark, path, committed)
     return {"files": n_files, "cells": num_centroids}
 
 
@@ -242,15 +278,21 @@ def ann_index_upsert(
     :func:`~async_pipes_spark.sources.sinks.mor_upsert`: the write is
     O(batch) — one delta dir + pointer append — instead of the COW
     merge's full codes-table rewrite (at 100 TB index churn, THE
-    maintenance cost). Until :func:`ann_index_optimize` folds the
-    backlog, file pruning is suspended (the stats planner skips
-    MOR-backlogged states) and serving reads resolve base ∪ deltas —
-    correct, just unskipped; stick to one mode between optimizes (the
-    COW merge refuses a backlogged table rather than dropping delta
-    rows)."""
+    maintenance cost). Serving stays PRUNED under the backlog: the
+    stats sidecar keeps skipping the immutable BASE files on the
+    untouched branch and the resolver unions the (small) resolved
+    deltas — a probe opens only probed-cell base files + the backlog
+    (:func:`ann_index_topk`); :func:`ann_index_optimize` folds the
+    backlog back into a clustered base. Stick to one mode between
+    optimizes (the COW merge refuses a backlogged table rather than
+    dropping delta rows)."""
     from async_pipes_spark.session import pin
     from async_pipes_spark.sources.sinks import mor_upsert
 
+    # the triple this encode READS is the consistency unit the root
+    # re-publish must pin — re-reading live states at commit time could
+    # mix a concurrent rebuild's codebooks with our codes
+    states = _index_read_states(spark, path)
     cents, books = read_ann_index(spark, path)
     # the merge references its update set more than once (key probe,
     # anti-join, union) — pin the tiny codes batch so the encode kernel
@@ -262,7 +304,15 @@ def ann_index_upsert(
         merge_upsert(spark, f"{path}/codes", encoded, [id_col])
     # republish the root triple at the merged codes state — readers
     # switch atomically from (old codes) to (new codes), never partway
-    _index_pointer_commit(spark, path)
+    codes_live, _, _ = _manifest_read(spark, f"{path}/codes")
+    _index_pointer_commit(
+        spark, path,
+        {
+            "centroids": states["centroids"],
+            "codebooks": states["codebooks"],
+            "codes": codes_live[0] if codes_live else None,
+        },
+    )
 
 
 def ann_index_optimize(
@@ -283,6 +333,7 @@ def ann_index_optimize(
     )
 
     codes_path = f"{path}/codes"
+    states = _index_read_states(spark, path)
     versions, _, base_seq = _manifest_read(spark, codes_path)
     if not versions:
         raise ValueError(f"not a stored index codes table: {codes_path}")
@@ -299,7 +350,15 @@ def ann_index_optimize(
         if occ_retries <= 0:
             raise
         return ann_index_optimize(spark, path, num_files, occ_retries - 1)
-    _index_pointer_commit(spark, path)
+    codes_live, _, _ = _manifest_read(spark, codes_path)
+    _index_pointer_commit(
+        spark, path,
+        {
+            "centroids": states["centroids"],
+            "codebooks": states["codebooks"],
+            "codes": codes_live[0] if codes_live else None,
+        },
+    )
     # the commit already refreshed the stats sidecar; just report the
     # committed file count
     from async_pipes_spark.sources.sinks import _hadoop_fs, _resolve_table_path
@@ -385,22 +444,40 @@ def ann_index_topk(
     # writer advancing codes between its merge and its root publish
     # opens a brief window; the pinned read stays consistent, just
     # unpruned)
-    plan = (
-        prune_files_in(spark, codes_path, "cell", probed)
-        if pinned is None or pinned == live
-        else None
-    )
-    if plan is None:  # sidecar missing/stale (or pin behind live)
+    from async_pipes_spark.sources.sinks import _state_deltas
+
+    deltas = _state_deltas(live) if live else []
+    usable = pinned is None or pinned == live
+    if deltas and usable:
+        # merge-on-read backlog (ann_index_upsert(merge_on_read=True)):
+        # the sidecar still prunes the immutable BASE to probed-cell
+        # files; the resolver unions the resolved delta codes (keyed,
+        # unversioned — contested keys never scan the base). Rows of
+        # unprobed cells riding a surviving file or a delta are masked
+        # by the ADC kernel exactly as in the compacted path.
+        from async_pipes_spark.sources.stats import _mor_pruned_read
+
+        plan = prune_files_in(
+            spark, codes_path, "cell", probed, base_only=True
+        )
+        encoded = _mor_pruned_read(
+            spark, codes_path, deltas, plan[0] if plan is not None else None
+        )
+    elif not usable:
         encoded = read_manifest_table(spark, codes_path, version=pinned)
     else:
-        kept, _total = plan
-        encoded = (
-            spark.read.parquet(*kept)
-            if kept
-            else read_manifest_table(
-                spark, codes_path, version=pinned
-            ).where(F.lit(False))
-        )
+        plan = prune_files_in(spark, codes_path, "cell", probed)
+        if plan is None:  # sidecar missing/stale
+            encoded = read_manifest_table(spark, codes_path, version=pinned)
+        else:
+            kept, _total = plan
+            encoded = (
+                spark.read.parquet(*kept)
+                if kept
+                else read_manifest_table(
+                    spark, codes_path, version=pinned
+                ).where(F.lit(False))
+            )
     return ivf_pq_topk(
         corpus,
         queries,
@@ -418,9 +495,18 @@ def ann_index_topk(
 def ann_index_probe_stats(
     spark: SparkSession, path: str, cells
 ) -> tuple[int, int]:
-    """(files a probe of ``cells`` opens, total index files) — the
-    observability hook tests pin the skipping win with."""
-    plan = prune_files_in(spark, f"{path}/codes", "cell", list(cells))
+    """(BASE files a probe of ``cells`` opens, total base files) — the
+    observability hook tests pin the skipping win with. Under a
+    merge-on-read backlog the counts cover the base side of the plan
+    (the resolved deltas are always read on top — they ARE the probe's
+    unpruned tail until ann_index_optimize folds them)."""
+    from async_pipes_spark.sources.sinks import mor_deltas
+
+    codes_path = f"{path}/codes"
+    plan = prune_files_in(
+        spark, codes_path, "cell", list(cells),
+        base_only=bool(mor_deltas(spark, codes_path)),
+    )
     if plan is None:
         raise ValueError(f"no stats sidecar for {path}/codes")
     kept, total = plan

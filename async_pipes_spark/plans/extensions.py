@@ -3100,6 +3100,99 @@ def z4_auto_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def z5_backlog_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data skipping UNDER a live merge-on-read backlog (round-8
+    verdict item 1, the round-9 headline): the same scan() entry point
+    as z4, but the table carries TWO outstanding delta dirs — a real
+    update batch (keys moved INTO the probed custkey range, version 1)
+    and a STALE batch (version -1: every row must LOSE to its base
+    incumbent, the stale-delta-loses path that forces contested keys
+    to resolve against the full base). The sidecars keep pruning the
+    immutable BASE files on the untouched branch (pinned in-query:
+    the base-side plan opens a strict minority of files for the range
+    probe) while the resolver unions the resolved deltas — the
+    skipping layer stays ON exactly when a 100 TB table is hottest,
+    instead of suspending until compaction. The oracle applies the
+    LWW resolution by hand: ver-1 rows replace, ver--1 rows vanish."""
+    import shutil
+    import tempfile
+
+    from async_pipes_spark.functions.money import cents
+    from async_pipes_spark.sources.layout import zorder_frame
+    from async_pipes_spark.sources.sinks import (
+        mor_deltas,
+        write_manifest_table,
+    )
+    from async_pipes_spark.sources.stats import (
+        scan,
+        scan_plan,
+        write_file_bloom,
+        write_file_stats,
+    )
+
+    base = tempfile.mkdtemp(prefix="z5_scan_")
+    path = f"{base}/t"
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", cents("o_totalprice").alias("price_cents"),
+        F.lit(0).cast("long").alias("ver"),
+    )
+    write_manifest_table(
+        spark,
+        zorder_frame(orders, ["o_custkey", "price_cents"], num_files=16),
+        path,
+    )
+    write_file_stats(spark, path, ["o_custkey", "price_cents"])
+    write_file_bloom(spark, path, ["o_orderkey"])
+    # update batches derive from the SOURCE frame (same rows the base
+    # stores) — no extra manifest read per batch
+    from async_pipes_spark.sources.sinks import mor_upsert
+
+    ck_t = orders.schema["o_custkey"].dataType
+    # delta 1 (wins, ver=1): move every %997 key INTO the probed range
+    mor_upsert(
+        spark, path,
+        orders.where(F.col("o_orderkey") % 997 == 0).select(
+            "o_orderkey",
+            F.lit(50).cast(ck_t).alias("o_custkey"),
+            "price_cents", F.lit(1).cast("long").alias("ver"),
+        ),
+        ["o_orderkey"], version_cols=["ver"],
+    )
+    # delta 2 (LOSES, ver=-1): poison rows that would match the range
+    # probe if resolution ever let a stale delta beat its base row
+    mor_upsert(
+        spark, path,
+        orders.where(F.col("o_orderkey") % 991 == 0).select(
+            "o_orderkey",
+            F.lit(60).cast(ck_t).alias("o_custkey"),
+            F.lit(0).cast("long").alias("price_cents"),
+            F.lit(-1).cast("long").alias("ver"),
+        ),
+        ["o_orderkey"], version_cols=["ver"],
+    )
+    assert len(mor_deltas(spark, path)) == 2
+    # the point of the query: BASE pruning engaged under the backlog
+    kept, total = scan_plan(
+        spark, path,
+        bounds={"o_custkey": (None, 99), "price_cents": (None, 4_999_999)},
+        base_only=True,
+    )
+    assert kept is not None and len(kept) < total, (kept, total)
+    lo = orders.agg(F.min("o_orderkey")).first()[0]
+    rng = scan(
+        spark, path,
+        bounds={"o_custkey": (None, 99), "price_cents": (None, 4_999_999)},
+    )
+    point = scan(spark, path, eq={"o_orderkey": lo})
+    out = (
+        rng.unionByName(point)
+        .orderBy("o_orderkey", "o_custkey", "price_cents")
+        .transform(_pin)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def s26_manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-data-feed between two manifest-table commits
     (sources.sinks.manifest_diff): build a customer balance table,
@@ -3230,6 +3323,7 @@ EXTENSION_QUERIES = {
     "z2_stats_pruned_scan": z2_stats_pruned_scan,
     "z3_bloom_pruned_lookup": z3_bloom_pruned_lookup,
     "z4_auto_pruned_scan": z4_auto_pruned_scan,
+    "z5_backlog_pruned_scan": z5_backlog_pruned_scan,
     "f1_fuzzy_name_pairs": f1_fuzzy_name_pairs,
     "s26_manifest_diff": s26_manifest_diff,
     "g1_pagerank": g1_pagerank,
@@ -4960,6 +5054,28 @@ EXTENSION_ORACLES = {
             SELECT o_orderkey, o_custkey,
                    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
                        AS price_cents
+            FROM orders
+        )
+        SELECT * FROM (
+            SELECT * FROM t
+            WHERE o_custkey <= 99 AND price_cents <= 4999999
+            UNION ALL
+            SELECT * FROM t
+            WHERE o_orderkey = (SELECT MIN(o_orderkey) FROM t)
+        ) ORDER BY o_orderkey, o_custkey, price_cents
+    """,
+    # the LWW resolution applied BY HAND: ver-1 rows (%997 keys)
+    # replace their base row (o_custkey -> 50); ver--1 rows lose to
+    # the ver-0 base everywhere, so they never appear
+    "z5_backlog_pruned_scan": """
+        WITH t AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 997 = 0 THEN 50
+                        ELSE o_custkey END AS o_custkey,
+                   CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS price_cents,
+                   CAST(CASE WHEN o_orderkey % 997 = 0 THEN 1
+                             ELSE 0 END AS BIGINT) AS ver
             FROM orders
         )
         SELECT * FROM (

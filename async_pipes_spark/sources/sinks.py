@@ -728,7 +728,6 @@ def _mor_resolve(
     from pyspark.sql import Window
 
     keys, vers, tomb, _ = _read_mor_spec(spark, path, deltas[0])
-    dparts: list[DataFrame] = []
     eras: list[list[str]] = []
     for i, d in enumerate(deltas, start=1):
         ki, vi, ti, ci = _read_mor_spec(spark, path, d)
@@ -742,14 +741,28 @@ def _mor_resolve(
                 "restore_manifest_table() to a retained state before the "
                 "mix, then keep writers on one spec"
             )
-        dd = spark.read.option("mergeSchema", "true").parquet(
-            f"{path}/_data/{d}"
-        )
-        dparts.append(dd.withColumn("_src", F.lit(i)))
         eras.append(ci)
-    dunion = reduce(
-        lambda a, b: a.unionByName(b, allowMissingColumns=True), dparts
+    # ONE multi-path scan over the whole backlog (one schema-merge
+    # inference job instead of one per delta — at depth 16 the
+    # per-delta reads cost ~2 s of plan construction alone); the
+    # source index each row's LWW ordering needs comes back from the
+    # file path. mergeSchema NULLs evolution columns on older deltas'
+    # rows, the same shape the per-delta unionByName produced.
+    raw = spark.read.option("mergeSchema", "true").parquet(
+        *[f"{path}/_data/{d}" for d in deltas]
     )
+    if len(deltas) == 1:
+        src_expr = F.lit(1)
+    else:
+        fname = F.input_file_name()
+        src_expr = F.lit(1)
+        for i, d in enumerate(deltas, start=1):
+            if i == 1:
+                continue
+            src_expr = F.when(
+                fname.contains(f"/{d}/"), F.lit(i)
+            ).otherwise(src_expr)
+    dunion = raw.withColumn("_src", src_expr)
     kept_src = untouched_base if untouched_base is not None else base
     # output column order = base columns then evolution columns, the
     # same order the previous whole-union resolver produced

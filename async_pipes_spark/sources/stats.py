@@ -367,7 +367,7 @@ def _load_sidecar(spark, path: str, version: str | None):
 
 
 def prune_files(
-    spark, path: str, bounds: Bounds
+    spark, path: str, bounds: Bounds, base_only: bool = False
 ) -> tuple[list[str], int] | None:
     """The planning step: (surviving files, total files) for a scan of
     ``path`` with closed-interval ``bounds`` (``{col: (lo, hi)}``,
@@ -376,9 +376,12 @@ def prune_files(
     rewritten). A file survives unless some bounded column's stats
     PROVE it empty of matches; only the survivors are collected — the
     bounded scan-plan artifact. A merge-on-read backlog disables
-    pruning (None): the sidecar covers base files only, and a pruned
-    base scan would miss rows the deltas supersede or add."""
-    if mor_deltas(spark, path):
+    pruning (None) unless ``base_only=True``: the sidecar covers base
+    files only — still VALID for them (the base version is immutable;
+    mor_upsert never rewrites it) — so a caller that resolves the
+    deltas itself (:func:`scan`, the pruned-read entry points) plans
+    the base side here and unions the resolved backlog."""
+    if not base_only and mor_deltas(spark, path):
         return None
     version = manifest_version(spark, path)
     sidecar = _load_sidecar(spark, path, version)
@@ -407,18 +410,20 @@ def prune_files(
 
 
 def prune_files_in(
-    spark, path: str, col: str, values: Sequence[float]
+    spark, path: str, col: str, values: Sequence[float],
+    base_only: bool = False,
 ) -> tuple[list[str], int] | None:
     """IN-list planning: (surviving files, total) for a scan keeping
     only rows whose ``col`` is one of ``values`` — the probe shape of
     a cell-clustered index (an IVF probe reads a SET of cells, not a
     range). A file survives unless its stats prove NO listed value
-    falls inside its [min, max]; same conservative/stale-sidecar
-    contract as :func:`prune_files`. ``values`` is a bounded
-    driver-side set by construction (probe lists, partition keys)."""
+    falls inside its [min, max]; same conservative/stale-sidecar and
+    ``base_only`` merge-on-read contract as :func:`prune_files`.
+    ``values`` is a bounded driver-side set by construction (probe
+    lists, partition keys)."""
     if not values:
         raise ValueError("prune_files_in needs a non-empty value list")
-    if mor_deltas(spark, path):
+    if not base_only and mor_deltas(spark, path):
         return None  # sidecar covers base files only (see prune_files)
     version = manifest_version(spark, path)
     sidecar = _load_sidecar(spark, path, version)
@@ -444,6 +449,34 @@ def prune_files_in(
     return sorted(r["file"] for r in kept), len(listed)
 
 
+def _mor_pruned_read(
+    spark, path: str, deltas: Sequence[str], kept: list[str] | None
+) -> DataFrame:
+    """Resolved merge-on-read read whose UNTOUCHED-base branch opens
+    only the ``kept`` base files — the delta-aware skipping path
+    (round-8 verdict item 1): sidecars describe the IMMUTABLE base
+    version, so they keep pruning it under a backlog; the resolver
+    unions the (small) resolved deltas on top. The caller must
+    re-apply its predicate row-level (pruning is conservative and
+    drops only rows the predicate would drop). Contested keys always
+    resolve against the FULL base — a stale delta must lose to a base
+    winner the predicate-prune might have dropped (versioned specs
+    only; unversioned specs never read the base on the contested
+    side). ``kept=None`` (no usable sidecar) falls back to the full
+    resolved read."""
+    from async_pipes_spark.sources.sinks import _mor_resolve
+
+    base_dir = _resolve_table_path(spark, path)
+    base = spark.read.option("mergeSchema", "true").parquet(base_dir)
+    if kept is None:
+        pruned = None
+    elif kept:
+        pruned = spark.read.option("mergeSchema", "true").parquet(*kept)
+    else:
+        pruned = base.where(F.lit(False))
+    return _mor_resolve(spark, path, base, deltas, untouched_base=pruned)
+
+
 def _residual(df: DataFrame, bounds: Bounds) -> DataFrame:
     for c, (lo, hi) in bounds.items():
         if lo is not None:
@@ -459,7 +492,19 @@ def read_stats_pruned(spark, path: str, bounds: Bounds) -> DataFrame:
     ``read + filter`` (pruning is conservative; the residual predicate
     still applies row-level). Falls back to the plain filtered scan
     when no usable sidecar exists — stats are an optimization, never
-    a correctness dependency."""
+    a correctness dependency. Under a merge-on-read backlog the BASE
+    files still prune (the sidecar describes the immutable base
+    version) and the resolved deltas union on top."""
+    deltas = mor_deltas(spark, path)
+    if deltas:
+        kept_mor = prune_files(spark, path, bounds, base_only=True)
+        return _residual(
+            _mor_pruned_read(
+                spark, path, deltas,
+                kept_mor[0] if kept_mor is not None else None,
+            ),
+            bounds,
+        )
     plan = prune_files(spark, path, bounds)
     if plan is None:
         return _residual(_resolved_read(spark, path), bounds)
@@ -646,7 +691,7 @@ def write_file_bloom(
 
 
 def prune_files_bloom(
-    spark, path: str, col: str, value
+    spark, path: str, col: str, value, base_only: bool = False
 ) -> tuple[list[str], int] | None:
     """Point-lookup planning: (surviving files, total files) for an
     equality scan ``col = value``, or None when no usable bloom sidecar
@@ -664,7 +709,7 @@ def prune_files_bloom(
 
     if value is None:
         raise ValueError("bloom pruning needs a non-NULL probe value")
-    if mor_deltas(spark, path):
+    if not base_only and mor_deltas(spark, path):
         return None  # sidecar covers base files only (see prune_files)
     version = manifest_version(spark, path)
     bd = _bloom_dir(path, version)
@@ -718,7 +763,15 @@ def read_bloom_pruned(spark, path: str, col: str, value) -> DataFrame:
     admits the value; result is EXACTLY the plain filtered read (the
     residual equality still applies row-level; a missing/stale sidecar
     falls back to the plain scan — the index is an optimization, never
-    a correctness dependency)."""
+    a correctness dependency). Under a merge-on-read backlog the BASE
+    files still prune (the sidecar describes the immutable base
+    version) and the resolved deltas union on top."""
+    deltas = mor_deltas(spark, path)
+    if deltas:
+        plan = prune_files_bloom(spark, path, col, value, base_only=True)
+        return _mor_pruned_read(
+            spark, path, deltas, plan[0] if plan is not None else None
+        ).where(F.col(col) == F.lit(value))
     plan = prune_files_bloom(spark, path, col, value)
     base = _resolved_read(spark, path)
     if plan is None:
@@ -737,13 +790,18 @@ def scan_plan(
     path: str,
     eq: Mapping | None = None,
     bounds: Bounds | None = None,
+    base_only: bool = False,
 ) -> tuple[list[str] | None, int | None]:
     """PLAN a predicate scan of ``path``: (surviving files, total
     files), or ``(None, None)`` when no sidecar can prune (missing,
-    stale, merge-on-read backlog — the scan falls back to the full
-    resolved read). This is the single planning step behind
-    :func:`scan`; it inspects the predicate SHAPE and consults every
-    applicable sidecar, intersecting their survivor sets:
+    stale, or — without ``base_only`` — a merge-on-read backlog, since
+    no single file list IS the table then). With ``base_only=True``
+    the plan covers the BASE version's files (sidecars stay valid for
+    the immutable base) and the caller unions the resolved deltas —
+    what :func:`scan` does automatically under a backlog. This is the
+    single planning step behind :func:`scan`; it inspects the
+    predicate SHAPE and consults every applicable sidecar,
+    intersecting their survivor sets:
 
     - ``bounds`` (range predicates, and their conjunctions — the
       z-order-box case a Morton-clustered layout exists for) go to the
@@ -795,9 +853,9 @@ def scan_plan(
             ):
                 stat_bounds[c] = (v, v)
     if stat_bounds:
-        intersect(prune_files(spark, path, stat_bounds))
+        intersect(prune_files(spark, path, stat_bounds, base_only=base_only))
     for c, v in eq.items():
-        intersect(prune_files_bloom(spark, path, c, v))
+        intersect(prune_files_bloom(spark, path, c, v, base_only=base_only))
     return (sorted(survivors) if survivors is not None else None, total)
 
 
@@ -823,13 +881,29 @@ def scan(
     prunes through the generation MAPPING instead (only matching
     ``col=val`` subdirs are read — the partition-pruning every
     Hive-layout engine plans); other predicates apply as residuals.
-    A merge-on-read backlog disables the mapping prune (a delta may
-    move a key INTO the probed partition while its losing base row
-    sits outside the pruned read — resolution needs every row of a
-    key) and falls back to the resolved read."""
+
+    A merge-on-read backlog keeps the skipping ON (both flavors): the
+    sidecars/mapping prune the immutable BASE on the untouched branch,
+    the resolver unions the (small) resolved deltas, and contested
+    keys resolve against the full base (a delta may move a key INTO
+    the probed partition while its losing base row sits outside the
+    pruned read — resolution needs every row of a contested key)."""
     pinfo = _pmanifest_read(spark, path)
     if pinfo is not None:
         return _scan_pmanifest(spark, path, pinfo, eq or {}, bounds or {})
+    deltas = mor_deltas(spark, path)
+    if deltas:
+        # merge-on-read backlog: prune the BASE with the sidecars
+        # (valid — the base version is immutable), resolve the (small)
+        # deltas on top, re-apply the predicate row-level below. The
+        # skipping layer stays ON exactly when the table is hottest.
+        kept, _total = scan_plan(
+            spark, path, eq=eq, bounds=bounds, base_only=True
+        )
+        df = _mor_pruned_read(spark, path, deltas, kept)
+        for c, v in (eq or {}).items():
+            df = df.where(F.col(c) == F.lit(v))
+        return _residual(df, bounds or {})
     kept, _total = scan_plan(spark, path, eq=eq, bounds=bounds)
     if kept is None:
         df = _resolved_read(spark, path)
@@ -881,17 +955,22 @@ def _scan_pmanifest(
 
     live = pinfo[0][0]
     pcols = pinfo[2]
+    deltas = _state_deltas(live)
     eq_p = {c: v for c, v in eq.items() if c in pcols}
-    if not eq_p or _state_deltas(live):
+    if not eq_p:
         return residual(_resolved_read(spark, path))
     # expected `col=val` segment per probed partition column, rendered
     # exactly as the write side renders subdirs; unescapable values
-    # can't name a subdir, so nothing can match — provably empty
+    # can't name a subdir, so nothing can match — provably empty (for
+    # the BASE; a delta row can still carry the value as an ordinary
+    # column, so under a backlog fall back to the resolved read)
     try:
         segs = {
             c: _partition_subdir([c], {c: v}) for c, v in eq_p.items()
         }
     except ValueError:
+        if deltas:
+            return residual(_resolved_read(spark, path))
         return residual(_resolved_read(spark, path)).where(F.lit(False))
     mapping = _pmanifest_mapping(spark, path, _state_base(live))
     pruned = {
@@ -899,6 +978,25 @@ def _scan_pmanifest(
         for sd, v in mapping.items()
         if all(seg in sd.split("/") for seg in segs.values())
     }
+    if deltas:
+        # merge-on-read backlog: the mapping prune stays ON for the
+        # UNTOUCHED branch (its dropped rows sit in non-matching
+        # partitions — the residual drops them anyway); contested keys
+        # resolve against the FULL generation read inside the resolver
+        # (a delta may move a key INTO the probed partition; its losing
+        # base row outside the prune must still outrank a staler delta)
+        from async_pipes_spark.sources.sinks import (
+            _mor_resolve,
+            _read_pmapping as _rp,
+        )
+
+        full = _rp(spark, path, mapping)
+        kept_df = (
+            _rp(spark, path, pruned) if pruned else full.where(F.lit(False))
+        )
+        return residual(
+            _mor_resolve(spark, path, full, deltas, untouched_base=kept_df)
+        )
     if not pruned:
         # no live partition matches: keep the schema, scan nothing
         return residual(_read_pmapping(spark, path, mapping)).where(

@@ -22,6 +22,66 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 REPO = Path(__file__).resolve().parent
 
 
+def _mor_depth_series(spark, sf_dir: str) -> dict[str, float]:
+    """Read latency of one manifest table at merge-on-read backlog
+    depths {0, 4, 16} (best-of-3 full materializations each): the
+    tracked number for the keep/contested resolver — the untouched
+    base rides a broadcast anti-join, so a backlogged read should cost
+    roughly the compacted read plus O(backlog), NOT a full-table
+    shuffle per read. Depth 0 is measured AFTER a compaction of the
+    16-delta state, so all three depths read the same logical rows."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from async_pipes_spark.functions.money import cents
+    from async_pipes_spark.sources.sinks import (
+        compact_small_files,
+        mor_upsert,
+        read_manifest_table,
+        write_manifest_table,
+    )
+    from async_pipes_spark.sources.tables import load_table
+
+    base = tempfile.mkdtemp(prefix="mor_depth_")
+    path = f"{base}/t"
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", cents("c_acctbal").alias("bal_cents"),
+        F.lit(0).cast("long").alias("ver"),
+    )
+    write_manifest_table(spark, cust, path)
+
+    def read_best() -> float:
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            rows = read_manifest_table(spark, path).toPandas()
+            dt = time.perf_counter() - t0
+            del rows
+            best = dt if best is None else min(best, dt)
+        return round(best, 4)
+
+    out: dict[str, float] = {}
+    depth = 0
+    for target in (4, 16):
+        while depth < target:
+            depth += 1
+            mor_upsert(
+                spark, path,
+                cust.where(F.col("c_custkey") % 97 == depth % 97).select(
+                    "c_custkey", "bal_cents",
+                    F.lit(depth).cast("long").alias("ver"),
+                ),
+                ["c_custkey"], version_cols=["ver"],
+            )
+        out[f"d{target}"] = read_best()
+    compact_small_files(spark, path)
+    out["d0"] = read_best()
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def _ab_vs_prev_round(
     sf_dir: str, cpus: int, head_timings: dict[str, float] | None = None
 ) -> dict | None:
@@ -235,6 +295,16 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         prepared[name] = round(best, 4)
 
+    # merge-on-read serving cost vs backlog depth (round-8 verdict
+    # item 7): read latency at {0, 4, 16} outstanding deltas on one
+    # customer-scale table — the number the keep/contested resolver is
+    # accountable for (backlogged reads should sit within ~2x of the
+    # compacted read, not grow with the base). Never fails the bench.
+    try:
+        mor_depth = _mor_depth_series(spark, sf_dir)
+    except Exception as e:  # noqa: BLE001
+        mor_depth = {"error": f"{type(e).__name__}: {e}"[:300]}
+
     # interleaved A/B vs the previous round's commit (per-family
     # ratios measured back-to-back on this host, so "family X got
     # slower" is decidable in-record); never fails the bench
@@ -262,6 +332,7 @@ def main() -> None:
         "declared_prepared_sec": round(sum(prepared.values()), 4),
         "declared": {q: timings[q] for q in DECLARED_QUERIES},
         "value": declared_total,
+        "mor_read_sec": mor_depth,
     }
     if ab is not None:
         full["ab"] = ab
@@ -287,6 +358,7 @@ def main() -> None:
         "value": declared_total,
         "extensions_sec": ext_total,
         "declared_prepared_sec": round(sum(prepared.values()), 4),
+        "mor_read_sec": mor_depth,
         "full": "BENCH_FULL.json",
         "queries": {
             name.split("_", 1)[0]: round(t, 3) for name, t in timings.items()
@@ -314,8 +386,17 @@ def main() -> None:
             )[:10]
             compact["ab"]["ratio_vs_prev"] = dict(sorted(moved))
         line = json.dumps(compact, separators=(",", ":"))
-    print(line)
+    # stop every streaming query AND the session BEFORE the record line
+    # prints: a Structured-Streaming StateStore maintenance WARN landing
+    # after the JSON made BENCH_r08 "parsed": null for the driver — the
+    # record must be the genuinely last thing on stdout
+    try:
+        for q in spark.streams.active:
+            q.stop()
+    except Exception:  # noqa: BLE001 — teardown must never eat the record
+        pass
     spark.stop()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

