@@ -680,6 +680,7 @@ def _mor_resolve(
     base: DataFrame,
     deltas: Sequence[str],
     untouched_base: DataFrame | None = None,
+    contested_base: DataFrame | None = None,
 ) -> DataFrame:
     """Resolve a merge-on-read state to the table it denotes,
     reproducing the equivalent sequence of :func:`merge_upsert` COW
@@ -720,9 +721,14 @@ def _mor_resolve(
     on the untouched branch only — for planner callers
     (:func:`async_pipes_spark.sources.stats.scan`) that prove via
     sidecars the dropped files hold no rows matching their residual
-    predicate, which they re-apply row-level. Contested keys always
-    resolve against the FULL ``base`` (a stale delta must lose to a
-    base winner the predicate-prune might have dropped)."""
+    predicate, which they re-apply row-level. Contested keys resolve
+    against the FULL ``base`` (a stale delta must lose to a base
+    winner the predicate-prune might have dropped) — unless
+    ``contested_base`` narrows that scan too: the planner passes it
+    when the KEY-column sidecars prove the dropped files hold no
+    delta-touched key (:func:`~async_pipes_spark.sources.stats.
+    _mor_contested_plan`), the equality-delete→data-file mapping
+    Iceberg keeps in metadata, recovered here from the blooms."""
     from functools import reduce
 
     from pyspark.sql import Window
@@ -827,8 +833,9 @@ def _mor_resolve(
     # exactly the touched slice of the full base through the window
     # (no null-key filter needed: a NULL key matches nothing in a semi
     # join, so the touched slice is non-null-keyed by construction)
+    cb_src = contested_base if contested_base is not None else base
     cbase = norm(
-        base.withColumn("_src", F.lit(0)).join(dkeys, list(keys), "left_semi")
+        cb_src.withColumn("_src", F.lit(0)).join(dkeys, list(keys), "left_semi")
     )
     contested = cbase.unionByName(d_main)
     tiebreak = []

@@ -474,7 +474,20 @@ def _mor_pruned_read(
         pruned = spark.read.option("mergeSchema", "true").parquet(*kept)
     else:
         pruned = base.where(F.lit(False))
-    return _mor_resolve(spark, path, base, deltas, untouched_base=pruned)
+    # contested-scan pruning (versioned specs): the key-column sidecars
+    # bound which base files can hold a delta-touched key, so the
+    # semi-join side opens those instead of the whole base
+    ckept = _mor_contested_plan(spark, path, deltas)
+    if ckept is None:
+        contested = None
+    elif ckept:
+        contested = spark.read.option("mergeSchema", "true").parquet(*ckept)
+    else:
+        contested = base.where(F.lit(False))
+    return _mor_resolve(
+        spark, path, base, deltas,
+        untouched_base=pruned, contested_base=contested,
+    )
 
 
 def _residual(df: DataFrame, bounds: Bounds) -> DataFrame:
@@ -484,6 +497,134 @@ def _residual(df: DataFrame, bounds: Bounds) -> DataFrame:
         if hi is not None:
             df = df.where(F.col(c) <= hi)
     return df
+
+
+def prune_files_bloom_any(
+    spark, path: str, col: str, values: Sequence, base_only: bool = False
+) -> tuple[list[str], int] | None:
+    """ANY-of planning over the bloom sidecar: (surviving files, total)
+    for a scan keeping only rows whose ``col`` is one of ``values`` —
+    the key-set probe shape of a merge-on-read CONTESTED scan (which
+    base files may hold a delta-touched key?). A file is dropped only
+    when EVERY listed value provably never occurred in it (the Bloom
+    no-false-negative guarantee per value); same stale-sidecar and
+    ``base_only`` contract as :func:`prune_files_bloom`. ``values`` is
+    a bounded driver-side set by construction (the resolver caps the
+    collected delta key set)."""
+    from async_pipes_spark.functions.sketches import bloom_positions_py
+    from pyspark.sql.types import StructField, StructType
+
+    if not values:
+        raise ValueError("prune_files_bloom_any needs a non-empty value list")
+    if any(v is None for v in values):
+        raise ValueError("bloom pruning needs non-NULL probe values")
+    if not base_only and mor_deltas(spark, path):
+        return None  # sidecar covers base files only (see prune_files)
+    version = manifest_version(spark, path)
+    bd = _bloom_dir(path, version)
+    fs, p, _ = _hadoop_fs(spark, bd)
+    if not fs.exists(p):
+        return None
+    sidecar = (
+        spark.read.parquet(bd).where(F.col("col") == F.lit(col)).collect()
+    )
+    if not sidecar:
+        return None
+    data_dir = _resolve_table_path(spark, path)
+    listed = _list_parquet_files(spark, data_dir)
+    if {r["file"] for r in sidecar} != set(listed):
+        return None  # stale sidecar (plain dir rewritten in place)
+    base = spark.read.parquet(data_dir)
+    if col not in base.columns:
+        return None
+    # render ALL probe values through Spark's CAST(... AS STRING) in
+    # ONE job — the exact strings the build side hashed (str(value)
+    # would diverge on doubles/booleans/decimals)
+    dt = base.schema[col].dataType
+    rendered = [
+        r["k"]
+        for r in spark.createDataFrame(
+            [(v,) for v in values], StructType([StructField("v", dt)])
+        )
+        .select(F.col("v").cast("string").alias("k"))
+        .collect()
+    ]
+    if any(k is None for k in rendered):
+        raise ValueError(
+            f"some probe values do not cast to column {col}'s type "
+            f"{dt.simpleString()}"
+        )
+    kept = []
+    for r in sidecar:
+        bits = bytes(r["bits"])
+        for k in rendered:
+            hit = True
+            for pos in bloom_positions_py(
+                k, r["num_bits"], r["num_hashes"]
+            ):
+                if not (bits[pos // 8] >> (pos % 8)) & 1:
+                    hit = False
+                    break
+            if hit:
+                kept.append(r["file"])
+                break
+    return sorted(kept), len(listed)
+
+
+#: collected-delta-key cap for contested-scan planning: above this the
+#: planner skips key pruning (driver probe cost would grow linearly;
+#: a backlog touching >4k distinct keys is overdue for compaction)
+_MOR_CONTESTED_KEY_CAP = 4096
+
+
+def _mor_contested_plan(
+    spark, path: str, deltas: Sequence[str]
+) -> list[str] | None:
+    """BASE files that may hold a delta-touched key, for a VERSIONED
+    merge-on-read contested scan — or None when unplannable (multi-
+    column key, no usable sidecar, key set over the cap, unversioned
+    spec where no contested base scan happens at all). Conservative by
+    the sidecars' guarantees: a dropped file provably contains none of
+    the delta keys, so no contested base row is lost. Probes the
+    key-column BLOOM sidecar (any-of) and, for numeric keys, the
+    footer-stats sidecar (in-list), intersecting survivors."""
+    from async_pipes_spark.sources.sinks import _read_mor_spec
+
+    keys, vers, _, _ = _read_mor_spec(spark, path, deltas[0])
+    if not vers or len(keys) != 1:
+        return None
+    key = keys[0]
+    dvals_df = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*[f"{path}/_data/{d}" for d in deltas])
+        .select(key)
+        .where(F.col(key).isNotNull())
+        .distinct()
+    )
+    rows = dvals_df.limit(_MOR_CONTESTED_KEY_CAP + 1).collect()
+    if len(rows) > _MOR_CONTESTED_KEY_CAP:
+        return None
+    vals = [r[0] for r in rows]
+    if not vals:
+        return []  # no non-NULL delta keys: nothing is contested
+    survivors: set[str] | None = None
+    plan = prune_files_bloom_any(spark, path, key, vals, base_only=True)
+    if plan is not None:
+        survivors = set(plan[0])
+    schema = spark.read.option("mergeSchema", "true").parquet(
+        _resolve_table_path(spark, path)
+    ).schema
+    if key in schema.names and isinstance(schema[key].dataType, _NUMERIC_TYPES):
+        plan_in = prune_files_in(
+            spark, path, key, [float(v) for v in vals], base_only=True
+        )
+        if plan_in is not None:
+            survivors = (
+                set(plan_in[0])
+                if survivors is None
+                else survivors & set(plan_in[0])
+            )
+    return sorted(survivors) if survivors is not None else None
 
 
 def read_stats_pruned(spark, path: str, bounds: Bounds) -> DataFrame:

@@ -24,37 +24,32 @@ def test_queries_and_oracles_share_order():
 
 
 def test_stale_and_new_queries_inside_coverage_window():
-    """Rotation policy, round 8 (r7 verdict item 2): the 2 queries NEW
-    this round (z4 auto-pruning scan planner, s30 streaming
-    merge-on-read upsert) plus ALL 33 queries whose freshest driver
-    rows date to r05 (bpe1/bpe2, d9/d10, g1/g2, mm1, r1-r10, s17-s22,
-    t7-t12/t14, v1-v3 — the deferral list the r7 verdict re-verified
-    and scheduled) must LEAD the first 50 entries, so after this
-    round's driver run EVERY query in the contract holds a driver row
-    from r6 or later. The remaining 15 slots refresh the oldest
-    r06-green evidence (a6/a7/d11/d12/smp5/s23/mm2/mm3/p1/p2/p4/p7/
-    p8/p9/x2); the rest of the r06 set sits first after the cut as the
-    round-9 refresh line."""
+    """Rotation policy, round 9 (r8 verdict item 5): the 1 query NEW
+    this round (z5 skipping under a live merge-on-read backlog), the 5
+    queries whose code paths round 9 rewrote (s30/z4 ride the new
+    keep/contested resolver + delta-aware planner; a10/a11/s27 ride
+    the explicit-states index pointer + backlogged-probe pruning), and
+    ALL 35 queries whose freshest driver rows date to r06 (the exact
+    rotation list the r8 verdict staged) must LEAD the first 50
+    entries, so after this round's driver run EVERY query in the
+    contract holds a driver row from r7 or later. The remaining 9
+    slots refresh the oldest r07-green evidence, including z1 — the r8
+    verdict's item-8 perf watch."""
     qs = list(entry.queries())
-    # the 35 must-record queries lead the window outright
-    assert [k.split("_", 1)[0] for k in qs[:35]] == [
-        "z4", "s30",
-        "bpe1", "bpe2", "d9", "d10", "g1", "g2", "mm1",
-        *[f"r{i}" for i in range(1, 11)],
-        "s17", "s18", "s19", "s20", "s21", "s22",
-        "t7", "t8", "t9", "t10", "t11", "t12", "t14",
-        "v1", "v2", "v3",
-    ], qs[:35]
-    # slots 36-50: the 15 oldest-r06 refreshes
-    assert [k.split("_", 1)[0] for k in qs[35:50]] == [
-        "a6", "a7", "d11", "d12", "smp5", "s23", "mm2", "mm3",
-        "p1", "p2", "p4", "p7", "p8", "p9", "x2",
-    ], qs[35:50]
-    # right after the cut: the r06-green remainder (round-9 line)
-    assert [k.split("_", 1)[0] for k in qs[50:63]] == [
+    # the 41 must-record queries lead the window outright
+    assert [k.split("_", 1)[0] for k in qs[:41]] == [
+        "z5",
+        "s30", "z4", "a10", "a11", "s27",
         "x4", "x5", "x6", "j1", "j2", "j3", "j4", "j5",
         "k2", "k3", "a1", "a5", "b1",
-    ], qs[50:63]
+        "s4", "s5", "s9", "s10", "s11", "s12", "s13", "s14", "s15", "s16",
+        "d1", "d2", "d3", "d4", "d5", "d6", "d7", "d8",
+        "t1", "t2", "t3", "t4",
+    ], qs[:41]
+    # slots 42-50: the 9 oldest-r07 refreshes (z1 = the perf watch)
+    assert [k.split("_", 1)[0] for k in qs[41:50]] == [
+        "a8", "s24", "a9", "d13", "t15", "s25", "z1", "f1", "s26",
+    ], qs[41:50]
 
 
 def test_priority_list_covers_all_keys():

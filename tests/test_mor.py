@@ -6,8 +6,11 @@ implementation) would have STORED — while each write costs O(update
 rows) instead of O(touched partitions). Covers both manifest flavors,
 NULL keys, version ties, tombstones, compaction folding, time travel
 over composite states, restore, diff, concurrent writers, crash
-orphans, and the stats/bloom sidecar interaction (pruning disabled
-while a backlog is outstanding, revived by compaction).
+orphans, and the stats/bloom sidecar interaction: the PUBLIC planners
+return None while a backlog is outstanding (no single file list is the
+table then), while the delta-aware read paths (scan / read_*_pruned /
+base_only=True plans) keep pruning the immutable BASE and union the
+resolved deltas — including the contested-scan key-sidecar plan.
 """
 
 from __future__ import annotations
@@ -989,3 +992,66 @@ def test_mor_pmanifest_randomized_model(spark, tmp_path):
                 assert _rows(scan(spark, tgt, eq={"ver": pv})) == want_slice, (
                     seed, _step, op, pv,
                 )
+
+
+def test_mor_contested_scan_plans_by_key_sidecars(spark, tmp_path):
+    """VERSIONED backlogs: the contested semi-join side of a PLANNED
+    read opens only base files the KEY sidecars admit for the delta
+    key set (stats._mor_contested_plan — the equality-delete→data-file
+    mapping, recovered from blooms + footer stats), never the whole
+    base. Results stay exact, including the stale-delta-loses case."""
+    from async_pipes_spark.sources.stats import (
+        _mor_contested_plan,
+        prune_files_bloom_any,
+        scan,
+        write_file_bloom,
+        write_file_stats,
+    )
+
+    tgt = str(tmp_path / "ck")
+    base = (
+        spark.range(600)
+        .select(
+            F.col("id").alias("k"), F.lit(0).alias("ver"),
+            F.concat(F.lit("s"), F.col("id")).alias("s"),
+            F.lit(False).alias("dead"),
+        )
+        .repartitionByRange(8, "k")
+        .sortWithinPartitions("k")
+    )
+    write_manifest_table(spark, base, tgt)
+    # KEY sidecars: stats (k is numeric + clustered) AND bloom
+    write_file_stats(spark, tgt, ["k"])
+    write_file_bloom(spark, tgt, ["k"])
+
+    # delta 1 wins on key 7; delta 2 is stale on key 580 (loses)
+    mor_upsert(
+        spark, tgt,
+        spark.createDataFrame([(7, 5, "seven", False)], SCHEMA),
+        ["k"], version_cols=["ver"],
+    )
+    mor_upsert(
+        spark, tgt,
+        spark.createDataFrame([(580, -1, "stale", False)], SCHEMA),
+        ["k"], version_cols=["ver"],
+    )
+    deltas = mor_deltas(spark, tgt)
+    assert len(deltas) == 2
+
+    # the contested plan: a strict minority of base files (keys 7 and
+    # 580 live in ~2 of the 8 range-clustered files)
+    ckept = _mor_contested_plan(spark, tgt, deltas)
+    assert ckept is not None
+    assert 1 <= len(ckept) <= 4, ckept
+
+    # any-of bloom planning alone agrees
+    plan = prune_files_bloom_any(spark, tgt, "k", [7, 580], base_only=True)
+    assert plan is not None and len(plan[0]) < plan[1]
+
+    # exactness through the planned read: winner replaces, stale loses
+    got = _rows(scan(spark, tgt, bounds={"k": (0, 599)}))
+    want = sorted(
+        [(7, 5, "seven", False)]
+        + [(k, 0, f"s{k}", False) for k in range(600) if k != 7]
+    )
+    assert got == want
