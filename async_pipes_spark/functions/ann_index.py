@@ -154,24 +154,35 @@ def _index_read_states(spark, path: str) -> dict[str, str | None]:
     live states for pre-pointer indexes (back-compat; such an index
     was built by a single writer or not at all).
 
-    SELF-REPAIR: a pinned state that aged out of its sub-table's
-    retained window (a crash between a sub-table commit and the root
-    publish, followed by enough later commits for GC to drop the
-    pinned version) would make every read raise "not retained" on a
-    healthy index — so a no-longer-retained pin falls back to that
-    sub-table's LIVE state (newer than the pin by construction: states
-    only leave the window by being superseded)."""
+    SELF-REPAIR is handled by :func:`_read_index_table`: a pinned
+    state that aged out of its sub-table's retained window (a crash
+    between a sub-table commit and the root publish, followed by
+    enough later commits for GC to drop the pinned version) would make
+    every read raise "not retained" on a healthy index — the read
+    falls back to that sub-table's LIVE state (newer than the pin by
+    construction: states only leave the window by being superseded).
+    The repair is LAZY — no retention probe on the hot path; the
+    common case pays zero extra pointer reads."""
     pinned, _ = _index_pointer_read(spark, path)
     if pinned is None:
         return {t: None for t in _INDEX_TABLES}
     missing = [t for t in _INDEX_TABLES if t not in pinned]
     if missing:
         raise ValueError(f"index pointer at {path} missing tables: {missing}")
-    out: dict[str, str | None] = {}
-    for t in _INDEX_TABLES:
-        retained, _, _ = _manifest_read(spark, f"{path}/{t}")
-        out[t] = pinned[t] if pinned[t] in retained else None
-    return out
+    return pinned  # type: ignore[return-value]
+
+
+def _read_index_table(spark, path: str, table: str, state: str | None):
+    """Read one index sub-table at its pinned state, with the LAZY
+    aged-pin self-repair (see :func:`_index_read_states`): "not
+    retained" on a pin means GC outran a crashed root publish — fall
+    back to the live state instead of bricking a healthy index."""
+    try:
+        return read_manifest_table(spark, f"{path}/{table}", version=state)
+    except ValueError as e:
+        if state is None or "not retained" not in str(e):
+            raise
+        return read_manifest_table(spark, f"{path}/{table}")
 
 
 def write_ann_index(
@@ -379,11 +390,9 @@ def read_ann_index(spark: SparkSession, path: str):
     INDEX-ROOT pointer pins, so the pair is always from one atomic
     index commit."""
     states = _index_read_states(spark, path)
-    cents = read_manifest_table(
-        spark, f"{path}/centroids", version=states["centroids"]
-    )
-    rows = read_manifest_table(
-        spark, f"{path}/codebooks", version=states["codebooks"]
+    cents = _read_index_table(spark, path, "centroids", states["centroids"])
+    rows = _read_index_table(
+        spark, path, "codebooks", states["codebooks"]
     ).collect()
     by_sub: dict[int, dict[int, list[float]]] = {}
     for r in rows:
@@ -464,18 +473,18 @@ def ann_index_topk(
             spark, codes_path, deltas, plan[0] if plan is not None else None
         )
     elif not usable:
-        encoded = read_manifest_table(spark, codes_path, version=pinned)
+        encoded = _read_index_table(spark, path, "codes", pinned)
     else:
         plan = prune_files_in(spark, codes_path, "cell", probed)
         if plan is None:  # sidecar missing/stale
-            encoded = read_manifest_table(spark, codes_path, version=pinned)
+            encoded = _read_index_table(spark, path, "codes", pinned)
         else:
             kept, _total = plan
             encoded = (
                 spark.read.parquet(*kept)
                 if kept
-                else read_manifest_table(
-                    spark, codes_path, version=pinned
+                else _read_index_table(
+                    spark, path, "codes", pinned
                 ).where(F.lit(False))
             )
     return ivf_pq_topk(
