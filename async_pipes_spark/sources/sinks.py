@@ -959,10 +959,29 @@ def mor_upsert(
     # rows NULL there, the same table the COW evolution stores. An
     # update batch MISSING an existing column still errors (silently
     # nulling replaced rows' payload is a bug, not evolution).
-    existing_cols = set(
-        (read_partitioned_manifest(spark, path) if pinfo is not None
-         else read_manifest_table(spark, path)).columns
-    )
+    # The column set comes from the BASE schema ∪ the backlog's
+    # recorded write-era columns — NOT a resolved read, whose plan
+    # construction (base + backlog scans + joins) this hot path would
+    # otherwise pay per micro-batch just to ask for .columns
+    existing_cols: set[str] | None = None
+    if pinfo is None:
+        base_cols = set(
+            spark.read.option("mergeSchema", "true")
+            .parquet(f"{path}/_data/{_state_base(live)}")
+            .schema.names
+        )
+        existing_cols = set(base_cols)
+        for d in backlog:
+            _bk, _bv, _bt, era = _read_mor_spec(spark, path, d)
+            if not era:  # pre-recording delta: fall back to the read
+                existing_cols = None
+                break
+            existing_cols |= set(era)
+    if existing_cols is None:
+        existing_cols = set(
+            (read_partitioned_manifest(spark, path) if pinfo is not None
+             else read_manifest_table(spark, path)).columns
+        )
     flag = {tombstone_col} if tombstone_col else set()
     if allow_schema_evolution:
         missing = (existing_cols - flag) - set(updates.columns)
