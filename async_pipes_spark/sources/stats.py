@@ -530,6 +530,14 @@ def prune_files_bloom_any(
     )
     if not sidecar:
         return None
+    if len(sidecar) * len(values) > 2_000_000:
+        # driver-probe budget: the worst case (no file admits any value)
+        # is O(files × values × k) md5s on the driver — at 100 TB file
+        # counts × a deep key set that is minutes of driver CPU for a
+        # plan. Decline; the numeric stats in-list plan (a Spark job
+        # over the sidecar) and the resolver's full contested scan stay
+        # correct without it.
+        return None
     data_dir = _resolve_table_path(spark, path)
     listed = _list_parquet_files(spark, data_dir)
     if {r["file"] for r in sidecar} != set(listed):
