@@ -3138,7 +3138,7 @@ def z5_backlog_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     write_manifest_table(
         spark,
-        zorder_frame(orders, ["o_custkey", "price_cents"], num_files=16),
+        zorder_frame(orders, ["o_custkey", "price_cents"], num_files=8),
         path,
     )
     write_file_stats(spark, path, ["o_custkey", "price_cents"])
