@@ -1055,3 +1055,82 @@ def test_mor_contested_scan_plans_by_key_sidecars(spark, tmp_path):
         + [(k, 0, f"s{k}", False) for k in range(600) if k != 7]
     )
     assert got == want
+
+
+def test_mor_dup_key_base_model_property(spark, tmp_path):
+    """Seeded property: bases with DUPLICATE keys (written directly —
+    COW merges never create them, which is why the r8 parity net
+    missed the row-loss bug) + random delta batches resolve to the
+    exact keep/contested model: untouched key groups survive
+    row-for-row, contested key groups collapse to the single (ver,
+    src)-max winner — including when the BASE row wins (stale deltas)
+    and including the COW rank-1 collapse of a contested duplicate
+    group. Versions are unique per key so no hash tie-break is
+    involved and the model is exact in Python."""
+    for seed in (11, 29):
+        rng = random.Random(seed)
+        tgt = str(tmp_path / f"dupprop{seed}")
+        # base: 30 rows over 10 keys -> guaranteed duplicate groups;
+        # unique version per row within each key group
+        rows, per_key = [], {}
+        for i in range(30):
+            k = rng.randrange(10)
+            v = per_key.get(k, 0) + rng.randrange(1, 4)
+            per_key[k] = v
+            rows.append((k, v, f"b{k}_{v}", False))
+        write_manifest_table(spark, spark.createDataFrame(rows, SCHEMA), tgt)
+        # groups[k] = list of (v, s, d) base rows
+        groups: dict = {}
+        for k, v, s, d in rows:
+            groups.setdefault(k, []).append((v, s, d))
+        contested: dict = {}  # k -> (ver, src, row) current winner
+        src = 0
+        for _batch in range(3):
+            src += 1
+            batch = []
+            for _ in range(rng.randrange(1, 4)):
+                k = rng.randrange(10)
+                # half the updates are STALE (version below the base
+                # max), half are fresh wins
+                base_max = max(v for v, _s, _d in groups.get(k, [(0, "", False)]))
+                v = (
+                    base_max + rng.randrange(1, 5)
+                    if rng.random() < 0.5
+                    else max(0, base_max - rng.randrange(1, 3))
+                )
+                batch.append((k, v, f"u{src}_{v}", False))
+            mor_upsert(
+                spark, tgt, spark.createDataFrame(batch, SCHEMA), ["k"],
+                version_cols=["ver"],
+            )
+            for k, v, s, d in batch:
+                cur = contested.get(k)
+                # later source wins version ties (within a batch the
+                # rng rarely collides; across batches src breaks it)
+                if cur is None or (v, src) >= (cur[0], cur[1]):
+                    contested[k] = (v, src, (k, v, s, d))
+        want = []
+        for k, grp in groups.items():
+            if k not in contested:
+                want.extend((k, v, s, d) for v, s, d in grp)  # verbatim
+        for k, (v, src_i, row) in contested.items():
+            # the contested group's winner: the delta row, UNLESS some
+            # base row of the key outranks it (stale delta) — then COW
+            # rank-1 keeps exactly ONE base row, the (ver)-max
+            base_grp = groups.get(k, [])
+            base_best = max(
+                ((bv, bs, bd) for bv, bs, bd in base_grp), default=None
+            )
+            if base_best is not None and base_best[0] > v:
+                bv, bs, bd = base_best
+                want.append((k, bv, bs, bd))
+            else:
+                want.append(row)
+        assert _rows(read_manifest_table(spark, tgt)) == sorted(
+            want, key=lambda t: tuple((x is None, x) for x in t)
+        ), seed
+        # compaction persists the identical table
+        compact_small_files(spark, tgt, target_rows_per_file=1000)
+        assert _rows(read_manifest_table(spark, tgt)) == sorted(
+            want, key=lambda t: tuple((x is None, x) for x in t)
+        ), seed
