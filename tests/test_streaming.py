@@ -131,9 +131,13 @@ def test_backpressure_bounds_offsets_per_trigger(spark, tmp_path):
     seen = []
     q = (
         df.writeStream.foreachBatch(
+            # seen BEFORE batch_sizes: the wait loop below exits on
+            # len(batch_sizes) and then stops the query — extending
+            # seen second opened a window where batch 4's values were
+            # still uncollected at the stop (flaked under suite load)
             lambda b, _i: (
-                batch_sizes.append(b.count()),
                 seen.extend(r.value for r in b.select("value").collect()),
+                batch_sizes.append(b.count()),
             )
         )
         .option("checkpointLocation", str(tmp_path / "ckpt_rate"))
