@@ -58,7 +58,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: keeps its oracle regardless of position.
 _PRIORITY = [
     # new in round 9 — first driver row needed
-    "z5_",
+    "z5_", "s31_",
     # code paths rewritten in round 9 (MOR resolve, delta-aware
     # pruning, index pointer commit) — re-verify first
     "s30_", "z4_", "a10_", "a11_", "s27_",
@@ -69,11 +69,12 @@ _PRIORITY = [
     "s4_", "s5_", "s9_", "s10_", "s11_", "s12_", "s13_", "s14_", "s15_", "s16_",
     "d1_", "d2_", "d3_", "d4_", "d5_", "d6_", "d7_", "d8_",
     "t1_", "t2_", "t3_", "t4_",
-    # 9 oldest-r07 refreshes (incl. the z1 perf watch)
-    "a8_", "s24_", "a9_", "d13_", "t15_", "s25_", "z1_", "f1_", "s26_",
+    # 8 oldest-r07 refreshes (incl. the z1 perf watch; s26 slipped
+    # below the cut to make room for s31 — it stays r07-green)
+    "a8_", "s24_", "a9_", "d13_", "t15_", "s25_", "z1_", "f1_",
     # ---- 50-cut ----
     # r07-green remainder
-    "z2_", "r17_", "s28_", "r18_", "k5_", "mm4_",
+    "s26_", "z2_", "r17_", "s28_", "r18_", "k5_", "mm4_",
     "smp6_", "t16_", "smp7_", "s29_", "pipe2_", "mm5_", "z3_",
     "t13_", "smp4_", "pipe1_",
     "p3_", "p5_", "p6_", "x1_", "x3_", "b2_", "t5_", "t6_",

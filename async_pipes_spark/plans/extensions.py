@@ -2541,6 +2541,92 @@ def s30_stream_mor_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return folded
 
 
+def s31_mor_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CHANGE-DATA-FEED of a merge-on-read backlog
+    (sources.cdc.mor_changes — the Delta CDF / Iceberg changelog read
+    shape): a customer balance table takes three O(batch) mor_upsert
+    deltas — a STALE batch (ver=-1, every row loses last-writer-wins
+    to its base incumbent: contested but net NO change, the
+    suppression case), an update+insert batch (ver=1), and a delete
+    batch (ver=2, soft tombstones — including tombstones for keys the
+    SAME backlog inserted, which net to nothing). The feed derives
+    pre/post images from the recorded deltas plus ONE broadcast
+    semi-joined slice of the base — O(changes), never a two-snapshot
+    diff — and the oracle recomputes the exact expected change set
+    from the source table: updates emit pre+post pairs, deletes emit
+    the dying base image, stale/insert-then-delete keys emit nothing."""
+    import shutil
+    import tempfile
+
+    from async_pipes_spark.functions.money import cents
+    from async_pipes_spark.sources.cdc import mor_changes
+    from async_pipes_spark.sources.sinks import (
+        mor_deltas,
+        mor_upsert,
+        write_manifest_table,
+    )
+
+    base = tempfile.mkdtemp(prefix="s31_cdf_")
+    path = f"{base}/t"
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.lit(0).cast("long").alias("ver"),
+        cents("c_acctbal").alias("bal_cents"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit(False).alias("dead"),
+    )
+    write_manifest_table(spark, cust, path)
+    m = F.col("k") % 100
+
+    def upsert(df: DataFrame) -> None:
+        mor_upsert(
+            spark, path, df,
+            key_cols=["k"], version_cols=["ver"], tombstone_col="dead",
+        )
+
+    # batch 1 — STALE: ver -1 loses to the base's ver 0 on every key;
+    # keys %100 in 25..29 are touched by NOTHING ELSE, so their
+    # absence from the feed pins net-no-op suppression
+    upsert(cust.where(m < 30).select(
+        "k", F.lit(-1).cast("long").alias("ver"),
+        F.lit(0).cast("long").alias("bal_cents"),
+        F.lit("STALE").alias("seg"), F.lit(False).alias("dead"),
+    ))
+    # batch 2 — updates (%100 < 10) + inserts (shifted keys, %100 < 5)
+    upsert(cust.where(m < 10).select(
+        "k", F.lit(1).cast("long").alias("ver"),
+        (F.col("bal_cents") + 111).alias("bal_cents"),
+        F.lit("UPD").alias("seg"), F.lit(False).alias("dead"),
+    ).unionByName(cust.where(m < 5).select(
+        (F.col("k") + 10_000_000).alias("k"),
+        F.lit(1).cast("long").alias("ver"),
+        (F.col("bal_cents") + 222).alias("bal_cents"),
+        F.lit("NEW").alias("seg"), F.lit(False).alias("dead"),
+    )))
+    # batch 3 — deletes: live base keys (%100 in 20..24) AND two of
+    # the just-inserted shifted keys' residues (insert-then-delete
+    # inside one backlog must net to NOTHING)
+    upsert(cust.where((m >= 20) & (m < 25)).select(
+        "k", F.lit(2).cast("long").alias("ver"),
+        F.lit(None).cast("long").alias("bal_cents"),
+        F.lit(None).cast("string").alias("seg"), F.lit(True).alias("dead"),
+    ).unionByName(cust.where(m < 2).select(
+        (F.col("k") + 10_000_000).alias("k"),
+        F.lit(2).cast("long").alias("ver"),
+        F.lit(None).cast("long").alias("bal_cents"),
+        F.lit(None).cast("string").alias("seg"), F.lit(True).alias("dead"),
+    )))
+    assert len(mor_deltas(spark, path)) == 3
+    out = (
+        mor_changes(spark, path)
+        .select("k", "ver", "bal_cents", "seg", "_change_type")
+        .orderBy("k", "_change_type")
+        .transform(_pin)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def s28_concurrent_stream_writers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TWO streaming CDC writers committing to ONE manifest table
     CONCURRENTLY — the multi-writer lake the optimistic-concurrency
@@ -3316,6 +3402,7 @@ EXTENSION_QUERIES = {
     "s24_stream_cdc_partitioned_manifest": s24_stream_cdc_partitioned_manifest,
     "s28_concurrent_stream_writers": s28_concurrent_stream_writers,
     "s30_stream_mor_upsert": s30_stream_mor_upsert,
+    "s31_mor_change_feed": s31_mor_change_feed,
     "s25_stream_topk": s25_stream_topk,
     "s27_stream_index_serving": s27_stream_index_serving,
     "s29_stream_near_dup_gate": s29_stream_near_dup_gate,
@@ -5035,6 +5122,35 @@ EXTENSION_ORACLES = {
     """,
     # the bloom index never changes results: the oracle is the plain
     # equality filter on the min and max order keys
+    # the expected change set recomputed from the source table: every
+    # residue class's fate is deterministic — %100<10 update (pre+post
+    # pair), 20..24 delete (dying base image), shifted keys %100 in
+    # 2..4 insert (0..1 were tombstoned by the same backlog → nothing),
+    # stale-batch-only keys (25..29) suppressed entirely
+    "s31_mor_change_feed": """
+        WITH c AS (
+            SELECT c_custkey AS k,
+                   CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal,
+                   c_mktsegment AS seg
+            FROM customer
+        )
+        SELECT * FROM (
+            SELECT k, CAST(0 AS BIGINT) AS ver, bal AS bal_cents, seg,
+                   'update_preimage' AS _change_type
+            FROM c WHERE k % 100 < 10
+            UNION ALL
+            SELECT k, CAST(1 AS BIGINT), bal + 111, 'UPD',
+                   'update_postimage'
+            FROM c WHERE k % 100 < 10
+            UNION ALL
+            SELECT k, CAST(0 AS BIGINT), bal, seg, 'delete'
+            FROM c WHERE k % 100 BETWEEN 20 AND 24
+            UNION ALL
+            SELECT k + 10000000, CAST(1 AS BIGINT), bal + 222, 'NEW',
+                   'insert'
+            FROM c WHERE k % 100 BETWEEN 2 AND 4
+        ) ORDER BY k, _change_type
+    """,
     "z3_bloom_pruned_lookup": """
         SELECT o_orderkey, o_custkey,
                CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents

@@ -6,6 +6,7 @@ from async_pipes_spark.sources.files import (  # noqa: F401
     read_parquet,
     read_text,
 )
+from async_pipes_spark.sources.cdc import CHANGE_TYPES, mor_changes  # noqa: F401
 from async_pipes_spark.sources.sinks import (  # noqa: F401
     ConcurrentCommitError,
     compact_small_files,
