@@ -83,7 +83,7 @@ def _base_frame(spark, path: str) -> DataFrame:
     )
 
 
-def mor_changes(spark, path: str) -> DataFrame:
+def mor_changes(spark, path: str, since: str | None = None) -> DataFrame:
     """Change-data-feed of the OUTSTANDING merge-on-read backlog of
     ``path``: what resolving the backlog changes about the base
     snapshot's LIVE rows, one row per change with ``_change_type`` in
@@ -91,6 +91,20 @@ def mor_changes(spark, path: str) -> DataFrame:
     inserted then tombstoned within it emits nothing; a delta that
     loses last-writer-wins to the base row emits nothing) — the same
     net a consumer observes between "before the backlog" and "now".
+
+    ``since`` makes the feed INCREMENTALLY consumable — the Delta CDF
+    "changes since version" read: pass a delta-dir name previously
+    observed (the last element of :func:`~async_pipes_spark.sources.
+    sinks.mor_deltas` when the consumer last caught up) and the feed
+    covers only the deltas AFTER it, relative to the snapshot that
+    INCLUDES it — so sequentially applying each increment reproduces
+    every intermediate live snapshot and composes to the full feed
+    (pinned in tests). A cursor no longer in the backlog (compaction
+    or optimize folded it) raises — the consumer restarts from a
+    fresh full read, the same contract as vacuuming under a CDF
+    reader. Cursored feeds skip base file pruning (the effective base
+    is base ∪ consumed deltas — still read through broadcast
+    semi-joins, never shuffled).
 
     Output columns: every table column (tombstone column normalized
     to ``false`` — deletions are expressed by ``_change_type``, and
@@ -117,6 +131,18 @@ def mor_changes(spark, path: str) -> DataFrame:
             "merge-on-read backlog a mor_upsert sequence recorded"
         )
     deltas = mor_deltas(spark, path)
+    if since is not None:
+        if since not in deltas:
+            raise ValueError(
+                f"cursor {since!r} is not in the outstanding backlog of "
+                f"{path} (have {deltas}) — compaction/optimize folds "
+                "deltas into the base; restart the consumer from a fresh "
+                "full read of the table"
+            )
+        cut = deltas.index(since) + 1
+        consumed, deltas = deltas[:cut], deltas[cut:]
+    else:
+        consumed = []
     if not deltas:
         snap = read_table(spark, path)
         return snap.where(F.lit(False)).withColumn(
@@ -124,6 +150,11 @@ def mor_changes(spark, path: str) -> DataFrame:
         )
     keys, vers, tomb, _ = _read_mor_spec(spark, path, deltas[0])
     base = _base_frame(spark, path)
+    if consumed:
+        # effective base for an incremental read: the snapshot at the
+        # cursor — base with the consumed prefix resolved (lazy; only
+        # its contested slice is ever pulled through the joins below)
+        base = _mor_resolve(spark, path, base, consumed)
 
     dunion = spark.read.option("mergeSchema", "true").parquet(
         *[f"{path}/_data/{d}" for d in deltas]
@@ -157,7 +188,7 @@ def mor_changes(spark, path: str) -> DataFrame:
     # already partition-bounded) — shared by the PRE side here and the
     # resolver's contested branch below
     contested_base = None
-    if _pmanifest_read(spark, path) is None:
+    if not consumed and _pmanifest_read(spark, path) is None:
         from async_pipes_spark.sources.stats import _mor_contested_plan
 
         ckept = _mor_contested_plan(spark, path, deltas)

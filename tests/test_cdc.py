@@ -378,3 +378,71 @@ def test_mor_changes_not_a_manifest_raises(spark, tmp_path):
     spark.range(3).write.parquet(p)
     with pytest.raises(ValueError, match="not a manifest table"):
         mor_changes(spark, p)
+
+
+def test_mor_changes_cursor_incremental_composition(spark, tmp_path):
+    """Incremental consumption (since=<delta name>): each increment's
+    apply reproduces the next snapshot, so sequential application
+    composes to the final live rows; an increment never re-emits
+    changes the cursor already covered; a fresh cursor at the backlog
+    head yields an empty feed."""
+    from async_pipes_spark.sources.sinks import mor_deltas
+
+    path = str(tmp_path / "t")
+    base = [(k, 0, f"i{k}", False) for k in range(6)]
+    write_manifest_table(spark, spark.createDataFrame(base, SCHEMA), path)
+
+    def upsert(rows):
+        mor_upsert(
+            spark, path, spark.createDataFrame(rows, SCHEMA),
+            key_cols=["k"], version_cols=["ver"], tombstone_col="dead",
+        )
+
+    upsert([(0, 5, "u0", False), (9, 1, "n9", False)])
+    upsert([(1, 5, None, True)])
+    cursor = mor_deltas(spark, path)[-1]
+    live_mid = _live_rows(read_table(spark, path))
+    # caught-up consumer: empty increment, schema intact
+    head = mor_changes(spark, path, since=cursor)
+    assert head.count() == 0
+    assert head.columns == ["k", "ver", "s", "dead", "_change_type"]
+
+    upsert([(0, 9, "u0b", False), (2, 9, None, True)])
+    upsert([(9, 0, "stale9", False)])  # loses to n9 (ver 1) → no-op
+
+    inc = _feed_counter(mor_changes(spark, path, since=cursor))
+    # the increment covers ONLY post-cursor changes, relative to the
+    # snapshot at the cursor (pre-image of k=0 is u0, not i0)
+    assert inc == Counter({
+        (0, 5, "u0", False, "update_preimage"): 1,
+        (0, 9, "u0b", False, "update_postimage"): 1,
+        (2, 0, "i2", False, "delete"): 1,
+    })
+    assert _apply_feed(live_mid, inc) == Counter(
+        _live_rows(read_table(spark, path))
+    )
+    # and the FULL feed equals increment-composition from the base
+    full = _feed_counter(mor_changes(spark, path))
+    base_live = [tuple(r) for r in base]
+    assert _apply_feed(base_live, full) == Counter(
+        _live_rows(read_table(spark, path))
+    )
+
+
+def test_mor_changes_cursor_folded_raises(spark, tmp_path):
+    """A cursor that compaction folded must raise with restart
+    guidance — never silently return a wrong (full) feed."""
+    from async_pipes_spark.sources.sinks import mor_deltas
+
+    path = str(tmp_path / "t")
+    write_manifest_table(
+        spark, spark.createDataFrame([(1, 0, "a", False)], SCHEMA), path
+    )
+    mor_upsert(
+        spark, path, spark.createDataFrame([(1, 5, "b", False)], SCHEMA),
+        key_cols=["k"], version_cols=["ver"], tombstone_col="dead",
+    )
+    cursor = mor_deltas(spark, path)[-1]
+    compact_small_files(spark, path, target_rows_per_file=1000)
+    with pytest.raises(ValueError, match="not in the outstanding backlog"):
+        mor_changes(spark, path, since=cursor)

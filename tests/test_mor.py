@@ -533,11 +533,31 @@ def test_mor_manifest_randomized_model(spark, tmp_path):
     model — the lake's whole maintenance surface in one net. After
     every step the live read equals the model; diffs between retained
     states equal the model-snapshot diff; the bloom planner is usable
-    exactly when no backlog is outstanding."""
+    exactly when no backlog is outstanding; and the CHANGE-DATA-FEED
+    (sources.cdc.mor_changes) equals the live-row diff between the
+    model's base-component snapshot and the live model — empty exactly
+    when nothing nets out, whatever interleaving produced the state."""
+    from async_pipes_spark.sources.cdc import mor_changes
     from async_pipes_spark.sources.stats import (
         prune_files_bloom,
         write_file_bloom,
     )
+
+    def model_feed(base_m: dict, live_m: dict):
+        """Expected CDC rows from two model states (live rows only —
+        the model stores tombstones as dead=True values)."""
+        b = {k: v for k, v in base_m.items() if not v[2]}
+        l_ = {k: v for k, v in live_m.items() if not v[2]}
+        rows = []
+        for k in l_.keys() - b.keys():
+            rows.append((k, *l_[k][:2], False, "insert"))
+        for k in b.keys() - l_.keys():
+            rows.append((k, *b[k][:2], False, "delete"))
+        for k in b.keys() & l_.keys():
+            if b[k] != l_[k]:
+                rows.append((k, *b[k][:2], False, "update_preimage"))
+                rows.append((k, *l_[k][:2], False, "update_postimage"))
+        return sorted(rows)
 
     for seed in (13, 37):
         rng = random.Random(seed)
@@ -550,7 +570,10 @@ def test_mor_manifest_randomized_model(spark, tmp_path):
             spark, spark.createDataFrame(init, SCHEMA), tgt, keep_versions=3
         )
         write_file_bloom(spark, tgt, ["s"])
-        snap = {manifest_versions(spark, tgt)[0]: dict(model)}
+        base_model = dict(model)
+        v0 = manifest_versions(spark, tgt)[0]
+        snap = {v0: dict(model)}
+        base_snap = {v0: dict(base_model)}
         ver = 0
 
         def apply_model(rows):
@@ -591,6 +614,7 @@ def test_mor_manifest_randomized_model(spark, tmp_path):
                     apply_model(rows)
                     merge_upsert(spark, tgt, bdf, ["k"],
                                  version_cols=["ver"], tombstone_col="dead")
+                    base_model = dict(model)
             elif op == "purge":
                 if backlog:
                     with pytest.raises(ValueError, match="merge-on-read"):
@@ -600,10 +624,12 @@ def test_mor_manifest_randomized_model(spark, tmp_path):
                     assert purged == sum(1 for v in model.values() if v[2])
                     for k in [k for k, v in model.items() if v[2]]:
                         del model[k]
+                    base_model = dict(model)
             elif op == "restore":
                 to = rng.choice(manifest_versions(spark, tgt))
                 restore_manifest_table(spark, tgt, to)
                 model = dict(snap[to])
+                base_model = dict(base_snap[to])
             elif op == "diff":
                 states = manifest_versions(spark, tgt)
                 if len(states) >= 2:
@@ -630,6 +656,7 @@ def test_mor_manifest_randomized_model(spark, tmp_path):
                     spark, tgt, ["k", "ver"], target_rows_per_file=1000
                 )
                 assert mor_deltas(spark, tgt) == []
+                base_model = dict(model)
             elif op == "badspec":
                 # mixed-spec guard: a writer on a DIFFERENT resolution
                 # spec must be refused while a backlog is outstanding
@@ -648,9 +675,24 @@ def test_mor_manifest_randomized_model(spark, tmp_path):
             else:
                 compact_small_files(spark, tgt, target_rows_per_file=1000)
                 assert mor_deltas(spark, tgt) == []
-            snap[manifest_versions(spark, tgt)[0]] = dict(model)
+                base_model = dict(model)
+            live_state = manifest_versions(spark, tgt)[0]
+            snap[live_state] = dict(model)
+            base_snap[live_state] = dict(base_model)
             want = sorted((k, v, s, d) for k, (v, s, d) in model.items())
             assert _rows(read_manifest_table(spark, tgt)) == want, (
+                seed, _step, op,
+            )
+            # change-data-feed vs the model: feed == live-row diff of
+            # base-component snapshot → live model, empty when folded
+            # or fully netted out
+            got_feed = sorted(
+                tuple(r)
+                for r in mor_changes(spark, tgt)
+                .select("k", "ver", "s", "dead", "_change_type")
+                .collect()
+            )
+            assert got_feed == model_feed(base_model, model), (
                 seed, _step, op,
             )
             # bloom sidecar validity: planner usable iff no backlog
