@@ -83,7 +83,9 @@ def _base_frame(spark, path: str) -> DataFrame:
     )
 
 
-def mor_changes(spark, path: str, since: str | None = None) -> DataFrame:
+def mor_changes(
+    spark, path: str, since: str | None = None, until: str | None = None
+) -> DataFrame:
     """Change-data-feed of the OUTSTANDING merge-on-read backlog of
     ``path``: what resolving the backlog changes about the base
     snapshot's LIVE rows, one row per change with ``_change_type`` in
@@ -102,9 +104,21 @@ def mor_changes(spark, path: str, since: str | None = None) -> DataFrame:
     (pinned in tests). A cursor no longer in the backlog (compaction
     or optimize folded it) raises — the consumer restarts from a
     fresh full read, the same contract as vacuuming under a CDF
-    reader. Cursored feeds skip base file pruning (the effective base
-    is base ∪ consumed deltas — still read through broadcast
-    semi-joins, never shuffled).
+    reader. Cursored feeds keep base FILE PRUNING too: the key
+    sidecars describe the IMMUTABLE base version, so the contested
+    scan still opens only the base files that may hold a NEW delta's
+    key — resolved with the consumed prefix (whose delta dirs are
+    read in full; they are O(past changes)) — and an incremental
+    consumer's steady state never rescans the base.
+
+    ``until`` bounds the feed's UPPER edge to a delta-dir name
+    currently in the backlog (inclusive): deltas after it are treated
+    as not yet written. This is what makes a consumer exactly-once
+    under CONCURRENT source writers — snapshot ``mor_deltas()`` once,
+    feed ``(since, until=snapshot[-1]]``, record ``until`` as the new
+    cursor; a delta landing mid-read can neither leak into this feed
+    nor be skipped by the next one. ``until == since`` is the valid
+    empty window.
 
     Output columns: every table column (tombstone column normalized
     to ``false`` — deletions are expressed by ``_change_type``, and
@@ -143,18 +157,31 @@ def mor_changes(spark, path: str, since: str | None = None) -> DataFrame:
         consumed, deltas = deltas[:cut], deltas[cut:]
     else:
         consumed = []
+    if until is not None and until != since:
+        if until not in deltas:
+            raise ValueError(
+                f"upper bound {until!r} is not in the feed window of "
+                f"{path} (window {deltas}, cursor {since!r}) — pass a "
+                "delta name at or after the cursor from the same "
+                "mor_deltas() snapshot"
+            )
+        deltas = deltas[: deltas.index(until) + 1]
+    elif until is not None:  # until == since: the valid empty window
+        deltas = []
     if not deltas:
         snap = read_table(spark, path)
         return snap.where(F.lit(False)).withColumn(
             _CHANGE_COL, F.lit(None).cast("string")
         )
     keys, vers, tomb, _ = _read_mor_spec(spark, path, deltas[0])
-    base = _base_frame(spark, path)
+    base0 = _base_frame(spark, path)
     if consumed:
         # effective base for an incremental read: the snapshot at the
         # cursor — base with the consumed prefix resolved (lazy; only
         # its contested slice is ever pulled through the joins below)
-        base = _mor_resolve(spark, path, base, consumed)
+        base = _mor_resolve(spark, path, base0, consumed)
+    else:
+        base = base0
 
     dunion = spark.read.option("mergeSchema", "true").parquet(
         *[f"{path}/_data/{d}" for d in deltas]
@@ -188,15 +215,26 @@ def mor_changes(spark, path: str, since: str | None = None) -> DataFrame:
     # already partition-bounded) — shared by the PRE side here and the
     # resolver's contested branch below
     contested_base = None
-    if not consumed and _pmanifest_read(spark, path) is None:
+    if _pmanifest_read(spark, path) is None:
         from async_pipes_spark.sources.stats import _mor_contested_plan
 
         ckept = _mor_contested_plan(spark, path, deltas)
         if ckept is not None:
-            contested_base = (
+            # the sidecars describe the IMMUTABLE base version, so the
+            # prune stays valid under a consumed prefix: every base row
+            # of a new-delta key lives in a kept file, and the consumed
+            # deltas (read in full) supply the rest of that key's
+            # history — resolving the pruned slice with them yields
+            # exactly the cursor snapshot's rows for contested keys
+            pruned = (
                 spark.read.option("mergeSchema", "true").parquet(*ckept)
                 if ckept
-                else base.where(F.lit(False))
+                else base0.where(F.lit(False))
+            )
+            contested_base = (
+                _mor_resolve(spark, path, pruned, consumed)
+                if consumed
+                else pruned
             )
     cb = contested_base if contested_base is not None else base
 

@@ -446,3 +446,101 @@ def test_mor_changes_cursor_folded_raises(spark, tmp_path):
     compact_small_files(spark, path, target_rows_per_file=1000)
     with pytest.raises(ValueError, match="not in the outstanding backlog"):
         mor_changes(spark, path, since=cursor)
+
+
+def test_mor_changes_until_bound(spark, tmp_path):
+    """``until`` pins the feed's upper edge: deltas after it are
+    invisible (the exactly-once window for a consumer racing source
+    writers), ``until == since`` is the valid empty window, windows
+    compose, and an unknown upper bound raises."""
+    from async_pipes_spark.sources.sinks import mor_deltas
+
+    path = str(tmp_path / "t")
+    base = [(k, 0, f"i{k}", False) for k in range(4)]
+    write_manifest_table(spark, spark.createDataFrame(base, SCHEMA), path)
+
+    def upsert(rows):
+        mor_upsert(
+            spark, path, spark.createDataFrame(rows, SCHEMA),
+            key_cols=["k"], version_cols=["ver"], tombstone_col="dead",
+        )
+
+    upsert([(0, 1, "u0", False)])
+    upsert([(1, 1, None, True)])
+    upsert([(9, 1, "n9", False)])
+    d1, d2, d3 = mor_deltas(spark, path)
+
+    # upper-bounded feed: the d3 insert is invisible
+    w12 = _feed_counter(mor_changes(spark, path, until=d2))
+    assert w12 == Counter({
+        (0, 0, "i0", False, "update_preimage"): 1,
+        (0, 1, "u0", False, "update_postimage"): 1,
+        (1, 0, "i1", False, "delete"): 1,
+    })
+    # window (d2, d3]: only the insert
+    w3 = _feed_counter(mor_changes(spark, path, since=d2, until=d3))
+    assert w3 == Counter({(9, 1, "n9", False, "insert"): 1})
+    # composition: bounded windows chain to the full feed's apply
+    applied = _apply_feed(
+        _apply_feed([tuple(r) for r in base], w12), w3
+    )
+    assert applied == Counter(_live_rows(read_table(spark, path)))
+    # the valid empty window
+    empty = mor_changes(spark, path, since=d2, until=d2)
+    assert empty.count() == 0
+    assert empty.columns == ["k", "ver", "s", "dead", "_change_type"]
+    # an upper bound before the cursor (or unknown) raises
+    with pytest.raises(ValueError, match="not in the feed window"):
+        mor_changes(spark, path, since=d2, until=d1)
+    with pytest.raises(ValueError, match="not in the feed window"):
+        mor_changes(spark, path, until="x_nonexistent")
+
+
+def test_mor_changes_cursored_contested_pruning(spark, tmp_path):
+    """Cursored feeds keep base file pruning: with key blooms on the
+    base, an insert-only post-cursor window plans ZERO base files —
+    the consumed prefix's delta dirs are read, the base is not."""
+    from async_pipes_spark.sources.sinks import mor_deltas
+    from async_pipes_spark.sources.stats import write_file_bloom
+
+    path = str(tmp_path / "t")
+    base = [(k, 0, f"i{k}", False) for k in range(64)]
+    write_manifest_table(
+        spark,
+        spark.createDataFrame(base, SCHEMA).repartition(8),
+        path,
+    )
+    write_file_bloom(spark, path, ["k"])
+
+    def upsert(rows):
+        mor_upsert(
+            spark, path, spark.createDataFrame(rows, SCHEMA),
+            key_cols=["k"], version_cols=["ver"], tombstone_col="dead",
+        )
+
+    upsert([(3, 1, "u3", False)])        # consumed prefix (contested)
+    cursor = mor_deltas(spark, path)[-1]
+    upsert([(900, 1, "n900", False)])    # post-cursor, pure insert
+    feed = mor_changes(spark, path, since=cursor)
+    assert _feed_counter(feed) == Counter(
+        {(900, 1, "n900", False, "insert"): 1}
+    )
+    opened = feed.inputFiles()
+    base_files = [f for f in opened if "/_data/v_" in f]
+    assert not base_files, base_files
+    # contested post-cursor window: only the probed base files open
+    upsert([(5, 2, "u5", False)])
+    cursor2 = mor_deltas(spark, path)[1]
+    feed2 = mor_changes(spark, path, since=cursor2)
+    assert _feed_counter(feed2) == Counter({
+        (5, 0, "i5", False, "update_preimage"): 1,
+        (5, 2, "u5", False, "update_postimage"): 1,
+    })
+    base_files2 = {f for f in feed2.inputFiles() if "/_data/v_" in f}
+    total_base = {
+        f for f in read_table(spark, path).inputFiles()
+        if "/_data/v_" in f
+    }
+    assert base_files2 and len(base_files2) < len(total_base), (
+        len(base_files2), len(total_base)
+    )
