@@ -2627,6 +2627,106 @@ def s31_mor_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def v4_ivm_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTALLY MAINTAINED materialized aggregate
+    (sources.ivm — the Delta Live Tables / Materialize maintenance
+    model on the engine's own lake): a per-segment balance rollup
+    (sum / count / min / max) over a merge-on-read customer table is
+    created once, then kept current by consuming the bounded CDC feed
+    — each refresh costs O(changes), commits one O(changed groups)
+    delta to the view, and never recomputes an untouched group. The
+    change program reuses s31's batches: a STALE batch that must not
+    move any aggregate, an update batch that MOVES rows between
+    groups (seg → 'UPD') and inserts a brand-new group ('NEW'), and a
+    delete batch including insert-then-delete keys that must net to
+    nothing. Two refreshes split the program so the second runs the
+    CURSORED feed path; min/max force the affected-group recompute
+    lane. The oracle recomputes the final GROUP BY from the source
+    table directly — integer cents keep the incremental sums exact."""
+    import shutil
+    import tempfile
+
+    from async_pipes_spark.functions.money import cents
+    from async_pipes_spark.sources.ivm import (
+        create_agg_view,
+        read_agg_view,
+        refresh_agg_view,
+    )
+    from async_pipes_spark.sources.sinks import (
+        mor_upsert,
+        write_manifest_table,
+    )
+
+    base = tempfile.mkdtemp(prefix="v4_ivm_")
+    path, view = f"{base}/t", f"{base}/view"
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.lit(0).cast("long").alias("ver"),
+        cents("c_acctbal").alias("bal_cents"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit(False).alias("dead"),
+    )
+    write_manifest_table(spark, cust, path)
+    create_agg_view(
+        spark, path, view, ["seg"],
+        {
+            "sum_bal": ("sum", "bal_cents"),
+            "n_cust": ("count", "*"),
+            "min_bal": ("min", "bal_cents"),
+            "max_bal": ("max", "bal_cents"),
+        },
+        src_tombstone_col="dead",
+    )
+    m = F.col("k") % 100
+
+    def upsert(df: DataFrame) -> None:
+        mor_upsert(
+            spark, path, df,
+            key_cols=["k"], version_cols=["ver"], tombstone_col="dead",
+        )
+
+    # batch 1 — STALE (ver -1 loses everywhere): the refresh must see
+    # it as pure no-op, no aggregate may move
+    upsert(cust.where(m < 30).select(
+        "k", F.lit(-1).cast("long").alias("ver"),
+        F.lit(0).cast("long").alias("bal_cents"),
+        F.lit("STALE").alias("seg"), F.lit(False).alias("dead"),
+    ))
+    # batch 2 — group moves (m<10 → seg 'UPD', bal+111) + a brand-new
+    # group (shifted keys m<5 → 'NEW', bal+222)
+    upsert(cust.where(m < 10).select(
+        "k", F.lit(1).cast("long").alias("ver"),
+        (F.col("bal_cents") + 111).alias("bal_cents"),
+        F.lit("UPD").alias("seg"), F.lit(False).alias("dead"),
+    ).unionByName(cust.where(m < 5).select(
+        (F.col("k") + 10_000_000).alias("k"),
+        F.lit(1).cast("long").alias("ver"),
+        (F.col("bal_cents") + 222).alias("bal_cents"),
+        F.lit("NEW").alias("seg"), F.lit(False).alias("dead"),
+    )))
+    s1 = refresh_agg_view(spark, view)
+    assert s1["mode"] == "incremental" and s1["deltas_consumed"] == 2, s1
+    # batch 3 — deletes (m in 20..24) + insert-then-delete (the NEW
+    # keys with m<2 die; 'NEW' shrinks but stays alive) — consumed by
+    # the CURSORED feed path
+    upsert(cust.where((m >= 20) & (m < 25)).select(
+        "k", F.lit(2).cast("long").alias("ver"),
+        F.lit(None).cast("long").alias("bal_cents"),
+        F.lit(None).cast("string").alias("seg"), F.lit(True).alias("dead"),
+    ).unionByName(cust.where(m < 2).select(
+        (F.col("k") + 10_000_000).alias("k"),
+        F.lit(2).cast("long").alias("ver"),
+        F.lit(None).cast("long").alias("bal_cents"),
+        F.lit(None).cast("string").alias("seg"), F.lit(True).alias("dead"),
+    )))
+    s2 = refresh_agg_view(spark, view)
+    assert s2["mode"] == "incremental" and s2["deltas_consumed"] == 1, s2
+    assert refresh_agg_view(spark, view)["mode"] == "noop"
+    out = read_agg_view(spark, view).orderBy("seg").transform(_pin)
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def s28_concurrent_stream_writers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TWO streaming CDC writers committing to ONE manifest table
     CONCURRENTLY — the multi-writer lake the optimistic-concurrency
@@ -3379,6 +3479,7 @@ EXTENSION_QUERIES = {
     "v1_dq_audit": v1_dq_audit,
     "v2_column_stats": v2_column_stats,
     "v3_histogram": v3_histogram,
+    "v4_ivm_agg_view": v4_ivm_agg_view,
     "t11_bm25_rank": t11_bm25_rank,
     "t12_tfidf_top_terms": t12_tfidf_top_terms,
     "t13_curriculum_bins": t13_curriculum_bins,
@@ -5150,6 +5251,29 @@ EXTENSION_ORACLES = {
                    'insert'
             FROM c WHERE k % 100 BETWEEN 2 AND 4
         ) ORDER BY k, _change_type
+    """,
+    # the view's final contents = the full GROUP BY over the upsert
+    # program's net result: stale batch vanishes, m<10 moves to 'UPD'
+    # (+111), m in 20..24 dies, shifted inserts live only for m in
+    # 2..4 as 'NEW' (+222) — integer cents keep every sum exact
+    "v4_ivm_agg_view": """
+        WITH b AS (
+            SELECT c_custkey % 100 AS m,
+                   CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal,
+                   c_mktsegment AS seg
+            FROM customer
+        ),
+        live AS (
+            SELECT CASE WHEN m < 10 THEN 'UPD' ELSE seg END AS seg,
+                   CASE WHEN m < 10 THEN bal + 111 ELSE bal END AS bal
+            FROM b WHERE NOT (m BETWEEN 20 AND 24)
+            UNION ALL
+            SELECT 'NEW' AS seg, bal + 222 AS bal
+            FROM b WHERE m BETWEEN 2 AND 4
+        )
+        SELECT seg, SUM(bal) AS sum_bal, COUNT(*) AS n_cust,
+               MIN(bal) AS min_bal, MAX(bal) AS max_bal
+        FROM live GROUP BY seg ORDER BY seg
     """,
     "z3_bloom_pruned_lookup": """
         SELECT o_orderkey, o_custkey,

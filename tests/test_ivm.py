@@ -1,0 +1,427 @@
+"""Incremental view maintenance (`sources/ivm.py`): every refresh of a
+materialized GROUP-BY view must read exactly the full recompute —
+across random upsert/delete interleavings, dead/reborn groups, NULL
+group keys and NULL aggregate inputs, compaction folding the cursor,
+crashed refreshes, and concurrent source writers — while the algebraic
+path provably never opens a source BASE file."""
+
+from __future__ import annotations
+
+import random
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from async_pipes_spark.sources.ivm import (
+    IVM_DEL,
+    create_agg_view,
+    optimize_agg_view,
+    read_agg_view,
+    refresh_agg_view,
+)
+from async_pipes_spark.sources.sinks import (
+    compact_small_files,
+    mor_upsert,
+    read_table,
+    write_manifest_table,
+)
+
+SCHEMA = "k int, g int, x double, ver int, dead boolean"
+AGGS = {
+    "sx": ("sum", "x"),
+    "n": ("count", "*"),      # deliberately named to collide with any
+    "nx": ("count", "x"),     # sloppy internal `_*_n` bookkeeping name
+    "mn": ("min", "x"),
+    "mx": ("max", "x"),
+}
+ALG_AGGS = {k: v for k, v in AGGS.items() if v[0] in ("sum", "count")}
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="ivm_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _mk_source(spark, path, n=40, groups=4):
+    rows = [(i, i % groups, float(i), 0, False) for i in range(n)]
+    write_manifest_table(
+        spark, spark.createDataFrame(rows, SCHEMA), path
+    )
+
+
+def _upsert(spark, path, rows):
+    mor_upsert(
+        spark, path, spark.createDataFrame(rows, SCHEMA), ["k"],
+        version_cols=["ver"], tombstone_col="dead",
+    )
+
+
+def _expected(spark, src):
+    live = read_table(spark, src).where(
+        ~F.coalesce(F.col("dead"), F.lit(False))
+    )
+    out = live.groupBy("g").agg(
+        F.sum("x").alias("sx"),
+        F.count(F.lit(1)).alias("n"),
+        F.count("x").alias("nx"),
+        F.min("x").alias("mn"),
+        F.max("x").alias("mx"),
+    )
+    return {
+        r["g"]: (r["sx"], r["n"], r["nx"], r["mn"], r["mx"])
+        for r in out.collect()
+    }
+
+
+def _got(spark, view, names=("sx", "n", "nx", "mn", "mx")):
+    return {
+        r["g"]: tuple(r[c] for c in names)
+        for r in read_agg_view(spark, view).collect()
+    }
+
+
+def test_create_matches_full_group_by(spark, tmpdir):
+    src, view = f"{tmpdir}/src", f"{tmpdir}/view"
+    _mk_source(spark, src)
+    st = create_agg_view(spark, src, view, ["g"], AGGS,
+                         src_tombstone_col="dead")
+    assert st["cursor"] is None and st["seq"] == 0
+    assert _got(spark, view) == _expected(spark, src)
+
+
+def test_incremental_refresh_equals_recompute(spark, tmpdir):
+    """Updates that move rows between groups, a delete, an insert into
+    a brand-new group — one incremental refresh lands all of it."""
+    src, view = f"{tmpdir}/src", f"{tmpdir}/view"
+    _mk_source(spark, src)
+    create_agg_view(spark, src, view, ["g"], AGGS, src_tombstone_col="dead")
+    _upsert(spark, src,
+            [(i, 7, float(i * 10), 1, False) for i in range(5)]
+            + [(5, 2, 0.0, 1, True), (100, 9, None, 1, False)])
+    s = refresh_agg_view(spark, view)
+    assert s["mode"] == "incremental" and s["deltas_consumed"] == 1
+    assert _got(spark, view) == _expected(spark, src)
+    # caught up: the next refresh is a no-op and commits nothing
+    assert refresh_agg_view(spark, view)["mode"] == "noop"
+
+
+def test_dead_group_tombstones_and_revives(spark, tmpdir):
+    src, view = f"{tmpdir}/src", f"{tmpdir}/view"
+    _mk_source(spark, src, n=6, groups=3)
+    create_agg_view(spark, src, view, ["g"], AGGS, src_tombstone_col="dead")
+    # kill group 2 entirely (keys 2 and 5)
+    _upsert(spark, src, [(2, 2, None, 1, True), (5, 2, None, 1, True)])
+    refresh_agg_view(spark, view)
+    assert 2 not in _got(spark, view)
+    assert _got(spark, view) == _expected(spark, src)
+    # the dead group survives as a filtered tombstone row, then revives
+    # with fresh aggregates (nothing leaks from its previous life)
+    raw = read_table(spark, view)
+    assert raw.where(F.col(IVM_DEL)).count() == 1
+    _upsert(spark, src, [(50, 2, 3.5, 2, False)])
+    refresh_agg_view(spark, view)
+    assert _got(spark, view)[2] == (3.5, 1, 1, 3.5, 3.5)
+    assert _got(spark, view) == _expected(spark, src)
+
+
+def test_sum_null_semantics_restored(spark, tmpdir):
+    """SQL SUM over an all-NULL group is NULL, not 0 — deleting the
+    last non-null value must bring NULL back (the hidden non-null
+    counter's whole job)."""
+    src, view = f"{tmpdir}/src", f"{tmpdir}/view"
+    write_manifest_table(
+        spark,
+        spark.createDataFrame(
+            [(1, 0, 5.0, 0, False), (2, 0, None, 0, False)], SCHEMA
+        ),
+        src,
+    )
+    create_agg_view(spark, src, view, ["g"], ALG_AGGS,
+                    src_tombstone_col="dead")
+    _upsert(spark, src, [(1, 0, None, 1, True)])  # delete the 5.0 row
+    refresh_agg_view(spark, view)
+    assert _got(spark, view, names=tuple(ALG_AGGS))[0] == (None, 1, 0)
+    assert refresh_agg_view(spark, view)["mode"] == "noop"
+
+
+def test_null_group_keys_are_groups(spark, tmpdir):
+    src, view = f"{tmpdir}/src", f"{tmpdir}/view"
+    write_manifest_table(
+        spark,
+        spark.createDataFrame(
+            [(1, None, 1.0, 0, False), (2, None, 2.0, 0, False),
+             (3, 1, 3.0, 0, False)], SCHEMA
+        ),
+        src,
+    )
+    create_agg_view(spark, src, view, ["g"], AGGS, src_tombstone_col="dead")
+    _upsert(spark, src, [(4, None, 10.0, 1, False),
+                         (3, None, 30.0, 1, False)])
+    refresh_agg_view(spark, view)
+    assert _got(spark, view) == _expected(spark, src)
+    assert None in _got(spark, view)
+
+
+def test_algebraic_refresh_opens_no_base_files(spark, tmpdir):
+    """The 100 TB contract: with bloom sidecars on the source key, a
+    sum/count refresh over insert-only changes reads ONLY delta files
+    — zero base files, however large the base — on BOTH the first
+    (uncursored) refresh and the cursored steady state."""
+    from async_pipes_spark.sources.stats import write_file_bloom
+
+    src, view = f"{tmpdir}/src", f"{tmpdir}/view"
+    _mk_source(spark, src, n=200)
+    write_file_bloom(spark, src, ["k"])
+    create_agg_view(spark, src, view, ["g"], ALG_AGGS,
+                    src_tombstone_col="dead")
+
+    def base_files_of(s):
+        src_files = [f for f in s["feed_input_files"] if f"{src}/" in f]
+        assert src_files, s["feed_input_files"]
+        return [f for f in src_files if "/_data/v_" in f]
+
+    _upsert(spark, src, [(1000, 1, 4.0, 1, False),
+                         (1001, 2, 5.0, 1, False)])
+    s = refresh_agg_view(spark, view, collect_stats=True)
+    assert s["mode"] == "incremental" and not s["minmax_recompute"]
+    assert not base_files_of(s), base_files_of(s)
+    # cursored steady state: the consumed prefix stays in the backlog,
+    # and the pruned contested plan must still hold
+    _upsert(spark, src, [(1002, 0, 6.0, 1, False)])
+    s2 = refresh_agg_view(spark, view, collect_stats=True)
+    assert s2["mode"] == "incremental"
+    assert not base_files_of(s2), base_files_of(s2)
+    assert _got(spark, view, names=tuple(ALG_AGGS)) == {
+        g: v[:3] for g, v in _expected(spark, src).items()
+    }
+
+
+def test_minmax_recompute_touches_affected_groups_only(spark, tmpdir):
+    """Deleting the max holder of one group forces a recompute — the
+    recomputed slice is semi-joined on the affected groups, and the
+    untouched groups' stored rows are not rewritten."""
+    src, view = f"{tmpdir}/src", f"{tmpdir}/view"
+    _mk_source(spark, src, n=40, groups=4)
+    create_agg_view(spark, src, view, ["g"], AGGS, src_tombstone_col="dead")
+    # group 3's max is 39 — delete it; its min is 3 — delete it too
+    _upsert(spark, src, [(39, 3, None, 1, True), (3, 3, None, 1, True)])
+    s = refresh_agg_view(spark, view)
+    assert s["minmax_recompute"]
+    assert _got(spark, view) == _expected(spark, src)
+    # untouched groups kept their create-time rows (seq 0): only the
+    # affected group's row was rewritten at seq 1
+    raw = read_table(spark, view)
+    assert raw.where((F.col("g") != 3) & (F.col("_ivm_seq") > 0)).count() == 0
+    assert raw.where((F.col("g") == 3) & (F.col("_ivm_seq") == 1)).count() == 1
+
+
+def test_source_compaction_falls_back_full(spark, tmpdir):
+    src, view = f"{tmpdir}/src", f"{tmpdir}/view"
+    _mk_source(spark, src)
+    create_agg_view(spark, src, view, ["g"], AGGS, src_tombstone_col="dead")
+    _upsert(spark, src, [(500, 1, 1.5, 1, False)])
+    refresh_agg_view(spark, view)
+    _upsert(spark, src, [(501, 2, 2.5, 2, False)])
+    compact_small_files(spark, src)  # new base; cursor folded away
+    s = refresh_agg_view(spark, view)
+    assert s["mode"] == "full" and s["reason"] == "source-base-moved"
+    assert _got(spark, view) == _expected(spark, src)
+    assert refresh_agg_view(spark, view)["mode"] == "noop"
+
+
+def test_compaction_of_caught_up_source_is_not_a_noop(spark, tmpdir):
+    """The trap the base token exists for: cursor is None (view was
+    caught up when the source had no backlog), then an upsert lands
+    AND a compaction folds it into a fresh base before the next
+    refresh. The backlog is empty again — a delta-count check would
+    say 'no changes' and silently lose the upsert forever."""
+    src, view = f"{tmpdir}/src", f"{tmpdir}/view"
+    _mk_source(spark, src)
+    create_agg_view(spark, src, view, ["g"], AGGS, src_tombstone_col="dead")
+    _upsert(spark, src, [(42, 1, 1000.0, 1, False)])
+    compact_small_files(spark, src)
+    s = refresh_agg_view(spark, view)
+    assert s["mode"] == "full" and s["reason"] == "source-base-moved"
+    assert _got(spark, view) == _expected(spark, src)
+    assert _got(spark, view)[1][0] is not None  # the 1000.0 landed
+
+
+def test_cow_merge_on_source_is_seen(spark, tmpdir):
+    """A copy-on-write merge_upsert writes a new base with no backlog
+    at all — the refresh must notice through the base token."""
+    from async_pipes_spark.sources.sinks import merge_upsert
+
+    src, view = f"{tmpdir}/src", f"{tmpdir}/view"
+    _mk_source(spark, src)
+    create_agg_view(spark, src, view, ["g"], AGGS, src_tombstone_col="dead")
+    merge_upsert(
+        spark, src,
+        spark.createDataFrame([(7, 2, 777.0, 1, False)], SCHEMA),
+        ["k"], version_cols=["ver"], tombstone_col="dead",
+    )
+    s = refresh_agg_view(spark, view)
+    assert s["mode"] == "full" and s["reason"] == "source-base-moved"
+    assert _got(spark, view) == _expected(spark, src)
+
+
+def test_view_state_drift_falls_back_full(spark, tmpdir):
+    """An out-of-band commit to the view (here: a compaction not run
+    through optimize_agg_view — the same signature a crashed refresh
+    leaves) must NOT be trusted for incremental arithmetic."""
+    src, view = f"{tmpdir}/src", f"{tmpdir}/view"
+    _mk_source(spark, src)
+    create_agg_view(spark, src, view, ["g"], AGGS, src_tombstone_col="dead")
+    _upsert(spark, src, [(600, 0, 6.0, 1, False)])
+    refresh_agg_view(spark, view)
+    compact_small_files(spark, view)  # out-of-band
+    _upsert(spark, src, [(601, 1, 7.0, 2, False)])
+    s = refresh_agg_view(spark, view)
+    assert s["mode"] == "full" and s["reason"] == "view-state-drift"
+    assert _got(spark, view) == _expected(spark, src)
+
+
+def test_crashed_refresh_never_double_applies(spark, tmpdir):
+    """Simulate the crash window: the view delta committed but the
+    cursor write was lost (restore the PRE-refresh state file). The
+    next refresh must detect the seq drift and full-recompute — a
+    naive re-apply would double-add the sums."""
+    from async_pipes_spark.sources.ivm import _read_state, _write_state
+
+    src, view = f"{tmpdir}/src", f"{tmpdir}/view"
+    _mk_source(spark, src)
+    create_agg_view(spark, src, view, ["g"], AGGS, src_tombstone_col="dead")
+    before = _read_state(spark, view)
+    _upsert(spark, src, [(700, 0, 100.0, 1, False)])
+    refresh_agg_view(spark, view)
+    _write_state(spark, view, before)  # "crash": cursor write lost
+    s = refresh_agg_view(spark, view)
+    assert s["mode"] == "full" and s["reason"] == "view-state-drift"
+    assert _got(spark, view) == _expected(spark, src)
+
+
+def test_optimize_agg_view_keeps_incremental_lane(spark, tmpdir):
+    src, view = f"{tmpdir}/src", f"{tmpdir}/view"
+    _mk_source(spark, src)
+    create_agg_view(spark, src, view, ["g"], AGGS, src_tombstone_col="dead")
+    for i in range(3):
+        _upsert(spark, src, [(800 + i, i, float(i), 1, False)])
+        refresh_agg_view(spark, view)
+    optimize_agg_view(spark, view)
+    assert _got(spark, view) == _expected(spark, src)
+    _upsert(spark, src, [(900, 1, 9.0, 2, False)])
+    s = refresh_agg_view(spark, view)
+    assert s["mode"] == "incremental"  # NOT drift — optimize re-armed
+    assert _got(spark, view) == _expected(spark, src)
+
+
+def test_concurrent_source_writer_between_refreshes(spark, tmpdir):
+    """A delta landing after the refresh snapshotted the backlog is
+    neither leaked nor skipped: with the until-bound this reduces to
+    'every delta is consumed exactly once across refreshes'."""
+    src, view = f"{tmpdir}/src", f"{tmpdir}/view"
+    _mk_source(spark, src)
+    create_agg_view(spark, src, view, ["g"], ALG_AGGS,
+                    src_tombstone_col="dead")
+    _upsert(spark, src, [(1, 1, 11.0, 1, False)])
+    _upsert(spark, src, [(2, 2, 22.0, 1, False)])
+    s1 = refresh_agg_view(spark, view)
+    assert s1["deltas_consumed"] == 2
+    _upsert(spark, src, [(3, 0, 33.0, 1, False)])
+    s2 = refresh_agg_view(spark, view)
+    assert s2["deltas_consumed"] == 1
+    assert _got(spark, view, names=tuple(ALG_AGGS)) == {
+        g: v[:3] for g, v in _expected(spark, src).items()
+    }
+
+
+def test_randomized_model_parity(spark, tmpdir):
+    """Seeded random program of upserts / deletes / group moves /
+    compactions / refreshes: after every refresh the view equals the
+    full GROUP BY — the IVM twin of the manifest model net."""
+    rng = random.Random(0xC0FFEE)
+    src, view = f"{tmpdir}/src", f"{tmpdir}/view"
+    _mk_source(spark, src, n=30, groups=5)
+    create_agg_view(spark, src, view, ["g"], AGGS, src_tombstone_col="dead")
+    ver = 1
+    for step in range(8):
+        for _ in range(rng.randint(1, 2)):
+            batch = []
+            for _ in range(rng.randint(1, 6)):
+                k = rng.randint(0, 45)
+                g = rng.choice([None] + list(range(6)))
+                x = rng.choice([None, float(rng.randint(-20, 99))])
+                dead = rng.random() < 0.25
+                batch.append((k, g, x, ver, dead))
+            _upsert(spark, src, batch)
+            ver += 1
+        if rng.random() < 0.25:
+            compact_small_files(spark, src)
+        if rng.random() < 0.2:
+            optimize_agg_view(spark, view)
+        refresh_agg_view(spark, view)
+        assert _got(spark, view) == _expected(spark, src), f"step {step}"
+
+
+def test_validation_errors(spark, tmpdir):
+    src, view = f"{tmpdir}/src", f"{tmpdir}/view"
+    _mk_source(spark, src, n=4)
+    with pytest.raises(ValueError, match="avg is not directly"):
+        create_agg_view(spark, src, view, ["g"], {"a": ("avg", "x")})
+    with pytest.raises(ValueError, match="unsupported aggregate"):
+        create_agg_view(spark, src, view, ["g"], {"a": ("median", "x")})
+    with pytest.raises(ValueError, match="group_cols is required"):
+        create_agg_view(spark, src, view, [], {"a": ("sum", "x")})
+    with pytest.raises(ValueError, match="not in source"):
+        create_agg_view(spark, src, view, ["g"], {"a": ("sum", "nope")})
+    with pytest.raises(ValueError, match="collides"):
+        create_agg_view(spark, src, view, ["g"], {"g": ("sum", "x")})
+    with pytest.raises(ValueError, match="not an IVM view"):
+        refresh_agg_view(spark, f"{tmpdir}/nothing")
+
+
+def test_tombstone_spec_drift_raises(spark, tmpdir):
+    """A backlog written with a different tombstone column than the
+    view records would silently count dead rows — refuse it."""
+    src, view = f"{tmpdir}/src", f"{tmpdir}/view"
+    _mk_source(spark, src)
+    create_agg_view(spark, src, view, ["g"], ALG_AGGS)  # no tombstone
+    _upsert(spark, src, [(1, 1, 1.0, 1, False)])  # spec says "dead"
+    with pytest.raises(ValueError, match="tombstone spec drifted"):
+        refresh_agg_view(spark, view)
+
+
+def test_minmax_fast_path_skips_source_entirely(spark, tmpdir):
+    """The steady-state IVM property for non-invertible aggregates:
+    when no removed value touches a stored extreme — or an added value
+    absorbs it — min/max are maintained from the feed alone
+    (minmax_recompute False) and still match the full recompute."""
+    src, view = f"{tmpdir}/src", f"{tmpdir}/view"
+    _mk_source(spark, src, n=40, groups=4)  # group g: x in {g, g+4, ...}
+    create_agg_view(spark, src, view, ["g"], AGGS, src_tombstone_col="dead")
+    # interior update: group 1's extremes are 1 and 37; key 17 (x=17)
+    # moves to x=18.5 — neither removed nor added value is an extreme
+    _upsert(spark, src, [(17, 1, 18.5, 1, False)])
+    s = refresh_agg_view(spark, view)
+    assert s["mode"] == "incremental" and not s["minmax_recompute"], s
+    assert _got(spark, view) == _expected(spark, src)
+    # absorbing insert: a new max above group 2's current 38
+    _upsert(spark, src, [(900, 2, 99.5, 1, False)])
+    s2 = refresh_agg_view(spark, view)
+    assert not s2["minmax_recompute"], s2
+    assert _got(spark, view) == _expected(spark, src)
+    # a brand-new group derives min/max from its own inserts
+    _upsert(spark, src, [(901, 9, -3.0, 1, False),
+                         (902, 9, 7.0, 1, False)])
+    s3 = refresh_agg_view(spark, view)
+    assert not s3["minmax_recompute"], s3
+    assert _got(spark, view)[9][3:] == (-3.0, 7.0)
+    assert _got(spark, view) == _expected(spark, src)
+    # and only removing an extreme holder forces the recompute lane
+    _upsert(spark, src, [(39, 3, None, 2, True)])  # group 3's max dies
+    s4 = refresh_agg_view(spark, view)
+    assert s4["minmax_recompute"], s4
+    assert _got(spark, view) == _expected(spark, src)
