@@ -43,23 +43,24 @@ def entry(spark: SparkSession) -> DataFrame:
 #: cut at entry #50), so dict order IS driver coverage. Policy: queries
 #: new this round and queries without a fresh driver row come FIRST;
 #: the freshest greens rotate to the tail. Round-9 window (the r8
-#: verdict's item 5, executed): the 3 NEW queries (z5 skipping under
+#: verdict's item 5, executed): the 4 NEW queries (z5 skipping under
 #: a live merge-on-read backlog, s31 change-data-feed, v4 incremental
-#: view maintenance), then the 5 queries whose CODE PATHS
+#: view maintenance, s32 its streaming twin), then the 5 queries
+#: whose CODE PATHS
 #: round 9 rewrote (s30/z4 ride the new keep/contested MOR resolver
 #: and delta-aware scan planner; a10/a11/s27 ride the explicit-states
 #: index pointer commit and backlogged-probe pruning), then ALL 35
 #: queries whose freshest driver rows date to r06 (x4-x6, j1-j5,
 #: k2/k3, a1/a5, b1, s4/s5/s9-s16, d1-d8, t1-t4 — the exact rotation
 #: list the r8 verdict staged; SWEEP_r08 re-proved them green
-#: same-round), then 7 refreshes from the oldest r07-green evidence
-#: (a8/s24/a9/d13/t15/s25/z1 — z1 doubles as the verdict's item-8
-#: watch). 3 + 5 + 35 + 7 = 50 exactly. After this window every
+#: same-round), then 6 refreshes from the oldest r07-green evidence
+#: (a8/s24/a9/d13/t15/z1 — z1 doubles as the verdict's item-8
+#: watch). 4 + 5 + 35 + 6 = 50 exactly. After this window every
 #: contract query holds a driver row from r7 or later. Every query
 #: keeps its oracle regardless of position.
 _PRIORITY = [
     # new in round 9 — first driver row needed
-    "z5_", "s31_", "v4_",
+    "z5_", "s31_", "v4_", "s32_",
     # code paths rewritten in round 9 (MOR resolve, delta-aware
     # pruning, index pointer commit) — re-verify first
     "s30_", "z4_", "a10_", "a11_", "s27_",
@@ -70,13 +71,13 @@ _PRIORITY = [
     "s4_", "s5_", "s9_", "s10_", "s11_", "s12_", "s13_", "s14_", "s15_", "s16_",
     "d1_", "d2_", "d3_", "d4_", "d5_", "d6_", "d7_", "d8_",
     "t1_", "t2_", "t3_", "t4_",
-    # 7 oldest-r07 refreshes (incl. the z1 perf watch; s26 and f1
-    # slipped below the cut to make room for s31 and v4 — both stay
+    # 6 oldest-r07 refreshes (incl. the z1 perf watch; s25/f1/s26
+    # slipped below the cut to make room for s31/v4/s32 — all stay
     # r07-green)
-    "a8_", "s24_", "a9_", "d13_", "t15_", "s25_", "z1_",
+    "a8_", "s24_", "a9_", "d13_", "t15_", "z1_",
     # ---- 50-cut ----
     # r07-green remainder
-    "f1_", "s26_", "z2_", "r17_", "s28_", "r18_", "k5_", "mm4_",
+    "s25_", "f1_", "s26_", "z2_", "r17_", "s28_", "r18_", "k5_", "mm4_",
     "smp6_", "t16_", "smp7_", "s29_", "pipe2_", "mm5_", "z3_",
     "t13_", "smp4_", "pipe1_",
     "p3_", "p5_", "p6_", "x1_", "x3_", "b2_", "t5_", "t6_",

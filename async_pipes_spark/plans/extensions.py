@@ -2627,6 +2627,109 @@ def s31_mor_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def s32_stream_ivm_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental view maintenance — the s30 merge-on-read
+    CDC stream with a materialized rollup kept current per trigger:
+    each micro-batch commits one O(batch) mor delta to the source
+    (user_id latest-event table, LWW on (ts, event_id)) and then
+    refreshes a per-event_type aggregate view through the bounded
+    change feed (sources.ivm.refresh_agg_view) — the view write is
+    O(changed groups), the source base is touched only on the
+    contested slice, and a caught-up refresh after the stream is a
+    no-op. Batch replays are safe twice over: the merge is LWW-
+    idempotent and the refresh is cursor-guarded. The in-query assert
+    pins view == direct GROUP BY over the resolved table; the oracle
+    recomputes the rollup from the per-user argmax in DuckDB. At
+    100 TB this is the streaming metrics table that never recomputes:
+    delta bytes in, changed group rows out, per trigger."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from async_pipes_spark.functions.money import cents
+    from async_pipes_spark.session import ensure_engine_confs
+    from async_pipes_spark.sources.ivm import (
+        create_agg_view,
+        read_agg_view,
+        refresh_agg_view,
+    )
+    from async_pipes_spark.sources.sinks import (
+        mor_upsert,
+        write_manifest_table,
+    )
+
+    base = tempfile.mkdtemp(prefix="s32_ivm_")
+    lake, view = f"{base}/lake", f"{base}/view"
+
+    session = spark.newSession()
+    ensure_engine_confs(session)
+    session.conf.set("spark.sql.shuffle.partitions", "8")
+
+    ev = load_table(session, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type",
+        cents("value").alias("value_cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    seed = (
+        ev.filter(F.col("event_id") < 5000)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    write_manifest_table(session, seed, lake)
+    create_agg_view(
+        session, lake, view, ["event_type"],
+        {"sum_val": ("sum", "value_cents"), "n_users": ("count", "*")},
+    )
+
+    incoming = f"{base}/incoming"
+    ev.filter(F.col("event_id") >= 5000).repartition(2).write.mode(
+        "overwrite"
+    ).parquet(incoming)
+    modes = []
+
+    def upsert_and_refresh(batch: DataFrame, _batch_id: int) -> None:
+        mor_upsert(
+            batch.sparkSession, lake, batch,
+            key_cols=["user_id"], version_cols=["ts", "event_id"],
+        )
+        modes.append(refresh_agg_view(batch.sparkSession, view)["mode"])
+
+    q = (
+        session.readStream.schema(session.read.parquet(incoming).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(incoming)
+        .writeStream.foreachBatch(upsert_and_refresh)
+        .option("checkpointLocation", f"{base}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert modes and all(m == "incremental" for m in modes), modes
+    # caught up: the post-stream refresh must be a no-op...
+    assert refresh_agg_view(session, view)["mode"] == "noop"
+    out = read_agg_view(session, view).orderBy("event_type").transform(_pin)
+    # ...and the maintained view IS the direct rollup of the resolved
+    # table (engine-side parity, asserted in-query — the oracle then
+    # re-derives the same rollup from the raw events in DuckDB)
+    from async_pipes_spark.sources.sinks import read_table
+
+    direct = {
+        tuple(r)
+        for r in read_table(session, lake)
+        .groupBy("event_type")
+        .agg(
+            F.sum("value_cents").alias("sum_val"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+        .collect()
+    }
+    shutil.rmtree(base, ignore_errors=True)
+    assert {tuple(r) for r in out.collect()} == direct
+    return out
+
+
 def v4_ivm_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTALLY MAINTAINED materialized aggregate
     (sources.ivm — the Delta Live Tables / Materialize maintenance
@@ -3504,6 +3607,7 @@ EXTENSION_QUERIES = {
     "s28_concurrent_stream_writers": s28_concurrent_stream_writers,
     "s30_stream_mor_upsert": s30_stream_mor_upsert,
     "s31_mor_change_feed": s31_mor_change_feed,
+    "s32_stream_ivm_rollup": s32_stream_ivm_rollup,
     "s25_stream_topk": s25_stream_topk,
     "s27_stream_index_serving": s27_stream_index_serving,
     "s29_stream_near_dup_gate": s29_stream_near_dup_gate,
@@ -5251,6 +5355,22 @@ EXTENSION_ORACLES = {
                    'insert'
             FROM c WHERE k % 100 BETWEEN 2 AND 4
         ) ORDER BY k, _change_type
+    """,
+    # the streaming-maintained view quiesces to the rollup of the
+    # per-user argmax (the same LWW quiescence oracle as s20/s30)
+    "s32_stream_ivm_rollup": """
+        WITH latest AS (
+            SELECT event_type,
+                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc
+            FROM (SELECT event_type, value,
+                         ROW_NUMBER() OVER (PARTITION BY user_id
+                                            ORDER BY ts DESC,
+                                                     event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1
+        )
+        SELECT event_type, SUM(vc) AS sum_val, COUNT(*) AS n_users
+        FROM latest GROUP BY event_type ORDER BY event_type
     """,
     # the view's final contents = the full GROUP BY over the upsert
     # program's net result: stale batch vanishes, m<10 moves to 'UPD'
