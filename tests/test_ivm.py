@@ -425,3 +425,66 @@ def test_minmax_fast_path_skips_source_entirely(spark, tmpdir):
     s4 = refresh_agg_view(spark, view)
     assert s4["minmax_recompute"], s4
     assert _got(spark, view) == _expected(spark, src)
+
+
+def test_partitioned_source_view(spark, tmpdir):
+    """IVM over the PARTITIONED manifest flavor: the pinned state is
+    the live generation, refreshes ride the same feed, and a
+    generation-changing verb downgrades safely."""
+    from async_pipes_spark.sources.sinks import (
+        write_partitioned_manifest_table,
+    )
+
+    src, view = f"{tmpdir}/src", f"{tmpdir}/view"
+    rows = [(i, i % 3, float(i), 0, False) for i in range(24)]
+    write_partitioned_manifest_table(
+        spark, spark.createDataFrame(rows, SCHEMA), src, ["g"]
+    )
+    create_agg_view(spark, src, view, ["g"], AGGS, src_tombstone_col="dead")
+    assert _got(spark, view) == _expected(spark, src)
+    # rows moving BETWEEN partitions (g is the partition col)
+    _upsert(spark, src, [(0, 2, 50.0, 1, False), (7, 0, None, 1, True)])
+    s = refresh_agg_view(spark, view)
+    assert s["mode"] == "incremental"
+    assert _got(spark, view) == _expected(spark, src)
+    compact_small_files(spark, src)
+    s2 = refresh_agg_view(spark, view)
+    assert s2["mode"] == "full" and s2["reason"] == "source-base-moved"
+    assert _got(spark, view) == _expected(spark, src)
+
+
+def test_every_base_moving_verb_downgrades_safely(spark, tmpdir):
+    """z-order, tombstone purge, and RESTORE all publish a different
+    base version — each must land the view on the full-recompute lane
+    and end row-exact, never silently stale or double-applied."""
+    from async_pipes_spark.sources.sinks import (
+        manifest_versions,
+        optimize_zorder,
+        purge_tombstones,
+        restore_manifest_table,
+    )
+
+    src, view = f"{tmpdir}/src", f"{tmpdir}/view"
+    _mk_source(spark, src)
+    create_agg_view(spark, src, view, ["g"], AGGS, src_tombstone_col="dead")
+
+    _upsert(spark, src, [(3, 1, None, 1, True)])  # a tombstone to purge
+    refresh_agg_view(spark, view)
+
+    optimize_zorder(spark, src, ["k"])
+    s = refresh_agg_view(spark, view)
+    assert s["mode"] == "full" and s["reason"] == "source-base-moved", s
+    assert _got(spark, view) == _expected(spark, src)
+
+    purge_tombstones(spark, src, tombstone_col="dead")
+    s2 = refresh_agg_view(spark, view)
+    assert s2["mode"] == "full" and s2["reason"] == "source-base-moved", s2
+    assert _got(spark, view) == _expected(spark, src)
+
+    _upsert(spark, src, [(90, 2, 9.0, 2, False)])
+    refresh_agg_view(spark, view)
+    prev = manifest_versions(spark, src)[1]
+    restore_manifest_table(spark, src, prev)
+    s3 = refresh_agg_view(spark, view)
+    assert s3["mode"] == "full", s3
+    assert _got(spark, view) == _expected(spark, src)
