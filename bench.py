@@ -135,12 +135,40 @@ def _ab_vs_prev_round(
         # ratios are position noise in both directions — 12x swings on
         # identical code); 'full' times every query
         scope = os.environ.get("SPARK_GRAFT_AB_SCOPE", "hot")
+        # IDENTICAL WORKLOAD on both sides (round-9 adjudication): the
+        # hot set derives from HEAD's timings, so it includes queries
+        # NEW this round that prev silently skips — HEAD passes then
+        # run minutes more work than prev passes, and that asymmetric
+        # heat lands on the shared queries around them (r9's first A/B
+        # read mm1 6.9x / r13 7.3x while the full bench read both
+        # flat). Intersect with prev's names so every pass runs the
+        # same queries in the same sorted order; new queries have
+        # nothing to compare against anyway.
+        prev_names: set[str] | None = None
+        try:
+            lp = subprocess.run(
+                [sys.executable, str(REPO / "tools" / "ab_pass.py"),
+                 "--root", str(wt), "--list"],
+                capture_output=True, text=True, timeout=300,
+            )
+            if lp.returncode == 0:
+                prev_names = set(
+                    json.loads(lp.stdout.strip().splitlines()[-1])["names"]
+                )
+        except Exception:
+            prev_names = None
         names_arg: list[str] = []
         if scope != "full" and head_timings:
             floor = float(os.environ.get("SPARK_GRAFT_AB_MIN_SEC", "0.5"))
             hot = sorted(n for n, t in head_timings.items() if t >= floor)
+            if prev_names is not None:
+                hot = [n for n in hot if n in prev_names]
             if hot:
                 names_arg = ["--names", ",".join(hot)]
+        elif prev_names is not None:
+            shared_all = sorted(set(head_timings or ()) & prev_names) if head_timings else sorted(prev_names)
+            if shared_all:
+                names_arg = ["--names", ",".join(shared_all)]
         # wall-clock budget so the A/B degrades (fewer passes) instead
         # of blowing the driver's bench window; at least one complete
         # HEAD+prev pair always runs

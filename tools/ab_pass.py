@@ -33,6 +33,12 @@ def main() -> int:
         default="",
         help="comma-separated query subset (default: the whole contract)",
     )
+    ap.add_argument(
+        "--list", action="store_true",
+        help="print this side's query names (no Spark, no timing) — the "
+        "parent intersects both sides so each pass runs an IDENTICAL "
+        "workload",
+    )
     args = ap.parse_args()
 
     sys.path.insert(0, args.root)
@@ -54,6 +60,10 @@ def main() -> int:
         # silently skip names this side doesn't have (prev may predate
         # a query; the parent ratios only shared names anyway)
         queries = {n: fn for n, fn in queries.items() if n in wanted}
+
+    if args.list:
+        print(json.dumps({"root": args.root, "names": sorted(queries)}))
+        return 0
 
     spark = get_spark("ab-pass", cpus=args.cpus)
     # identical warmup on both sides (JVM + file listing), excluded
