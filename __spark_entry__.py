@@ -39,59 +39,52 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 #: Driver-contract ordering. The verification driver records correctness
-#: rows for the FIRST 50 ``queries()`` entries per round (r02-r08 all
+#: rows for the FIRST 50 ``queries()`` entries per round (r02-r09 all
 #: cut at entry #50), so dict order IS driver coverage. Policy: queries
 #: new this round and queries without a fresh driver row come FIRST;
-#: the freshest greens rotate to the tail. Round-9 window (the r8
-#: verdict's item 5, executed): the 4 NEW queries (z5 skipping under
-#: a live merge-on-read backlog, s31 change-data-feed, v4 incremental
-#: view maintenance, s32 its streaming twin), then the 5 queries
-#: whose CODE PATHS
-#: round 9 rewrote (s30/z4 ride the new keep/contested MOR resolver
-#: and delta-aware scan planner; a10/a11/s27 ride the explicit-states
-#: index pointer commit and backlogged-probe pruning), then ALL 35
-#: queries whose freshest driver rows date to r06 (x4-x6, j1-j5,
-#: k2/k3, a1/a5, b1, s4/s5/s9-s16, d1-d8, t1-t4 — the exact rotation
-#: list the r8 verdict staged; SWEEP_r08 re-proved them green
-#: same-round), then 6 refreshes from the oldest r07-green evidence
-#: (a8/s24/a9/d13/t15/z1 — z1 doubles as the verdict's item-8
-#: watch). 4 + 5 + 35 + 6 = 50 exactly. After this window every
-#: contract query holds a driver row from r7 or later. Every query
-#: keeps its oracle regardless of position.
+#: the freshest greens rotate to the tail. Round-10 window (the r9
+#: verdict's items 1 + 5, executed): v4/s32 lead — the ONLY red rows
+#: in CORRECTNESS_r09 (hash mismatch the builder's SWEEP_r09 and three
+#: judge re-runs could not reproduce; both queries now carry in-query
+#: parity asserts + diagnostics/ivm_runs.jsonl fingerprints and v4
+#: runs on a cloned session) — with v5 (NEW: filtered+avg IVM view)
+#: beside them; then ALL 41 queries whose freshest green driver row
+#: dates to r07 (a2-a4, b2, f1, k1/k4/k5, mm4/mm5, p3/p5/p6,
+#: pipe1/pipe2, r11-r18, s25/s26/s28/s29, smp1-smp4/smp6/smp7,
+#: t5/t6/t13/t16, x1/x3, z2/z3 — t16 doubles as the verdict's
+#: item-4 perf watch); then the 6 alphabetically-first r08-green
+#: rows (a6/a7/bpe1/bpe2/d10/d11). 3 + 41 + 6 = 50 exactly. After
+#: this window every contract query holds a green driver row from
+#: r8+ (SWEEP_r10 carries same-round evidence for the tail). Every
+#: query keeps its oracle regardless of position.
 _PRIORITY = [
-    # new in round 9 — first driver row needed
-    "z5_", "s31_", "v4_", "s32_",
-    # code paths rewritten in round 9 (MOR resolve, delta-aware
-    # pruning, index pointer commit) — re-verify first
-    "s30_", "z4_", "a10_", "a11_", "s27_",
-    # the 35 r06-row queries — the r8 verdict's rotation list, complete
-    "x4_", "x5_", "x6_",
-    "j1_", "j2_", "j3_", "j4_", "j5_",
-    "k2_", "k3_", "a1_", "a5_", "b1_",
-    "s4_", "s5_", "s9_", "s10_", "s11_", "s12_", "s13_", "s14_", "s15_", "s16_",
-    "d1_", "d2_", "d3_", "d4_", "d5_", "d6_", "d7_", "d8_",
-    "t1_", "t2_", "t3_", "t4_",
-    # 6 oldest-r07 refreshes (incl. the z1 perf watch; s25/f1/s26
-    # slipped below the cut to make room for s31/v4/s32 — all stay
-    # r07-green)
-    "a8_", "s24_", "a9_", "d13_", "t15_", "z1_",
+    # the r9 driver-red IVM rows + the new filtered/avg IVM query
+    "v4_", "s32_", "v5_",
+    # all 41 r07-evidence queries, oldest rows in the contract
+    "a2_", "a3_", "a4_", "b2_", "f1_", "k1_", "k4_", "k5_",
+    "mm4_", "mm5_", "p3_", "p5_", "p6_", "pipe1_", "pipe2_",
+    *[f"r{i}_" for i in range(11, 19)],
+    "s25_", "s26_", "s28_", "s29_",
+    "smp1_", "smp2_", "smp3_", "smp4_", "smp6_", "smp7_",
+    "t13_", "t16_", "t5_", "t6_", "x1_", "x3_", "z2_", "z3_",
+    # 6 oldest r08-green refreshes
+    "a6_", "a7_", "bpe1_", "bpe2_", "d10_", "d11_",
     # ---- 50-cut ----
-    # r07-green remainder
-    "s25_", "f1_", "s26_", "z2_", "r17_", "s28_", "r18_", "k5_", "mm4_",
-    "smp6_", "t16_", "smp7_", "s29_", "pipe2_", "mm5_", "z3_",
-    "t13_", "smp4_", "pipe1_",
-    "p3_", "p5_", "p6_", "x1_", "x3_", "b2_", "t5_", "t6_",
-    *[f"r{i}_" for i in range(11, 17)],
-    "a2_", "a3_", "a4_", "k1_", "k4_",
-    "smp1_", "smp2_", "smp3_",
-    # r08-green tail (freshest driver rows in the contract)
-    "bpe1_", "bpe2_", "d9_", "d10_", "g1_", "g2_", "mm1_",
+    # r08-green remainder
+    "d12_", "d9_", "g1_", "g2_", "mm1_", "mm2_", "mm3_",
+    "p1_", "p2_", "p4_", "p7_", "p8_", "p9_",
     *[f"r{i}_" for i in range(1, 11)],
-    "s17_", "s18_", "s19_", "s20_", "s21_", "s22_",
+    "s17_", "s18_", "s19_", "s20_", "s21_", "s22_", "s23_", "smp5_",
     "t7_", "t8_", "t9_", "t10_", "t11_", "t12_", "t14_",
-    "v1_", "v2_", "v3_",
-    "a6_", "a7_", "d11_", "d12_", "smp5_", "s23_", "mm2_", "mm3_",
-    "p1_", "p2_", "p4_", "p7_", "p8_", "p9_", "x2_",
+    "v1_", "v2_", "v3_", "x2_",
+    # r09-green tail (freshest driver rows in the contract)
+    "a10_", "a11_", "a1_", "a5_", "a8_", "a9_", "b1_",
+    "d13_", "d1_", "d2_", "d3_", "d4_", "d5_", "d6_", "d7_", "d8_",
+    "j1_", "j2_", "j3_", "j4_", "j5_", "k2_", "k3_",
+    "s10_", "s11_", "s12_", "s13_", "s14_", "s15_", "s16_",
+    "s24_", "s27_", "s30_", "s31_", "s4_", "s5_", "s9_",
+    "t15_", "t1_", "t2_", "t3_", "t4_",
+    "x4_", "x5_", "x6_", "z1_", "z4_", "z5_",
 ]
 
 

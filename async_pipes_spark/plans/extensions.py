@@ -2713,6 +2713,7 @@ def s32_stream_ivm_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ...and the maintained view IS the direct rollup of the resolved
     # table (engine-side parity, asserted in-query — the oracle then
     # re-derives the same rollup from the raw events in DuckDB)
+    from async_pipes_spark import diag
     from async_pipes_spark.sources.sinks import read_table
 
     direct = {
@@ -2725,8 +2726,25 @@ def s32_stream_ivm_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .collect()
     }
+    got = {tuple(r) for r in out.collect()}
+    # stage fingerprints + env for driver-divergence attribution
+    # (round-10 verdict item #1; see v4's docstring + diag module)
+    diag.record("s32_stream_ivm_rollup", {
+        "modes": modes,
+        "fp_lake_resolved": diag.frame_fingerprint(
+            read_table(session, lake),
+            ["user_id", "ts", "event_id", "event_type", "value_cents"],
+        ),
+        "fp_view_raw": diag.frame_fingerprint(read_table(session, view)),
+        "out_rows": sorted(map(list, got)),
+        "parity_ok": got == direct,
+        "env": diag.env_summary(session),
+    })
     shutil.rmtree(base, ignore_errors=True)
-    assert {tuple(r) for r in out.collect()} == direct
+    assert got == direct, (
+        "s32 IVM parity: maintained view != direct rollup of the "
+        f"resolved lake; view={sorted(got)} direct={sorted(direct)}"
+    )
     return out
 
 
@@ -2745,11 +2763,24 @@ def v4_ivm_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing. Two refreshes split the program so the second runs the
     CURSORED feed path; min/max force the affected-group recompute
     lane. The oracle recomputes the final GROUP BY from the source
-    table directly — integer cents keep the incremental sums exact."""
+    table directly — integer cents keep the incremental sums exact.
+
+    Driver-divergence instrumentation (round-10 verdict item #1: the
+    r9 driver run hash-failed this query while four same-HEAD re-runs
+    passed it): runs on a CLONED session with the engine confs pinned
+    (shared-session conf drift was a suspect), asserts view == direct
+    GROUP BY over the resolved lake IN-QUERY with a loud message (a
+    recurrence then attributes itself — assert fires → the IVM fold
+    broke; hash mismatch with the assert green → the lake state itself
+    diverged from the oracle's model), and records stage fingerprints
+    + env knobs to diagnostics/ivm_runs.jsonl (async_pipes_spark.diag)
+    for cross-environment diffing."""
     import shutil
     import tempfile
 
+    from async_pipes_spark import diag
     from async_pipes_spark.functions.money import cents
+    from async_pipes_spark.session import ensure_engine_confs
     from async_pipes_spark.sources.ivm import (
         create_agg_view,
         read_agg_view,
@@ -2757,11 +2788,16 @@ def v4_ivm_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from async_pipes_spark.sources.sinks import (
         mor_upsert,
+        read_table,
         write_manifest_table,
     )
 
     base = tempfile.mkdtemp(prefix="v4_ivm_")
     path, view = f"{base}/t", f"{base}/view"
+    session = spark.newSession()
+    ensure_engine_confs(session)
+    session.conf.set("spark.sql.shuffle.partitions", "8")
+    spark = session
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("k"),
         F.lit(0).cast("long").alias("ver"),
@@ -2826,7 +2862,159 @@ def v4_ivm_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert s2["mode"] == "incremental" and s2["deltas_consumed"] == 1, s2
     assert refresh_agg_view(spark, view)["mode"] == "noop"
     out = read_agg_view(spark, view).orderBy("seg").transform(_pin)
+    # in-query parity + stage fingerprints (see docstring): the direct
+    # rollup recomputes the view's definition from the resolved lake
+    resolved_live = read_table(spark, path).where(
+        ~F.coalesce(F.col("dead"), F.lit(False))
+    )
+    direct = {
+        tuple(r)
+        for r in resolved_live.groupBy("seg").agg(
+            F.sum("bal_cents").alias("sum_bal"),
+            F.count(F.lit(1)).alias("n_cust"),
+            F.min("bal_cents").alias("min_bal"),
+            F.max("bal_cents").alias("max_bal"),
+        ).collect()
+    }
+    got = {tuple(r) for r in out.collect()}
+    diag.record("v4_ivm_agg_view", {
+        "refresh1": s1, "refresh2": s2,
+        "fp_source_live": diag.frame_fingerprint(
+            resolved_live, ["k", "ver", "bal_cents", "seg"]
+        ),
+        "fp_view_raw": diag.frame_fingerprint(read_table(spark, view)),
+        "out_rows": sorted(map(list, got)),
+        "parity_ok": got == direct,
+        "env": diag.env_summary(spark),
+    })
     shutil.rmtree(base, ignore_errors=True)
+    assert got == direct, (
+        "v4 IVM parity: maintained view != direct GROUP BY over the "
+        f"resolved lake; view={sorted(got)} direct={sorted(direct)}"
+    )
+    return out
+
+
+def v5_ivm_filtered_avg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED + AVG incremental view (round-10 surface, the r9
+    verdict's missing #2): ``SELECT seg, AVG(bal), SUM(bal), COUNT(*)
+    FROM t WHERE bal_cents >= 0 GROUP BY seg`` maintained through the
+    CDC feed. ``avg`` rides hidden (sum, non-null count) counters —
+    exact on integer cents, and the visible quotient is the SAME
+    double division the oracle performs (CAST(SUM AS DOUBLE)/COUNT),
+    so the hash comparison is bit-exact. The WHERE makes updates that
+    cross the predicate boundary the interesting case: batch 2 SIGN-
+    FLIPS the balances it touches (seg → 'UPD'), so originally-
+    positive rows fall OUT of the filtered multiset (their pre-images
+    leave old segments; post-images add nothing) while originally-
+    negative rows enter it — both directions land through the per-row
+    feed signs with no special casing. Batch 3's deletes and
+    insert-then-delete keys run through the CURSORED feed like v4.
+    In-query assert pins view == direct filtered GROUP BY over the
+    resolved lake."""
+    import shutil
+    import tempfile
+
+    from async_pipes_spark.functions.money import cents
+    from async_pipes_spark.session import ensure_engine_confs
+    from async_pipes_spark.sources.ivm import (
+        create_agg_view,
+        read_agg_view,
+        refresh_agg_view,
+    )
+    from async_pipes_spark.sources.sinks import (
+        mor_upsert,
+        read_table,
+        write_manifest_table,
+    )
+
+    base = tempfile.mkdtemp(prefix="v5_ivm_")
+    path, view = f"{base}/t", f"{base}/view"
+    session = spark.newSession()
+    ensure_engine_confs(session)
+    session.conf.set("spark.sql.shuffle.partitions", "8")
+    spark = session
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.lit(0).cast("long").alias("ver"),
+        cents("c_acctbal").alias("bal_cents"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit(False).alias("dead"),
+    )
+    write_manifest_table(spark, cust, path)
+    create_agg_view(
+        spark, path, view, ["seg"],
+        {
+            "avg_bal": ("avg", "bal_cents"),
+            "sum_bal": ("sum", "bal_cents"),
+            "n_pos": ("count", "*"),
+        },
+        src_tombstone_col="dead",
+        filter_expr="bal_cents >= 0",
+    )
+    m = F.col("k") % 100
+
+    def upsert(df: DataFrame) -> None:
+        mor_upsert(
+            spark, path, df,
+            key_cols=["k"], version_cols=["ver"], tombstone_col="dead",
+        )
+
+    # batch 1 — STALE (ver -1 loses everywhere): pure no-op
+    upsert(cust.where(m < 30).select(
+        "k", F.lit(-1).cast("long").alias("ver"),
+        F.lit(0).cast("long").alias("bal_cents"),
+        F.lit("STALE").alias("seg"), F.lit(False).alias("dead"),
+    ))
+    # batch 2 — sign-flip + group move (m<10 → 'UPD', bal → -bal:
+    # boundary crossings in BOTH directions) + a brand-new group
+    upsert(cust.where(m < 10).select(
+        "k", F.lit(1).cast("long").alias("ver"),
+        (-F.col("bal_cents")).alias("bal_cents"),
+        F.lit("UPD").alias("seg"), F.lit(False).alias("dead"),
+    ).unionByName(cust.where(m < 5).select(
+        (F.col("k") + 10_000_000).alias("k"),
+        F.lit(1).cast("long").alias("ver"),
+        (F.col("bal_cents") + 222).alias("bal_cents"),
+        F.lit("NEW").alias("seg"), F.lit(False).alias("dead"),
+    )))
+    s1 = refresh_agg_view(spark, view)
+    assert s1["mode"] == "incremental" and s1["deltas_consumed"] == 2, s1
+    # batch 3 — deletes (m in 20..24) + insert-then-delete (NEW keys
+    # with m<2) through the CURSORED feed
+    upsert(cust.where((m >= 20) & (m < 25)).select(
+        "k", F.lit(2).cast("long").alias("ver"),
+        F.lit(None).cast("long").alias("bal_cents"),
+        F.lit(None).cast("string").alias("seg"), F.lit(True).alias("dead"),
+    ).unionByName(cust.where(m < 2).select(
+        (F.col("k") + 10_000_000).alias("k"),
+        F.lit(2).cast("long").alias("ver"),
+        F.lit(None).cast("long").alias("bal_cents"),
+        F.lit(None).cast("string").alias("seg"), F.lit(True).alias("dead"),
+    )))
+    s2 = refresh_agg_view(spark, view)
+    assert s2["mode"] == "incremental" and s2["deltas_consumed"] == 1, s2
+    assert refresh_agg_view(spark, view)["mode"] == "noop"
+    out = read_agg_view(spark, view).orderBy("seg").transform(_pin)
+    direct = {
+        tuple(r)
+        for r in read_table(spark, path)
+        .where(~F.coalesce(F.col("dead"), F.lit(False)))
+        .where("bal_cents >= 0")
+        .groupBy("seg")
+        .agg(
+            (F.sum("bal_cents") / F.count("bal_cents")).alias("avg_bal"),
+            F.sum("bal_cents").alias("sum_bal"),
+            F.count(F.lit(1)).alias("n_pos"),
+        )
+        .collect()
+    }
+    got = {tuple(r) for r in out.collect()}
+    shutil.rmtree(base, ignore_errors=True)
+    assert got == direct, (
+        "v5 IVM parity: maintained filtered view != direct filtered "
+        f"GROUP BY; view={sorted(got)} direct={sorted(direct)}"
+    )
     return out
 
 
@@ -3583,6 +3771,7 @@ EXTENSION_QUERIES = {
     "v2_column_stats": v2_column_stats,
     "v3_histogram": v3_histogram,
     "v4_ivm_agg_view": v4_ivm_agg_view,
+    "v5_ivm_filtered_avg_view": v5_ivm_filtered_avg_view,
     "t11_bm25_rank": t11_bm25_rank,
     "t12_tfidf_top_terms": t12_tfidf_top_terms,
     "t13_curriculum_bins": t13_curriculum_bins,
@@ -5394,6 +5583,32 @@ EXTENSION_ORACLES = {
         SELECT seg, SUM(bal) AS sum_bal, COUNT(*) AS n_cust,
                MIN(bal) AS min_bal, MAX(bal) AS max_bal
         FROM live GROUP BY seg ORDER BY seg
+    """,
+    # v5: same net-result recomputation as v4 but batch 2 SIGN-FLIPS
+    # (bal -> -bal) and the view is filtered to bal >= 0; avg is the
+    # exact integer sum divided as double — the identical IEEE op the
+    # engine's stored quotient performs, so repr-hashing matches
+    "v5_ivm_filtered_avg_view": """
+        WITH b AS (
+            SELECT c_custkey % 100 AS m,
+                   CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal,
+                   c_mktsegment AS seg
+            FROM customer
+        ),
+        live AS (
+            SELECT CASE WHEN m < 10 THEN 'UPD' ELSE seg END AS seg,
+                   CASE WHEN m < 10 THEN -bal ELSE bal END AS bal
+            FROM b WHERE NOT (m BETWEEN 20 AND 24)
+            UNION ALL
+            SELECT 'NEW' AS seg, bal + 222 AS bal
+            FROM b WHERE m BETWEEN 2 AND 4
+        )
+        SELECT seg,
+               CAST(SUM(bal) AS DOUBLE) / COUNT(bal) AS avg_bal,
+               SUM(bal) AS sum_bal,
+               COUNT(*) AS n_pos
+        FROM live WHERE bal >= 0
+        GROUP BY seg ORDER BY seg
     """,
     "z3_bloom_pruned_lookup": """
         SELECT o_orderkey, o_custkey,

@@ -10,7 +10,9 @@ engine's own lake primitives:
 - the CHANGE FEED is the input (`sources/cdc.py`): deltas read in full,
   base touched only on the contested slice, exact multiset apply
   contract — so per-group aggregate deltas derived from it are exact;
-- ALGEBRAIC aggregates (``sum`` / ``count``) fold the feed directly:
+- ALGEBRAIC aggregates (``sum`` / ``count`` / ``avg`` — avg as hidden
+  sum + non-null count, quotient recomputed per changed group) fold
+  the feed directly:
   ``new = old + (post-images) − (pre-images)`` — no aggregate ever
   recomputes from the base. The feed itself touches the base only on
   the contested slice, file-pruned through the source's key-column
@@ -63,9 +65,11 @@ from typing import Mapping, Sequence
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from async_pipes_spark.session import pin as _pin
-from async_pipes_spark.sources.cdc import _base_frame, mor_changes
+from async_pipes_spark.sources.cdc import mor_changes
 from async_pipes_spark.sources.sinks import (
     _manifest_read,
+    _MOR_BROADCAST_MAX_BYTES,
+    _mor_backlog_bytes,
     _mor_resolve,
     _pmanifest_mapping,
     _pmanifest_read,
@@ -88,14 +92,24 @@ IVM_SEQ = "_ivm_seq"    # refresh sequence (mor version col)
 IVM_DEL = "_ivm_del"    # dead-group tombstone (mor tombstone col)
 IVM_N = "_ivm_n"        # live rows in the group (count(*), liveness)
 
-_ALGEBRAIC = ("sum", "count")
+_ALGEBRAIC = ("sum", "count", "avg")
 _RECOMPUTED = ("min", "max")
 _STATE_FILE = "_ivm_state.json"
 
 
 def _nn(name: str) -> str:
-    """Hidden non-null counter column for a ``sum`` aggregate."""
+    """Hidden non-null counter column for a ``sum``/``avg`` aggregate."""
     return f"_ivm_nn_{name}"
+
+
+def _as(name: str) -> str:
+    """Hidden running-sum column for an ``avg`` aggregate — avg is
+    maintained as (hidden sum, hidden non-null count) and the visible
+    column is their quotient, recomputed for changed groups only.
+    Exact wherever the sum is exact (integer/decimal inputs); float
+    inputs carry the usual accumulated-rounding caveat any
+    incremental AVG has."""
+    return f"_ivm_as_{name}"
 
 
 def _group_key(group_cols: Sequence[str]) -> Column:
@@ -126,13 +140,6 @@ def _validate_aggs(
         )
     reserved = {IVM_KEY, IVM_SEQ, IVM_DEL, IVM_N}
     for name, (fn, col) in aggs.items():
-        if fn == "avg":
-            raise ValueError(
-                f"avg is not directly maintainable ({name!r}) — "
-                "materialize ('sum', col) and ('count', col) and divide "
-                "at read time; that is also how SQL AVG's NULL semantics "
-                "compose"
-            )
         if fn not in _ALGEBRAIC + _RECOMPUTED:
             raise ValueError(
                 f"unsupported aggregate {fn!r} for {name!r} — supported: "
@@ -219,13 +226,20 @@ def _live(df: DataFrame, tombstone_col: str | None) -> DataFrame:
 
 def _full_agg_exprs(aggs: Mapping[str, tuple[str, str]]) -> list[Column]:
     """The create-time / recovery-lane aggregate list: the user's
-    aggregates plus the hidden liveness + non-null counters."""
+    aggregates plus the hidden liveness + non-null counters. ``avg``
+    is computed as sum/count EXPLICITLY (not ``F.avg``) so the full
+    lane's arithmetic is the same division the incremental lane
+    performs — the two lanes can never disagree on the last ulp."""
     exprs: list[Column] = []
     for name, (fn, col) in aggs.items():
         if fn == "count":
             exprs.append(
                 (F.count(F.lit(1)) if col == "*" else F.count(col)).alias(name)
             )
+        elif fn == "avg":
+            exprs.append((F.sum(col) / F.count(col)).alias(name))
+            exprs.append(F.sum(col).alias(_as(name)))
+            exprs.append(F.count(col).alias(_nn(name)))
         else:
             exprs.append(getattr(F, fn)(col).alias(name))
         if fn == "sum":
@@ -250,6 +264,11 @@ def _stored(
         cols.append(F.col(name).cast(types[name]).alias(name))
         if fn == "sum":
             cols.append(F.col(_nn(name)).cast("long").alias(_nn(name)))
+        elif fn == "avg":
+            cols.append(
+                F.col(_as(name)).cast(types[_as(name)]).alias(_as(name))
+            )
+            cols.append(F.col(_nn(name)).cast("long").alias(_nn(name)))
     cols.append(F.col(IVM_N).cast("long").alias(IVM_N))
     out = df.select(
         *cols,
@@ -267,14 +286,23 @@ def create_agg_view(
     group_cols: Sequence[str],
     aggs: Mapping[str, tuple[str, str]],
     src_tombstone_col: str | None = None,
+    filter_expr: str | None = None,
 ) -> dict:
-    """Materialize ``SELECT group_cols, aggs FROM src GROUP BY
-    group_cols`` as a manifest table at ``view_path`` and arm it for
-    incremental refresh. ``aggs`` maps output column name →
-    ``(fn, col)`` with ``fn`` in ``sum | count | min | max`` (``count``
-    accepts ``"*"``). ``src_tombstone_col`` names the source's soft-
-    tombstone flag when its mor/merge spec uses one — the view counts
-    only live rows, exactly like the resolved read's consumers.
+    """Materialize ``SELECT group_cols, aggs FROM src [WHERE
+    filter_expr] GROUP BY group_cols`` as a manifest table at
+    ``view_path`` and arm it for incremental refresh. ``aggs`` maps
+    output column name → ``(fn, col)`` with ``fn`` in ``sum | count |
+    avg | min | max`` (``count`` accepts ``"*"``; ``avg`` is
+    maintained as hidden sum + non-null count and stays exact for
+    integer/decimal inputs). ``src_tombstone_col`` names the source's
+    soft-tombstone flag when its mor/merge spec uses one — the view
+    counts only live rows, exactly like the resolved read's consumers.
+    ``filter_expr`` (a SQL boolean expression over source columns)
+    makes it a FILTERED view: the predicate is applied to the source
+    at create, to every change-feed image at refresh (a row UPDATED
+    into/out of the predicate becomes an insert/delete of the filtered
+    multiset — the per-row signs compose it for free), and to the
+    min/max recompute slice.
 
     Returns the recorded state dict (cursor, seq, schema types)."""
     group_cols = list(group_cols)
@@ -289,8 +317,15 @@ def create_agg_view(
     ]
     if missing:
         raise ValueError(f"columns not in source: {sorted(set(missing))}")
+    if filter_expr:
+        live = live.where(F.expr(filter_expr))
     full = live.groupBy(*group_cols).agg(*_full_agg_exprs(aggs))
-    types = {name: dict(full.dtypes)[name] for name in aggs}
+    types = dict(full.dtypes)
+    types = {
+        name: types[name]
+        for name in [n for n in aggs]
+        + [_as(n) for n, (f, _c) in aggs.items() if f == "avg"]
+    }
     out = _stored(full, group_cols, aggs, types, seq=0)
     write_manifest_table(spark, out, view_path)
     state = {
@@ -299,6 +334,7 @@ def create_agg_view(
         "aggs": {k: list(v) for k, v in aggs.items()},
         "types": types,
         "src_tombstone_col": src_tombstone_col,
+        "filter": filter_expr,
         "cursor": cursor,
         "src_base": base_token,
         "seq": 0,
@@ -331,8 +367,12 @@ def refresh_agg_view(
     only, commit one O(changed groups) mor delta to the view. Falls
     back to a FULL recompute (fresh view version) when incremental
     apply cannot be proven safe: the cursor was folded away by a
-    source compaction, or the view's commit seq moved without a
+    source compaction (detected at pin time OR as the pin/read race
+    mor_changes surfaces), or the view's commit seq moved without a
     matching cursor write (a crashed refresh, an out-of-band write).
+    All per-group frames broadcast only below the MOR resolver's byte
+    gate — a catch-up refresh over a huge window degrades to shuffle
+    joins instead of dying on the broadcast limit.
 
     ``view_compact_deltas`` bounds the view's own mor backlog (passed
     through to :func:`mor_upsert`); ``collect_stats`` adds the feed's
@@ -346,6 +386,7 @@ def refresh_agg_view(
     aggs = {k: (v[0], v[1]) for k, v in st["aggs"].items()}
     types: dict[str, str] = st["types"]
     tomb = st["src_tombstone_col"]
+    filt = st.get("filter")
 
     if _raw_pointer_seq(spark, view_path) != st["view_seq"]:
         return _full_refresh(spark, view_path, st, reason="view-state-drift")
@@ -375,7 +416,12 @@ def refresh_agg_view(
     # spec drift guard: the view's liveness definition must match the
     # source's — a tombstone column appearing in the backlog that the
     # view was not created with would silently count dead rows
-    bk, bv, bt, _era = _read_mor_spec(spark, src, new[0])
+    try:
+        bk, bv, bt, _era = _read_mor_spec(spark, src, new[0])
+    except ValueError:
+        # the delta dir vanished between pin and spec read: the same
+        # mid-flight compaction race the feed read guards against
+        return _full_refresh(spark, view_path, st, reason="cursor-raced")
     if bt != tomb:
         raise ValueError(
             f"source tombstone spec drifted: view records {tomb!r}, the "
@@ -383,8 +429,34 @@ def refresh_agg_view(
             "src_tombstone_col matching the source's merge spec"
         )
 
-    feed = mor_changes(spark, src, since=cursor, until=until)
+    try:
+        feed = mor_changes(spark, src, since=cursor, until=until)
+    except ValueError:
+        # a source compaction/optimize raced between the state pin and
+        # the feed read: the cursor/until names just left the live
+        # backlog. Same recovery as detecting the fold at pin time —
+        # recompute from the new base (the advice-flagged race).
+        return _full_refresh(spark, view_path, st, reason="cursor-raced")
+    if filt:
+        # a FILTERED view maintains the filtered multiset: images that
+        # fail the predicate contribute nothing; an update moving a
+        # row across the predicate boundary degrades to insert/delete
+        # of the filtered multiset through the per-row signs
+        feed = feed.where(F.expr(filt))
     seq = st["seq"] + 1
+    # broadcast gate, same policy as the MOR resolver (sinks.py): the
+    # per-group frames below are O(changed groups) — normally tiny —
+    # but a CATCH-UP refresh (a week of deltas, a backfill, a
+    # near-unique group key) is O(feed window). The window's on-disk
+    # byte size upper-bounds the changed-group count; past the gate
+    # the joins run as plain shuffles and AQE decides (degrading,
+    # never OOMing the 8 GB broadcast limit).
+    small_window = (
+        _mor_backlog_bytes(spark, src, new) <= _MOR_BROADCAST_MAX_BYTES
+    )
+
+    def _hint(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small_window else df
 
     # per-group aggregate deltas from the feed: post-images add,
     # pre-images subtract — one aggregation over O(changes) rows
@@ -393,7 +465,7 @@ def refresh_agg_view(
     dexprs: list[Column] = [F.sum(sgn).alias("_ivm_dn")]
     has_recompute = False
     for name, (fn, col) in aggs.items():
-        if fn == "sum":
+        if fn in ("sum", "avg"):
             dexprs.append(F.sum(sgn * F.col(col)).alias(f"_ivm_d_{name}"))
             dexprs.append(
                 F.sum(
@@ -426,7 +498,7 @@ def refresh_agg_view(
         # intact (an update that only touched non-aggregated columns)
         moved = F.col("_ivm_dn") != 0
         for name, (fn, _c) in aggs.items():
-            if fn == "sum":
+            if fn in ("sum", "avg"):
                 moved = moved | (F.coalesce(
                     F.col(f"_ivm_d_{name}"), F.lit(0)) != 0
                 ) | (F.col(f"_ivm_dnn_{name}") != 0)
@@ -449,11 +521,14 @@ def refresh_agg_view(
         old_cols.append(F.col(name).alias(f"_ivm_o_{name}"))
         if fn == "sum":
             old_cols.append(F.col(_nn(name)).alias(f"_ivm_onn_{name}"))
+        elif fn == "avg":
+            old_cols.append(F.col(_as(name)).alias(f"_ivm_oas_{name}"))
+            old_cols.append(F.col(_nn(name)).alias(f"_ivm_onn_{name}"))
     old_cols.append(F.col(IVM_N).alias("_ivm_on"))
     cur_aff = cur.join(
-        F.broadcast(d.select(IVM_KEY)), IVM_KEY, "left_semi"
+        _hint(d.select(IVM_KEY)), IVM_KEY, "left_semi"
     ).select(*old_cols)
-    merged = d.join(F.broadcast(cur_aff), IVM_KEY, "left")
+    merged = d.join(_hint(cur_aff), IVM_KEY, "left")
 
     new_n_expr = F.coalesce(F.col("_ivm_on"), F.lit(0)) + F.col("_ivm_dn")
     proj: dict[str, Column] = {IVM_N: new_n_expr}
@@ -468,6 +543,20 @@ def refresh_agg_view(
                 + F.coalesce(F.col(f"_ivm_d_{name}"), F.lit(0))
             )
             proj[name] = F.when(nn > 0, acc).otherwise(F.lit(None))
+            proj[_nn(name)] = nn
+        elif fn == "avg":
+            nn = (
+                F.coalesce(F.col(f"_ivm_onn_{name}"), F.lit(0))
+                + F.col(f"_ivm_dnn_{name}")
+            )
+            acc = (
+                F.coalesce(F.col(f"_ivm_oas_{name}"), F.lit(0))
+                + F.coalesce(F.col(f"_ivm_d_{name}"), F.lit(0))
+            )
+            # same division as _full_agg_exprs' sum/count — the lanes
+            # can never disagree; NULL when no non-null value remains
+            proj[name] = F.when(nn > 0, acc / nn).otherwise(F.lit(None))
+            proj[_as(name)] = F.when(nn > 0, acc).otherwise(F.lit(None))
             proj[_nn(name)] = nn
         elif fn == "count":
             proj[name] = (
@@ -530,15 +619,28 @@ def refresh_agg_view(
     if ran_recompute:
         # recompute ONLY the needy groups, against the snapshot the
         # cursor denotes (base ∪ deltas[..until]) — the racing live
-        # table may already carry later deltas
+        # table may already carry later deltas. The base is read from
+        # the PINNED state body (not the live pointer, which a racing
+        # compaction may have advanced between our pin and here).
         upto = deltas[: deltas.index(until) + 1]
-        snap = _mor_resolve(spark, src, _base_frame(spark, src), upto)
+        base_name = _state_base(body)
+        if flavor == "p":
+            mapping = _pmanifest_mapping(spark, src, base_name)
+            pbase = _read_pmapping(spark, src, mapping)
+        else:
+            pbase = spark.read.option("mergeSchema", "true").parquet(
+                f"{src}/_data/{base_name}"
+            )
+        snap = _mor_resolve(spark, src, pbase, upto)
         # alias both sides: the needy-group set and the snapshot share
         # source lineage (both read the same delta dirs), and
         # unaliased attribute references across shared lineage trip
         # Spark's ambiguous-self-join resolution
-        live = _live(snap, tomb).alias("_ivm_live")
-        aff = F.broadcast(
+        live = _live(snap, tomb)
+        if filt:
+            live = live.where(F.expr(filt))
+        live = live.alias("_ivm_live")
+        aff = _hint(
             needy.select(*group_cols).alias("_ivm_aff")
         )
         cond = reduce(
@@ -560,7 +662,7 @@ def refresh_agg_view(
             .withColumn(IVM_KEY, _group_key(group_cols))
             .drop(*group_cols)
         )
-        merged = merged.join(F.broadcast(rec), IVM_KEY, "left")
+        merged = merged.join(_hint(rec), IVM_KEY, "left")
         for name, (fn, _c) in aggs.items():
             if fn in _RECOMPUTED:
                 merged = merged.withColumn(
@@ -606,6 +708,8 @@ def _full_refresh(spark, view_path: str, st: dict, reason: str) -> dict:
         spark, st["src"], _pinned_state(spark, st["src"])
     )
     live = _live(snap, st["src_tombstone_col"])
+    if st.get("filter"):
+        live = live.where(F.expr(st["filter"]))
     seq = st["seq"] + 1
     full = live.groupBy(*group_cols).agg(*_full_agg_exprs(aggs))
     out = _stored(full, group_cols, aggs, st["types"], seq)

@@ -760,14 +760,23 @@ def _mor_resolve(
     if len(deltas) == 1:
         src_expr = F.lit(1)
     else:
-        fname = F.input_file_name()
+        # delta attribution keyed on the FIRST path segment after the
+        # LAST "/_data/" in each file's URI — prefix-proof: a temp
+        # root (or any ancestor directory) whose path happens to
+        # contain "/_data/" or a segment equal to a delta name cannot
+        # misattribute a row, because the table's own _data dir is
+        # always the last occurrence in the scanned file paths. (The
+        # previous whole-path contains(f"/{d}/") match was correct for
+        # the uuid-named dirs this layer writes but not for arbitrary
+        # ancestors; pinned by test_mor_evil_ancestor_dir.)
+        seg = F.split(
+            F.element_at(F.split(F.input_file_name(), "/_data/"), -1), "/"
+        ).getItem(0)
         src_expr = F.lit(1)
         for i, d in enumerate(deltas, start=1):
             if i == 1:
                 continue
-            src_expr = F.when(
-                fname.contains(f"/{d}/"), F.lit(i)
-            ).otherwise(src_expr)
+            src_expr = F.when(seg == F.lit(d), F.lit(i)).otherwise(src_expr)
     dunion = raw.withColumn("_src", src_expr)
     kept_src = untouched_base if untouched_base is not None else base
     # output column order = base columns then evolution columns, the

@@ -92,12 +92,27 @@ def _ab_vs_prev_round(
     session). Method: check out the last ``round N:`` commit in a git
     worktree, then alternate full-suite passes HEAD↔prev, each in its
     own subprocess/JVM (tools/ab_pass.py), so whatever the machine is
-    doing lands on BOTH sides of every ratio. Reports per-family
-    ``head_best / prev_best`` over best-of-passes. Returns None (and
-    the record omits the section) when there is no previous round
-    commit or the worktree can't be created — never fails the bench.
-    Knobs: SPARK_GRAFT_AB=0 disables; SPARK_GRAFT_AB_PASSES (default
-    2) passes per side."""
+    doing lands on BOTH sides of every ratio.
+
+    DECISION-GRADE aggregation (round-10 verdict wrong #2/#3 — three
+    same-round r9 runs read suite_ratio 0.876/0.971/1.397, so best-of
+    point ratios are not a signal): per-family PAIRED ratios (each
+    pass pair ran back-to-back) reported as median + [min, max] spread
+    across >=3 pass pairs, judged against an INLINE same-code control
+    band — the pooled pairwise family ratios WITHIN each side (head
+    pass i vs head pass j times the same code, ditto prev), whose
+    spread is what this host's weather does to identical code right
+    now. A family is FLAGGED only when its entire paired-ratio spread
+    falls outside the control band; everything else is weather by the
+    record's own evidence. The control band is embedded in the emitted
+    block, so a single artifact self-adjudicates; with fewer than 2
+    completed pairs no ratios are emitted at all (a point ratio would
+    be noise presented as signal).
+
+    Returns None (and the record omits the section) when there is no
+    previous round commit or the worktree can't be created — never
+    fails the bench. Knobs: SPARK_GRAFT_AB=0 disables;
+    SPARK_GRAFT_AB_PASSES (default 3) pass pairs."""
     if os.environ.get("SPARK_GRAFT_AB", "1") == "0":
         return None
 
@@ -124,7 +139,7 @@ def _ab_vs_prev_round(
     except subprocess.CalledProcessError:
         return None
     try:
-        passes = max(1, int(os.environ.get("SPARK_GRAFT_AB_PASSES", "2")))
+        passes = max(1, int(os.environ.get("SPARK_GRAFT_AB_PASSES", "3")))
         # scope: 'hot' (default) times only the queries whose HEAD
         # measurement cleared SPARK_GRAFT_AB_MIN_SEC (default 0.5 s) —
         # the HEAD-vs-HEAD control showed sub-second single-query
@@ -158,15 +173,27 @@ def _ab_vs_prev_round(
         except Exception:
             prev_names = None
         names_arg: list[str] = []
+        shared_all = (
+            sorted(set(head_timings) & prev_names)
+            if head_timings and prev_names is not None
+            else sorted(prev_names or [])
+        )
         if scope != "full" and head_timings:
             floor = float(os.environ.get("SPARK_GRAFT_AB_MIN_SEC", "0.5"))
             hot = sorted(n for n, t in head_timings.items() if t >= floor)
             if prev_names is not None:
                 hot = [n for n in hot if n in prev_names]
+                if not hot:
+                    # every hot query is new this round: fall back to
+                    # the full shared list rather than omitting --names
+                    # (which would re-create the asymmetric-workload
+                    # heat the intersection exists to remove)
+                    hot = shared_all
             if hot:
                 names_arg = ["--names", ",".join(hot)]
         elif prev_names is not None:
-            shared_all = sorted(set(head_timings or ()) & prev_names) if head_timings else sorted(prev_names)
+            # 'full' scope also intersects with prev's names so both
+            # sides still run the identical workload
             if shared_all:
                 names_arg = ["--names", ",".join(shared_all)]
         # wall-clock budget so the A/B degrades (fewer passes) instead
@@ -174,8 +201,7 @@ def _ab_vs_prev_round(
         # HEAD+prev pair always runs
         budget = float(os.environ.get("SPARK_GRAFT_AB_BUDGET_SEC", "2400"))
         t_start = time.perf_counter()
-        best: dict[str, dict[str, float]] = {"head": {}, "prev": {}}
-        done_passes = 0
+        runs: dict[str, list[dict[str, float]]] = {"head": [], "prev": []}
         for i in range(passes):
             elapsed = time.perf_counter() - t_start
             if i > 0 and elapsed * (i + 1) / i > budget:
@@ -184,8 +210,9 @@ def _ab_vs_prev_round(
             # back-to-back pair inherits a warmer OS page cache and a
             # quieter host (a 1-pass probe measured family-clustered
             # 2-5x "regressions" on IDENTICAL code from position alone);
-            # with alternation + best-of, each side gets every position
+            # alternation lands each position on both sides equally
             order = (("head", REPO), ("prev", wt))
+            pair: dict[str, dict[str, float]] = {}
             for side, root in order if i % 2 == 0 else order[::-1]:
                 proc = subprocess.run(
                     [
@@ -203,40 +230,106 @@ def _ab_vs_prev_round(
                     return {"prev_commit": prev[:12], "error": "pass failed",
                             "detail": proc.stderr.strip()[-300:]}
                 line = proc.stdout.strip().splitlines()[-1]
-                for name, sec in json.loads(line)["queries"].items():
-                    cur = best[side].get(name)
-                    best[side][name] = sec if cur is None else min(cur, sec)
-            done_passes = i + 1
-        shared = set(best["head"]) & set(best["prev"])
-        fam_head: dict[str, float] = {}
-        fam_prev: dict[str, float] = {}
-        for name in shared:
-            fam = name.split("_", 1)[0]
-            fam_head[fam] = fam_head.get(fam, 0.0) + best["head"][name]
-            fam_prev[fam] = fam_prev.get(fam, 0.0) + best["prev"][name]
-        ratios = {
-            fam: round(fam_head[fam] / fam_prev[fam], 3)
-            for fam in sorted(fam_head)
-            if fam_prev[fam] > 0
-        }
-        head_total = sum(best["head"][n] for n in shared)
-        prev_total = sum(best["prev"][n] for n in shared)
+                pair[side] = json.loads(line)["queries"]
+            runs["head"].append(pair["head"])
+            runs["prev"].append(pair["prev"])
+        done_passes = len(runs["head"])
         out = {
             "prev_commit": prev[:12],
             "passes": done_passes,
             "scope": scope,
-            "suite_ratio": round(head_total / prev_total, 3) if prev_total else None,
-            "new_queries": sorted(set(best["head"]) - set(best["prev"])),
-            "ratio_vs_prev": ratios,
         }
         if done_passes < 2:
-            # one pass = no order alternation: HEAD always ran first
-            # (colder), so per-family ratios carry position bias and
-            # single-run noise — keep the suite number, flag the rest
-            out["low_confidence"] = (
-                "single pass (budget): per-family ratios are position-"
-                "biased; raise SPARK_GRAFT_AB_BUDGET_SEC"
+            # a single pass pair cannot carry a same-code control band,
+            # and a point ratio without one is noise presented as
+            # signal (three r9 same-code runs spanned 0.876-1.397) —
+            # REFUSE to emit ratios rather than emit unadjudicated ones
+            out["error"] = (
+                "fewer than 2 completed pass pairs: no control band, "
+                "no ratios emitted; raise SPARK_GRAFT_AB_BUDGET_SEC"
             )
+            return out
+
+        def med(vals: list[float]) -> float:
+            s = sorted(vals)
+            n = len(s)
+            return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+        shared = set(runs["head"][0])
+        for side in ("head", "prev"):
+            for r in runs[side]:
+                shared &= set(r)
+
+        def fam_totals(r: dict[str, float]) -> dict[str, float]:
+            fams: dict[str, float] = {}
+            for name in shared:
+                fam = name.split("_", 1)[0]
+                fams[fam] = fams.get(fam, 0.0) + r[name]
+            return fams
+
+        fh = [fam_totals(r) for r in runs["head"]]
+        fp = [fam_totals(r) for r in runs["prev"]]
+        fams = sorted(fh[0]) if fh else []
+        # paired A/B family ratios: pass i's head against pass i's prev
+        # (they ran back-to-back, sharing the host's state)
+        paired = {
+            fam: [fh[i][fam] / fp[i][fam] for i in range(done_passes)
+                  if fp[i][fam] > 0]
+            for fam in fams
+        }
+        # inline same-code control: pairwise family ratios WITHIN one
+        # side — identical code, different passes — pooled over both
+        # sides and both directions. This is what the host's weather
+        # does to a true ratio of 1.0, measured in this very record.
+        control: list[float] = []
+        for side_runs in (fh, fp):
+            for i in range(done_passes):
+                for j in range(i + 1, done_passes):
+                    for fam in fams:
+                        a, b = side_runs[i][fam], side_runs[j][fam]
+                        if a > 0 and b > 0:
+                            control.extend((a / b, b / a))
+        control.sort()
+        if control:
+            k = max(0, int(len(control) * 0.025))
+            band = [round(control[k], 3), round(control[-1 - k], 3)]
+        else:
+            band = None
+        medians = {fam: round(med(rs), 3) for fam, rs in paired.items() if rs}
+        spreads = {
+            fam: [round(min(rs), 3), round(max(rs), 3)]
+            for fam, rs in paired.items() if rs
+        }
+        flagged = {
+            fam: {"median": medians[fam], "spread": spreads[fam]}
+            for fam in medians
+            if band is not None
+            and (spreads[fam][0] > band[1] or spreads[fam][1] < band[0])
+        }
+        suite = [
+            sum(r[n] for n in shared) / sum(p[n] for n in shared)
+            for r, p in zip(runs["head"], runs["prev"])
+            if sum(p[n] for n in shared) > 0
+        ]
+        out.update(
+            suite_ratio=round(med(suite), 3) if suite else None,
+            suite_spread=(
+                [round(min(suite), 3), round(max(suite), 3)] if suite else None
+            ),
+            control_band=band,
+            control_note=(
+                f"2.5/97.5 pct of {len(control)} same-code pairwise family "
+                "ratios from this record's own passes; only families whose "
+                "whole paired spread clears it are flagged"
+            ),
+            flagged=flagged,
+            ratio_vs_prev=medians,
+            ratio_spread=spreads,
+            new_queries=sorted(
+                set().union(*(set(r) for r in runs["head"]))
+                - set().union(*(set(r) for r in runs["prev"]))
+            ),
+        )
         return out
     finally:
         subprocess.run(
@@ -393,10 +486,15 @@ def main() -> None:
         },
     }
     if ab is not None and "ratio_vs_prev" in ab:
+        # the compact ab block is SELF-ADJUDICATING: the control band
+        # rides along, and only control-clearing families appear —
+        # per-family medians/spreads live in BENCH_FULL.json
         compact["ab"] = {
             "prev": ab["prev_commit"][:7],
             "suite_ratio": ab["suite_ratio"],
-            "ratio_vs_prev": ab["ratio_vs_prev"],
+            "suite_spread": ab["suite_spread"],
+            "control_band": ab["control_band"],
+            "flagged": ab["flagged"],
         }
     elif ab is not None:
         compact["ab"] = {k: ab[k] for k in ("prev_commit", "error") if k in ab}
@@ -405,14 +503,14 @@ def main() -> None:
         compact["queries"] = {
             k: round(v, 2) for k, v in compact["queries"].items()
         }
-        if "ab" in compact and "ratio_vs_prev" in compact["ab"]:
-            # keep the suite ratio + the 10 most-moved families
+        if "ab" in compact and "flagged" in compact["ab"]:
+            # keep suite + control + the 5 most-moved flagged families
             moved = sorted(
-                compact["ab"]["ratio_vs_prev"].items(),
-                key=lambda kv: abs(kv[1] - 1.0),
+                compact["ab"]["flagged"].items(),
+                key=lambda kv: abs(kv[1]["median"] - 1.0),
                 reverse=True,
-            )[:10]
-            compact["ab"]["ratio_vs_prev"] = dict(sorted(moved))
+            )[:5]
+            compact["ab"]["flagged"] = dict(sorted(moved))
         line = json.dumps(compact, separators=(",", ":"))
     # stop every streaming query AND the session BEFORE the record line
     # prints: a Structured-Streaming StateStore maintenance WARN landing

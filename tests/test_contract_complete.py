@@ -24,34 +24,25 @@ def test_queries_and_oracles_share_order():
 
 
 def test_stale_and_new_queries_inside_coverage_window():
-    """Rotation policy, round 9 (r8 verdict item 5): the 4 queries NEW
-    this round (z5 skipping under a live merge-on-read backlog, s31
-    the merge-on-read change-data-feed, v4 incremental view
-    maintenance, s32 its streaming twin), the 5 queries whose code
-    paths round 9 rewrote (s30/z4 ride the new keep/contested resolver
-    + delta-aware planner; a10/a11/s27 ride the explicit-states index
-    pointer + backlogged-probe pruning), and ALL 35 queries whose
-    freshest driver rows date to r06 (the exact rotation list the r8
-    verdict staged) must LEAD the first 50 entries, so after this
-    round's driver run EVERY query in the contract holds a driver row
-    from r7 or later. The remaining 6 slots refresh the oldest
-    r07-green evidence, including z1 — the r8 verdict's item-8 perf
-    watch (s25, f1 and s26 stay r07-green just below the cut)."""
+    """Rotation policy, round 10 (r9 verdict items 1 + 5): v4/s32 —
+    the only red rows in CORRECTNESS_r09 (driver-env hash divergence,
+    now instrumented with in-query parity asserts + diag fingerprints)
+    — must LEAD the window, with v5 (new: filtered+avg IVM view)
+    beside them; then ALL 41 queries whose freshest green driver rows
+    date to r07 (t16 doubling as the verdict's item-4 perf watch);
+    then 6 r08-green refreshes. After this round's driver run EVERY
+    contract query holds a green driver row from r8 or later."""
     qs = list(entry.queries())
-    # the 44 must-record queries lead the window outright
-    assert [k.split("_", 1)[0] for k in qs[:44]] == [
-        "z5", "s31", "v4", "s32",
-        "s30", "z4", "a10", "a11", "s27",
-        "x4", "x5", "x6", "j1", "j2", "j3", "j4", "j5",
-        "k2", "k3", "a1", "a5", "b1",
-        "s4", "s5", "s9", "s10", "s11", "s12", "s13", "s14", "s15", "s16",
-        "d1", "d2", "d3", "d4", "d5", "d6", "d7", "d8",
-        "t1", "t2", "t3", "t4",
-    ], qs[:44]
-    # slots 45-50: the 6 oldest-r07 refreshes (z1 = the perf watch)
-    assert [k.split("_", 1)[0] for k in qs[44:50]] == [
-        "a8", "s24", "a9", "d13", "t15", "z1",
-    ], qs[44:50]
+    assert [k.split("_", 1)[0] for k in qs[:50]] == [
+        "v4", "s32", "v5",
+        "a2", "a3", "a4", "b2", "f1", "k1", "k4", "k5",
+        "mm4", "mm5", "p3", "p5", "p6", "pipe1", "pipe2",
+        "r11", "r12", "r13", "r14", "r15", "r16", "r17", "r18",
+        "s25", "s26", "s28", "s29",
+        "smp1", "smp2", "smp3", "smp4", "smp6", "smp7",
+        "t13", "t16", "t5", "t6", "x1", "x3", "z2", "z3",
+        "a6", "a7", "bpe1", "bpe2", "d10", "d11",
+    ], qs[:50]
 
 
 def test_priority_list_covers_all_keys():

@@ -369,8 +369,6 @@ def test_randomized_model_parity(spark, tmpdir):
 def test_validation_errors(spark, tmpdir):
     src, view = f"{tmpdir}/src", f"{tmpdir}/view"
     _mk_source(spark, src, n=4)
-    with pytest.raises(ValueError, match="avg is not directly"):
-        create_agg_view(spark, src, view, ["g"], {"a": ("avg", "x")})
     with pytest.raises(ValueError, match="unsupported aggregate"):
         create_agg_view(spark, src, view, ["g"], {"a": ("median", "x")})
     with pytest.raises(ValueError, match="group_cols is required"):
@@ -488,3 +486,220 @@ def test_every_base_moving_verb_downgrades_safely(spark, tmpdir):
     s3 = refresh_agg_view(spark, view)
     assert s3["mode"] == "full", s3
     assert _got(spark, view) == _expected(spark, src)
+
+
+def test_avg_view_maintained_exactly(spark, tmpdir):
+    """avg (round-10 surface): maintained as hidden sum + non-null
+    count, quotient recomputed per changed group — exact for values
+    whose sums are exact in double, NULL again when the last non-null
+    value dies, fresh after a dead group revives."""
+    src, view = f"{tmpdir}/src", f"{tmpdir}/view"
+    _mk_source(spark, src, n=12, groups=3)
+    create_agg_view(spark, src, view, ["g"],
+                    {"ax": ("avg", "x"), "n": ("count", "*")},
+                    src_tombstone_col="dead")
+
+    def expected():
+        live = read_table(spark, src).where(
+            ~F.coalesce(F.col("dead"), F.lit(False))
+        )
+        out = live.groupBy("g").agg(
+            (F.sum("x") / F.count("x")).alias("ax"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        return {r["g"]: (r["ax"], r["n"]) for r in out.collect()}
+
+    def got():
+        return {
+            r["g"]: (r["ax"], r["n"])
+            for r in read_agg_view(spark, view).collect()
+        }
+
+    assert got() == expected()
+    # moves, an insert into a new group, a NULL x, a delete
+    _upsert(spark, src, [(0, 2, 40.0, 1, False), (3, 7, 8.0, 1, False),
+                         (100, 1, None, 1, False), (4, 1, None, 1, True)])
+    s = refresh_agg_view(spark, view)
+    assert s["mode"] == "incremental", s
+    assert got() == expected()
+    # the last non-null value of a group dies -> avg reads NULL again
+    g1_keys = [r["k"] for r in read_table(spark, src)
+               .where((F.col("g") == 1) & ~F.col("dead")
+                      & F.col("x").isNotNull()).collect()]
+    _upsert(spark, src, [(k, 1, None, 2, False) for k in g1_keys])
+    refresh_agg_view(spark, view)
+    assert got()[1][0] is None and got() == expected()
+    # revive arithmetic from the NULL-stored hidden sum
+    _upsert(spark, src, [(g1_keys[0], 1, 6.5, 3, False)])
+    refresh_agg_view(spark, view)
+    assert got()[1][0] == 6.5 and got() == expected()
+
+
+def test_filtered_view_boundary_crossings(spark, tmpdir):
+    """filter_expr (round-10 surface): the view maintains the FILTERED
+    multiset — an update moving a row into/out of the predicate is an
+    insert/delete of the view's world, handled by the per-row feed
+    signs with no special casing."""
+    src, view = f"{tmpdir}/src", f"{tmpdir}/view"
+    _mk_source(spark, src, n=20, groups=4)  # x = float(k), 0..19
+    create_agg_view(spark, src, view, ["g"], AGGS,
+                    src_tombstone_col="dead", filter_expr="x >= 10.0")
+
+    def expected():
+        live = read_table(spark, src).where(
+            ~F.coalesce(F.col("dead"), F.lit(False))
+        ).where("x >= 10.0")
+        out = live.groupBy("g").agg(
+            F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"),
+            F.count("x").alias("nx"), F.min("x").alias("mn"),
+            F.max("x").alias("mx"),
+        )
+        return {r["g"]: tuple(r)[1:] for r in out.collect()}
+
+    assert _got(spark, view) == expected()
+    # cross INTO the filter (x 3->13), OUT of it (x 15->5), move within
+    # (x 11->19 changing group), and an irrelevant sub-filter update
+    _upsert(spark, src, [(3, 3, 13.0, 1, False), (15, 3, 5.0, 1, False),
+                         (11, 0, 19.0, 1, False), (2, 2, 4.0, 1, False)])
+    s = refresh_agg_view(spark, view)
+    assert s["mode"] == "incremental", s
+    assert _got(spark, view) == expected()
+    # delete a filtered-in extreme holder -> recompute lane respects
+    # the filter too
+    _upsert(spark, src, [(19, 3, None, 2, True)])
+    s2 = refresh_agg_view(spark, view)
+    assert s2["minmax_recompute"], s2
+    assert _got(spark, view) == expected()
+    # full-recompute lane (compaction) re-applies the filter
+    compact_small_files(spark, src)
+    s3 = refresh_agg_view(spark, view)
+    assert s3["mode"] == "full", s3
+    assert _got(spark, view) == expected()
+
+
+def test_catchup_refresh_past_broadcast_gate(spark, tmpdir, monkeypatch):
+    """A catch-up refresh whose changed-group set is 'too big to
+    broadcast' (gate forced to 0 bytes) must degrade to plain shuffle
+    joins and still land value-exact — the round-10 scale fix for the
+    unconditional F.broadcast calls the r9 verdict flagged. (At real
+    scale AQE may still pick a broadcast join from runtime sizes;
+    the fix removes the unconditional HINT that would OOM past the
+    8 GB broadcast limit.)"""
+    import async_pipes_spark.sources.ivm as ivm_mod
+
+    src, view = f"{tmpdir}/src", f"{tmpdir}/view"
+    # near-unique group key: every row is its own group, so the
+    # changed-group frames are O(feed), the adversarial shape
+    rows = [(i, i, float(i), 0, False) for i in range(300)]
+    write_manifest_table(
+        spark, spark.createDataFrame(rows, SCHEMA), src
+    )
+    create_agg_view(spark, src, view, ["g"], AGGS, src_tombstone_col="dead")
+    monkeypatch.setattr(ivm_mod, "_MOR_BROADCAST_MAX_BYTES", 0)
+    # a backlog touching most groups, incl. minmax recompute work
+    _upsert(spark, src, [(i, i, float(i) + 0.5, 1, False)
+                         for i in range(0, 300, 2)])
+    _upsert(spark, src, [(i, i, None, 2, True)
+                         for i in range(1, 300, 7)])
+    s = refresh_agg_view(spark, view)
+    assert s["mode"] == "incremental" and s["deltas_consumed"] == 2, s
+    assert _got(spark, view) == _expected(spark, src)
+
+
+def test_cursor_race_downgrades_full(spark, tmpdir, monkeypatch):
+    """A source compaction racing between the refresh's state pin and
+    its mor_changes read folds the cursor out of the live backlog —
+    mor_changes raises, and the refresh must take the full-recompute
+    lane instead of crashing (the r10 advice item)."""
+    import async_pipes_spark.sources.ivm as ivm_mod
+
+    src, view = f"{tmpdir}/src", f"{tmpdir}/view"
+    _mk_source(spark, src)
+    create_agg_view(spark, src, view, ["g"], AGGS, src_tombstone_col="dead")
+    _upsert(spark, src, [(1, 1, 11.0, 1, False)])
+
+    real = ivm_mod.mor_changes
+
+    def racing(spark_, path, since=None, until=None):
+        # simulate: the backlog the pin saw is folded away mid-flight
+        compact_small_files(spark_, path)
+        return real(spark_, path, since=since, until=until)
+
+    monkeypatch.setattr(ivm_mod, "mor_changes", racing)
+    s = refresh_agg_view(spark, view)
+    assert s["mode"] == "full" and s["reason"] == "cursor-raced", s
+    monkeypatch.setattr(ivm_mod, "mor_changes", real)
+    assert _got(spark, view) == _expected(spark, src)
+    # and the re-armed cursor keeps the incremental lane working
+    _upsert(spark, src, [(2, 2, 22.0, 2, False)])
+    assert refresh_agg_view(spark, view)["mode"] == "incremental"
+    assert _got(spark, view) == _expected(spark, src)
+
+
+@pytest.mark.parametrize("flavor", ["flat", "partitioned"])
+def test_full_verb_model_both_flavors(spark, tmpdir, flavor):
+    """Round-10 model net (verdict #7): a seeded random program over
+    EVERY base-moving verb — mor upserts, COW merge, compaction,
+    z-order, tombstone purge, restore, view optimize — interleaved
+    with refreshes on BOTH manifest flavors, view-vs-direct-GROUP-BY
+    asserted after every step. No hand-kept model: the oracle is the
+    resolved table itself, so restore needs no bookkeeping."""
+    from async_pipes_spark.sources.sinks import (
+        manifest_versions,
+        merge_upsert,
+        mor_deltas,
+        optimize_zorder,
+        partitioned_manifest_generations,
+        purge_tombstones,
+        restore_manifest_table,
+        write_partitioned_manifest_table,
+    )
+
+    rng = random.Random(0xBEEF10 if flavor == "flat" else 0xFEED10)
+    src, view = f"{tmpdir}/src", f"{tmpdir}/view"
+    rows = [(i, i % 4, float(i), 0, False) for i in range(24)]
+    if flavor == "flat":
+        write_manifest_table(spark, spark.createDataFrame(rows, SCHEMA), src)
+    else:
+        write_partitioned_manifest_table(
+            spark, spark.createDataFrame(rows, SCHEMA), src, ["g"]
+        )
+    create_agg_view(spark, src, view, ["g"], AGGS, src_tombstone_col="dead")
+    ver = 0
+    for step in range(10):
+        op = rng.choice(["mor", "mor", "mor", "merge", "compact",
+                         "zorder", "purge", "restore", "vopt"])
+        backlog = bool(mor_deltas(spark, src))
+        if op == "mor":
+            batch = []
+            for _ in range(rng.randint(1, 5)):
+                ver += 1
+                g = rng.randint(0, 5) if flavor == "partitioned" else (
+                    rng.choice([None] + list(range(6))))
+                batch.append((rng.randint(0, 40), g,
+                              rng.choice([None, float(rng.randint(-9, 99))]),
+                              ver, rng.random() < 0.25))
+            _upsert(spark, src, batch)
+        elif op == "merge" and not backlog:
+            ver += 1
+            merge_upsert(
+                spark, src,
+                spark.createDataFrame(
+                    [(rng.randint(0, 40), rng.randint(0, 5),
+                      float(rng.randint(-9, 99)), ver, False)], SCHEMA),
+                ["k"], version_cols=["ver"], tombstone_col="dead",
+            )
+        elif op == "compact":
+            compact_small_files(spark, src)
+        elif op == "zorder":
+            optimize_zorder(spark, src, ["k"], target_rows_per_file=1000)
+        elif op == "purge" and not backlog:
+            purge_tombstones(spark, src, "dead")
+        elif op == "restore":
+            states = (manifest_versions(spark, src) if flavor == "flat"
+                      else partitioned_manifest_generations(spark, src))
+            restore_manifest_table(spark, src, rng.choice(states))
+        elif op == "vopt":
+            optimize_agg_view(spark, view)
+        refresh_agg_view(spark, view)
+        assert _got(spark, view) == _expected(spark, src), (flavor, step, op)

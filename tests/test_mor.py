@@ -1176,3 +1176,38 @@ def test_mor_dup_key_base_model_property(spark, tmp_path):
         assert _rows(read_manifest_table(spark, tgt)) == sorted(
             want, key=lambda t: tuple((x is None, x) for x in t)
         ), seed
+
+
+def test_mor_evil_ancestor_dir(spark, tmp_path):
+    """Prefix-proof delta attribution (round 10): resolution keys each
+    scanned file on the segment after the LAST '/_data/' in its URI,
+    so an ANCESTOR directory named like a delta dir (a pathological
+    temp root — the r9 driver-divergence suspect) cannot misattribute
+    rows. Unversioned spec makes _src the sole winner-picker: under
+    the old whole-path contains() match, relocating the table beneath
+    a dir named after the NEWER delta made every file 'belong' to it
+    and both generations of a contested key survived."""
+    import shutil
+
+    path = str(tmp_path / "t")
+    write_manifest_table(
+        spark,
+        spark.createDataFrame([(1, "base")], "k int, v string"),
+        path,
+    )
+    up = spark.createDataFrame([(1, "first")], "k int, v string")
+    mor_upsert(spark, path, up, ["k"])  # unversioned: later delta wins
+    mor_upsert(
+        spark, path,
+        spark.createDataFrame([(1, "second")], "k int, v string"),
+        ["k"],
+    )
+    deltas = mor_deltas(spark, path)
+    assert len(deltas) == 2
+    # relocate the WHOLE table under ancestors named after the newer
+    # delta and a literal '_data' segment — both pathological shapes
+    evil = tmp_path / deltas[1] / "_data" / "x"
+    evil.mkdir(parents=True)
+    shutil.move(path, str(evil / "t"))
+    out = read_manifest_table(spark, str(evil / "t")).collect()
+    assert [(r["k"], r["v"]) for r in out] == [(1, "second")]
