@@ -596,6 +596,19 @@ def test_catchup_refresh_past_broadcast_gate(spark, tmpdir, monkeypatch):
     )
     create_agg_view(spark, src, view, ["g"], AGGS, src_tombstone_col="dead")
     monkeypatch.setattr(ivm_mod, "_MOR_BROADCAST_MAX_BYTES", 0)
+
+    # past the gate, ivm must never even ASK for a broadcast hint:
+    # shim its F so touching F.broadcast fails loudly (other modules'
+    # own gated broadcasts — resolver, cdc — keep the real functions)
+    class NoBroadcastF:
+        def __getattr__(self, name):
+            if name == "broadcast":
+                raise AssertionError(
+                    "ivm requested a broadcast hint past the size gate"
+                )
+            return getattr(F, name)
+
+    monkeypatch.setattr(ivm_mod, "F", NoBroadcastF())
     # a backlog touching most groups, incl. minmax recompute work
     _upsert(spark, src, [(i, i, float(i) + 0.5, 1, False)
                          for i in range(0, 300, 2)])
