@@ -52,14 +52,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #: dates to r07 (a2-a4, b2, f1, k1/k4/k5, mm4/mm5, p3/p5/p6,
 #: pipe1/pipe2, r11-r18, s25/s26/s28/s29, smp1-smp4/smp6/smp7,
 #: t5/t6/t13/t16, x1/x3, z2/z3 — t16 doubles as the verdict's
-#: item-4 perf watch); then the 6 alphabetically-first r08-green
-#: rows (a6/a7/bpe1/bpe2/d10/d11). 3 + 41 + 6 = 50 exactly. After
+#: item-4 perf watch); then the 5 alphabetically-first r08-green
+#: rows (a6/a7/bpe1/bpe2/d10). 4 + 41 + 5 = 50 exactly. After
 #: this window every contract query holds a green driver row from
 #: r8+ (SWEEP_r10 carries same-round evidence for the tail). Every
 #: query keeps its oracle regardless of position.
 _PRIORITY = [
-    # the r9 driver-red IVM rows + the new filtered/avg IVM query
-    "v4_", "s32_", "v5_",
+    # the r9 driver-red IVM rows + the new filtered/avg + join views
+    "v4_", "s32_", "v5_", "v6_",
     # all 41 r07-evidence queries, oldest rows in the contract
     "a2_", "a3_", "a4_", "b2_", "f1_", "k1_", "k4_", "k5_",
     "mm4_", "mm5_", "p3_", "p5_", "p6_", "pipe1_", "pipe2_",
@@ -67,11 +67,11 @@ _PRIORITY = [
     "s25_", "s26_", "s28_", "s29_",
     "smp1_", "smp2_", "smp3_", "smp4_", "smp6_", "smp7_",
     "t13_", "t16_", "t5_", "t6_", "x1_", "x3_", "z2_", "z3_",
-    # 6 oldest r08-green refreshes
-    "a6_", "a7_", "bpe1_", "bpe2_", "d10_", "d11_",
+    # 5 oldest r08-green refreshes
+    "a6_", "a7_", "bpe1_", "bpe2_", "d10_",
     # ---- 50-cut ----
     # r08-green remainder
-    "d12_", "d9_", "g1_", "g2_", "mm1_", "mm2_", "mm3_",
+    "d11_", "d12_", "d9_", "g1_", "g2_", "mm1_", "mm2_", "mm3_",
     "p1_", "p2_", "p4_", "p7_", "p8_", "p9_",
     *[f"r{i}_" for i in range(1, 11)],
     "s17_", "s18_", "s19_", "s20_", "s21_", "s22_", "s23_", "smp5_",

@@ -3018,6 +3018,157 @@ def v5_ivm_filtered_avg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def v6_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTALLY MAINTAINED AGGREGATED JOIN VIEW
+    (sources/ivm_join.py — the Materialize delta-join identity
+    ``Δ(A⋈B) = dA⋈B_new + A_old⋈dB`` on the engine's own lake):
+    ``SELECT seg, SUM(price), COUNT(*), AVG(price) FROM orders JOIN
+    customer USING (custkey) GROUP BY seg`` stays current while BOTH
+    sides mutate. The program drives every join-maintenance shape: a
+    STALE orders batch (no-op), a fact UPDATE that re-points orders at
+    different customers (join-key move: contributions change segments
+    without any customer changing), a DIM update that renames segments
+    and KILLS customers (every matched order's contribution must
+    follow / vanish), order deletes + inserts against the cursored
+    windows, and a final refresh consuming BOTH feeds at once. Each
+    refresh reads O(changes) + key-matched snapshot slices (isin
+    pushdown under the cap, semi-join past it) — never a full rescan
+    of either table. In-query assert pins view == direct join GROUP BY
+    over the two resolved tables; the oracle recomputes the same from
+    raw orders/customer in DuckDB (integer cents exact; avg divided
+    identically on both sides)."""
+    import shutil
+    import tempfile
+
+    from async_pipes_spark.functions.money import cents
+    from async_pipes_spark.session import ensure_engine_confs
+    from async_pipes_spark.sources.ivm_join import (
+        create_join_view,
+        read_join_view,
+        refresh_join_view,
+    )
+    from async_pipes_spark.sources.sinks import (
+        mor_upsert,
+        read_table,
+        write_manifest_table,
+    )
+
+    base = tempfile.mkdtemp(prefix="v6_ivmj_")
+    opath, cpath, view = f"{base}/orders", f"{base}/cust", f"{base}/view"
+    session = spark.newSession()
+    ensure_engine_confs(session)
+    session.conf.set("spark.sql.shuffle.partitions", "8")
+    spark = session
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"),
+        F.lit(0).cast("long").alias("over"),
+        cents("o_totalprice").alias("price_cents"),
+        F.col("o_custkey").alias("custkey"),
+        F.lit(False).alias("odead"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.lit(0).cast("long").alias("cver"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit(False).alias("cdead"),
+    )
+    write_manifest_table(spark, orders, opath)
+    write_manifest_table(spark, cust, cpath)
+    create_join_view(
+        spark, opath, cpath, view, ["custkey"], ["seg"],
+        {
+            "sum_price": ("sum", "price_cents"),
+            "n_ord": ("count", "*"),
+            "avg_price": ("avg", "price_cents"),
+        },
+        left_tombstone_col="odead",
+        right_tombstone_col="cdead",
+    )
+    m = F.col("ok") % 100
+    cm = F.col("custkey") % 10
+
+    def up_o(df: DataFrame) -> None:
+        mor_upsert(spark, opath, df, key_cols=["ok"],
+                   version_cols=["over"], tombstone_col="odead")
+
+    def up_c(df: DataFrame) -> None:
+        mor_upsert(spark, cpath, df, key_cols=["custkey"],
+                   version_cols=["cver"], tombstone_col="cdead")
+
+    # orders batch 1 — STALE (ver -1 loses everywhere): pure no-op
+    up_o(orders.where(m < 30).select(
+        "ok", F.lit(-1).cast("long").alias("over"),
+        F.lit(0).cast("long").alias("price_cents"),
+        F.lit(0).cast(orders.schema["custkey"].dataType).alias("custkey"),
+        F.lit(False).alias("odead"),
+    ))
+    # orders batch 2 — price bump + JOIN-KEY MOVE: m<10 orders re-point
+    # at customer (custkey % 100) + 1
+    up_o(orders.where(m < 10).select(
+        "ok", F.lit(1).cast("long").alias("over"),
+        (F.col("price_cents") + 111).alias("price_cents"),
+        ((F.col("custkey") % 100) + 1).alias("custkey"),
+        F.lit(False).alias("odead"),
+    ))
+    s1 = refresh_join_view(spark, view)
+    assert s1["mode"] == "incremental" and s1["deltas_consumed"] == 2, s1
+    # customer batch — segment renames + customer deaths (their orders
+    # must leave the view)
+    up_c(cust.where(cm < 2).select(
+        "custkey", F.lit(1).cast("long").alias("cver"),
+        F.lit("MOVED").alias("seg"), F.lit(False).alias("cdead"),
+    ).unionByName(cust.where(cm == 5).select(
+        "custkey", F.lit(1).cast("long").alias("cver"),
+        F.lit(None).cast("string").alias("seg"), F.lit(True).alias("cdead"),
+    )))
+    s2 = refresh_join_view(spark, view)
+    assert s2["mode"] == "incremental" and s2["deltas_consumed"] == 1, s2
+    # both sides at once: order deletes + inserts, another dim rename —
+    # one refresh consumes BOTH cursored feeds
+    up_o(orders.where((m >= 20) & (m < 25)).select(
+        "ok", F.lit(2).cast("long").alias("over"),
+        F.lit(None).cast("long").alias("price_cents"),
+        F.lit(None).cast(orders.schema["custkey"].dataType).alias("custkey"),
+        F.lit(True).alias("odead"),
+    ).unionByName(orders.where(m < 5).select(
+        (F.col("ok") + 10_000_000).alias("ok"),
+        F.lit(2).cast("long").alias("over"),
+        (F.col("price_cents") + 222).alias("price_cents"),
+        F.lit(1).cast(orders.schema["custkey"].dataType).alias("custkey"),
+        F.lit(False).alias("odead"),
+    )))
+    up_c(cust.where(cm == 6).select(
+        "custkey", F.lit(2).cast("long").alias("cver"),
+        F.lit("MOVED2").alias("seg"), F.lit(False).alias("cdead"),
+    ))
+    s3 = refresh_join_view(spark, view)
+    assert s3["mode"] == "incremental" and s3["deltas_consumed"] == 2, s3
+    assert refresh_join_view(spark, view)["mode"] == "noop"
+    out = read_join_view(spark, view).orderBy("seg").transform(_pin)
+    o_live = read_table(spark, opath).where(
+        ~F.coalesce(F.col("odead"), F.lit(False))
+    )
+    c_live = read_table(spark, cpath).where(
+        ~F.coalesce(F.col("cdead"), F.lit(False))
+    )
+    direct = {
+        tuple(r)
+        for r in o_live.join(c_live, ["custkey"]).groupBy("seg").agg(
+            F.sum("price_cents").alias("sum_price"),
+            F.count(F.lit(1)).alias("n_ord"),
+            (F.sum("price_cents") / F.count("price_cents")).alias("avg_price"),
+        ).collect()
+    }
+    got = {tuple(r) for r in out.collect()}
+    shutil.rmtree(base, ignore_errors=True)
+    assert got == direct, (
+        "v6 join-view parity: maintained view != direct join GROUP BY; "
+        f"view={sorted(got)} direct={sorted(direct)}"
+    )
+    return out
+
+
 def s28_concurrent_stream_writers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TWO streaming CDC writers committing to ONE manifest table
     CONCURRENTLY — the multi-writer lake the optimistic-concurrency
@@ -3772,6 +3923,7 @@ EXTENSION_QUERIES = {
     "v3_histogram": v3_histogram,
     "v4_ivm_agg_view": v4_ivm_agg_view,
     "v5_ivm_filtered_avg_view": v5_ivm_filtered_avg_view,
+    "v6_ivm_join_view": v6_ivm_join_view,
     "t11_bm25_rank": t11_bm25_rank,
     "t12_tfidf_top_terms": t12_tfidf_top_terms,
     "t13_curriculum_bins": t13_curriculum_bins,
@@ -5608,6 +5760,49 @@ EXTENSION_ORACLES = {
                SUM(bal) AS sum_bal,
                COUNT(*) AS n_pos
         FROM live WHERE bal >= 0
+        GROUP BY seg ORDER BY seg
+    """,
+    # v6: the delta-join view's final contents = the direct join GROUP
+    # BY over both change programs' net results — stale orders batch
+    # vanishes, m<10 orders re-point at (custkey%100)+1 with +111,
+    # m in 20..24 die, shifted inserts (+222) attach to customer 1;
+    # customers cm<2 rename to MOVED, cm=5 die (their orders drop),
+    # cm=6 rename to MOVED2; avg divided identically on both sides
+    "v6_ivm_join_view": """
+        WITH o AS (
+            SELECT o_orderkey % 100 AS m,
+                   CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS price,
+                   o_custkey AS custkey
+            FROM orders
+        ),
+        ofinal AS (
+            SELECT CASE WHEN m < 10 THEN price + 111 ELSE price END
+                       AS price,
+                   CASE WHEN m < 10 THEN (custkey % 100) + 1
+                        ELSE custkey END AS custkey
+            FROM o WHERE NOT (m BETWEEN 20 AND 24)
+            UNION ALL
+            SELECT price + 222 AS price, 1 AS custkey
+            FROM o WHERE m < 5
+        ),
+        c AS (
+            SELECT c_custkey AS custkey, c_custkey % 10 AS cm,
+                   c_mktsegment AS seg
+            FROM customer
+        ),
+        cfinal AS (
+            SELECT custkey,
+                   CASE WHEN cm < 2 THEN 'MOVED'
+                        WHEN cm = 6 THEN 'MOVED2'
+                        ELSE seg END AS seg
+            FROM c WHERE cm <> 5
+        )
+        SELECT seg,
+               SUM(price) AS sum_price,
+               COUNT(*) AS n_ord,
+               CAST(SUM(price) AS DOUBLE) / COUNT(price) AS avg_price
+        FROM ofinal JOIN cfinal USING (custkey)
         GROUP BY seg ORDER BY seg
     """,
     "z3_bloom_pruned_lookup": """

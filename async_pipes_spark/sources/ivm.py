@@ -329,6 +329,7 @@ def create_agg_view(
     out = _stored(full, group_cols, aggs, types, seq=0)
     write_manifest_table(spark, out, view_path)
     state = {
+        "kind": "agg",
         "src": src_path,
         "group_cols": group_cols,
         "aggs": {k: list(v) for k, v in aggs.items()},
@@ -381,6 +382,11 @@ def refresh_agg_view(
 
     Returns ``{"mode": "noop" | "incremental" | "full", ...}``."""
     st = _read_state(spark, view_path)
+    if st.get("kind", "agg") != "agg":
+        raise ValueError(
+            f"not a single-table agg view: {view_path} — use "
+            "sources.ivm_join.refresh_join_view()"
+        )
     src = st["src"]
     group_cols: list[str] = st["group_cols"]
     aggs = {k: (v[0], v[1]) for k, v in st["aggs"].items()}

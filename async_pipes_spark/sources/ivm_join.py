@@ -1,0 +1,526 @@
+"""Incrementally maintained AGGREGATED JOIN views over two
+merge-on-read tables — the Materialize / DLT delta-join model on the
+engine's own lake, completing `sources/ivm.py`'s single-table views
+(the r9 verdict's "missing #2").
+
+A view ``SELECT group_cols, aggs FROM A JOIN B USING (join_keys)
+[WHERE filter] GROUP BY group_cols`` refreshes from the two bounded
+change feeds via the standard multiset identity::
+
+    A_new ⋈ B_new  −  A_old ⋈ B_old
+        =  dA ⋈ B_new  +  A_old ⋈ dB
+
+where ``dA``/``dB`` are the SIGNED change multisets (post-images +1,
+pre-images −1) and the join sign of a delta-joined row is the feed
+row's sign. Both terms are O(changes) join probes, not table scans:
+
+- ``dA ⋈ B_new`` touches only B rows whose join key appears in dA —
+  one semi-join against the (size-gated broadcast) dA key set, with an
+  ``isin`` pushdown when the key set is small enough to inline, so the
+  parquet scan prunes row groups by footer stats on the join key;
+- ``A_old ⋈ dB`` symmetrically — ``A_old`` is the PINNED snapshot at
+  A's cursor (base ∪ consumed prefix, resolved lazily; only the
+  contested slice of the resolve and the key-matched slice of the scan
+  are ever materialized).
+
+Aggregates are the ALGEBRAIC set (``sum`` / ``count`` / ``avg`` with
+the same hidden non-null counters as single-table views — SQL NULL
+semantics exact through subtraction, avg's quotient identical across
+the incremental and full lanes). ``min``/``max`` are refused: their
+needy-group recompute would re-join snapshot slices and is better
+served by a single-table view over a materialized join at today's
+scope.
+
+Exactly-once and crash safety mirror the single-table contract, per
+source: the state file pins each side's cursor + base-version token
+and the view's commit seq; a base move (compaction / COW merge / purge
+/ z-order / restore) on EITHER side, a crashed refresh, an out-of-band
+view write, or a compaction racing the refresh mid-flight all
+downgrade to a full recompute from pinned snapshots — never a
+double-apply. The two sides pin independently: the refreshed view is
+the join of (A at until_a) with (B at until_b), a consistent cut that
+sequential refreshes advance monotonically.
+
+The stored view table is byte-compatible with single-table views
+(:func:`~async_pipes_spark.sources.ivm.read_agg_view` reads both); a
+``kind`` marker in the state file keeps each refresher on its own
+views.
+"""
+
+from __future__ import annotations
+
+import json
+from functools import reduce
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from async_pipes_spark.session import pin as _pin
+from async_pipes_spark.sources.cdc import mor_changes
+from async_pipes_spark.sources.ivm import (
+    IVM_DEL,
+    IVM_KEY,
+    IVM_N,
+    IVM_SEQ,
+    _as,
+    _full_agg_exprs,
+    _group_key,
+    _live,
+    _nn,
+    _pinned_snapshot,
+    _pinned_state,
+    _read_state,
+    _RECOMPUTED,
+    _stored,
+    _validate_aggs,
+    _write_state,
+    read_agg_view,
+)
+from async_pipes_spark.sources.sinks import (
+    _MOR_BROADCAST_MAX_BYTES,
+    _mor_backlog_bytes,
+    _mor_resolve,
+    _pmanifest_mapping,
+    _pmanifest_read,
+    _raw_pointer_seq,
+    _read_mor_spec,
+    _read_pmapping,
+    _state_base,
+    _state_deltas,
+    mor_upsert,
+    write_manifest_table,
+)
+
+#: past this many distinct join keys in a feed the ``isin`` pushdown is
+#: skipped (the semi-join alone stays correct); matches the contested
+#: file-planning cap in sources/stats.py
+_ISIN_KEY_CAP = 4096
+
+#: join views maintain the algebraic aggregates only (see module doc)
+_JOIN_AGGS = ("sum", "count", "avg")
+
+
+def _validate_join_aggs(
+    group_cols: Sequence[str], aggs: Mapping[str, tuple[str, str]]
+) -> None:
+    _validate_aggs(group_cols, aggs)
+    bad = [n for n, (fn, _c) in aggs.items() if fn in _RECOMPUTED]
+    if bad:
+        raise ValueError(
+            f"min/max are not maintainable in a join view ({bad}) — "
+            f"supported: {', '.join(_JOIN_AGGS)}; for extremes, "
+            "materialize the join and put a single-table agg view on it"
+        )
+
+
+def _side_state(spark, path: str) -> tuple[str, str, list[str], str]:
+    """(flavor, base_name, deltas, token) of a source's pinned state."""
+    pinned = _pinned_state(spark, path)
+    flavor, _, body = pinned.partition(":")
+    base = _state_base(body)
+    return flavor, base, _state_deltas(body), f"{flavor}:{base}"
+
+
+def _base_of(spark, path: str, flavor: str, base_name: str) -> DataFrame:
+    if flavor == "p":
+        mapping = _pmanifest_mapping(spark, path, base_name)
+        return _read_pmapping(spark, path, mapping)
+    return spark.read.option("mergeSchema", "true").parquet(
+        f"{path}/_data/{base_name}"
+    )
+
+
+def _snap_upto(
+    spark, path: str, flavor: str, base_name: str,
+    deltas: list[str], upto: str | None,
+) -> DataFrame:
+    """Resolved snapshot base ∪ deltas[..upto] of the PINNED state
+    (never the live pointer — a racing compaction may have advanced
+    it). ``upto=None`` denotes the bare base."""
+    base = _base_of(spark, path, flavor, base_name)
+    if upto is None:
+        return base
+    cut = deltas[: deltas.index(upto) + 1]
+    return _mor_resolve(spark, path, base, cut) if cut else base
+
+
+def _disjoint_or_raise(a_cols, b_cols, join_keys) -> None:
+    clash = (set(a_cols) & set(b_cols)) - set(join_keys)
+    if clash:
+        raise ValueError(
+            f"non-key columns present on both sides: {sorted(clash)} — "
+            "rename one side before creating the join view (the joined "
+            "row's columns must be unambiguous)"
+        )
+
+
+def create_join_view(
+    spark: SparkSession,
+    left_path: str,
+    right_path: str,
+    view_path: str,
+    join_keys: Sequence[str],
+    group_cols: Sequence[str],
+    aggs: Mapping[str, tuple[str, str]],
+    left_tombstone_col: str | None = None,
+    right_tombstone_col: str | None = None,
+    filter_expr: str | None = None,
+) -> dict:
+    """Materialize the aggregated equi-join (module doc) as a manifest
+    table at ``view_path`` and arm it for incremental refresh.
+    ``join_keys`` are SAME-NAMED columns on both sides (USING-join);
+    every other column name must be unique across the two sources.
+    ``aggs``/``group_cols``/``filter_expr`` address the JOINED row.
+
+    Returns the recorded state dict."""
+    join_keys = list(join_keys)
+    group_cols = list(group_cols)
+    aggs = {k: (fn, col) for k, (fn, col) in aggs.items()}
+    if not join_keys:
+        raise ValueError("join_keys is required")
+    _validate_join_aggs(group_cols, aggs)
+
+    fl, bl, dl, tok_l = _side_state(spark, left_path)
+    fr, br, dr, tok_r = _side_state(spark, right_path)
+    a = _live(
+        _snap_upto(spark, left_path, fl, bl, dl, dl[-1] if dl else None),
+        left_tombstone_col,
+    )
+    b = _live(
+        _snap_upto(spark, right_path, fr, br, dr, dr[-1] if dr else None),
+        right_tombstone_col,
+    )
+    missing = [k for k in join_keys if k not in a.columns or k not in b.columns]
+    if missing:
+        raise ValueError(f"join keys not on both sides: {missing}")
+    _disjoint_or_raise(a.columns, b.columns, join_keys)
+    joined = a.join(b, join_keys)
+    if filter_expr:
+        joined = joined.where(F.expr(filter_expr))
+    bad = [c for c in group_cols if c not in joined.columns] + [
+        c for _n, (_f, c) in aggs.items()
+        if c != "*" and c not in joined.columns
+    ]
+    if bad:
+        raise ValueError(f"columns not in the joined row: {sorted(set(bad))}")
+    full = joined.groupBy(*group_cols).agg(*_full_agg_exprs(aggs))
+    types = dict(full.dtypes)
+    types = {
+        name: types[name]
+        for name in [n for n in aggs]
+        + [_as(n) for n, (f, _c) in aggs.items() if f == "avg"]
+    }
+    out = _stored(full, group_cols, aggs, types, seq=0)
+    write_manifest_table(spark, out, view_path)
+    state = {
+        "kind": "join",
+        "left": left_path,
+        "right": right_path,
+        "join_keys": join_keys,
+        "group_cols": group_cols,
+        "aggs": {k: list(v) for k, v in aggs.items()},
+        "types": types,
+        "left_tombstone_col": left_tombstone_col,
+        "right_tombstone_col": right_tombstone_col,
+        "filter": filter_expr,
+        "left_cursor": dl[-1] if dl else None,
+        "right_cursor": dr[-1] if dr else None,
+        "left_base": tok_l,
+        "right_base": tok_r,
+        "seq": 0,
+        "view_seq": _raw_pointer_seq(spark, view_path),
+    }
+    _write_state(spark, view_path, state)
+    return state
+
+
+#: a join view's stored shape matches the single-table one exactly
+read_join_view = read_agg_view
+
+
+def _signed_feed(
+    spark, path: str, cursor: str | None, new: list[str],
+    tombstone_col: str | None,
+) -> DataFrame | None:
+    """The side's signed change multiset over (cursor, new[-1]], with
+    ``_ivm_sgn`` ±1, tombstone bookkeeping dropped; ``None`` when the
+    window is empty (the caller skips the side's term entirely)."""
+    if not new:
+        return None
+    feed = mor_changes(spark, path, since=cursor, until=new[-1])
+    adds = F.col("_change_type").isin("insert", "update_postimage")
+    out = feed.withColumn(
+        "_ivm_sgn", F.when(adds, F.lit(1)).otherwise(F.lit(-1))
+    ).drop("_change_type")
+    if tombstone_col and tombstone_col in out.columns:
+        out = out.drop(tombstone_col)  # feed rows are live images
+    return out
+
+
+def _keys_probe(
+    spark, signed: DataFrame, join_keys: list[str], small: bool
+) -> tuple[DataFrame, list | None]:
+    """(distinct-key frame for the semi-join, optional inlined key rows
+    for an ``isin`` pushdown). The collect is CAPPED at
+    ``_ISIN_KEY_CAP`` rows — past the cap only the (gated-broadcast)
+    semi-join prunes, which stays correct at any size."""
+    kdf = signed.select(*join_keys).where(
+        reduce(Column.__and__, [F.col(k).isNotNull() for k in join_keys])
+    ).distinct()
+    kdf = _pin(kdf)  # probed twice (isin peek + semi); lineage = feed
+    inline = None
+    if len(join_keys) == 1:
+        head = kdf.limit(_ISIN_KEY_CAP + 1).collect()
+        if len(head) <= _ISIN_KEY_CAP:
+            inline = [r[0] for r in head]
+    return (F.broadcast(kdf) if small else kdf), inline
+
+
+def _half_term(
+    snapshot: DataFrame,
+    signed: DataFrame,
+    join_keys: list[str],
+    keys: DataFrame,
+    inline: list | None,
+) -> DataFrame:
+    """One delta-join term: ``signed ⋈ key-matched snapshot slice``,
+    joined-row sign = the feed row's sign. NULL join keys match
+    nothing on either side — exactly SQL's inner-join semantics, so
+    dropping them from the probe loses no rows. When the key set
+    inlined (single key, under the cap) the ``isin`` IS the exact
+    slice — it reaches the parquet scan as a pushed filter and the
+    semi-join is skipped; past the cap the (gated-broadcast) semi-join
+    alone slices, correct at any key count."""
+    if inline is not None:
+        sliced = snapshot.where(F.col(join_keys[0]).isin(inline))
+    else:
+        sliced = snapshot.join(keys, join_keys, "left_semi")
+    return signed.join(sliced, join_keys)
+
+
+def refresh_join_view(
+    spark: SparkSession,
+    view_path: str,
+    view_compact_deltas: int | None = 16,
+) -> dict:
+    """Advance the join view to both sources' current states — the
+    delta-join identity folded into one O(changed groups) view commit
+    (module doc). Falls back to a full recompute whenever incremental
+    apply cannot be proven safe on EITHER side (base moved, cursor
+    folded — at pin time or mid-flight — view seq drift).
+
+    Returns ``{"mode": "noop" | "incremental" | "full", ...}``."""
+    st = _read_state(spark, view_path)
+    if st.get("kind", "agg") != "join":
+        raise ValueError(
+            f"not a join view: {view_path} — use refresh_agg_view()"
+        )
+    group_cols: list[str] = st["group_cols"]
+    aggs = {k: (v[0], v[1]) for k, v in st["aggs"].items()}
+    types: dict[str, str] = st["types"]
+    join_keys: list[str] = st["join_keys"]
+    filt = st.get("filter")
+
+    if _raw_pointer_seq(spark, view_path) != st["view_seq"]:
+        return _full_join_refresh(spark, view_path, st,
+                                  reason="view-state-drift")
+    try:
+        fl, bl, dl, tok_l = _side_state(spark, st["left"])
+        fr, br, dr, tok_r = _side_state(spark, st["right"])
+    except ValueError:
+        return _full_join_refresh(spark, view_path, st,
+                                  reason="source-unreadable")
+    if tok_l != st["left_base"] or tok_r != st["right_base"]:
+        return _full_join_refresh(spark, view_path, st,
+                                  reason="source-base-moved")
+    cur_l, cur_r = st["left_cursor"], st["right_cursor"]
+    if (cur_l is not None and cur_l not in dl) or (
+        cur_r is not None and cur_r not in dr
+    ):
+        return _full_join_refresh(spark, view_path, st,
+                                  reason="cursor-folded")
+    new_l = dl if cur_l is None else dl[dl.index(cur_l) + 1:]
+    new_r = dr if cur_r is None else dr[dr.index(cur_r) + 1:]
+    if not new_l and not new_r:
+        return {"mode": "noop", "deltas_consumed": 0, "seq": st["seq"]}
+    until_l = new_l[-1] if new_l else cur_l
+    until_r = new_r[-1] if new_r else cur_r
+
+    # tombstone-spec drift guards, per side (mid-flight compaction of
+    # either backlog routes to the recovery lane like single-table)
+    try:
+        for path, new, tomb in (
+            (st["left"], new_l, st["left_tombstone_col"]),
+            (st["right"], new_r, st["right_tombstone_col"]),
+        ):
+            if new:
+                _k, _v, bt, _e = _read_mor_spec(spark, path, new[0])
+                if bt != tomb:
+                    raise RuntimeError(
+                        f"source tombstone spec drifted on {path}: view "
+                        f"records {tomb!r}, backlog resolves with {bt!r}"
+                    )
+        sgn_l = _signed_feed(spark, st["left"], cur_l, new_l,
+                             st["left_tombstone_col"])
+        sgn_r = _signed_feed(spark, st["right"], cur_r, new_r,
+                             st["right_tombstone_col"])
+    except ValueError:
+        return _full_join_refresh(spark, view_path, st,
+                                  reason="cursor-raced")
+
+    window_bytes = _mor_backlog_bytes(
+        spark, st["left"], new_l
+    ) + _mor_backlog_bytes(spark, st["right"], new_r)
+    small = window_bytes <= _MOR_BROADCAST_MAX_BYTES
+
+    def _hint(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small else df
+
+    # the two delta-join terms (module doc):  dA ⋈ B_new  uses B at
+    # until_r;  A_old ⋈ dB  uses A at cursor_l — the cut that makes
+    # the two terms sum EXACTLY to the join's change
+    terms: list[DataFrame] = []
+    if sgn_l is not None:
+        b_new = _live(
+            _snap_upto(spark, st["right"], fr, br, dr, until_r),
+            st["right_tombstone_col"],
+        )
+        keys_l, inline_l = _keys_probe(spark, sgn_l, join_keys, small)
+        terms.append(_half_term(b_new, sgn_l, join_keys, keys_l, inline_l))
+    if sgn_r is not None:
+        a_old = _live(
+            _snap_upto(spark, st["left"], fl, bl, dl, cur_l),
+            st["left_tombstone_col"],
+        )
+        keys_r, inline_r = _keys_probe(spark, sgn_r, join_keys, small)
+        terms.append(_half_term(a_old, sgn_r, join_keys, keys_r, inline_r))
+    delta = terms[0] if len(terms) == 1 else terms[0].unionByName(terms[1])
+    if filt:
+        delta = delta.where(F.expr(filt))
+
+    # fold the signed joined multiset into per-group aggregate deltas —
+    # the algebraic twin of refresh_agg_view's fold, kept standalone so
+    # the (driver-audited) single-table path stays untouched
+    sgn = F.col("_ivm_sgn")
+    dexprs: list[Column] = [F.sum(sgn).alias("_ivm_dn")]
+    for name, (fn, col) in aggs.items():
+        if fn in ("sum", "avg"):
+            dexprs.append(F.sum(sgn * F.col(col)).alias(f"_ivm_d_{name}"))
+            dexprs.append(
+                F.sum(
+                    F.when(F.col(col).isNotNull(), sgn).otherwise(F.lit(0))
+                ).alias(f"_ivm_dnn_{name}")
+            )
+        else:  # count
+            dexprs.append(
+                F.sum(
+                    sgn if col == "*" else
+                    F.when(F.col(col).isNotNull(), sgn).otherwise(F.lit(0))
+                ).alias(f"_ivm_d_{name}")
+            )
+    d = delta.groupBy(*group_cols).agg(*dexprs)
+    moved = F.col("_ivm_dn") != 0
+    for name, (fn, _c) in aggs.items():
+        if fn in ("sum", "avg"):
+            moved = moved | (
+                F.coalesce(F.col(f"_ivm_d_{name}"), F.lit(0)) != 0
+            ) | (F.col(f"_ivm_dnn_{name}") != 0)
+        else:
+            moved = moved | (F.col(f"_ivm_d_{name}") != 0)
+    d = _pin(d.where(moved).withColumn(IVM_KEY, _group_key(group_cols)))
+
+    from async_pipes_spark.sources.sinks import read_table
+
+    cur = read_table(spark, view_path)
+    cur = cur.where(~F.coalesce(F.col(IVM_DEL), F.lit(False)))
+    old_cols = [F.col(IVM_KEY)]
+    for name, (fn, _c) in aggs.items():
+        old_cols.append(F.col(name).alias(f"_ivm_o_{name}"))
+        if fn == "sum":
+            old_cols.append(F.col(_nn(name)).alias(f"_ivm_onn_{name}"))
+        elif fn == "avg":
+            old_cols.append(F.col(_as(name)).alias(f"_ivm_oas_{name}"))
+            old_cols.append(F.col(_nn(name)).alias(f"_ivm_onn_{name}"))
+    old_cols.append(F.col(IVM_N).alias("_ivm_on"))
+    cur_aff = cur.join(
+        _hint(d.select(IVM_KEY)), IVM_KEY, "left_semi"
+    ).select(*old_cols)
+    merged = d.join(_hint(cur_aff), IVM_KEY, "left")
+
+    new_n = F.coalesce(F.col("_ivm_on"), F.lit(0)) + F.col("_ivm_dn")
+    proj: dict[str, Column] = {IVM_N: new_n}
+    for name, (fn, _c) in aggs.items():
+        if fn == "sum":
+            nn = (F.coalesce(F.col(f"_ivm_onn_{name}"), F.lit(0))
+                  + F.col(f"_ivm_dnn_{name}"))
+            acc = (F.coalesce(F.col(f"_ivm_o_{name}"), F.lit(0))
+                   + F.coalesce(F.col(f"_ivm_d_{name}"), F.lit(0)))
+            proj[name] = F.when(nn > 0, acc).otherwise(F.lit(None))
+            proj[_nn(name)] = nn
+        elif fn == "avg":
+            nn = (F.coalesce(F.col(f"_ivm_onn_{name}"), F.lit(0))
+                  + F.col(f"_ivm_dnn_{name}"))
+            acc = (F.coalesce(F.col(f"_ivm_oas_{name}"), F.lit(0))
+                   + F.coalesce(F.col(f"_ivm_d_{name}"), F.lit(0)))
+            proj[name] = F.when(nn > 0, acc / nn).otherwise(F.lit(None))
+            proj[_as(name)] = F.when(nn > 0, acc).otherwise(F.lit(None))
+            proj[_nn(name)] = nn
+        else:  # count
+            proj[name] = (F.coalesce(F.col(f"_ivm_o_{name}"), F.lit(0))
+                          + F.col(f"_ivm_d_{name}"))
+    merged = merged.select(
+        *group_cols, IVM_KEY,
+        *[expr.alias(n) for n, expr in proj.items()],
+    )
+    seq = st["seq"] + 1
+    out = _stored(
+        merged.drop(IVM_KEY), group_cols, aggs, types, seq,
+        dead=F.col(IVM_N) == 0,
+    )
+    mor_upsert(
+        spark, view_path, out, [IVM_KEY],
+        version_cols=[IVM_SEQ], tombstone_col=IVM_DEL,
+        auto_compact_deltas=view_compact_deltas,
+    )
+    st.update(
+        left_cursor=until_l, right_cursor=until_r, seq=seq,
+        view_seq=_raw_pointer_seq(spark, view_path),
+    )
+    _write_state(spark, view_path, st)
+    return {
+        "mode": "incremental",
+        "deltas_consumed": len(new_l) + len(new_r),
+        "seq": seq,
+    }
+
+
+def _full_join_refresh(spark, view_path: str, st: dict, reason: str) -> dict:
+    """Recovery lane: recompute the join view from both sources' pinned
+    snapshots, publish a FRESH view version, re-arm both cursors."""
+    group_cols: list[str] = st["group_cols"]
+    aggs = {k: (v[0], v[1]) for k, v in st["aggs"].items()}
+    fl, bl, dl, tok_l = _side_state(spark, st["left"])
+    fr, br, dr, tok_r = _side_state(spark, st["right"])
+    a = _live(
+        _snap_upto(spark, st["left"], fl, bl, dl, dl[-1] if dl else None),
+        st["left_tombstone_col"],
+    )
+    b = _live(
+        _snap_upto(spark, st["right"], fr, br, dr, dr[-1] if dr else None),
+        st["right_tombstone_col"],
+    )
+    joined = a.join(b, st["join_keys"])
+    if st.get("filter"):
+        joined = joined.where(F.expr(st["filter"]))
+    seq = st["seq"] + 1
+    full = joined.groupBy(*group_cols).agg(*_full_agg_exprs(aggs))
+    out = _stored(full, group_cols, aggs, st["types"], seq)
+    write_manifest_table(spark, out, view_path)
+    st.update(
+        left_cursor=dl[-1] if dl else None,
+        right_cursor=dr[-1] if dr else None,
+        left_base=tok_l, right_base=tok_r, seq=seq,
+        view_seq=_raw_pointer_seq(spark, view_path),
+    )
+    _write_state(spark, view_path, st)
+    return {"mode": "full", "reason": reason, "seq": seq}

@@ -1,0 +1,292 @@
+"""Incrementally maintained aggregated JOIN views
+(`sources/ivm_join.py`): every refresh must equal the direct
+``A JOIN B [WHERE f] GROUP BY g`` recompute — across change programs
+on either or both sides, duplicate join keys (multiset join), NULL
+join keys, filter boundary crossings, base-moving verbs, and the
+kind guard that keeps each refresher on its own views."""
+
+from __future__ import annotations
+
+import random
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from async_pipes_spark.sources.ivm import read_agg_view, refresh_agg_view
+from async_pipes_spark.sources.ivm_join import (
+    create_join_view,
+    read_join_view,
+    refresh_join_view,
+)
+from async_pipes_spark.sources.sinks import (
+    compact_small_files,
+    mor_upsert,
+    read_table,
+    write_manifest_table,
+)
+
+A_SCHEMA = "ak int, jk int, x long, aver int, adead boolean"
+B_SCHEMA = "bk int, jk int, g int, bver int, bdead boolean"
+AGGS = {
+    "sx": ("sum", "x"),
+    "n": ("count", "*"),
+    "ax": ("avg", "x"),
+}
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="ivmj_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _mk(spark, tmpdir, n_a=20, n_b=8):
+    a_path, b_path = f"{tmpdir}/a", f"{tmpdir}/b"
+    # A: facts — jk fans out over B's keys, including a jk B lacks (9)
+    a_rows = [(i, i % 10, i * 10, 0, False) for i in range(n_a)]
+    # B: dims — includes a DUPLICATE join key (jk=1 twice: multiset
+    # join must double those A rows) and a NULL jk (matches nothing)
+    b_rows = [(j, j, j % 3, 0, False) for j in range(n_b)]
+    b_rows += [(100, 1, 2, 0, False), (101, None, 0, 0, False)]
+    write_manifest_table(
+        spark, spark.createDataFrame(a_rows, A_SCHEMA), a_path
+    )
+    write_manifest_table(
+        spark, spark.createDataFrame(b_rows, B_SCHEMA), b_path
+    )
+    return a_path, b_path
+
+
+def _up_a(spark, path, rows):
+    mor_upsert(spark, path, spark.createDataFrame(rows, A_SCHEMA), ["ak"],
+               version_cols=["aver"], tombstone_col="adead")
+
+
+def _up_b(spark, path, rows):
+    mor_upsert(spark, path, spark.createDataFrame(rows, B_SCHEMA), ["bk"],
+               version_cols=["bver"], tombstone_col="bdead")
+
+
+def _expected(spark, a_path, b_path, filt=None):
+    a = read_table(spark, a_path).where(
+        ~F.coalesce(F.col("adead"), F.lit(False))
+    )
+    b = read_table(spark, b_path).where(
+        ~F.coalesce(F.col("bdead"), F.lit(False))
+    )
+    j = a.join(b, ["jk"])
+    if filt:
+        j = j.where(filt)
+    out = j.groupBy("g").agg(
+        F.sum("x").alias("sx"),
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("x") / F.count("x")).alias("ax"),
+    )
+    return {r["g"]: (r["sx"], r["n"], r["ax"]) for r in out.collect()}
+
+
+def _got(spark, view):
+    return {
+        r["g"]: (r["sx"], r["n"], r["ax"])
+        for r in read_join_view(spark, view).collect()
+    }
+
+
+def test_create_matches_direct_join(spark, tmpdir):
+    a, b = _mk(spark, tmpdir)
+    view = f"{tmpdir}/v"
+    st = create_join_view(
+        spark, a, b, view, ["jk"], ["g"], AGGS,
+        left_tombstone_col="adead", right_tombstone_col="bdead",
+    )
+    assert st["seq"] == 0 and st["kind"] == "join"
+    assert _got(spark, view) == _expected(spark, a, b)
+
+
+def test_left_side_changes_only(spark, tmpdir):
+    a, b = _mk(spark, tmpdir)
+    view = f"{tmpdir}/v"
+    create_join_view(spark, a, b, view, ["jk"], ["g"], AGGS,
+                     left_tombstone_col="adead", right_tombstone_col="bdead")
+    # move a fact to another join key, delete one, insert one with a
+    # NULL value (non-null counter path), one with an unmatched jk
+    _up_a(spark, a, [(0, 5, 999, 1, False), (3, 3, None, 1, False),
+                     (1, 1, 0, 1, True), (50, 9, 70, 1, False)])
+    s = refresh_join_view(spark, view)
+    assert s["mode"] == "incremental" and s["deltas_consumed"] == 1, s
+    assert _got(spark, view) == _expected(spark, a, b)
+    assert refresh_join_view(spark, view)["mode"] == "noop"
+
+
+def test_right_side_changes_only(spark, tmpdir):
+    a, b = _mk(spark, tmpdir)
+    view = f"{tmpdir}/v"
+    create_join_view(spark, a, b, view, ["jk"], ["g"], AGGS,
+                     left_tombstone_col="adead", right_tombstone_col="bdead")
+    # dim rows move groups / die / appear — every matched fact's
+    # contribution must follow (the join-move case)
+    _up_b(spark, b, [(1, 1, 0, 1, False),      # g 1 -> 0
+                     (2, 2, 2, 1, True),       # dim dies: facts drop out
+                     (200, 9, 1, 1, False)])   # jk 9 now matched
+    s = refresh_join_view(spark, view)
+    assert s["mode"] == "incremental", s
+    assert _got(spark, view) == _expected(spark, a, b)
+
+
+def test_both_sides_change_between_refreshes(spark, tmpdir):
+    a, b = _mk(spark, tmpdir)
+    view = f"{tmpdir}/v"
+    create_join_view(spark, a, b, view, ["jk"], ["g"], AGGS,
+                     left_tombstone_col="adead", right_tombstone_col="bdead")
+    _up_a(spark, a, [(0, 7, -40, 1, False), (21, 1, 5, 0, False)])
+    _up_b(spark, b, [(7, 7, 1, 1, False), (0, 0, 1, 1, True)])
+    s = refresh_join_view(spark, view)
+    assert s["mode"] == "incremental" and s["deltas_consumed"] == 2, s
+    assert _got(spark, view) == _expected(spark, a, b)
+    # second round exercises the CURSORED windows on both sides
+    _up_a(spark, a, [(2, 2, 1000, 1, False)])
+    _up_b(spark, b, [(100, 1, 0, 1, True)])  # one of the DUP jk=1 rows
+    s2 = refresh_join_view(spark, view)
+    assert s2["mode"] == "incremental" and s2["deltas_consumed"] == 2, s2
+    assert _got(spark, view) == _expected(spark, a, b)
+
+
+def test_duplicate_join_keys_multiply(spark, tmpdir):
+    """B carries jk=1 twice: every A row with jk=1 counts TWICE in the
+    view (multiset join). An A-side insert on jk=1 must add 2."""
+    a, b = _mk(spark, tmpdir)
+    view = f"{tmpdir}/v"
+    create_join_view(spark, a, b, view, ["jk"], ["g"], AGGS,
+                     left_tombstone_col="adead", right_tombstone_col="bdead")
+    before = _got(spark, view)
+    _up_a(spark, a, [(60, 1, 7, 0, False)])
+    refresh_join_view(spark, view)
+    after = _got(spark, view)
+    assert after == _expected(spark, a, b)
+    # jk=1 maps to g in {1, 2} (bk=1 g=1; bk=100 g=2): both groups
+    # gained exactly one joined row
+    assert after[1][1] == before[1][1] + 1
+    assert after[2][1] == before[2][1] + 1
+
+
+def test_filtered_join_view_boundary(spark, tmpdir):
+    a, b = _mk(spark, tmpdir)
+    view = f"{tmpdir}/v"
+    create_join_view(
+        spark, a, b, view, ["jk"], ["g"], AGGS,
+        left_tombstone_col="adead", right_tombstone_col="bdead",
+        filter_expr="x >= 50",
+    )
+    assert _got(spark, view) == _expected(spark, a, b, "x >= 50")
+    # cross INTO (x 10->90) and OUT of (x 120->0) the predicate
+    _up_a(spark, a, [(1, 1, 90, 1, False), (12, 2, 0, 1, False)])
+    s = refresh_join_view(spark, view)
+    assert s["mode"] == "incremental", s
+    assert _got(spark, view) == _expected(spark, a, b, "x >= 50")
+
+
+def test_base_move_either_side_downgrades(spark, tmpdir):
+    a, b = _mk(spark, tmpdir)
+    view = f"{tmpdir}/v"
+    create_join_view(spark, a, b, view, ["jk"], ["g"], AGGS,
+                     left_tombstone_col="adead", right_tombstone_col="bdead")
+    _up_a(spark, a, [(0, 0, 1, 1, False)])
+    refresh_join_view(spark, view)
+    compact_small_files(spark, a)
+    s = refresh_join_view(spark, view)
+    assert s["mode"] == "full" and s["reason"] == "source-base-moved", s
+    assert _got(spark, view) == _expected(spark, a, b)
+    _up_b(spark, b, [(3, 3, 0, 1, False)])
+    refresh_join_view(spark, view)
+    compact_small_files(spark, b)
+    s2 = refresh_join_view(spark, view)
+    assert s2["mode"] == "full", s2
+    assert _got(spark, view) == _expected(spark, a, b)
+    # and the re-armed cursors keep the incremental lane alive
+    _up_a(spark, a, [(5, 5, 5, 1, False)])
+    assert refresh_join_view(spark, view)["mode"] == "incremental"
+    assert _got(spark, view) == _expected(spark, a, b)
+
+
+def test_kind_guards(spark, tmpdir):
+    a, b = _mk(spark, tmpdir)
+    view = f"{tmpdir}/v"
+    create_join_view(spark, a, b, view, ["jk"], ["g"], AGGS,
+                     left_tombstone_col="adead", right_tombstone_col="bdead")
+    with pytest.raises(ValueError, match="not a single-table agg view"):
+        refresh_agg_view(spark, view)
+    from async_pipes_spark.sources.ivm import create_agg_view
+
+    view2 = f"{tmpdir}/v2"
+    create_agg_view(spark, b, view2, ["g"], {"nb": ("count", "*")},
+                    src_tombstone_col="bdead")
+    with pytest.raises(ValueError, match="not a join view"):
+        refresh_join_view(spark, view2)
+    # the shared reader serves both
+    assert read_agg_view(spark, view).columns == ["g", "sx", "n", "ax"]
+
+
+def test_validation(spark, tmpdir):
+    a, b = _mk(spark, tmpdir)
+    view = f"{tmpdir}/v"
+    with pytest.raises(ValueError, match="min/max are not maintainable"):
+        create_join_view(spark, a, b, view, ["jk"], ["g"],
+                         {"mx": ("max", "x")})
+    with pytest.raises(ValueError, match="join_keys is required"):
+        create_join_view(spark, a, b, view, [], ["g"], AGGS)
+    with pytest.raises(ValueError, match="not on both sides"):
+        create_join_view(spark, a, b, view, ["ak"], ["g"], AGGS)
+    # engineer a non-key column clash: a second A-like table
+    c = f"{tmpdir}/c"
+    write_manifest_table(
+        spark,
+        spark.createDataFrame([(1, 1, 2, 0, False)], A_SCHEMA),
+        c,
+    )
+    with pytest.raises(ValueError, match="both sides"):
+        create_join_view(spark, a, c, view, ["jk"], ["x"], {"s": ("sum", "x")})
+
+
+def test_randomized_model_parity(spark, tmpdir):
+    """Seeded random program over BOTH sides — upserts, deletes, group
+    moves, join-key moves, compactions (either side), view optimize —
+    with view == direct join GROUP BY after every refresh."""
+    from async_pipes_spark.sources.ivm import optimize_agg_view
+
+    rng = random.Random(0x301)
+    a, b = _mk(spark, tmpdir, n_a=25, n_b=8)
+    view = f"{tmpdir}/v"
+    create_join_view(spark, a, b, view, ["jk"], ["g"], AGGS,
+                     left_tombstone_col="adead", right_tombstone_col="bdead")
+    aver = bver = 0
+    for step in range(8):
+        if rng.random() < 0.8:
+            aver += 1
+            rows = []
+            for _ in range(rng.randint(1, 4)):
+                rows.append((
+                    rng.randint(0, 30),
+                    rng.choice([None] + list(range(11))),
+                    rng.choice([None, rng.randint(-500, 500)]),
+                    aver, rng.random() < 0.2,
+                ))
+            _up_a(spark, a, rows)
+        if rng.random() < 0.5:
+            bver += 1
+            rows = []
+            for _ in range(rng.randint(1, 2)):
+                rows.append((
+                    rng.randint(0, 102),
+                    rng.choice([None] + list(range(11))),
+                    rng.randint(0, 3), bver, rng.random() < 0.2,
+                ))
+            _up_b(spark, b, rows)
+        if rng.random() < 0.2:
+            compact_small_files(spark, rng.choice([a, b]))
+        if rng.random() < 0.2:
+            optimize_agg_view(spark, view)
+        refresh_join_view(spark, view)
+        assert _got(spark, view) == _expected(spark, a, b), step
