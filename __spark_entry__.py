@@ -39,52 +39,52 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 #: Driver-contract ordering. The verification driver records correctness
-#: rows for the FIRST 50 ``queries()`` entries per round (r02-r09 all
+#: rows for the FIRST 50 ``queries()`` entries per round (r02-r10 all
 #: cut at entry #50), so dict order IS driver coverage. Policy: queries
 #: new this round and queries without a fresh driver row come FIRST;
-#: the freshest greens rotate to the tail. Round-10 window (the r9
-#: verdict's items 1 + 5, executed): v4/s32 lead — the ONLY red rows
-#: in CORRECTNESS_r09 (hash mismatch the builder's SWEEP_r09 and three
-#: judge re-runs could not reproduce; both queries now carry in-query
-#: parity asserts + diagnostics/ivm_runs.jsonl fingerprints and v4
-#: runs on a cloned session) — with v5 (NEW: filtered+avg IVM view)
-#: beside them; then ALL 41 queries whose freshest green driver row
-#: dates to r07 (a2-a4, b2, f1, k1/k4/k5, mm4/mm5, p3/p5/p6,
-#: pipe1/pipe2, r11-r18, s25/s26/s28/s29, smp1-smp4/smp6/smp7,
-#: t5/t6/t13/t16, x1/x3, z2/z3 — t16 doubles as the verdict's
-#: item-4 perf watch); then the 5 alphabetically-first r08-green
-#: rows (a6/a7/bpe1/bpe2/d10). 4 + 41 + 5 = 50 exactly. After
-#: this window every contract query holds a green driver row from
-#: r8+ (SWEEP_r10 carries same-round evidence for the tail). Every
-#: query keeps its oracle regardless of position.
+#: the freshest greens rotate to the tail. Round-11 window (the r10
+#: verdict's items 1, 2 and 6, executed): v7 (NEW: min/max on a join
+#: view — the verdict's missing #1) leads, then the four r10
+#: driver-red IVM rows v4/s32/v5/v6 — all five now return a fully
+#: MATERIALIZED frame (createDataFrame from the already-collected,
+#: parity-asserted rows: the falsification experiment item #1
+#: demands) and all five carry diagnostics/ivm_runs.jsonl
+#: fingerprints; then ALL 43 queries whose freshest green driver row
+#: dates to r08 (d11/d12/d9, g1/g2, mm1-mm3, p1/p2/p4/p7-p9, r1-r10,
+#: s17-s23, smp5, t7-t12/t14, v1-v3, x2); then the 2
+#: alphabetically-first r09-green rows (a10/a11). 5 + 43 + 2 = 50
+#: exactly. After this window every contract query holds a green
+#: driver row from r9+ (SWEEP_r11 carries same-round evidence for the
+#: tail). Every query keeps its oracle regardless of position.
 _PRIORITY = [
-    # the r9 driver-red IVM rows + the new filtered/avg + join views
-    "v4_", "s32_", "v5_", "v6_",
-    # all 41 r07-evidence queries, oldest rows in the contract
-    "a2_", "a3_", "a4_", "b2_", "f1_", "k1_", "k4_", "k5_",
-    "mm4_", "mm5_", "p3_", "p5_", "p6_", "pipe1_", "pipe2_",
-    *[f"r{i}_" for i in range(11, 19)],
-    "s25_", "s26_", "s28_", "s29_",
-    "smp1_", "smp2_", "smp3_", "smp4_", "smp6_", "smp7_",
-    "t13_", "t16_", "t5_", "t6_", "x1_", "x3_", "z2_", "z3_",
-    # 5 oldest r08-green refreshes
-    "a6_", "a7_", "bpe1_", "bpe2_", "d10_",
-    # ---- 50-cut ----
-    # r08-green remainder
+    # the new min/max join view + the r10 driver-red IVM family
+    "v7_", "v4_", "s32_", "v5_", "v6_",
+    # all 43 r08-evidence queries, oldest rows in the contract
     "d11_", "d12_", "d9_", "g1_", "g2_", "mm1_", "mm2_", "mm3_",
     "p1_", "p2_", "p4_", "p7_", "p8_", "p9_",
     *[f"r{i}_" for i in range(1, 11)],
     "s17_", "s18_", "s19_", "s20_", "s21_", "s22_", "s23_", "smp5_",
     "t7_", "t8_", "t9_", "t10_", "t11_", "t12_", "t14_",
     "v1_", "v2_", "v3_", "x2_",
-    # r09-green tail (freshest driver rows in the contract)
-    "a10_", "a11_", "a1_", "a5_", "a8_", "a9_", "b1_",
+    # 2 oldest r09-green refreshes
+    "a10_", "a11_",
+    # ---- 50-cut ----
+    # r09-green remainder
+    "a1_", "a5_", "a8_", "a9_", "b1_",
     "d13_", "d1_", "d2_", "d3_", "d4_", "d5_", "d6_", "d7_", "d8_",
     "j1_", "j2_", "j3_", "j4_", "j5_", "k2_", "k3_",
     "s10_", "s11_", "s12_", "s13_", "s14_", "s15_", "s16_",
     "s24_", "s27_", "s30_", "s31_", "s4_", "s5_", "s9_",
     "t15_", "t1_", "t2_", "t3_", "t4_",
     "x4_", "x5_", "x6_", "z1_", "z4_", "z5_",
+    # r10-green tail (freshest driver rows in the contract)
+    "a2_", "a3_", "a4_", "a6_", "a7_", "b2_", "bpe1_", "bpe2_",
+    "d10_", "f1_", "k1_", "k4_", "k5_", "mm4_", "mm5_",
+    "p3_", "p5_", "p6_", "pipe1_", "pipe2_",
+    *[f"r{i}_" for i in range(11, 19)],
+    "s25_", "s26_", "s28_", "s29_",
+    "smp1_", "smp2_", "smp3_", "smp4_", "smp6_", "smp7_",
+    "t13_", "t16_", "t5_", "t6_", "x1_", "x3_", "z2_", "z3_",
 ]
 
 

@@ -91,7 +91,13 @@ def record(query: str, payload: dict) -> None:
     try:
         _DIAG_DIR.mkdir(parents=True, exist_ok=True)
         if _DIAG_FILE.exists() and _DIAG_FILE.stat().st_size > _ROTATE_BYTES:
-            _DIAG_FILE.rename(_DIAG_FILE.with_suffix(".jsonl.1"))
+            # rotate to the first free sequence suffix — never clobber
+            # an existing archive (the archives ARE the driver-side
+            # fingerprints the divergence investigation runs on)
+            n = 1
+            while (_DIAG_DIR / f"ivm_runs.jsonl.{n}").exists():
+                n += 1
+            _DIAG_FILE.rename(_DIAG_DIR / f"ivm_runs.jsonl.{n}")
         line = json.dumps(
             {"query": query, "ts": round(time.time(), 3), **payload},
             sort_keys=True,

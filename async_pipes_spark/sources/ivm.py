@@ -154,6 +154,27 @@ def _validate_aggs(
         raise ValueError(f"aggregate names shadow group columns: {dup}")
 
 
+def _validate_filter_expr(
+    spark, frame: DataFrame, filter_expr: str, what: str
+) -> None:
+    """Create-time filter validation with the module's friendly error:
+    a typo'd or tombstone-referencing predicate must be a ValueError
+    here, not a raw AnalysisException at first use. Probed against an
+    EMPTY local relation carrying only the frame's schema — on the
+    real lineage Spark's ResolveMissingReferences rule would resolve a
+    dropped (tombstone) column straight through the Filter, silently
+    re-admitting the bookkeeping the view is defined to hide. No job
+    runs: the probe is schema-only."""
+    try:
+        probe = spark.createDataFrame([], frame.schema)
+        probe.where(F.expr(filter_expr)).schema
+    except Exception as e:
+        raise ValueError(
+            f"filter_expr does not analyze against the {what} columns "
+            f"{sorted(frame.columns)}: {filter_expr!r}"
+        ) from e
+
+
 def _state_path(view_path: str) -> str:
     return f"{view_path}/{_STATE_FILE}"
 
@@ -318,6 +339,7 @@ def create_agg_view(
     if missing:
         raise ValueError(f"columns not in source: {sorted(set(missing))}")
     if filter_expr:
+        _validate_filter_expr(spark, live, filter_expr, "source's live")
         live = live.where(F.expr(filter_expr))
     full = live.groupBy(*group_cols).agg(*_full_agg_exprs(aggs))
     types = dict(full.dtypes)

@@ -23,13 +23,20 @@ row's sign. Both terms are O(changes) join probes, not table scans:
   contested slice of the resolve and the key-matched slice of the scan
   are ever materialized).
 
-Aggregates are the ALGEBRAIC set (``sum`` / ``count`` / ``avg`` with
-the same hidden non-null counters as single-table views — SQL NULL
-semantics exact through subtraction, avg's quotient identical across
-the incremental and full lanes). ``min``/``max`` are refused: their
-needy-group recompute would re-join snapshot slices and is better
-served by a single-table view over a materialized join at today's
-scope.
+Aggregates are the full single-table set: the ALGEBRAIC ones (``sum``
+/ ``count`` / ``avg`` with the same hidden non-null counters — SQL
+NULL semantics exact through subtraction, avg's quotient identical
+across the incremental and full lanes) fold the signed joined multiset
+directly, and ``min``/``max`` ride the same needy-group lane as
+single-table views: the feed's added/removed extremes maintain the
+stored extreme wherever the multiset algebra proves it (new/revived
+group, absorbed by an added value, removals that never touch the
+holder), and ONLY a group whose extreme-holding joined value was
+removed and not re-added recomputes — against the JOINED slice of the
+two pinned snapshots at the refresh cut, each side pruned by its own
+group columns (null-safe semi-join) and, for a side carrying no group
+column, by the other slice's join keys (isin pushdown under the cap,
+gated-broadcast semi-join past it) — never a full re-join.
 
 Exactly-once and crash safety mirror the single-table contract, per
 source: the state file pins each side's cursor + base-version token
@@ -67,12 +74,12 @@ from async_pipes_spark.sources.ivm import (
     _group_key,
     _live,
     _nn,
-    _pinned_snapshot,
     _pinned_state,
     _read_state,
     _RECOMPUTED,
     _stored,
     _validate_aggs,
+    _validate_filter_expr,
     _write_state,
     read_agg_view,
 )
@@ -81,7 +88,6 @@ from async_pipes_spark.sources.sinks import (
     _mor_backlog_bytes,
     _mor_resolve,
     _pmanifest_mapping,
-    _pmanifest_read,
     _raw_pointer_seq,
     _read_mor_spec,
     _read_pmapping,
@@ -95,23 +101,6 @@ from async_pipes_spark.sources.sinks import (
 #: skipped (the semi-join alone stays correct); matches the contested
 #: file-planning cap in sources/stats.py
 _ISIN_KEY_CAP = 4096
-
-#: join views maintain the algebraic aggregates only (see module doc)
-_JOIN_AGGS = ("sum", "count", "avg")
-
-
-def _validate_join_aggs(
-    group_cols: Sequence[str], aggs: Mapping[str, tuple[str, str]]
-) -> None:
-    _validate_aggs(group_cols, aggs)
-    bad = [n for n, (fn, _c) in aggs.items() if fn in _RECOMPUTED]
-    if bad:
-        raise ValueError(
-            f"min/max are not maintainable in a join view ({bad}) — "
-            f"supported: {', '.join(_JOIN_AGGS)}; for extremes, "
-            "materialize the join and put a single-table agg view on it"
-        )
-
 
 def _side_state(spark, path: str) -> tuple[str, str, list[str], str]:
     """(flavor, base_name, deltas, token) of a source's pinned state."""
@@ -178,7 +167,7 @@ def create_join_view(
     aggs = {k: (fn, col) for k, (fn, col) in aggs.items()}
     if not join_keys:
         raise ValueError("join_keys is required")
-    _validate_join_aggs(group_cols, aggs)
+    _validate_aggs(group_cols, aggs)
 
     fl, bl, dl, tok_l = _side_state(spark, left_path)
     fr, br, dr, tok_r = _side_state(spark, right_path)
@@ -196,6 +185,9 @@ def create_join_view(
     _disjoint_or_raise(a.columns, b.columns, join_keys)
     joined = a.join(b, join_keys)
     if filter_expr:
+        # friendly create-time validation, same contract (and probe
+        # mechanics) as create_agg_view
+        _validate_filter_expr(spark, joined, filter_expr, "joined row's")
         joined = joined.where(F.expr(filter_expr))
     bad = [c for c in group_cols if c not in joined.columns] + [
         c for _n, (_f, c) in aggs.items()
@@ -261,7 +253,10 @@ def _keys_probe(
     spark, signed: DataFrame, join_keys: list[str], small: bool
 ) -> tuple[DataFrame, list | None]:
     """(distinct-key frame for the semi-join, optional inlined key rows
-    for an ``isin`` pushdown). The collect is CAPPED at
+    for an ``isin`` pushdown). The inline peek runs ONLY when the feed
+    window is byte-gated small (a big window's key set almost certainly
+    exceeds the cap — collecting it just to discard it is a wasted
+    driver round-trip on the hot path) and is CAPPED at
     ``_ISIN_KEY_CAP`` rows — past the cap only the (gated-broadcast)
     semi-join prunes, which stays correct at any size."""
     kdf = signed.select(*join_keys).where(
@@ -269,7 +264,7 @@ def _keys_probe(
     ).distinct()
     kdf = _pin(kdf)  # probed twice (isin peek + semi); lineage = feed
     inline = None
-    if len(join_keys) == 1:
+    if small and len(join_keys) == 1:
         head = kdf.limit(_ISIN_KEY_CAP + 1).collect()
         if len(head) <= _ISIN_KEY_CAP:
             inline = [r[0] for r in head]
@@ -346,20 +341,29 @@ def refresh_join_view(
     until_l = new_l[-1] if new_l else cur_l
     until_r = new_r[-1] if new_r else cur_r
 
-    # tombstone-spec drift guards, per side (mid-flight compaction of
-    # either backlog routes to the recovery lane like single-table)
-    try:
-        for path, new, tomb in (
-            (st["left"], new_l, st["left_tombstone_col"]),
-            (st["right"], new_r, st["right_tombstone_col"]),
-        ):
-            if new:
+    # tombstone-spec drift guards, per side — the drift check sits
+    # OUTSIDE the race-recovery try so a config error surfaces as the
+    # same ValueError the single-table refresher raises (ivm.py:431),
+    # while a vanished delta dir (mid-flight compaction of either
+    # backlog) still routes to the recovery lane
+    for path, new, tomb in (
+        (st["left"], new_l, st["left_tombstone_col"]),
+        (st["right"], new_r, st["right_tombstone_col"]),
+    ):
+        if new:
+            try:
                 _k, _v, bt, _e = _read_mor_spec(spark, path, new[0])
-                if bt != tomb:
-                    raise RuntimeError(
-                        f"source tombstone spec drifted on {path}: view "
-                        f"records {tomb!r}, backlog resolves with {bt!r}"
-                    )
+            except ValueError:
+                return _full_join_refresh(spark, view_path, st,
+                                          reason="cursor-raced")
+            if bt != tomb:
+                raise ValueError(
+                    f"source tombstone spec drifted on {path}: view "
+                    f"records {tomb!r}, the backlog resolves with {bt!r} "
+                    "— recreate the view with the matching tombstone "
+                    "column"
+                )
+    try:
         sgn_l = _signed_feed(spark, st["left"], cur_l, new_l,
                              st["left_tombstone_col"])
         sgn_r = _signed_feed(spark, st["right"], cur_r, new_r,
@@ -402,7 +406,9 @@ def refresh_join_view(
     # the algebraic twin of refresh_agg_view's fold, kept standalone so
     # the (driver-audited) single-table path stays untouched
     sgn = F.col("_ivm_sgn")
+    adds = sgn == 1
     dexprs: list[Column] = [F.sum(sgn).alias("_ivm_dn")]
+    has_recompute = False
     for name, (fn, col) in aggs.items():
         if fn in ("sum", "avg"):
             dexprs.append(F.sum(sgn * F.col(col)).alias(f"_ivm_d_{name}"))
@@ -411,23 +417,40 @@ def refresh_join_view(
                     F.when(F.col(col).isNotNull(), sgn).otherwise(F.lit(0))
                 ).alias(f"_ivm_dnn_{name}")
             )
-        else:  # count
+        elif fn == "count":
             dexprs.append(
                 F.sum(
                     sgn if col == "*" else
                     F.when(F.col(col).isNotNull(), sgn).otherwise(F.lit(0))
                 ).alias(f"_ivm_d_{name}")
             )
-    d = delta.groupBy(*group_cols).agg(*dexprs)
-    moved = F.col("_ivm_dn") != 0
-    for name, (fn, _c) in aggs.items():
-        if fn in ("sum", "avg"):
-            moved = moved | (
-                F.coalesce(F.col(f"_ivm_d_{name}"), F.lit(0)) != 0
-            ) | (F.col(f"_ivm_dnn_{name}") != 0)
         else:
-            moved = moved | (F.col(f"_ivm_d_{name}") != 0)
-    d = _pin(d.where(moved).withColumn(IVM_KEY, _group_key(group_cols)))
+            # min/max: the joined feed's added/removed extremes decide
+            # per group whether the stored extreme can be maintained
+            # without touching either source (same algebra as the
+            # single-table lane — the signed multiset IS the joined
+            # multiset's change, so the proof carries over verbatim)
+            has_recompute = True
+            agg_f = getattr(F, fn)
+            dexprs.append(
+                agg_f(F.when(adds, F.col(col))).alias(f"_ivm_a_{name}")
+            )
+            dexprs.append(
+                agg_f(F.when(~adds, F.col(col))).alias(f"_ivm_r_{name}")
+            )
+    d = delta.groupBy(*group_cols).agg(*dexprs)
+    if not has_recompute:
+        # pure-algebraic views skip groups the changes left intact
+        moved = F.col("_ivm_dn") != 0
+        for name, (fn, _c) in aggs.items():
+            if fn in ("sum", "avg"):
+                moved = moved | (
+                    F.coalesce(F.col(f"_ivm_d_{name}"), F.lit(0)) != 0
+                ) | (F.col(f"_ivm_dnn_{name}") != 0)
+            else:
+                moved = moved | (F.col(f"_ivm_d_{name}") != 0)
+        d = d.where(moved)
+    d = _pin(d.withColumn(IVM_KEY, _group_key(group_cols)))
 
     from async_pipes_spark.sources.sinks import read_table
 
@@ -465,13 +488,69 @@ def refresh_join_view(
             proj[name] = F.when(nn > 0, acc / nn).otherwise(F.lit(None))
             proj[_as(name)] = F.when(nn > 0, acc).otherwise(F.lit(None))
             proj[_nn(name)] = nn
-        else:  # count
+        elif fn == "count":
             proj[name] = (F.coalesce(F.col(f"_ivm_o_{name}"), F.lit(0))
                           + F.col(f"_ivm_d_{name}"))
+        else:
+            # min/max maintained WITHOUT touching either source
+            # wherever the algebra proves the stored extreme (exact
+            # mirror of ivm.py's single-table lane — see the case
+            # derivation there); only a group whose extreme-holding
+            # joined value was removed and not re-added flags needy
+            o = F.col(f"_ivm_o_{name}")
+            a = F.col(f"_ivm_a_{name}")
+            r = F.col(f"_ivm_r_{name}")
+            if fn == "max":
+                absorbs, touches, combine = (a >= o), (r >= o), F.greatest
+            else:
+                absorbs, touches, combine = (a <= o), (r <= o), F.least
+            proj[name] = (
+                F.when(F.col("_ivm_on").isNull() | o.isNull(), a)
+                .when(F.coalesce(absorbs, F.lit(False)), a)
+                .when(r.isNull() | ~touches, combine(o, a))
+                .otherwise(F.lit(None))  # needy: filled from rec below
+            )
+            proj[f"_ivm_f_{name}"] = (
+                F.col("_ivm_on").isNotNull()
+                & o.isNotNull()
+                & ~F.coalesce(absorbs, F.lit(False))
+                & F.coalesce(touches, F.lit(False))
+                & (new_n > 0)
+            )
     merged = merged.select(
         *group_cols, IVM_KEY,
         *[expr.alias(n) for n, expr in proj.items()],
     )
+
+    ran_recompute = False
+    if has_recompute:
+        # O(changed groups) decision frame — one cheap materialization
+        # tells us whether ANY group actually lost an extreme
+        merged = _pin(merged)
+        needy = _pin(merged.where(
+            reduce(
+                Column.__or__,
+                [
+                    F.col(f"_ivm_f_{name}")
+                    for name, (fn, _c) in aggs.items()
+                    if fn in _RECOMPUTED
+                ],
+            )
+        ).select(*group_cols, IVM_KEY))
+        ran_recompute = needy.limit(1).count() > 0
+    if ran_recompute:
+        merged = _recompute_join_extremes(
+            spark, st, merged, needy, aggs, group_cols, join_keys,
+            filt, small, _hint,
+            a_snap=_live(
+                _snap_upto(spark, st["left"], fl, bl, dl, until_l),
+                st["left_tombstone_col"],
+            ),
+            b_snap=_live(
+                _snap_upto(spark, st["right"], fr, br, dr, until_r),
+                st["right_tombstone_col"],
+            ),
+        )
     seq = st["seq"] + 1
     out = _stored(
         merged.drop(IVM_KEY), group_cols, aggs, types, seq,
@@ -491,7 +570,99 @@ def refresh_join_view(
         "mode": "incremental",
         "deltas_consumed": len(new_l) + len(new_r),
         "seq": seq,
+        "minmax_recompute": ran_recompute,
     }
+
+
+def _recompute_join_extremes(
+    spark,
+    st: dict,
+    merged: DataFrame,
+    needy: DataFrame,
+    aggs: Mapping[str, tuple[str, str]],
+    group_cols: list[str],
+    join_keys: list[str],
+    filt: str | None,
+    small: bool,
+    _hint,
+    a_snap: DataFrame,
+    b_snap: DataFrame,
+) -> DataFrame:
+    """Fill the needy groups' min/max from the JOINED slice of the two
+    pinned snapshots at the refresh cut — the join-view twin of
+    ivm.py's needy-group lane. The slice never re-joins the tables:
+
+    - each side is first pruned to ITS group columns' needy values
+      (null-safe semi-join against the O(needy) group set — SQL GROUP
+      BY groups NULLs, so ``eqNullSafe`` it is);
+    - a side that carries NO group column (the classic fact side under
+      a dim-grouped rollup) is pruned by the OTHER slice's join keys
+      instead — ``isin`` pushdown when the key set inlines (reaching
+      the parquet scan as a pushed filter), gated-broadcast semi-join
+      past the cap;
+    - the joined slice then filters EXACTLY on the needy surrogate
+      keys and recomputes the extremes for those groups only.
+
+    At 100 TB: a dim-grouped view whose needy group holds 0.1% of the
+    fact table reads that 0.1% (group-pruned dim slice → key-pruned
+    fact slice), not the table."""
+    ga = [c for c in group_cols if c in a_snap.columns]
+    gb = [c for c in group_cols if c in b_snap.columns]
+
+    def _group_slice(side: DataFrame, gcols: list[str], tag: str) -> DataFrame:
+        aff = _hint(needy.select(*gcols).distinct()).alias(f"_ivm_aff_{tag}")
+        live = side.alias(f"_ivm_live_{tag}")
+        cond = reduce(
+            Column.__and__,
+            [
+                F.col(f"_ivm_live_{tag}.{c}").eqNullSafe(
+                    F.col(f"_ivm_aff_{tag}.{c}")
+                )
+                for c in gcols
+            ],
+        )
+        return live.join(aff, cond, "left_semi")
+
+    a_sl = _group_slice(a_snap, ga, "a") if ga else a_snap
+    b_sl = _group_slice(b_snap, gb, "b") if gb else b_snap
+    if not ga:
+        keys_b, inline_b = _keys_probe(spark, b_sl, join_keys, small)
+        a_sl = (
+            a_sl.where(F.col(join_keys[0]).isin(inline_b))
+            if inline_b is not None
+            else a_sl.join(keys_b, join_keys, "left_semi")
+        )
+    if not gb:
+        keys_a, inline_a = _keys_probe(spark, a_sl, join_keys, small)
+        b_sl = (
+            b_sl.where(F.col(join_keys[0]).isin(inline_a))
+            if inline_a is not None
+            else b_sl.join(keys_a, join_keys, "left_semi")
+        )
+    joined = a_sl.join(b_sl, join_keys)
+    if filt:
+        joined = joined.where(F.expr(filt))
+    rexprs = [
+        getattr(F, fn)(col).alias(f"_ivm_rec_{name}")
+        for name, (fn, col) in aggs.items()
+        if fn in _RECOMPUTED
+    ]
+    rec = (
+        joined.withColumn(IVM_KEY, _group_key(group_cols))
+        .join(_hint(needy.select(IVM_KEY)), IVM_KEY, "left_semi")
+        .groupBy(IVM_KEY)
+        .agg(*rexprs)
+    )
+    out = merged.join(_hint(rec), IVM_KEY, "left")
+    for name, (fn, _c) in aggs.items():
+        if fn in _RECOMPUTED:
+            out = out.withColumn(
+                name,
+                F.when(
+                    F.col(f"_ivm_f_{name}"), F.col(f"_ivm_rec_{name}")
+                ).otherwise(F.col(name)),
+            )
+    return out
 
 
 def _full_join_refresh(spark, view_path: str, st: dict, reason: str) -> dict:

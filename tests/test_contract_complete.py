@@ -24,25 +24,24 @@ def test_queries_and_oracles_share_order():
 
 
 def test_stale_and_new_queries_inside_coverage_window():
-    """Rotation policy, round 10 (r9 verdict items 1 + 5): v4/s32 —
-    the only red rows in CORRECTNESS_r09 (driver-env hash divergence,
-    now instrumented with in-query parity asserts + diag fingerprints)
-    — must LEAD the window, with v5 (new: filtered+avg IVM view) and
-    v6 (new: delta-join view) beside them; then ALL 41 queries whose
-    freshest green driver rows date to r07 (t16 doubling as the
-    verdict's item-4 perf watch); then 5 r08-green refreshes. After
-    this round's driver run EVERY contract query holds a green driver
-    row from r8 or later."""
+    """Rotation policy, round 11 (r10 verdict items 1, 2 and 6): v7
+    (new: min/max join view — the verdict's missing #1) leads, then
+    the four r10 driver-red IVM rows v4/s32/v5/v6 (all five now
+    return fully MATERIALIZED frames + diag fingerprints — the item-1
+    falsification experiment); then ALL 43 queries whose freshest
+    green driver rows date to r08; then the 2 alphabetically-first
+    r09-green refreshes. After this round's driver run EVERY contract
+    query holds a green driver row from r9 or later."""
     qs = list(entry.queries())
     assert [k.split("_", 1)[0] for k in qs[:50]] == [
-        "v4", "s32", "v5", "v6",
-        "a2", "a3", "a4", "b2", "f1", "k1", "k4", "k5",
-        "mm4", "mm5", "p3", "p5", "p6", "pipe1", "pipe2",
-        "r11", "r12", "r13", "r14", "r15", "r16", "r17", "r18",
-        "s25", "s26", "s28", "s29",
-        "smp1", "smp2", "smp3", "smp4", "smp6", "smp7",
-        "t13", "t16", "t5", "t6", "x1", "x3", "z2", "z3",
-        "a6", "a7", "bpe1", "bpe2", "d10",
+        "v7", "v4", "s32", "v5", "v6",
+        "d11", "d12", "d9", "g1", "g2", "mm1", "mm2", "mm3",
+        "p1", "p2", "p4", "p7", "p8", "p9",
+        "r1", "r2", "r3", "r4", "r5", "r6", "r7", "r8", "r9", "r10",
+        "s17", "s18", "s19", "s20", "s21", "s22", "s23", "smp5",
+        "t7", "t8", "t9", "t10", "t11", "t12", "t14",
+        "v1", "v2", "v3", "x2",
+        "a10", "a11",
     ], qs[:50]
 
 

@@ -377,6 +377,15 @@ def test_validation_errors(spark, tmpdir):
         create_agg_view(spark, src, view, ["g"], {"a": ("sum", "nope")})
     with pytest.raises(ValueError, match="collides"):
         create_agg_view(spark, src, view, ["g"], {"g": ("sum", "x")})
+    # a typo'd or tombstone-referencing predicate is a friendly
+    # ValueError at create, not a raw AnalysisException at first use
+    # (r10 ADVICE)
+    with pytest.raises(ValueError, match="filter_expr does not analyze"):
+        create_agg_view(spark, src, view, ["g"], {"a": ("sum", "x")},
+                        filter_expr="no_such_col > 1")
+    with pytest.raises(ValueError, match="filter_expr does not analyze"):
+        create_agg_view(spark, src, view, ["g"], {"a": ("sum", "x")},
+                        src_tombstone_col="dead", filter_expr="dead = false")
     with pytest.raises(ValueError, match="not an IVM view"):
         refresh_agg_view(spark, f"{tmpdir}/nothing")
 

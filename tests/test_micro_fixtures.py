@@ -194,6 +194,27 @@ def test_m8d_flattener_string_to_chars(spark):
     assert res["chars"] == [(0, "a"), (0, "c"), (1, "b"), (1, "d"), (2, "e")]
 
 
+def test_m8e_flattener_string_golden_sum(spark):
+    """The reference's flattener golden (stage_tests.rs:141-164:
+    [1,2,3] flattens and folds to sum=6) rerun on a STRING input —
+    '123' explodes to chars whose digit-sum folds to the same 6,
+    pinning that String-as-IntoIterator (builder.rs:336-364 accepts
+    any IntoIterator; String yields chars) walks the same explode
+    lane as Vec."""
+    res = (
+        Pipeline.builder(spark)
+        .with_inputs("first", ["123"], "value: string")
+        .with_flattener("first", "second")
+        .with_consumer(
+            "second",
+            lambda df: df.agg(F.sum(F.col("value").cast("int"))).head()[0],
+        )
+        .build()
+        .wait()
+    )
+    assert res["second"] == 6
+
+
 def test_m9_multi_stage_linear(spark):
     """[1] through chained maps +1,+2,+3 → 7 (tests/pipeline_tests.rs:83-134)."""
 
