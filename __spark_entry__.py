@@ -51,14 +51,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #: demands) and all five carry diagnostics/ivm_runs.jsonl
 #: fingerprints; then ALL 43 queries whose freshest green driver row
 #: dates to r08 (d11/d12/d9, g1/g2, mm1-mm3, p1/p2/p4/p7-p9, r1-r10,
-#: s17-s23, smp5, t7-t12/t14, v1-v3, x2); then the 2
-#: alphabetically-first r09-green rows (a10/a11). 5 + 43 + 2 = 50
-#: exactly. After this window every contract query holds a green
-#: driver row from r9+ (SWEEP_r11 carries same-round evidence for the
-#: tail). Every query keeps its oracle regardless of position.
+#: s17-s23, smp5, t7-t12/t14, v1-v3, x2); then the alphabetically-
+#: first r09-green row (a10). 6 + 43 + 1 = 50 exactly. After this
+#: window every contract query holds a green driver row from r9+
+#: (SWEEP_r11 carries same-round evidence for the tail). Every query
+#: keeps its oracle regardless of position.
 _PRIORITY = [
-    # the new min/max join view + the r10 driver-red IVM family
-    "v7_", "v4_", "s32_", "v5_", "v6_",
+    # the new min/max join view + count-distinct view + the r10
+    # driver-red IVM family
+    "v7_", "v8_", "v4_", "s32_", "v5_", "v6_",
     # all 43 r08-evidence queries, oldest rows in the contract
     "d11_", "d12_", "d9_", "g1_", "g2_", "mm1_", "mm2_", "mm3_",
     "p1_", "p2_", "p4_", "p7_", "p8_", "p9_",
@@ -66,11 +67,11 @@ _PRIORITY = [
     "s17_", "s18_", "s19_", "s20_", "s21_", "s22_", "s23_", "smp5_",
     "t7_", "t8_", "t9_", "t10_", "t11_", "t12_", "t14_",
     "v1_", "v2_", "v3_", "x2_",
-    # 2 oldest r09-green refreshes
-    "a10_", "a11_",
+    # oldest r09-green refresh
+    "a10_",
     # ---- 50-cut ----
     # r09-green remainder
-    "a1_", "a5_", "a8_", "a9_", "b1_",
+    "a11_", "a1_", "a5_", "a8_", "a9_", "b1_",
     "d13_", "d1_", "d2_", "d3_", "d4_", "d5_", "d6_", "d7_", "d8_",
     "j1_", "j2_", "j3_", "j4_", "j5_", "k2_", "k3_",
     "s10_", "s11_", "s12_", "s13_", "s14_", "s15_", "s16_",

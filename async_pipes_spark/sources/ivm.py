@@ -21,6 +21,16 @@ engine's own lake primitives:
   steady-state included). SQL NULL semantics survive subtraction
   because each sum carries a hidden non-null count — a group whose last
   non-null value is deleted reads ``NULL`` again, not ``0``;
+- DISTINCT aggregates (``count_distinct``) ride Materialize's standard
+  two-level reduction: a COMPANION manifest table per aggregate holds
+  per-(group, value) live-row counts — level 1, fully algebraic under
+  the signed feed — and the view's distinct count folds level 2's
+  equally-algebraic delta, (values that became live) − (values that
+  died), per refresh. A pure value swap inside a group (every plain
+  counter static) still moves the companion and lands exactly; both
+  levels commit O(changed values) mor deltas, and a crash between the
+  two commits reads as companion-seq drift → full rebuild, never a
+  double-apply;
 - NON-INVERTIBLE aggregates (``min`` / ``max``) are maintained from
   the feed alone wherever the multiset algebra proves the stored
   extreme (new/revived groups take their own inserts' extreme; an
@@ -94,7 +104,12 @@ IVM_N = "_ivm_n"        # live rows in the group (count(*), liveness)
 
 _ALGEBRAIC = ("sum", "count", "avg")
 _RECOMPUTED = ("min", "max")
+_DISTINCT = ("count_distinct",)
 _STATE_FILE = "_ivm_state.json"
+
+#: companion-table value/count column names (count_distinct aggregates)
+DV_VAL = "_ivm_val"
+DV_N = "_ivm_vn"
 
 
 def _nn(name: str) -> str:
@@ -140,10 +155,10 @@ def _validate_aggs(
         )
     reserved = {IVM_KEY, IVM_SEQ, IVM_DEL, IVM_N}
     for name, (fn, col) in aggs.items():
-        if fn not in _ALGEBRAIC + _RECOMPUTED:
+        if fn not in _ALGEBRAIC + _RECOMPUTED + _DISTINCT:
             raise ValueError(
                 f"unsupported aggregate {fn!r} for {name!r} — supported: "
-                f"{', '.join(_ALGEBRAIC + _RECOMPUTED)}"
+                f"{', '.join(_ALGEBRAIC + _RECOMPUTED + _DISTINCT)}"
             )
         if fn != "count" and col == "*":
             raise ValueError(f"{fn}(*) is not a thing ({name!r})")
@@ -261,6 +276,8 @@ def _full_agg_exprs(aggs: Mapping[str, tuple[str, str]]) -> list[Column]:
             exprs.append((F.sum(col) / F.count(col)).alias(name))
             exprs.append(F.sum(col).alias(_as(name)))
             exprs.append(F.count(col).alias(_nn(name)))
+        elif fn == "count_distinct":
+            exprs.append(F.countDistinct(col).alias(name))
         else:
             exprs.append(getattr(F, fn)(col).alias(name))
         if fn == "sum":
@@ -300,6 +317,39 @@ def _stored(
     return out
 
 
+def _dv_path(view_path: str, name: str) -> str:
+    """The companion table of a ``count_distinct`` aggregate: a
+    manifest table of per-(group, value) live-row counts, nested under
+    the view (the view reader never globs subdirectories, so the
+    nesting is invisible to it). The two-level layout is Materialize's
+    standard reduction plan for DISTINCT aggregation: level 1 counts
+    rows per (group, value) — fully algebraic, foldable from the
+    signed feed — and level 2 counts values whose level-1 count is
+    positive, whose CHANGE is exactly (values that became live) −
+    (values that died), also algebraic. Nothing ever rescans."""
+    return f"{view_path}/_dv/{name}"
+
+
+def _dv_rollup(
+    live: DataFrame, group_cols: Sequence[str], col: str, seq: int
+) -> DataFrame:
+    """Full-lane companion contents: per-(group, value) live counts
+    with the view's bookkeeping shape (keyed on group surrogate +
+    value; NULL values excluded — SQL's COUNT(DISTINCT) ignores them)."""
+    return (
+        live.select(*group_cols, F.col(col).alias(DV_VAL))
+        .where(F.col(DV_VAL).isNotNull())
+        .groupBy(*group_cols, DV_VAL)
+        .agg(F.count(F.lit(1)).cast("long").alias(DV_N))
+        .select(
+            *group_cols, DV_VAL, DV_N,
+            _group_key(group_cols).alias(IVM_KEY),
+            F.lit(seq).cast("long").alias(IVM_SEQ),
+            F.lit(False).alias(IVM_DEL),
+        )
+    )
+
+
 def create_agg_view(
     spark: SparkSession,
     src_path: str,
@@ -313,9 +363,11 @@ def create_agg_view(
     filter_expr] GROUP BY group_cols`` as a manifest table at
     ``view_path`` and arm it for incremental refresh. ``aggs`` maps
     output column name → ``(fn, col)`` with ``fn`` in ``sum | count |
-    avg | min | max`` (``count`` accepts ``"*"``; ``avg`` is
-    maintained as hidden sum + non-null count and stays exact for
-    integer/decimal inputs). ``src_tombstone_col`` names the source's
+    avg | min | max | count_distinct`` (``count`` accepts ``"*"``;
+    ``avg`` is maintained as hidden sum + non-null count and stays
+    exact for integer/decimal inputs; ``count_distinct`` maintains a
+    per-(group, value) companion table — the two-level reduction, see
+    module doc). ``src_tombstone_col`` names the source's
     soft-tombstone flag when its mor/merge spec uses one — the view
     counts only live rows, exactly like the resolved read's consumers.
     ``filter_expr`` (a SQL boolean expression over source columns)
@@ -350,6 +402,14 @@ def create_agg_view(
     }
     out = _stored(full, group_cols, aggs, types, seq=0)
     write_manifest_table(spark, out, view_path)
+    dv_seqs: dict[str, int] = {}
+    for name, (fn, col) in aggs.items():
+        if fn == "count_distinct":
+            write_manifest_table(
+                spark, _dv_rollup(live, group_cols, col, 0),
+                _dv_path(view_path, name),
+            )
+            dv_seqs[name] = _raw_pointer_seq(spark, _dv_path(view_path, name))
     state = {
         "kind": "agg",
         "src": src_path,
@@ -362,6 +422,7 @@ def create_agg_view(
         "src_base": base_token,
         "seq": 0,
         "view_seq": _raw_pointer_seq(spark, view_path),
+        "dv_seqs": dv_seqs,
     }
     _write_state(spark, view_path, state)
     return state
@@ -418,6 +479,13 @@ def refresh_agg_view(
 
     if _raw_pointer_seq(spark, view_path) != st["view_seq"]:
         return _full_refresh(spark, view_path, st, reason="view-state-drift")
+    for name, dv_seq in st.get("dv_seqs", {}).items():
+        # a companion that moved without a matching state write (crash
+        # between companion and view commits, out-of-band writes) makes
+        # the level-1 counts untrustworthy — rebuild both levels
+        if _raw_pointer_seq(spark, _dv_path(view_path, name)) != dv_seq:
+            return _full_refresh(spark, view_path, st,
+                                 reason="companion-state-drift")
 
     pinned = _pinned_state(spark, src)
     flavor, _, body = pinned.partition(":")
@@ -471,6 +539,12 @@ def refresh_agg_view(
         # row across the predicate boundary degrades to insert/delete
         # of the filtered multiset through the per-row signs
         feed = feed.where(F.expr(filt))
+    feed_files = sorted(feed.inputFiles()) if collect_stats else None
+    if any(fn == "count_distinct" for fn, _c in aggs.values()):
+        # a count_distinct view aggregates the feed TWICE (the plain
+        # per-group fold + each companion's per-(group, value) fold) —
+        # pin it once so the resolve never re-executes
+        feed = _pin(feed)
     seq = st["seq"] + 1
     # broadcast gate, same policy as the MOR resolver (sinks.py): the
     # per-group frames below are O(changed groups) — normally tiny —
@@ -492,6 +566,7 @@ def refresh_agg_view(
     sgn = F.when(adds, F.lit(1)).otherwise(F.lit(-1))
     dexprs: list[Column] = [F.sum(sgn).alias("_ivm_dn")]
     has_recompute = False
+    has_distinct = False
     for name, (fn, col) in aggs.items():
         if fn in ("sum", "avg"):
             dexprs.append(F.sum(sgn * F.col(col)).alias(f"_ivm_d_{name}"))
@@ -507,6 +582,11 @@ def refresh_agg_view(
                     F.when(F.col(col).isNotNull(), sgn).otherwise(F.lit(0))
                 ).alias(f"_ivm_d_{name}")
             )
+        elif fn == "count_distinct":
+            # the per-group delta comes from the COMPANION fold below,
+            # not the feed rows directly (a value swap inside one group
+            # moves the companion but no feed-level counter)
+            has_distinct = True
         else:
             # min/max: the feed's added/removed extremes decide per
             # group whether the stored extreme can be maintained
@@ -521,9 +601,11 @@ def refresh_agg_view(
             )
     d = feed.groupBy(*group_cols).agg(*dexprs)
 
-    if not has_recompute:
+    if not (has_recompute or has_distinct):
         # pure-algebraic views skip groups the changes left numerically
-        # intact (an update that only touched non-aggregated columns)
+        # intact (an update that only touched non-aggregated columns);
+        # min/max and count_distinct views must keep every touched
+        # group — a pure value swap moves them with zero counter drift
         moved = F.col("_ivm_dn") != 0
         for name, (fn, _c) in aggs.items():
             if fn in ("sum", "avg"):
@@ -539,6 +621,59 @@ def refresh_agg_view(
     # affected-key semi, the merge join, the min/max affected set).
     # Without the pin each reference re-executes the feed.
     d = _pin(d.withColumn(IVM_KEY, _group_key(group_cols)))
+
+    # count_distinct: fold the feed into each COMPANION table's
+    # affected (group, value) slice — level 1 of the two-level
+    # reduction (_dv_path doc). Everything here is O(changed values):
+    # the per-(group, value) signed counts, the companion's semi-joined
+    # old counts, the liveness transitions, and the per-group distinct
+    # delta sum(became live) − sum(died) that levels up to the view.
+    dv_group_deltas: dict[str, DataFrame] = {}
+    dv_upserts: list[tuple[str, DataFrame]] = []
+    for name, (fn, col) in aggs.items():
+        if fn != "count_distinct":
+            continue
+        dv = (
+            feed.where(F.col(col).isNotNull())
+            .select(*group_cols, F.col(col).alias(DV_VAL),
+                    sgn.alias("_ivm_s"))
+            .groupBy(*group_cols, DV_VAL)
+            .agg(F.sum("_ivm_s").alias("_ivm_vd"))
+            .where(F.col("_ivm_vd") != 0)
+        )
+        dv = _pin(dv.withColumn(IVM_KEY, _group_key(group_cols)))
+        comp_live = read_table(spark, _dv_path(view_path, name)).where(
+            ~F.coalesce(F.col(IVM_DEL), F.lit(False))
+        )
+        aff_vals = comp_live.join(
+            _hint(dv.select(IVM_KEY, DV_VAL)), [IVM_KEY, DV_VAL],
+            "left_semi",
+        ).select(IVM_KEY, DV_VAL, F.col(DV_N).alias("_ivm_vo"))
+        mv = _pin(
+            dv.join(_hint(aff_vals), [IVM_KEY, DV_VAL], "left")
+            .withColumn(
+                "_ivm_vnew",
+                F.coalesce(F.col("_ivm_vo"), F.lit(0)) + F.col("_ivm_vd"),
+            )
+        )
+        dv_group_deltas[name] = mv.groupBy(IVM_KEY).agg(
+            F.sum(
+                (F.col("_ivm_vnew") > 0).cast("int")
+                - (F.coalesce(F.col("_ivm_vo"), F.lit(0)) > 0).cast("int")
+            ).alias(f"_ivm_dd_{name}")
+        )
+        if mv.isEmpty():  # cheap: mv is pinned; nothing to commit
+            continue
+        dv_upserts.append((
+            _dv_path(view_path, name),
+            mv.select(
+                *group_cols, DV_VAL,
+                F.col("_ivm_vnew").cast("long").alias(DV_N),
+                F.col(IVM_KEY),
+                F.lit(seq).cast("long").alias(IVM_SEQ),
+                (F.col("_ivm_vnew") == 0).alias(IVM_DEL),
+            ),
+        ))
 
     # the view's affected slice: broadcast-semi over the surrogate key
     # (the view scan never shuffles), then the O(changes)-sized join
@@ -557,6 +692,8 @@ def refresh_agg_view(
         _hint(d.select(IVM_KEY)), IVM_KEY, "left_semi"
     ).select(*old_cols)
     merged = d.join(_hint(cur_aff), IVM_KEY, "left")
+    for name in dv_group_deltas:
+        merged = merged.join(_hint(dv_group_deltas[name]), IVM_KEY, "left")
 
     new_n_expr = F.coalesce(F.col("_ivm_on"), F.lit(0)) + F.col("_ivm_dn")
     proj: dict[str, Column] = {IVM_N: new_n_expr}
@@ -590,6 +727,15 @@ def refresh_agg_view(
             proj[name] = (
                 F.coalesce(F.col(f"_ivm_o_{name}"), F.lit(0))
                 + F.col(f"_ivm_d_{name}")
+            )
+        elif fn == "count_distinct":
+            # level 2 of the two-level reduction: old distinct count +
+            # (values that became live − values that died), from the
+            # companion fold above; a touched group with no distinct
+            # movement reads a NULL delta → +0
+            proj[name] = (
+                F.coalesce(F.col(f"_ivm_o_{name}"), F.lit(0))
+                + F.coalesce(F.col(f"_ivm_dd_{name}"), F.lit(0))
             )
         else:
             # min/max maintained WITHOUT a source read wherever the
@@ -711,7 +857,17 @@ def refresh_agg_view(
         "minmax_recompute": ran_recompute,
     }
     if collect_stats:
-        stats["feed_input_files"] = sorted(feed.inputFiles())
+        stats["feed_input_files"] = feed_files
+    # companions commit FIRST: a crash between a companion commit and
+    # the view commit leaves the recorded dv seq behind the pointer,
+    # which the next refresh reads as companion-state drift → full
+    # recompute — never a double-apply
+    for dv_path, comp_out in dv_upserts:
+        mor_upsert(
+            spark, dv_path, comp_out, [IVM_KEY, DV_VAL],
+            version_cols=[IVM_SEQ], tombstone_col=IVM_DEL,
+            auto_compact_deltas=view_compact_deltas,
+        )
     mor_upsert(
         spark, view_path, out, [IVM_KEY],
         version_cols=[IVM_SEQ], tombstone_col=IVM_DEL,
@@ -720,6 +876,10 @@ def refresh_agg_view(
     st.update(
         cursor=until, seq=seq,
         view_seq=_raw_pointer_seq(spark, view_path),
+        dv_seqs={
+            name: _raw_pointer_seq(spark, _dv_path(view_path, name))
+            for name in st.get("dv_seqs", {})
+        },
     )
     _write_state(spark, view_path, st)
     return stats
@@ -742,9 +902,20 @@ def _full_refresh(spark, view_path: str, st: dict, reason: str) -> dict:
     full = live.groupBy(*group_cols).agg(*_full_agg_exprs(aggs))
     out = _stored(full, group_cols, aggs, st["types"], seq)
     write_manifest_table(spark, out, view_path)
+    dv_seqs: dict[str, int] = {}
+    for name, (fn, col) in aggs.items():
+        if fn == "count_distinct":
+            # companions rebuild with the view: the full lane trusts
+            # nothing incremental
+            write_manifest_table(
+                spark, _dv_rollup(live, group_cols, col, seq),
+                _dv_path(view_path, name),
+            )
+            dv_seqs[name] = _raw_pointer_seq(spark, _dv_path(view_path, name))
     st.update(
         cursor=cursor, src_base=base_token, seq=seq,
         view_seq=_raw_pointer_seq(spark, view_path),
+        dv_seqs=dv_seqs,
     )
     _write_state(spark, view_path, st)
     return {"mode": "full", "reason": reason, "seq": seq}
@@ -759,4 +930,9 @@ def optimize_agg_view(spark: SparkSession, view_path: str) -> None:
     compact_small_files(spark, view_path)
     st = _read_state(spark, view_path)
     st["view_seq"] = _raw_pointer_seq(spark, view_path)
+    for name in st.get("dv_seqs", {}):
+        compact_small_files(spark, _dv_path(view_path, name))
+        st["dv_seqs"][name] = _raw_pointer_seq(
+            spark, _dv_path(view_path, name)
+        )
     _write_state(spark, view_path, st)

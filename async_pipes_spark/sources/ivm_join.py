@@ -168,6 +168,14 @@ def create_join_view(
     if not join_keys:
         raise ValueError("join_keys is required")
     _validate_aggs(group_cols, aggs)
+    bad_distinct = [n for n, (fn, _c) in aggs.items()
+                    if fn == "count_distinct"]
+    if bad_distinct:
+        raise ValueError(
+            f"count_distinct is not maintainable in a join view "
+            f"({bad_distinct}) — materialize the join and put a "
+            "single-table agg view (which supports it) on the result"
+        )
 
     fl, bl, dl, tok_l = _side_state(spark, left_path)
     fr, br, dr, tok_r = _side_state(spark, right_path)

@@ -725,3 +725,171 @@ def test_full_verb_model_both_flavors(spark, tmpdir, flavor):
             optimize_agg_view(spark, view)
         refresh_agg_view(spark, view)
         assert _got(spark, view) == _expected(spark, src), (flavor, step, op)
+
+
+# ---- count_distinct (two-level companion reduction) -----------------
+
+CD_AGGS = {"dx": ("count_distinct", "x"), "n": ("count", "*")}
+
+
+def _expected_cd(spark, src, filt=None):
+    live = read_table(spark, src).where(
+        ~F.coalesce(F.col("dead"), F.lit(False))
+    )
+    if filt:
+        live = live.where(filt)
+    out = live.groupBy("g").agg(
+        F.countDistinct("x").alias("dx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return {r["g"]: (r["dx"], r["n"]) for r in out.collect()}
+
+
+def _got_cd(spark, view):
+    return {
+        r["g"]: (r["dx"], r["n"])
+        for r in read_agg_view(spark, view).collect()
+    }
+
+
+def test_count_distinct_maintained_exactly(spark, tmpdir):
+    """COUNT(DISTINCT x) through the companion fold: duplicates
+    collapse, removing ONE of two holders leaves the count, removing
+    the LAST holder drops it, NULLs never count, and a PURE VALUE SWAP
+    (every plain counter static — the case a moved-filter would have
+    dropped) still lands."""
+    src, view = f"{tmpdir}/src", f"{tmpdir}/view"
+    _mk_source(spark, src)  # x = float(k): 10 distinct per group
+    st = create_agg_view(spark, src, view, ["g"], CD_AGGS,
+                         src_tombstone_col="dead")
+    assert st["dv_seqs"] and _got_cd(spark, view) == _expected_cd(spark, src)
+    # collapse: k 0/4/8 (g=0) all take x=1000.0 (3 rows, 1 value);
+    # NULL x lands on k=12; k=16 swaps value with NOTHING else moving
+    _upsert(spark, src, [
+        (0, 0, 1000.0, 1, False), (4, 0, 1000.0, 1, False),
+        (8, 0, 1000.0, 1, False), (12, 0, None, 1, False),
+        (16, 0, 777.0, 1, False),
+    ])
+    s = refresh_agg_view(spark, view)
+    assert s["mode"] == "incremental", s
+    assert _got_cd(spark, view) == _expected_cd(spark, src)
+    # remove ONE holder of 1000.0 (count stays), then the remaining
+    # two (count drops) — through the CURSORED feed
+    _upsert(spark, src, [(0, None, None, 2, True)])
+    refresh_agg_view(spark, view)
+    assert _got_cd(spark, view) == _expected_cd(spark, src)
+    _upsert(spark, src, [(4, None, None, 3, True), (8, None, None, 3, True)])
+    refresh_agg_view(spark, view)
+    assert _got_cd(spark, view) == _expected_cd(spark, src)
+    assert refresh_agg_view(spark, view)["mode"] == "noop"
+
+
+def test_count_distinct_group_moves_and_revival(spark, tmpdir):
+    """A value moving BETWEEN groups is a delete in one companion
+    slice and an insert in another; a group dying and reviving rebuilds
+    its distinct count from revived companion rows."""
+    src, view = f"{tmpdir}/src", f"{tmpdir}/view"
+    rows = [(1, 1, 5.0, 0, False), (2, 1, 5.0, 0, False),
+            (3, 2, 7.0, 0, False)]
+    write_manifest_table(spark, spark.createDataFrame(rows, SCHEMA), src)
+    create_agg_view(spark, src, view, ["g"], CD_AGGS,
+                    src_tombstone_col="dead")
+    # k=2 moves g 1->2 carrying x=5.0: g1 keeps 5.0 via k=1, g2 gains it
+    _upsert(spark, src, [(2, 2, 5.0, 1, False)])
+    refresh_agg_view(spark, view)
+    assert _got_cd(spark, view) == _expected_cd(spark, src) == {
+        1: (1, 1), 2: (2, 2),
+    }
+    # g=1 dies entirely...
+    _upsert(spark, src, [(1, None, None, 2, True)])
+    refresh_agg_view(spark, view)
+    assert _got_cd(spark, view) == _expected_cd(spark, src)
+    assert 1 not in _got_cd(spark, view)
+    # ...and revives with a fresh value set
+    _upsert(spark, src, [(9, 1, 5.0, 0, False), (10, 1, 6.0, 0, False)])
+    refresh_agg_view(spark, view)
+    assert _got_cd(spark, view) == _expected_cd(spark, src)
+    assert _got_cd(spark, view)[1] == (2, 2)
+
+
+def test_count_distinct_filtered_view(spark, tmpdir):
+    """filter_expr composes with the companion: values leaving the
+    predicate leave the distinct multiset."""
+    src, view = f"{tmpdir}/src", f"{tmpdir}/view"
+    _mk_source(spark, src)
+    create_agg_view(spark, src, view, ["g"], CD_AGGS,
+                    src_tombstone_col="dead", filter_expr="x < 20.0")
+    assert _got_cd(spark, view) == _expected_cd(spark, src, "x < 20.0")
+    # cross out of (x 4->90) and into (x 25->9) the predicate; 9.0
+    # DUPLICATES an in-filter survivor (k=9), so g=1's count must NOT
+    # grow on the way in
+    _upsert(spark, src, [(4, 0, 90.0, 1, False), (25, 1, 9.0, 1, False)])
+    refresh_agg_view(spark, view)
+    assert _got_cd(spark, view) == _expected_cd(spark, src, "x < 20.0")
+
+
+def test_count_distinct_companion_drift_falls_back_full(spark, tmpdir):
+    """An out-of-band write to a companion table (its pointer seq no
+    longer matches the recorded dv seq) must downgrade the next
+    refresh to a full rebuild of BOTH levels."""
+    from async_pipes_spark.sources.ivm import DV_N, DV_VAL, _dv_path
+
+    src, view = f"{tmpdir}/src", f"{tmpdir}/view"
+    _mk_source(spark, src)
+    create_agg_view(spark, src, view, ["g"], CD_AGGS,
+                    src_tombstone_col="dead")
+    compact_small_files(spark, _dv_path(view, "dx"))  # out-of-band move
+    _upsert(spark, src, [(0, 0, 999.0, 1, False)])
+    s = refresh_agg_view(spark, view)
+    assert s["mode"] == "full" and s["reason"] == "companion-state-drift", s
+    assert _got_cd(spark, view) == _expected_cd(spark, src)
+    # the rebuilt state re-arms the incremental lane
+    _upsert(spark, src, [(1, 1, 999.0, 2, False)])
+    assert refresh_agg_view(spark, view)["mode"] == "incremental"
+    assert _got_cd(spark, view) == _expected_cd(spark, src)
+
+
+def test_count_distinct_optimize_keeps_lane(spark, tmpdir):
+    """optimize_agg_view compacts the companions WITH the view and
+    re-arms their seqs — the next refresh stays incremental."""
+    src, view = f"{tmpdir}/src", f"{tmpdir}/view"
+    _mk_source(spark, src)
+    create_agg_view(spark, src, view, ["g"], CD_AGGS,
+                    src_tombstone_col="dead")
+    for ver in (1, 2, 3):
+        _upsert(spark, src, [(ver, ver % 4, float(100 + ver), ver, False)])
+        refresh_agg_view(spark, view)
+    optimize_agg_view(spark, view)
+    _upsert(spark, src, [(5, 1, 55.0, 4, False)])
+    s = refresh_agg_view(spark, view)
+    assert s["mode"] == "incremental", s
+    assert _got_cd(spark, view) == _expected_cd(spark, src)
+
+
+def test_count_distinct_randomized_model(spark, tmpdir):
+    """Seeded random program — duplicate-heavy value domain (0..5),
+    NULLs, deletes, group moves, source compactions, view optimize —
+    with view == direct COUNT(DISTINCT) after every refresh."""
+    rng = random.Random(0xD157)
+    src, view = f"{tmpdir}/src", f"{tmpdir}/view"
+    _mk_source(spark, src, n=20, groups=3)
+    create_agg_view(spark, src, view, ["g"], CD_AGGS,
+                    src_tombstone_col="dead")
+    ver = 0
+    for step in range(8):
+        ver += 1
+        rows = []
+        for _ in range(rng.randint(1, 5)):
+            rows.append((
+                rng.randint(0, 25),
+                rng.choice([None] + list(range(4))),
+                rng.choice([None] + [float(v) for v in range(6)]),
+                ver, rng.random() < 0.25,
+            ))
+        _upsert(spark, src, rows)
+        if rng.random() < 0.25:
+            compact_small_files(spark, src)
+        if rng.random() < 0.25:
+            optimize_agg_view(spark, view)
+        refresh_agg_view(spark, view)
+        assert _got_cd(spark, view) == _expected_cd(spark, src), step

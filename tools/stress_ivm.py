@@ -41,7 +41,8 @@ from async_pipes_spark.plans.extensions import (  # noqa: E402
 from async_pipes_spark.session import get_spark  # noqa: E402
 
 QUERIES = ("v4_ivm_agg_view", "s32_stream_ivm_rollup",
-           "v5_ivm_filtered_avg_view", "v6_ivm_join_view")
+           "v5_ivm_filtered_avg_view", "v6_ivm_join_view",
+           "v7_ivm_join_minmax_view", "v8_ivm_count_distinct_view")
 TZS = ("UTC", "America/New_York", "Asia/Tokyo", "Europe/Berlin",
        "Pacific/Kiritimati")
 
