@@ -3376,7 +3376,10 @@ def v7_ivm_join_minmax_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scoping the programs to named segments keeps the needy set a
     strict minority of the groups, so the refresh demonstrates the
     lane's pruning (only the needy groups' slices are re-joined), not
-    just its correctness.
+    just its correctness. A ``count_distinct(custkey)`` aggregate
+    rides the same program through the JOINED two-level companion
+    reduction (customer deaths remove whole custkey values; order
+    deletes leave them while other orders survive).
 
     Both extreme-holder sets are computed from the t0 join, so the
     DuckDB oracle replays the identical program declaratively. The
@@ -3430,6 +3433,9 @@ def v7_ivm_join_minmax_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_price": ("max", "price_cents"),
             "sum_price": ("sum", "price_cents"),
             "n_ord": ("count", "*"),
+            # the joined two-level companion reduction rides the same
+            # program: customer deaths remove whole custkey values
+            "n_cust_d": ("count_distinct", "custkey"),
         },
         left_tombstone_col="odead",
         right_tombstone_col="cdead",
@@ -3491,6 +3497,7 @@ def v7_ivm_join_minmax_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("price_cents").alias("max_price"),
             F.sum("price_cents").alias("sum_price"),
             F.count(F.lit(1)).alias("n_ord"),
+            F.countDistinct("custkey").alias("n_cust_d"),
         ).collect()
     }
     got = {tuple(r) for r in out_rows}
@@ -6225,7 +6232,8 @@ EXTENSION_ORACLES = {
                MIN(price) AS min_price,
                MAX(price) AS max_price,
                SUM(price) AS sum_price,
-               COUNT(*) AS n_ord
+               COUNT(*) AS n_ord,
+               COUNT(DISTINCT custkey) AS n_cust_d
         FROM final GROUP BY seg ORDER BY seg
     """,
     "z3_bloom_pruned_lookup": """

@@ -350,6 +350,58 @@ def _dv_rollup(
     )
 
 
+def _dv_fold(
+    spark,
+    view_path: str,
+    name: str,
+    signed: DataFrame,
+    group_cols: Sequence[str],
+    seq: int,
+    hint,
+) -> tuple[DataFrame, DataFrame | None]:
+    """One count_distinct aggregate's refresh fold, shared by the
+    single-table and join refreshers. ``signed`` carries group_cols +
+    ``DV_VAL`` (non-null) + ``_ivm_s`` (±1 per multiset change row).
+    Returns ``(per-group distinct-delta frame keyed on IVM_KEY,
+    companion upsert frame or None when nothing moved)`` — both
+    O(changed values)."""
+    dv = (
+        signed.groupBy(*group_cols, DV_VAL)
+        .agg(F.sum("_ivm_s").alias("_ivm_vd"))
+        .where(F.col("_ivm_vd") != 0)
+    )
+    dv = _pin(dv.withColumn(IVM_KEY, _group_key(group_cols)))
+    comp_live = read_table(spark, _dv_path(view_path, name)).where(
+        ~F.coalesce(F.col(IVM_DEL), F.lit(False))
+    )
+    aff_vals = comp_live.join(
+        hint(dv.select(IVM_KEY, DV_VAL)), [IVM_KEY, DV_VAL], "left_semi"
+    ).select(IVM_KEY, DV_VAL, F.col(DV_N).alias("_ivm_vo"))
+    mv = _pin(
+        dv.join(hint(aff_vals), [IVM_KEY, DV_VAL], "left")
+        .withColumn(
+            "_ivm_vnew",
+            F.coalesce(F.col("_ivm_vo"), F.lit(0)) + F.col("_ivm_vd"),
+        )
+    )
+    dd = mv.groupBy(IVM_KEY).agg(
+        F.sum(
+            (F.col("_ivm_vnew") > 0).cast("int")
+            - (F.coalesce(F.col("_ivm_vo"), F.lit(0)) > 0).cast("int")
+        ).alias(f"_ivm_dd_{name}")
+    )
+    if mv.isEmpty():  # cheap: mv is pinned; nothing to commit
+        return dd, None
+    upsert = mv.select(
+        *group_cols, DV_VAL,
+        F.col("_ivm_vnew").cast("long").alias(DV_N),
+        F.col(IVM_KEY),
+        F.lit(seq).cast("long").alias(IVM_SEQ),
+        (F.col("_ivm_vnew") == 0).alias(IVM_DEL),
+    )
+    return dd, upsert
+
+
 def create_agg_view(
     spark: SparkSession,
     src_path: str,
@@ -633,47 +685,15 @@ def refresh_agg_view(
     for name, (fn, col) in aggs.items():
         if fn != "count_distinct":
             continue
-        dv = (
-            feed.where(F.col(col).isNotNull())
-            .select(*group_cols, F.col(col).alias(DV_VAL),
-                    sgn.alias("_ivm_s"))
-            .groupBy(*group_cols, DV_VAL)
-            .agg(F.sum("_ivm_s").alias("_ivm_vd"))
-            .where(F.col("_ivm_vd") != 0)
+        signed = feed.where(F.col(col).isNotNull()).select(
+            *group_cols, F.col(col).alias(DV_VAL), sgn.alias("_ivm_s")
         )
-        dv = _pin(dv.withColumn(IVM_KEY, _group_key(group_cols)))
-        comp_live = read_table(spark, _dv_path(view_path, name)).where(
-            ~F.coalesce(F.col(IVM_DEL), F.lit(False))
+        dd, upsert = _dv_fold(
+            spark, view_path, name, signed, group_cols, seq, _hint
         )
-        aff_vals = comp_live.join(
-            _hint(dv.select(IVM_KEY, DV_VAL)), [IVM_KEY, DV_VAL],
-            "left_semi",
-        ).select(IVM_KEY, DV_VAL, F.col(DV_N).alias("_ivm_vo"))
-        mv = _pin(
-            dv.join(_hint(aff_vals), [IVM_KEY, DV_VAL], "left")
-            .withColumn(
-                "_ivm_vnew",
-                F.coalesce(F.col("_ivm_vo"), F.lit(0)) + F.col("_ivm_vd"),
-            )
-        )
-        dv_group_deltas[name] = mv.groupBy(IVM_KEY).agg(
-            F.sum(
-                (F.col("_ivm_vnew") > 0).cast("int")
-                - (F.coalesce(F.col("_ivm_vo"), F.lit(0)) > 0).cast("int")
-            ).alias(f"_ivm_dd_{name}")
-        )
-        if mv.isEmpty():  # cheap: mv is pinned; nothing to commit
-            continue
-        dv_upserts.append((
-            _dv_path(view_path, name),
-            mv.select(
-                *group_cols, DV_VAL,
-                F.col("_ivm_vnew").cast("long").alias(DV_N),
-                F.col(IVM_KEY),
-                F.lit(seq).cast("long").alias(IVM_SEQ),
-                (F.col("_ivm_vnew") == 0).alias(IVM_DEL),
-            ),
-        ))
+        dv_group_deltas[name] = dd
+        if upsert is not None:
+            dv_upserts.append((_dv_path(view_path, name), upsert))
 
     # the view's affected slice: broadcast-semi over the surrogate key
     # (the view scan never shuffles), then the O(changes)-sized join

@@ -37,6 +37,9 @@ two pinned snapshots at the refresh cut, each side pruned by its own
 group columns (null-safe semi-join) and, for a side carrying no group
 column, by the other slice's join keys (isin pushdown under the cap,
 gated-broadcast semi-join past it) — never a full re-join.
+``count_distinct`` rides the same two-level companion reduction as
+single-table views (:func:`~async_pipes_spark.sources.ivm._dv_fold`),
+fed by the signed joined multiset — the reduction is join-agnostic.
 
 Exactly-once and crash safety mirror the single-table contract, per
 source: the state file pins each side's cursor + base-version token
@@ -65,11 +68,15 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from async_pipes_spark.session import pin as _pin
 from async_pipes_spark.sources.cdc import mor_changes
 from async_pipes_spark.sources.ivm import (
+    DV_VAL,
     IVM_DEL,
     IVM_KEY,
     IVM_N,
     IVM_SEQ,
     _as,
+    _dv_fold,
+    _dv_path,
+    _dv_rollup,
     _full_agg_exprs,
     _group_key,
     _live,
@@ -168,14 +175,6 @@ def create_join_view(
     if not join_keys:
         raise ValueError("join_keys is required")
     _validate_aggs(group_cols, aggs)
-    bad_distinct = [n for n, (fn, _c) in aggs.items()
-                    if fn == "count_distinct"]
-    if bad_distinct:
-        raise ValueError(
-            f"count_distinct is not maintainable in a join view "
-            f"({bad_distinct}) — materialize the join and put a "
-            "single-table agg view (which supports it) on the result"
-        )
 
     fl, bl, dl, tok_l = _side_state(spark, left_path)
     fr, br, dr, tok_r = _side_state(spark, right_path)
@@ -212,8 +211,19 @@ def create_join_view(
     }
     out = _stored(full, group_cols, aggs, types, seq=0)
     write_manifest_table(spark, out, view_path)
+    dv_seqs: dict[str, int] = {}
+    for name, (fn, col) in aggs.items():
+        if fn == "count_distinct":
+            # companion of the JOINED multiset — the two-level
+            # reduction is join-agnostic (ivm._dv_path doc)
+            write_manifest_table(
+                spark, _dv_rollup(joined, group_cols, col, 0),
+                _dv_path(view_path, name),
+            )
+            dv_seqs[name] = _raw_pointer_seq(spark, _dv_path(view_path, name))
     state = {
         "kind": "join",
+        "dv_seqs": dv_seqs,
         "left": left_path,
         "right": right_path,
         "join_keys": join_keys,
@@ -327,6 +337,10 @@ def refresh_join_view(
     if _raw_pointer_seq(spark, view_path) != st["view_seq"]:
         return _full_join_refresh(spark, view_path, st,
                                   reason="view-state-drift")
+    for name, dv_seq in st.get("dv_seqs", {}).items():
+        if _raw_pointer_seq(spark, _dv_path(view_path, name)) != dv_seq:
+            return _full_join_refresh(spark, view_path, st,
+                                      reason="companion-state-drift")
     try:
         fl, bl, dl, tok_l = _side_state(spark, st["left"])
         fr, br, dr, tok_r = _side_state(spark, st["right"])
@@ -409,6 +423,11 @@ def refresh_join_view(
     delta = terms[0] if len(terms) == 1 else terms[0].unionByName(terms[1])
     if filt:
         delta = delta.where(F.expr(filt))
+    if any(fn == "count_distinct" for fn, _c in aggs.values()):
+        # a count_distinct view aggregates the delta-join TWICE (the
+        # plain per-group fold + each companion's per-(group, value)
+        # fold) — pin it once so the terms never re-execute
+        delta = _pin(delta)
 
     # fold the signed joined multiset into per-group aggregate deltas —
     # the algebraic twin of refresh_agg_view's fold, kept standalone so
@@ -417,6 +436,7 @@ def refresh_join_view(
     adds = sgn == 1
     dexprs: list[Column] = [F.sum(sgn).alias("_ivm_dn")]
     has_recompute = False
+    has_distinct = False
     for name, (fn, col) in aggs.items():
         if fn in ("sum", "avg"):
             dexprs.append(F.sum(sgn * F.col(col)).alias(f"_ivm_d_{name}"))
@@ -432,6 +452,9 @@ def refresh_join_view(
                     F.when(F.col(col).isNotNull(), sgn).otherwise(F.lit(0))
                 ).alias(f"_ivm_d_{name}")
             )
+        elif fn == "count_distinct":
+            # delta comes from the companion fold below (ivm._dv_fold)
+            has_distinct = True
         else:
             # min/max: the joined feed's added/removed extremes decide
             # per group whether the stored extreme can be maintained
@@ -447,7 +470,7 @@ def refresh_join_view(
                 agg_f(F.when(~adds, F.col(col))).alias(f"_ivm_r_{name}")
             )
     d = delta.groupBy(*group_cols).agg(*dexprs)
-    if not has_recompute:
+    if not (has_recompute or has_distinct):
         # pure-algebraic views skip groups the changes left intact
         moved = F.col("_ivm_dn") != 0
         for name, (fn, _c) in aggs.items():
@@ -459,6 +482,25 @@ def refresh_join_view(
                 moved = moved | (F.col(f"_ivm_d_{name}") != 0)
         d = d.where(moved)
     d = _pin(d.withColumn(IVM_KEY, _group_key(group_cols)))
+
+    # count_distinct companions: same two-level reduction as the
+    # single-table refresher, fed by the signed JOINED multiset
+    dv_group_deltas: dict[str, DataFrame] = {}
+    dv_upserts: list[tuple[str, DataFrame]] = []
+    seq = st["seq"] + 1
+    for name, (fn, col) in aggs.items():
+        if fn != "count_distinct":
+            continue
+        signed_vals = delta.where(F.col(col).isNotNull()).select(
+            *group_cols, F.col(col).alias(DV_VAL),
+            F.col("_ivm_sgn").alias("_ivm_s"),
+        )
+        dd, upsert = _dv_fold(
+            spark, view_path, name, signed_vals, group_cols, seq, _hint
+        )
+        dv_group_deltas[name] = dd
+        if upsert is not None:
+            dv_upserts.append((_dv_path(view_path, name), upsert))
 
     from async_pipes_spark.sources.sinks import read_table
 
@@ -477,6 +519,8 @@ def refresh_join_view(
         _hint(d.select(IVM_KEY)), IVM_KEY, "left_semi"
     ).select(*old_cols)
     merged = d.join(_hint(cur_aff), IVM_KEY, "left")
+    for name in dv_group_deltas:
+        merged = merged.join(_hint(dv_group_deltas[name]), IVM_KEY, "left")
 
     new_n = F.coalesce(F.col("_ivm_on"), F.lit(0)) + F.col("_ivm_dn")
     proj: dict[str, Column] = {IVM_N: new_n}
@@ -499,6 +543,13 @@ def refresh_join_view(
         elif fn == "count":
             proj[name] = (F.coalesce(F.col(f"_ivm_o_{name}"), F.lit(0))
                           + F.col(f"_ivm_d_{name}"))
+        elif fn == "count_distinct":
+            # level 2 of the two-level reduction over the joined
+            # multiset (ivm._dv_fold)
+            proj[name] = (
+                F.coalesce(F.col(f"_ivm_o_{name}"), F.lit(0))
+                + F.coalesce(F.col(f"_ivm_dd_{name}"), F.lit(0))
+            )
         else:
             # min/max maintained WITHOUT touching either source
             # wherever the algebra proves the stored extreme (exact
@@ -559,11 +610,18 @@ def refresh_join_view(
                 st["right_tombstone_col"],
             ),
         )
-    seq = st["seq"] + 1
     out = _stored(
         merged.drop(IVM_KEY), group_cols, aggs, types, seq,
         dead=F.col(IVM_N) == 0,
     )
+    for dv_path_i, comp_out in dv_upserts:
+        # companions commit FIRST (crash between = companion-seq drift
+        # → full rebuild; same contract as the single-table refresher)
+        mor_upsert(
+            spark, dv_path_i, comp_out, [IVM_KEY, DV_VAL],
+            version_cols=[IVM_SEQ], tombstone_col=IVM_DEL,
+            auto_compact_deltas=view_compact_deltas,
+        )
     mor_upsert(
         spark, view_path, out, [IVM_KEY],
         version_cols=[IVM_SEQ], tombstone_col=IVM_DEL,
@@ -572,6 +630,10 @@ def refresh_join_view(
     st.update(
         left_cursor=until_l, right_cursor=until_r, seq=seq,
         view_seq=_raw_pointer_seq(spark, view_path),
+        dv_seqs={
+            name: _raw_pointer_seq(spark, _dv_path(view_path, name))
+            for name in st.get("dv_seqs", {})
+        },
     )
     _write_state(spark, view_path, st)
     return {
@@ -695,11 +757,20 @@ def _full_join_refresh(spark, view_path: str, st: dict, reason: str) -> dict:
     full = joined.groupBy(*group_cols).agg(*_full_agg_exprs(aggs))
     out = _stored(full, group_cols, aggs, st["types"], seq)
     write_manifest_table(spark, out, view_path)
+    dv_seqs: dict[str, int] = {}
+    for name, (fn, col) in aggs.items():
+        if fn == "count_distinct":
+            write_manifest_table(
+                spark, _dv_rollup(joined, group_cols, col, seq),
+                _dv_path(view_path, name),
+            )
+            dv_seqs[name] = _raw_pointer_seq(spark, _dv_path(view_path, name))
     st.update(
         left_cursor=dl[-1] if dl else None,
         right_cursor=dr[-1] if dr else None,
         left_base=tok_l, right_base=tok_r, seq=seq,
         view_seq=_raw_pointer_seq(spark, view_path),
+        dv_seqs=dv_seqs,
     )
     _write_state(spark, view_path, st)
     return {"mode": "full", "reason": reason, "seq": seq}

@@ -258,6 +258,9 @@ MMAGGS = {
     "n": ("count", "*"),
     "mn": ("min", "x"),
     "mx": ("max", "x"),
+    "dx": ("count_distinct", "x"),   # companion reduction rides along:
+                                     # every min/max scenario below also
+                                     # exercises the joined two-level fold
 }
 
 
@@ -276,14 +279,15 @@ def _expected_mm(spark, a_path, b_path, group="g", filt=None):
         F.count(F.lit(1)).alias("n"),
         F.min("x").alias("mn"),
         F.max("x").alias("mx"),
+        F.countDistinct("x").alias("dx"),
     )
-    return {r[group]: (r["sx"], r["n"], r["mn"], r["mx"])
+    return {r[group]: (r["sx"], r["n"], r["mn"], r["mx"], r["dx"])
             for r in out.collect()}
 
 
 def _got_mm(spark, view, group="g"):
     return {
-        r[group]: (r["sx"], r["n"], r["mn"], r["mx"])
+        r[group]: (r["sx"], r["n"], r["mn"], r["mx"], r["dx"])
         for r in read_join_view(spark, view).collect()
     }
 
@@ -380,6 +384,53 @@ def test_minmax_filtered_join_view(spark, tmpdir):
     s = refresh_join_view(spark, view)
     assert s["mode"] == "incremental", s
     assert _got_mm(spark, view) == _expected_mm(spark, a, b, "g", "x < 150")
+
+
+def test_minmax_recompute_key_prune_plan(spark, tmpdir, monkeypatch):
+    """Scale audit of the recompute lane (round-11): under a
+    dim-grouped... inverted here — group col on the FACT side, so the
+    DIM side carries no group column and must be pruned by the fact
+    slice's JOIN KEYS. Pins (a) the lane actually takes the isin path
+    under the cap (spy on _keys_probe sees a non-None inline), and
+    (b) that isin over the engine's own table read reaches the parquet
+    scan as a pushed In() filter — together: the recompute never
+    rescans the unpruned side."""
+    import contextlib
+    import io
+
+    from async_pipes_spark.sources import ivm_join as ivj
+
+    a, b = _mk(spark, tmpdir)
+    view = f"{tmpdir}/v"
+    create_join_view(spark, a, b, view, ["jk"], ["ak"], MMAGGS,
+                     left_tombstone_col="adead", right_tombstone_col="bdead")
+    probes = []
+    real = ivj._keys_probe
+
+    def spy(spark_, signed, join_keys, small):
+        keys, inline = real(spark_, signed, join_keys, small)
+        probes.append(inline)
+        return keys, inline
+
+    monkeypatch.setattr(ivj, "_keys_probe", spy)
+    # remove the max holders of groups ak=11 (jk 1) and ak=17 (jk 7)
+    # via updates: recompute lane with a 2-key probe (a 1-key isin
+    # folds to EqualTo — two keys keep the In() shape under audit)
+    _up_a(spark, a, [(11, 1, 3, 1, False), (17, 7, 4, 1, False)])
+    s = refresh_join_view(spark, view)
+    assert s["mode"] == "incremental" and s["minmax_recompute"], s
+    assert _got_mm(spark, view, "ak") == _expected_mm(spark, a, b, "ak")
+    # the lane ran at least one key probe and EVERY probe this small
+    # window produced inlined (<= cap) keys — the isin path
+    assert probes and all(p is not None for p in probes), probes
+    # and an isin over the engine's read path is a PUSHED filter: the
+    # B-side scan's row groups prune by footer stats on jk
+    sliced = read_table(spark, b).where(F.col("jk").isin(probes[-1]))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        sliced.explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan and "In(jk" in plan, plan
 
 
 @pytest.mark.parametrize("flavor", ["flat", "partitioned"])
