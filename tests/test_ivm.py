@@ -893,3 +893,69 @@ def test_count_distinct_randomized_model(spark, tmpdir):
             optimize_agg_view(spark, view)
         refresh_agg_view(spark, view)
         assert _got_cd(spark, view) == _expected_cd(spark, src), step
+
+
+def test_kitchen_sink_randomized_model(spark, tmpdir):
+    """Every aggregate kind in ONE view — sum, count(*), count(col),
+    avg, min, max, count_distinct — behind a filter_expr, driven by a
+    seeded random program with duplicates, NULLs, deletes, group
+    moves, boundary crossings, compactions, and view optimizes; view
+    == direct filtered GROUP BY after every refresh. The lanes
+    (algebraic fold, extreme recompute, companion fold) must compose
+    in a single refresh commit."""
+    rng = random.Random(0x51AA)
+    src, view = f"{tmpdir}/src", f"{tmpdir}/view"
+    _mk_source(spark, src, n=24, groups=3)
+    aggs = {
+        "sx": ("sum", "x"),
+        "n": ("count", "*"),
+        "nx": ("count", "x"),
+        "ax": ("avg", "x"),
+        "mn": ("min", "x"),
+        "mx": ("max", "x"),
+        "dx": ("count_distinct", "x"),
+    }
+    create_agg_view(spark, src, view, ["g"], aggs,
+                    src_tombstone_col="dead", filter_expr="x >= 0.0")
+
+    def expected():
+        live = read_table(spark, src).where(
+            ~F.coalesce(F.col("dead"), F.lit(False))
+        ).where("x >= 0.0")
+        out = live.groupBy("g").agg(
+            F.sum("x").alias("sx"),
+            F.count(F.lit(1)).alias("n"),
+            F.count("x").alias("nx"),
+            (F.sum("x") / F.count("x")).alias("ax"),
+            F.min("x").alias("mn"),
+            F.max("x").alias("mx"),
+            F.countDistinct("x").alias("dx"),
+        )
+        return {r["g"]: tuple(r)[1:] for r in out.collect()}
+
+    def got():
+        return {
+            r["g"]: tuple(r)[1:]
+            for r in read_agg_view(spark, view).collect()
+        }
+
+    assert got() == expected()
+    ver = 0
+    for step in range(8):
+        ver += 1
+        rows = []
+        for _ in range(rng.randint(1, 5)):
+            rows.append((
+                rng.randint(0, 30),
+                rng.choice([None] + list(range(4))),
+                # duplicate-heavy domain straddling the filter boundary
+                rng.choice([None] + [float(v) for v in (-5, -1, 0, 1, 2, 9)]),
+                ver, rng.random() < 0.25,
+            ))
+        _upsert(spark, src, rows)
+        if rng.random() < 0.25:
+            compact_small_files(spark, src)
+        if rng.random() < 0.25:
+            optimize_agg_view(spark, view)
+        refresh_agg_view(spark, view)
+        assert got() == expected(), step
