@@ -578,3 +578,54 @@ def test_randomized_model_parity(spark, tmpdir):
             optimize_agg_view(spark, view)
         refresh_join_view(spark, view)
         assert _got(spark, view) == _expected(spark, a, b), step
+
+
+def test_join_catchup_past_broadcast_gate(spark, tmpdir, monkeypatch):
+    """The 100 TB catch-up shape for JOIN views: gate forced to 0
+    bytes, so every slice (key probes, affected view rows, companion
+    slices, needy sets, recompute prunes) must run as plain shuffle
+    joins — no isin inline (spy pins inline=None), and neither
+    refresher module may even ASK for a broadcast hint — while the
+    min/max + count_distinct + algebraic lanes still land
+    value-exact."""
+    from pyspark.sql import functions as RF
+
+    import async_pipes_spark.sources.ivm as ivm_mod
+    import async_pipes_spark.sources.ivm_join as ivj
+
+    a, b = _mk(spark, tmpdir)
+    view = f"{tmpdir}/v"
+    create_join_view(spark, a, b, view, ["jk"], ["g"], MMAGGS,
+                     left_tombstone_col="adead", right_tombstone_col="bdead")
+    monkeypatch.setattr(ivj, "_MOR_BROADCAST_MAX_BYTES", -1)
+    probes = []
+    real_probe = ivj._keys_probe
+
+    def spy(spark_, signed, join_keys, small):
+        assert not small, "window must read as big past the gate"
+        keys, inline = real_probe(spark_, signed, join_keys, small)
+        probes.append(inline)
+        return keys, inline
+
+    monkeypatch.setattr(ivj, "_keys_probe", spy)
+
+    class NoBroadcastF:
+        def __getattr__(self, name):
+            if name == "broadcast":
+                raise AssertionError(
+                    "join refresher requested a broadcast hint past the gate"
+                )
+            return getattr(RF, name)
+
+    monkeypatch.setattr(ivj, "F", NoBroadcastF())
+    monkeypatch.setattr(ivm_mod, "F", NoBroadcastF())  # _dv_fold's module
+    # both sides move: extreme-holder updates (needy lane), value
+    # collapses (companion lane), dim death + rename (join moves)
+    _up_a(spark, a, [(11, 1, 3, 1, False), (17, 7, 4, 1, False),
+                     (2, 2, 20, 1, False), (12, 2, 20, 1, False)])
+    _up_b(spark, b, [(3, 3, 0, 1, True), (5, 5, 1, 1, False)])
+    s = refresh_join_view(spark, view)
+    assert s["mode"] == "incremental" and s["deltas_consumed"] == 2, s
+    assert s["minmax_recompute"], s
+    assert probes and all(p is None for p in probes), probes
+    assert _got_mm(spark, view) == _expected_mm(spark, a, b)
