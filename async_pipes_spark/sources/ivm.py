@@ -92,6 +92,7 @@ from async_pipes_spark.sources.sinks import (
     _state_deltas,
     compact_small_files,
     mor_upsert,
+    purge_tombstones,
     read_table,
     write_manifest_table,
 )
@@ -941,18 +942,35 @@ def _full_refresh(spark, view_path: str, st: dict, reason: str) -> dict:
     return {"mode": "full", "reason": reason, "seq": seq}
 
 
-def optimize_agg_view(spark: SparkSession, view_path: str) -> None:
+def optimize_agg_view(
+    spark: SparkSession, view_path: str, purge_dead: bool = False
+) -> None:
     """Fold the view's own mor backlog into a fresh base
     (:func:`compact_small_files`) and re-arm the cursor state for the
     new commit seq — without this re-arm the next refresh would read
     the seq drift as a crashed refresh and take the full-recompute
-    lane. A crash in between is safe for the same reason."""
+    lane. A crash in between is safe for the same reason. Companions
+    of ``count_distinct`` aggregates compact (and re-arm) alongside.
+
+    ``purge_dead=True`` additionally drops dead-GROUP rows from the
+    view base and dead-VALUE rows from every companion
+    (:func:`purge_tombstones`) — the periodic hygiene that stops a
+    long-lived view from physically carrying every group and value
+    that EVER existed. The horizon caution a general CDC lake needs
+    does not apply here: the refresher is the view's ONLY writer and
+    its commit seq is monotonic, so no stale replay can contest a
+    purged key — and compaction runs first, so the purged tombstone
+    is its key's only remaining version. A purged group/value that
+    later revives re-inserts cleanly at a higher seq."""
     compact_small_files(spark, view_path)
+    if purge_dead:
+        purge_tombstones(spark, view_path, IVM_DEL)
     st = _read_state(spark, view_path)
     st["view_seq"] = _raw_pointer_seq(spark, view_path)
     for name in st.get("dv_seqs", {}):
-        compact_small_files(spark, _dv_path(view_path, name))
-        st["dv_seqs"][name] = _raw_pointer_seq(
-            spark, _dv_path(view_path, name)
-        )
+        dvp = _dv_path(view_path, name)
+        compact_small_files(spark, dvp)
+        if purge_dead:
+            purge_tombstones(spark, dvp, IVM_DEL)
+        st["dv_seqs"][name] = _raw_pointer_seq(spark, dvp)
     _write_state(spark, view_path, st)

@@ -959,3 +959,46 @@ def test_kitchen_sink_randomized_model(spark, tmpdir):
             optimize_agg_view(spark, view)
         refresh_agg_view(spark, view)
         assert got() == expected(), step
+
+
+def test_optimize_purge_dead_keeps_lane_and_allows_revival(spark, tmpdir):
+    """optimize_agg_view(purge_dead=True) physically drops dead-group
+    rows from the view and dead-value rows from the companions —
+    the long-lived-view hygiene — without breaking the incremental
+    lane, parity, or later revival of a purged group/value."""
+    from async_pipes_spark.sources.ivm import IVM_DEL, _dv_path
+
+    src, view = f"{tmpdir}/src", f"{tmpdir}/view"
+    rows = [(1, 1, 5.0, 0, False), (2, 1, 6.0, 0, False),
+            (3, 2, 5.0, 0, False), (4, 2, 7.0, 0, False)]
+    write_manifest_table(spark, spark.createDataFrame(rows, SCHEMA), src)
+    create_agg_view(spark, src, view, ["g"], CD_AGGS,
+                    src_tombstone_col="dead")
+    # kill group g=2 entirely and one value holder in g=1 (x=6.0 dies)
+    _upsert(spark, src, [(3, None, None, 1, True), (4, None, None, 1, True),
+                         (2, None, None, 1, True)])
+    refresh_agg_view(spark, view)
+    assert _got_cd(spark, view) == _expected_cd(spark, src) == {1: (1, 1)}
+
+    def dead_counts():
+        vd = read_table(spark, view).where(F.col(IVM_DEL)).count()
+        cd = read_table(spark, _dv_path(view, "dx")).where(
+            F.col(IVM_DEL)
+        ).count()
+        return vd, cd
+
+    assert dead_counts() == (1, 3)  # g=2 dead; values (1,6),(2,5),(2,7) dead
+    optimize_agg_view(spark, view, purge_dead=True)
+    assert dead_counts() == (0, 0)  # physically gone
+    assert _got_cd(spark, view) == _expected_cd(spark, src)
+    # the lane survives the purge...
+    _upsert(spark, src, [(5, 1, 9.0, 0, False)])
+    s = refresh_agg_view(spark, view)
+    assert s["mode"] == "incremental", s
+    assert _got_cd(spark, view) == _expected_cd(spark, src)
+    # ...and a PURGED group and value revive cleanly
+    _upsert(spark, src, [(6, 2, 5.0, 0, False), (7, 1, 6.0, 0, False)])
+    s2 = refresh_agg_view(spark, view)
+    assert s2["mode"] == "incremental", s2
+    assert _got_cd(spark, view) == _expected_cd(spark, src)
+    assert _got_cd(spark, view)[2] == (1, 1)
