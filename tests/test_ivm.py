@@ -710,19 +710,24 @@ def test_full_verb_model_both_flavors(spark, tmpdir, flavor):
                     [(rng.randint(0, 40), rng.randint(0, 5),
                       float(rng.randint(-9, 99)), ver, False)], SCHEMA),
                 ["k"], version_cols=["ver"], tombstone_col="dead",
+                partition_by=["g"] if flavor == "partitioned" else None,
             )
         elif op == "compact":
             compact_small_files(spark, src)
         elif op == "zorder":
             optimize_zorder(spark, src, ["k"], target_rows_per_file=1000)
         elif op == "purge" and not backlog:
-            purge_tombstones(spark, src, "dead")
+            purge_tombstones(
+                spark, src, "dead",
+                partition_by=["g"] if flavor == "partitioned" else None,
+            )
         elif op == "restore":
             states = (manifest_versions(spark, src) if flavor == "flat"
                       else partitioned_manifest_generations(spark, src))
             restore_manifest_table(spark, src, rng.choice(states))
         elif op == "vopt":
-            optimize_agg_view(spark, view)
+            optimize_agg_view(spark, view,
+                              purge_dead=rng.random() < 0.5)
         refresh_agg_view(spark, view)
         assert _got(spark, view) == _expected(spark, src), (flavor, step, op)
 
@@ -890,7 +895,8 @@ def test_count_distinct_randomized_model(spark, tmpdir):
         if rng.random() < 0.25:
             compact_small_files(spark, src)
         if rng.random() < 0.25:
-            optimize_agg_view(spark, view)
+            optimize_agg_view(spark, view,
+                              purge_dead=rng.random() < 0.5)
         refresh_agg_view(spark, view)
         assert _got_cd(spark, view) == _expected_cd(spark, src), step
 
@@ -956,7 +962,8 @@ def test_kitchen_sink_randomized_model(spark, tmpdir):
         if rng.random() < 0.25:
             compact_small_files(spark, src)
         if rng.random() < 0.25:
-            optimize_agg_view(spark, view)
+            optimize_agg_view(spark, view,
+                              purge_dead=rng.random() < 0.5)
         refresh_agg_view(spark, view)
         assert got() == expected(), step
 

@@ -492,13 +492,16 @@ def test_full_verb_model_both_flavors_join(spark, tmpdir, flavor):
                 g, ver, rng.random() < 0.25)
 
     aver = bver = 0
+    part = flavor == "partitioned"
     sides = {
-        "a": (a, A_SCHEMA, ["ak"], ["aver"], "adead"),
-        "b": (b_path, B_SCHEMA, ["bk"], ["bver"], "bdead"),
+        "a": (a, A_SCHEMA, ["ak"], ["aver"], "adead",
+              ["jk"] if part else None),
+        "b": (b_path, B_SCHEMA, ["bk"], ["bver"], "bdead",
+              ["g"] if part else None),
     }
     for step in range(10):
         side = rng.choice(["a", "b"])
-        path, schema, keys, vcols, tomb = sides[side]
+        path, schema, keys, vcols, tomb, pcols = sides[side]
         op = rng.choice(["mor", "mor", "mor", "merge", "compact",
                          "zorder", "purge", "restore", "vopt"])
         backlog = bool(mor_deltas(spark, path))
@@ -519,19 +522,21 @@ def test_full_verb_model_both_flavors_join(spark, tmpdir, flavor):
                 bver += 1
                 rows = [rand_b(bver)]
             merge_upsert(spark, path, spark.createDataFrame(rows, schema),
-                         keys, version_cols=vcols, tombstone_col=tomb)
+                         keys, version_cols=vcols, tombstone_col=tomb,
+                         partition_by=pcols)
         elif op == "compact":
             compact_small_files(spark, path)
         elif op == "zorder":
             optimize_zorder(spark, path, keys, target_rows_per_file=1000)
         elif op == "purge" and not backlog:
-            purge_tombstones(spark, path, tomb)
+            purge_tombstones(spark, path, tomb, partition_by=pcols)
         elif op == "restore":
             states = (manifest_versions(spark, path) if flavor == "flat"
                       else partitioned_manifest_generations(spark, path))
             restore_manifest_table(spark, path, rng.choice(states))
         elif op == "vopt":
-            optimize_agg_view(spark, view)
+            optimize_agg_view(spark, view,
+                              purge_dead=rng.random() < 0.5)
         refresh_join_view(spark, view)
         assert _got_mm(spark, view) == _expected_mm(spark, a, b_path), (
             flavor, step, side, op,
@@ -575,7 +580,8 @@ def test_randomized_model_parity(spark, tmpdir):
         if rng.random() < 0.2:
             compact_small_files(spark, rng.choice([a, b]))
         if rng.random() < 0.2:
-            optimize_agg_view(spark, view)
+            optimize_agg_view(spark, view,
+                              purge_dead=rng.random() < 0.5)
         refresh_join_view(spark, view)
         assert _got(spark, view) == _expected(spark, a, b), step
 
