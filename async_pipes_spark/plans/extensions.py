@@ -6067,7 +6067,8 @@ EXTENSION_ORACLES = {
                   FROM events)
             WHERE rn = 1
         )
-        SELECT event_type, SUM(vc) AS sum_val, COUNT(*) AS n_users
+        SELECT event_type, CAST(SUM(vc) AS BIGINT) AS sum_val,
+               COUNT(*) AS n_users
         FROM latest GROUP BY event_type ORDER BY event_type
     """,
     # the view's final contents = the full GROUP BY over the upsert
@@ -6089,7 +6090,8 @@ EXTENSION_ORACLES = {
             SELECT 'NEW' AS seg, bal + 222 AS bal
             FROM b WHERE m BETWEEN 2 AND 4
         )
-        SELECT seg, SUM(bal) AS sum_bal, COUNT(*) AS n_cust,
+        SELECT seg, CAST(SUM(bal) AS BIGINT) AS sum_bal,
+               COUNT(*) AS n_cust,
                MIN(bal) AS min_bal, MAX(bal) AS max_bal
         FROM live GROUP BY seg ORDER BY seg
     """,
@@ -6114,7 +6116,7 @@ EXTENSION_ORACLES = {
         )
         SELECT seg,
                CAST(SUM(bal) AS DOUBLE) / COUNT(bal) AS avg_bal,
-               SUM(bal) AS sum_bal,
+               CAST(SUM(bal) AS BIGINT) AS sum_bal,
                COUNT(*) AS n_pos
         FROM live WHERE bal >= 0
         GROUP BY seg ORDER BY seg
@@ -6156,7 +6158,7 @@ EXTENSION_ORACLES = {
             FROM c WHERE cm <> 5
         )
         SELECT seg,
-               SUM(price) AS sum_price,
+               CAST(SUM(price) AS BIGINT) AS sum_price,
                COUNT(*) AS n_ord,
                CAST(SUM(price) AS DOUBLE) / COUNT(price) AS avg_price
         FROM ofinal JOIN cfinal USING (custkey)
@@ -6231,7 +6233,7 @@ EXTENSION_ORACLES = {
         SELECT seg,
                MIN(price) AS min_price,
                MAX(price) AS max_price,
-               SUM(price) AS sum_price,
+               CAST(SUM(price) AS BIGINT) AS sum_price,
                COUNT(*) AS n_ord,
                COUNT(DISTINCT custkey) AS n_cust_d
         FROM final GROUP BY seg ORDER BY seg

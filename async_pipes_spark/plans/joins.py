@@ -159,7 +159,8 @@ JOIN_ORACLES = {
         ),
         p AS (
             SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
-                   SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS purch_cents
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS purch_cents
             FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
         )
         SELECT c.event_id, c.user_id,
@@ -176,7 +177,8 @@ JOIN_ORACLES = {
         ),
         p AS (
             SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
-                   SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS purch_cents
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS purch_cents
             FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
         )
         SELECT c.event_id, c.user_id, p.purch_cents
@@ -207,7 +209,8 @@ JOIN_ORACLES = {
         ),
         p AS (
             SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
-                   SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS next_purch_cents
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS next_purch_cents
             FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
         )
         SELECT c.event_id, c.user_id, p.next_purch_cents

@@ -67,6 +67,15 @@ def get_spark(app_name: str = "async-pipes-spark", cpus: int | None = None) -> S
         # batch memory is bounded by maxPartitionBytes anyway)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "262144")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # PySpark 4 walks the Python stack on EVERY DataFrame API call
+        # to enrich error messages with the user call site
+        # (pyspark.errors.utils._with_origin). The engine's imperative
+        # lifecycles (IVM refreshes, MOR commits) issue hundreds of
+        # API calls per operation — the walk alone profiled at ~3% of
+        # an IVM query's wall clock. Errors still carry the full
+        # Python traceback; only the JVM-side origin annotation is
+        # dropped. Flip to true when debugging plan provenance.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config(NANOS_AS_LONG, "true")
         .config(INFER_NTZ, "false")

@@ -46,6 +46,8 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from async_pipes_spark.sources.sinks import (
     _mor_backlog_bytes,
+    _read_immutable_dir,
+    _read_immutable_dirs,
     _mor_resolve,
     _pmanifest_mapping,
     _pmanifest_read,
@@ -78,9 +80,7 @@ def _base_frame(spark, path: str) -> DataFrame:
             f"not a manifest table: {path} — mor_changes reads the "
             "merge-on-read backlog a mor_upsert sequence recorded"
         )
-    return spark.read.option("mergeSchema", "true").parquet(
-        _resolve_table_path(spark, path)
-    )
+    return _read_immutable_dir(spark, _resolve_table_path(spark, path))
 
 
 def mor_changes(
@@ -183,8 +183,8 @@ def mor_changes(
     else:
         base = base0
 
-    dunion = spark.read.option("mergeSchema", "true").parquet(
-        *[f"{path}/_data/{d}" for d in deltas]
+    dunion = _read_immutable_dirs(
+        spark, [f"{path}/_data/{d}" for d in deltas]
     )
     out_cols = list(base.columns) + [
         c for c in dunion.columns if c not in set(base.columns)
@@ -227,7 +227,10 @@ def mor_changes(
             # history — resolving the pruned slice with them yields
             # exactly the cursor snapshot's rows for contested keys
             pruned = (
-                spark.read.option("mergeSchema", "true").parquet(*ckept)
+                _read_immutable_dir(
+                    spark, *ckept,
+                    schema_dir=_resolve_table_path(spark, path),
+                )
                 if ckept
                 else base0.where(F.lit(False))
             )

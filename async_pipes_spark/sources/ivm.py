@@ -54,7 +54,13 @@ records the view's commit seq it was written against; any mismatch
 view, a source compaction folding the cursor away) downgrades the next
 refresh to a full recompute — always correct, never double-applied.
 The refresher itself is single-writer by contract (like any IVM
-maintainer); concurrent refreshers of the SAME view are not supported.
+maintainer); concurrent refreshers of the SAME view are not supported —
+but the contract is ENFORCED, not assumed: the view and companion
+commits are OCC-strict against the seq the refresh read its state at
+(``mor_upsert(expected_seq=...)``), so a racing refresher loses its
+commit loudly and downgrades to the always-correct full-recompute lane
+(``reason="concurrent-refresher"``) instead of blind-appending a delta
+folded on a stale view — never a silent double-apply.
 
 At 100 TB: a 10-group rollup over a 100 TB table refreshes by reading
 a few delta files and writing 10 rows. The full-recompute path exists
@@ -77,6 +83,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from async_pipes_spark.session import pin as _pin
 from async_pipes_spark.sources.cdc import mor_changes
 from async_pipes_spark.sources.sinks import (
+    ConcurrentCommitError,
     _manifest_read,
     _MOR_BROADCAST_MAX_BYTES,
     _mor_backlog_bytes,
@@ -84,6 +91,7 @@ from async_pipes_spark.sources.sinks import (
     _pmanifest_mapping,
     _pmanifest_read,
     _raw_pointer_seq,
+    _read_immutable_dir,
     _read_mor_spec,
     _read_pmapping,
     _read_small_file,
@@ -111,6 +119,15 @@ _STATE_FILE = "_ivm_state.json"
 #: companion-table value/count column names (count_distinct aggregates)
 DV_VAL = "_ivm_val"
 DV_N = "_ivm_vn"
+
+
+class CompanionCorruption(RuntimeError):
+    """A count_distinct companion fold produced a NEGATIVE live-row
+    count: the signed feed retracted a (group, value) more times than
+    the companion ever recorded — an inconsistency that slipped past
+    the seq-drift checks (r11 ADVICE item 1). Never committed: the
+    refreshers catch this and route to the full-rebuild lane, which
+    recomputes both levels from the pinned source snapshot."""
 
 
 def _nn(name: str) -> str:
@@ -181,10 +198,17 @@ def _validate_filter_expr(
     dropped (tombstone) column straight through the Filter, silently
     re-admitting the bookkeeping the view is defined to hide. No job
     runs: the probe is schema-only."""
+    # Only ANALYSIS errors (parse / unresolved column / type mismatch)
+    # are rewrapped as the friendly ValueError — a transient
+    # infrastructure failure during the probe (py4j, session teardown)
+    # propagates as itself instead of masquerading as a bad predicate
+    # (r11 ADVICE item 3).
+    from pyspark.errors import AnalysisException, ParseException
+
     try:
         probe = spark.createDataFrame([], frame.schema)
         probe.where(F.expr(filter_expr)).schema
-    except Exception as e:
+    except (AnalysisException, ParseException) as e:
         raise ValueError(
             f"filter_expr does not analyze against the {what} columns "
             f"{sorted(frame.columns)}: {filter_expr!r}"
@@ -240,8 +264,8 @@ def _pinned_snapshot(
         mapping = _pmanifest_mapping(spark, src_path, base_name)
         base = _read_pmapping(spark, src_path, mapping)
     else:
-        base = spark.read.option("mergeSchema", "true").parquet(
-            f"{src_path}/_data/{base_name}"
+        base = _read_immutable_dir(
+            spark, f"{src_path}/_data/{base_name}"
         )
     token = f"{flavor}:{base_name}"
     if not deltas:
@@ -391,14 +415,31 @@ def _dv_fold(
             - (F.coalesce(F.col("_ivm_vo"), F.lit(0)) > 0).cast("int")
         ).alias(f"_ivm_dd_{name}")
     )
-    if mv.isEmpty():  # cheap: mv is pinned; nothing to commit
+    # one probe job on the pinned frame answers BOTH "anything to
+    # commit?" and "did any count go negative?" (r11 ADVICE item 1 —
+    # a negative live count is corruption the seq-drift checks missed;
+    # committing it as a LIVE row would persist silently)
+    probe = mv.agg(
+        F.count(F.lit(1)).alias("_ivm_pn"),
+        F.min("_ivm_vnew").alias("_ivm_pmin"),
+    ).first()
+    if probe["_ivm_pn"] == 0:  # nothing to commit
         return dd, None
+    if probe["_ivm_pmin"] is not None and probe["_ivm_pmin"] < 0:
+        raise CompanionCorruption(
+            f"count_distinct companion {name!r}: a (group, value) "
+            f"live count folded to {probe['_ivm_pmin']} (< 0) — the "
+            "feed retracted more than the companion recorded; "
+            "routing to full rebuild"
+        )
     upsert = mv.select(
         *group_cols, DV_VAL,
         F.col("_ivm_vnew").cast("long").alias(DV_N),
         F.col(IVM_KEY),
         F.lit(seq).cast("long").alias(IVM_SEQ),
-        (F.col("_ivm_vnew") == 0).alias(IVM_DEL),
+        # belt-and-braces: <= 0 (not == 0) can never mark a negative
+        # count as live even if one slipped past the probe
+        (F.col("_ivm_vnew") <= 0).alias(IVM_DEL),
     )
     return dd, upsert
 
@@ -689,12 +730,18 @@ def refresh_agg_view(
         signed = feed.where(F.col(col).isNotNull()).select(
             *group_cols, F.col(col).alias(DV_VAL), sgn.alias("_ivm_s")
         )
-        dd, upsert = _dv_fold(
-            spark, view_path, name, signed, group_cols, seq, _hint
-        )
+        try:
+            dd, upsert = _dv_fold(
+                spark, view_path, name, signed, group_cols, seq, _hint
+            )
+        except CompanionCorruption:
+            # never commit a negative live count — rebuild both levels
+            # from the pinned source (always correct)
+            return _full_refresh(spark, view_path, st,
+                                 reason="companion-negative-count")
         dv_group_deltas[name] = dd
         if upsert is not None:
-            dv_upserts.append((_dv_path(view_path, name), upsert))
+            dv_upserts.append((name, _dv_path(view_path, name), upsert))
 
     # the view's affected slice: broadcast-semi over the surrogate key
     # (the view scan never shuffles), then the O(changes)-sized join
@@ -823,8 +870,8 @@ def refresh_agg_view(
             mapping = _pmanifest_mapping(spark, src, base_name)
             pbase = _read_pmapping(spark, src, mapping)
         else:
-            pbase = spark.read.option("mergeSchema", "true").parquet(
-                f"{src}/_data/{base_name}"
+            pbase = _read_immutable_dir(
+                spark, f"{src}/_data/{base_name}"
             )
         snap = _mor_resolve(spark, src, pbase, upto)
         # alias both sides: the needy-group set and the snapshot share
@@ -882,18 +929,29 @@ def refresh_agg_view(
     # companions commit FIRST: a crash between a companion commit and
     # the view commit leaves the recorded dv seq behind the pointer,
     # which the next refresh reads as companion-state drift → full
-    # recompute — never a double-apply
-    for dv_path, comp_out in dv_upserts:
+    # recompute — never a double-apply. Both commits are OCC-STRICT
+    # against the seq this refresh read its state at (expected_seq):
+    # the refresher is single-maintainer BY CONTRACT (module doc), and
+    # a concurrent refresher racing us to the pointer loses loudly
+    # here instead of blind-appending a delta folded on a stale view —
+    # the loser downgrades to the always-correct full-recompute lane.
+    try:
+        for dv_name, dv_path, comp_out in dv_upserts:
+            mor_upsert(
+                spark, dv_path, comp_out, [IVM_KEY, DV_VAL],
+                version_cols=[IVM_SEQ], tombstone_col=IVM_DEL,
+                auto_compact_deltas=view_compact_deltas,
+                expected_seq=st["dv_seqs"][dv_name],
+            )
         mor_upsert(
-            spark, dv_path, comp_out, [IVM_KEY, DV_VAL],
+            spark, view_path, out, [IVM_KEY],
             version_cols=[IVM_SEQ], tombstone_col=IVM_DEL,
             auto_compact_deltas=view_compact_deltas,
+            expected_seq=st["view_seq"],
         )
-    mor_upsert(
-        spark, view_path, out, [IVM_KEY],
-        version_cols=[IVM_SEQ], tombstone_col=IVM_DEL,
-        auto_compact_deltas=view_compact_deltas,
-    )
+    except ConcurrentCommitError:
+        return _full_refresh(spark, view_path, st,
+                             reason="concurrent-refresher")
     st.update(
         cursor=until, seq=seq,
         view_seq=_raw_pointer_seq(spark, view_path),

@@ -68,6 +68,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from async_pipes_spark.session import pin as _pin
 from async_pipes_spark.sources.cdc import mor_changes
 from async_pipes_spark.sources.ivm import (
+    CompanionCorruption,
     DV_VAL,
     IVM_DEL,
     IVM_KEY,
@@ -91,11 +92,13 @@ from async_pipes_spark.sources.ivm import (
     read_agg_view,
 )
 from async_pipes_spark.sources.sinks import (
+    ConcurrentCommitError,
     _MOR_BROADCAST_MAX_BYTES,
     _mor_backlog_bytes,
     _mor_resolve,
     _pmanifest_mapping,
     _raw_pointer_seq,
+    _read_immutable_dir,
     _read_mor_spec,
     _read_pmapping,
     _state_base,
@@ -121,9 +124,26 @@ def _base_of(spark, path: str, flavor: str, base_name: str) -> DataFrame:
     if flavor == "p":
         mapping = _pmanifest_mapping(spark, path, base_name)
         return _read_pmapping(spark, path, mapping)
-    return spark.read.option("mergeSchema", "true").parquet(
-        f"{path}/_data/{base_name}"
-    )
+    return _read_immutable_dir(spark, f"{path}/_data/{base_name}")
+
+
+def _snapshot_bytes(
+    spark, path: str, flavor: str, base_name: str,
+    deltas: list[str], upto: str | None,
+) -> int:
+    """Backing on-disk bytes of the pinned snapshot base ∪
+    deltas[..upto] — the recompute lane's OWN size signal (r11 ADVICE
+    item 2: the feed-window byte gate says nothing about how big the
+    pruned snapshot slice is). Flat manifests sum the base dir + the
+    consumed delta dirs (one getContentSummary each); the partitioned
+    flavor reports huge (its generations don't live as one _data dir),
+    so callers never inline-peek or broadcast blind."""
+    if flavor != "f":
+        return 1 << 62
+    dirs = [base_name]
+    if upto is not None:
+        dirs += deltas[: deltas.index(upto) + 1]
+    return _mor_backlog_bytes(spark, path, dirs)
 
 
 def _snap_upto(
@@ -495,12 +515,18 @@ def refresh_join_view(
             *group_cols, F.col(col).alias(DV_VAL),
             F.col("_ivm_sgn").alias("_ivm_s"),
         )
-        dd, upsert = _dv_fold(
-            spark, view_path, name, signed_vals, group_cols, seq, _hint
-        )
+        try:
+            dd, upsert = _dv_fold(
+                spark, view_path, name, signed_vals, group_cols, seq, _hint
+            )
+        except CompanionCorruption:
+            # never commit a negative live count — rebuild both levels
+            # from the pinned sources (always correct)
+            return _full_join_refresh(spark, view_path, st,
+                                      reason="companion-negative-count")
         dv_group_deltas[name] = dd
         if upsert is not None:
-            dv_upserts.append((_dv_path(view_path, name), upsert))
+            dv_upserts.append((name, _dv_path(view_path, name), upsert))
 
     from async_pipes_spark.sources.sinks import read_table
 
@@ -598,9 +624,13 @@ def refresh_join_view(
         ).select(*group_cols, IVM_KEY))
         ran_recompute = needy.limit(1).count() > 0
     if ran_recompute:
+        # the key-probe gates inside the needy lane use each SLICE's
+        # own backing bytes, not the feed-window flag — a tiny feed
+        # over a large snapshot must not pay a distinct+collect peek
+        # just to learn the key set exceeds the cap (r11 ADVICE item 2)
         merged = _recompute_join_extremes(
             spark, st, merged, needy, aggs, group_cols, join_keys,
-            filt, small, _hint,
+            filt, _hint,
             a_snap=_live(
                 _snap_upto(spark, st["left"], fl, bl, dl, until_l),
                 st["left_tombstone_col"],
@@ -609,24 +639,37 @@ def refresh_join_view(
                 _snap_upto(spark, st["right"], fr, br, dr, until_r),
                 st["right_tombstone_col"],
             ),
+            small_a=_snapshot_bytes(spark, st["left"], fl, bl, dl, until_l)
+            <= _MOR_BROADCAST_MAX_BYTES,
+            small_b=_snapshot_bytes(spark, st["right"], fr, br, dr, until_r)
+            <= _MOR_BROADCAST_MAX_BYTES,
         )
     out = _stored(
         merged.drop(IVM_KEY), group_cols, aggs, types, seq,
         dead=F.col(IVM_N) == 0,
     )
-    for dv_path_i, comp_out in dv_upserts:
-        # companions commit FIRST (crash between = companion-seq drift
-        # → full rebuild; same contract as the single-table refresher)
+    # companions commit FIRST (crash between = companion-seq drift →
+    # full rebuild), and both commits are OCC-STRICT against the seqs
+    # this refresh read its state at — a concurrent refresher racing
+    # us to the pointer loses loudly and downgrades to the full lane
+    # (same single-maintainer contract as refresh_agg_view)
+    try:
+        for dv_name, dv_path_i, comp_out in dv_upserts:
+            mor_upsert(
+                spark, dv_path_i, comp_out, [IVM_KEY, DV_VAL],
+                version_cols=[IVM_SEQ], tombstone_col=IVM_DEL,
+                auto_compact_deltas=view_compact_deltas,
+                expected_seq=st["dv_seqs"][dv_name],
+            )
         mor_upsert(
-            spark, dv_path_i, comp_out, [IVM_KEY, DV_VAL],
+            spark, view_path, out, [IVM_KEY],
             version_cols=[IVM_SEQ], tombstone_col=IVM_DEL,
             auto_compact_deltas=view_compact_deltas,
+            expected_seq=st["view_seq"],
         )
-    mor_upsert(
-        spark, view_path, out, [IVM_KEY],
-        version_cols=[IVM_SEQ], tombstone_col=IVM_DEL,
-        auto_compact_deltas=view_compact_deltas,
-    )
+    except ConcurrentCommitError:
+        return _full_join_refresh(spark, view_path, st,
+                                  reason="concurrent-refresher")
     st.update(
         left_cursor=until_l, right_cursor=until_r, seq=seq,
         view_seq=_raw_pointer_seq(spark, view_path),
@@ -653,10 +696,11 @@ def _recompute_join_extremes(
     group_cols: list[str],
     join_keys: list[str],
     filt: str | None,
-    small: bool,
     _hint,
     a_snap: DataFrame,
     b_snap: DataFrame,
+    small_a: bool = False,
+    small_b: bool = False,
 ) -> DataFrame:
     """Fill the needy groups' min/max from the JOINED slice of the two
     pinned snapshots at the refresh cut — the join-view twin of
@@ -696,14 +740,17 @@ def _recompute_join_extremes(
     a_sl = _group_slice(a_snap, ga, "a") if ga else a_snap
     b_sl = _group_slice(b_snap, gb, "b") if gb else b_snap
     if not ga:
-        keys_b, inline_b = _keys_probe(spark, b_sl, join_keys, small)
+        # gate the peek/broadcast on the PROBED slice's backing bytes
+        # (b's snapshot here), never the feed-window flag — r11 ADVICE
+        # item 2
+        keys_b, inline_b = _keys_probe(spark, b_sl, join_keys, small_b)
         a_sl = (
             a_sl.where(F.col(join_keys[0]).isin(inline_b))
             if inline_b is not None
             else a_sl.join(keys_b, join_keys, "left_semi")
         )
     if not gb:
-        keys_a, inline_a = _keys_probe(spark, a_sl, join_keys, small)
+        keys_a, inline_a = _keys_probe(spark, a_sl, join_keys, small_a)
         b_sl = (
             b_sl.where(F.col(join_keys[0]).isin(inline_a))
             if inline_a is not None

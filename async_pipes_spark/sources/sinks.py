@@ -16,6 +16,8 @@ Layout knobs that matter at 100 TB:
 
 from __future__ import annotations
 
+import os
+
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -177,10 +179,33 @@ class ConcurrentCommitError(RuntimeError):
     raise ``occ_retries``."""
 
 
+#: Hadoop FileSystem handles memoized per (gateway, scheme, authority).
+#: FileSystem.get is already cached JVM-side, but every uncached call
+#: still costs 2-3 py4j round-trips (hadoopConfiguration + getFileSystem)
+#: — ~250 calls per IVM lifecycle query before this cache (guide §1.2:
+#: fix the per-call work once the algorithm is right). The gateway
+#: object itself is held in the value, so a key can never alias a
+#: garbage-collected gateway's id.
+_FS_CACHE: dict = {}
+
+
 def _hadoop_fs(spark, path_str: str):
     jvm = spark._jvm
+    scheme, sep, rest = path_str.partition("://")
+    if sep:
+        authority = rest.split("/", 1)[0]
+    else:
+        scheme, authority = "", ""
+    gateway = spark.sparkContext._gateway
+    key = (id(gateway), scheme, authority)
+    hit = _FS_CACHE.get(key)
     p = jvm.org.apache.hadoop.fs.Path(path_str)
-    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p, jvm
+    if hit is None:
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        _FS_CACHE[key] = (gateway, fs)
+    else:
+        fs = hit[1]
+    return fs, p, jvm
 
 
 def _read_small_file(spark, file_path: str) -> str | None:
@@ -598,9 +623,7 @@ def read_manifest_table(spark, path: str, version: str | None = None) -> DataFra
                 "manifest GC keeps the newest keep_versions commits only"
             )
         state = version
-    base = spark.read.option("mergeSchema", "true").parquet(
-        f"{path}/_data/{_state_base(state)}"
-    )
+    base = _read_immutable_dir(spark, f"{path}/_data/{_state_base(state)}")
     deltas = _state_deltas(state)
     if not deltas:
         return base
@@ -628,6 +651,76 @@ def _write_mor_spec(
     _replace_pointer(spark, f"{path}/_data/{delta}/_spec", body)
 
 
+#: schemas of IMMUTABLE data dirs, memoized across reads. Every
+#: ``_data/v_*`` / ``_data/x_*`` dir (and a partitioned manifest's
+#: per-partition version dir) is written by exactly ONE Spark write
+#: (write_manifest_table / mor_upsert / merge / compact / OPTIMIZE) and
+#: never rewritten in place — so its files share one schema, the
+#: mergeSchema-merged schema IS any file's schema, and re-inferring it
+#: on every read is pure waste: measured ~105 ms per inferred read and
+#: ~250 ms per mergeSchema read vs ~20 ms schema-given on this host
+#: (guide §1.2 per-task work; §6 driver-side planning). Cross-version
+#: schema EVOLUTION is reconciled by the resolver's
+#: unionByName(allowMissingColumns), never by the per-dir read, so a
+#: cached per-dir schema loses nothing.
+_DIR_SCHEMA_CACHE: dict[str, object] = {}
+
+
+def _read_immutable_dir(spark, *paths: str, schema_dir: str | None = None):
+    """Read parquet from one immutable data dir (or a pruned subset of
+    its files, with ``schema_dir`` naming the dir that carries the
+    schema) with the dir's schema memoized — equivalent to the
+    mergeSchema read for single-writer dirs (see _DIR_SCHEMA_CACHE),
+    minus the per-read footer sweep and inference job."""
+    key = schema_dir or paths[0]
+    sch = _DIR_SCHEMA_CACHE.get(key)
+    if sch is None:
+        sch = spark.read.option("mergeSchema", "true").parquet(key).schema
+        _DIR_SCHEMA_CACHE[key] = sch
+    return spark.read.schema(sch).parquet(*paths)
+
+
+def _dir_schema(spark, dir_path: str):
+    """The memoized schema of one immutable data dir."""
+    sch = _DIR_SCHEMA_CACHE.get(dir_path)
+    if sch is None:
+        sch = spark.read.option("mergeSchema", "true").parquet(dir_path).schema
+        _DIR_SCHEMA_CACHE[dir_path] = sch
+    return sch
+
+
+def _read_immutable_dirs(spark, dirs: Sequence[str]):
+    """One multi-dir parquet read over immutable data dirs, schema
+    merged in PYTHON from the per-dir memoized schemas (field order =
+    first appearance; everything nullable — a file missing a column
+    reads NULL there, exactly the mergeSchema shape for the engine's
+    ADDITIVE evolution). A same-name type conflict (which additive
+    evolution never produces) falls back to the real mergeSchema read
+    rather than guessing."""
+    from pyspark.sql.types import StructField, StructType
+
+    fields: dict[str, StructField] = {}
+    for d in dirs:
+        for f in _dir_schema(spark, d).fields:
+            prev = fields.get(f.name)
+            if prev is None:
+                fields[f.name] = StructField(f.name, f.dataType, True)
+            elif prev.dataType != f.dataType:
+                return spark.read.option("mergeSchema", "true").parquet(*dirs)
+    return spark.read.schema(StructType(list(fields.values()))).parquet(*dirs)
+
+
+#: spec files live inside IMMUTABLE delta dirs (written once by
+#: :func:`_write_mor_spec`, never rewritten — the dir is only ever
+#: deleted whole by compaction GC), so positive reads memoize safely:
+#: one lifecycle query re-reads the same specs dozens of times (upsert
+#: validation, feed construction, per-delta resolve). Vanished-delta
+#: RACE DETECTION is unaffected — it keys off the live pointer
+#: (``mor_changes`` validates since/until against ``mor_deltas``),
+#: never off a spec read succeeding.
+_MOR_SPEC_CACHE: dict[str, tuple] = {}
+
+
 def _read_mor_spec(
     spark, path: str, delta: str
 ) -> tuple[list[str], list[str], str | None, list[str]]:
@@ -637,6 +730,9 @@ def _read_mor_spec(
     against the live backlog's); ``era_cols`` is the batch's write-time
     column set for the tie-break hash ([] on pre-recording deltas —
     the resolver falls back to the post-union column set)."""
+    cached = _MOR_SPEC_CACHE.get(f"{path}/_data/{delta}")
+    if cached is not None:
+        return cached
     content = _read_small_file(spark, f"{path}/_data/{delta}/_spec")
     if content is None:
         raise ValueError(f"merge-on-read delta missing its _spec: {delta}")
@@ -647,14 +743,21 @@ def _read_mor_spec(
     keys = [c for c in vals["keys"].split(",") if c]
     vers = [c for c in vals["versions"].split(",") if c]
     era = [c for c in vals["cols"].split(",") if c]
-    return keys, vers, vals["tombstone"] or None, era
+    out = (keys, vers, vals["tombstone"] or None, era)
+    _MOR_SPEC_CACHE[f"{path}/_data/{delta}"] = out
+    return out
 
 
 #: backlog parquet bytes under which the delta key set is explicitly
 #: broadcast (the untouched-base split then costs ZERO base shuffle);
 #: above it the joins fall back to plain equi-joins and AQE decides —
-#: a backlog that large means compaction is overdue anyway
-_MOR_BROADCAST_MAX_BYTES = 64 << 20
+#: a backlog that large means compaction is overdue anyway. Env-tunable
+#: (SPARK_GRAFT_MOR_BROADCAST_MAX_BYTES) so a cluster with bigger
+#: executors can raise it — and so the stress harness can force the
+#: past-gate catch-up lanes at any data volume (set it to 0).
+_MOR_BROADCAST_MAX_BYTES = int(
+    os.environ.get("SPARK_GRAFT_MOR_BROADCAST_MAX_BYTES", str(64 << 20))
+)
 
 
 def _mor_backlog_bytes(spark, path: str, deltas: Sequence[str]) -> int:
@@ -754,8 +857,8 @@ def _mor_resolve(
     # source index each row's LWW ordering needs comes back from the
     # file path. mergeSchema NULLs evolution columns on older deltas'
     # rows, the same shape the per-delta unionByName produced.
-    raw = spark.read.option("mergeSchema", "true").parquet(
-        *[f"{path}/_data/{d}" for d in deltas]
+    raw = _read_immutable_dirs(
+        spark, [f"{path}/_data/{d}" for d in deltas]
     )
     if len(deltas) == 1:
         src_expr = F.lit(1)
@@ -894,6 +997,7 @@ def mor_upsert(
     allow_schema_evolution: bool = False,
     occ_retries: int = 5,
     auto_compact_deltas: int | None = None,
+    expected_seq: int | None = None,
 ) -> None:
     """MERGE-ON-READ upsert into a manifest table (either flavor): the
     write is O(update rows) — one immutable delta dir plus one pointer
@@ -921,7 +1025,12 @@ def mor_upsert(
     so a lost commit race is retried blind (re-read live state, append
     to it) — concurrent MOR writers all land, no
     :class:`ConcurrentCommitError` under normal contention, and mixed
-    COW/MOR writers still serialize through the same commit log."""
+    COW/MOR writers still serialize through the same commit log.
+    ``expected_seq`` opts a READ-MODIFY-WRITE caller (the IVM
+    refreshers: their delta folds on top of the table state they read)
+    back into strict OCC — a pointer that moved since that read raises
+    :class:`ConcurrentCommitError` instead of blind-appending a delta
+    computed against a stale base."""
     if not key_cols:
         raise ValueError("key_cols is required (resolution is per key)")
     if tombstone_col:
@@ -975,9 +1084,9 @@ def mor_upsert(
     existing_cols: set[str] | None = None
     if pinfo is None:
         base_cols = set(
-            spark.read.option("mergeSchema", "true")
-            .parquet(f"{path}/_data/{_state_base(live)}")
-            .schema.names
+            _read_immutable_dir(
+                spark, f"{path}/_data/{_state_base(live)}"
+            ).schema.names
         )
         existing_cols = set(base_cols)
         for d in backlog:
@@ -1022,7 +1131,8 @@ def mor_upsert(
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/_data/{delta}"), True)
 
     if pinfo is not None:
-        _pmanifest_append_delta(spark, path, delta, abandon_cleanup)
+        _pmanifest_append_delta(spark, path, delta, abandon_cleanup,
+                                expected_seq=expected_seq)
     else:
         def make_retained(prev_states: list[str], prev_keep: int):
             if not prev_states:
@@ -1032,6 +1142,7 @@ def mor_upsert(
             )[:prev_keep], prev_keep
 
         _flat_pointer_commit(spark, path, make_retained,
+                             expected_seq=expected_seq,
                              abandon_cleanup=abandon_cleanup)
     if auto_compact_deltas is not None:
         if len(mor_deltas(spark, path)) >= auto_compact_deltas:
@@ -1312,20 +1423,22 @@ def _pmanifest_commit(
 
 
 def _pmanifest_append_delta(
-    spark, path: str, delta: str, abandon_cleanup
+    spark, path: str, delta: str, abandon_cleanup,
+    expected_seq: int | None = None,
 ) -> None:
     """Append one merge-on-read delta dir to the live partitioned
     state: the new line is ``<live>+<delta>`` — no gen file is written,
     no partition is rewritten; the generation mapping stays the live
     base's. Blind-retried on commit races (the delta's content does not
-    depend on the base state)."""
+    depend on the base state) unless ``expected_seq`` opts into strict
+    OCC (read-modify-write callers — see :func:`mor_upsert`)."""
 
     def make_retained(gens, keep, cols, seq):
         if not gens:
             raise ValueError(f"partitioned manifest lost its states: {path}")
         return ([f"{gens[0]}+{delta}"] + gens)[:keep], keep, cols
 
-    _pmanifest_publish(spark, path, make_retained,
+    _pmanifest_publish(spark, path, make_retained, expected_seq,
                        abandon_cleanup=abandon_cleanup)
 
 
@@ -1685,7 +1798,9 @@ def merge_upsert(
                 "use write_partitioned_manifest_table(), local ones dynamic "
                 "overwrite"
             )
-        if tombstone_col or allow_schema_evolution or is_manifest:
+        if is_manifest:
+            existing = _read_immutable_dir(spark, read_path)
+        elif tombstone_col or allow_schema_evolution:
             existing = spark.read.option("mergeSchema", "true").parquet(read_path)
         else:
             existing = spark.read.parquet(read_path)
@@ -1991,7 +2106,11 @@ def purge_tombstones(
         is_manifest = read_path != path
         if is_manifest and partition_by:
             raise ValueError("flat manifest tables are unpartitioned")
-        df = spark.read.option("mergeSchema", "true").parquet(read_path)
+        df = (
+            _read_immutable_dir(spark, read_path)
+            if is_manifest
+            else spark.read.option("mergeSchema", "true").parquet(read_path)
+        )
 
     def _occ_retry() -> int:
         if occ_retries <= 0:

@@ -140,8 +140,11 @@ def _ab_vs_prev_round(
         return None
     try:
         passes = max(1, int(os.environ.get("SPARK_GRAFT_AB_PASSES", "3")))
-        # scope: 'hot' (default) times only the queries whose HEAD
-        # measurement cleared SPARK_GRAFT_AB_MIN_SEC (default 0.5 s) —
+        # scope: 'hot' (default) times only the queries whose
+        # ``head_timings`` measurement cleared SPARK_GRAFT_AB_MIN_SEC
+        # (default 0.5 s; since r12 the A/B runs FIRST on the quiet
+        # host, so head_timings is the previous round's committed
+        # BENCH_FULL.json rather than this run's serial numbers) —
         # the HEAD-vs-HEAD control showed sub-second single-query
         # ratios are weather no matter how they're measured, and
         # dropping them shrinks a pass enough that BOTH alternating
@@ -361,6 +364,28 @@ def main() -> None:
     queries.update(EXTENSION_QUERIES)
     queries.update(JOIN_QUERIES)
 
+    # interleaved A/B vs the previous round's commit runs FIRST, on the
+    # quiet start of the bench window (r11 verdict item 7: the serial
+    # suite pass heats the host and contaminated the per-query movers
+    # it was supposed to adjudicate — mm4/a1/g2 read 2-3x in r11's
+    # serial numbers while their PAIRED ratios sat at 0.95-1.28). The
+    # hot set comes from the PREVIOUS round's committed BENCH_FULL.json
+    # instead of this run's timings; a missing/unreadable record falls
+    # back to the full shared list (identical workload either way).
+    # Never fails the bench.
+    prev_timings: dict[str, float] | None = None
+    try:
+        prev_full = json.loads((REPO / "BENCH_FULL.json").read_text())
+        prev_timings = {
+            k: float(v) for k, v in prev_full.get("queries", {}).items()
+        }
+    except Exception:  # noqa: BLE001
+        prev_timings = None
+    try:
+        ab = _ab_vs_prev_round(sf_dir, cpus, head_timings=prev_timings)
+    except Exception as e:  # noqa: BLE001
+        ab = {"error": f"{type(e).__name__}: {e}"[:300]}
+
     # warm the JVM + file listing once (excluded from timings)
     queries["p6_map_reduce"](spark, sf_dir).collect()
 
@@ -425,14 +450,6 @@ def main() -> None:
         mor_depth = _mor_depth_series(spark, sf_dir)
     except Exception as e:  # noqa: BLE001
         mor_depth = {"error": f"{type(e).__name__}: {e}"[:300]}
-
-    # interleaved A/B vs the previous round's commit (per-family
-    # ratios measured back-to-back on this host, so "family X got
-    # slower" is decidable in-record); never fails the bench
-    try:
-        ab = _ab_vs_prev_round(sf_dir, cpus, head_timings=timings)
-    except Exception as e:  # noqa: BLE001
-        ab = {"error": f"{type(e).__name__}: {e}"[:300]}
 
     # headline value = the BASELINE.md-comparable declared suite;
     # extension operators (no DuckDB baseline exists for them) are

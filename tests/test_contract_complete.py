@@ -24,25 +24,25 @@ def test_queries_and_oracles_share_order():
 
 
 def test_stale_and_new_queries_inside_coverage_window():
-    """Rotation policy, round 11 (r10 verdict items 1, 2 and 6): v7
-    (new: min/max join view — the verdict's missing #1) and v8 (new:
-    count-distinct view via the two-level companion reduction) lead,
-    then the four r10 driver-red IVM rows v4/s32/v5/v6 (all now
-    return fully MATERIALIZED frames + diag fingerprints — the item-1
-    falsification experiment); then ALL 43 queries whose freshest
-    green driver rows date to r08; then the alphabetically-first
-    r09-green refresh. After this round's driver run EVERY contract
-    query holds a green driver row from r9 or later."""
+    """Rotation policy, round 12 (r11 verdict items 1 and 3): the six
+    IVM-family rows lead — v4/v5/v6/v7/s32 were the r11 driver-reds
+    whose oracles alone emitted HUGEINT (now CAST AS BIGINT: this
+    window is the falsification run) with v8 as the same-family green
+    control; then the 44 oldest (r09-dated) driver rows, j1/j4/j5
+    among them (they verify the same BIGINT casts on the green side).
+    After this round's driver run no contract query's freshest green
+    row predates r10."""
     qs = list(entry.queries())
     assert [k.split("_", 1)[0] for k in qs[:50]] == [
         "v7", "v8", "v4", "s32", "v5", "v6",
-        "d11", "d12", "d9", "g1", "g2", "mm1", "mm2", "mm3",
-        "p1", "p2", "p4", "p7", "p8", "p9",
-        "r1", "r2", "r3", "r4", "r5", "r6", "r7", "r8", "r9", "r10",
-        "s17", "s18", "s19", "s20", "s21", "s22", "s23", "smp5",
-        "t7", "t8", "t9", "t10", "t11", "t12", "t14",
-        "v1", "v2", "v3", "x2",
-        "a10",
+        "j1", "j2", "j3", "j4", "j5",
+        "a11", "a1", "a5", "a8", "a9", "b1",
+        "d13", "d1", "d2", "d3", "d4", "d5", "d6", "d7", "d8",
+        "k2", "k3",
+        "s10", "s11", "s12", "s13", "s14", "s15", "s16",
+        "s24", "s27", "s30", "s31", "s4", "s5", "s9",
+        "t15", "t1", "t2", "t3", "t4",
+        "x4", "x5", "x6",
     ], qs[:50]
 
 
@@ -50,3 +50,48 @@ def test_priority_list_covers_all_keys():
     ranked = entry._PRIORITY
     for key in entry.queries():
         assert any(key.startswith(p) for p in ranked), f"unranked key {key}"
+
+
+#: DuckDB result types every oracle may emit (r11 verdict items 1-2).
+#: The five r11 driver-red queries were EXACTLY the five whose oracle
+#: emitted HUGEINT (an uncast SUM(BIGINT) in the final projection) —
+#: int128 has no stable twin on the Spark side, so the driver's
+#: type-sensitive canonical hash can never match it. This is the
+#: symmetric twin of test_declared_queries.py::
+#: test_no_decimal_output_columns: the Spark side already refuses
+#: DECIMAL outputs; the oracle side now refuses HUGEINT/DECIMAL too.
+#: INTEGER is allowed: four long-green queries (p1/d8/d9/x5) emit
+#: int32, which hashes identically to the Spark side's int columns.
+_ORACLE_TYPES_OK = {"BIGINT", "INTEGER", "VARCHAR", "DOUBLE", "TIMESTAMP", "BOOLEAN"}
+
+
+def test_oracle_output_types_are_canonical():
+    """Every oracle_sql() result column must be a stable-hashing type.
+
+    Schema-only: DuckDB binds each query at sf0.001 and reports result
+    types without materializing more than the relation metadata needs.
+    A reintroduced uncast SUM / AVG-as-DECIMAL / HUGEINT projection
+    fails here instead of surfacing as an unexplainable driver-red
+    hash mismatch two rounds later."""
+    import duckdb
+
+    from async_pipes_spark.sources.tables import TABLES
+
+    con = duckdb.connect()
+    sf_dir = "/root/testdata/sf0.001"
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    offenders: dict[str, list[str]] = {}
+    for name, sql in entry.oracle_sql().items():
+        types = [str(t) for t in con.sql(sql).types]
+        off = [t for t in types if t not in _ORACLE_TYPES_OK]
+        if off:
+            offenders[name] = off
+    assert not offenders, (
+        "oracle queries emit non-canonical result types (the r11 "
+        f"HUGEINT driver-red class): {offenders} — CAST the final "
+        "projection (money/counters AS BIGINT per the §2.4 contract)"
+    )

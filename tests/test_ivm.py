@@ -1009,3 +1009,93 @@ def test_optimize_purge_dead_keeps_lane_and_allows_revival(spark, tmpdir):
     assert s2["mode"] == "incremental", s2
     assert _got_cd(spark, view) == _expected_cd(spark, src)
     assert _got_cd(spark, view)[2] == (1, 1)
+
+
+# ---- single-maintainer contract (r11 verdict item 6) -----------------
+
+
+def test_concurrent_refresher_loses_loudly_and_downgrades(
+    spark, tmpdir, monkeypatch
+):
+    """Two refreshers of the SAME view are outside the contract
+    (module doc) — but the loser must never silently double-apply: the
+    view commit is OCC-strict against the seq the refresh read its
+    state at, so a competing commit landing mid-flight (simulated here
+    between the feed read and the view commit — the widest possible
+    race window) makes the loser's commit fail loudly and the refresh
+    downgrade to the always-correct full-recompute lane."""
+    import async_pipes_spark.sources.ivm as ivm_mod
+    from async_pipes_spark.sources.ivm import IVM_KEY, IVM_SEQ
+
+    src, view = f"{tmpdir}/src", f"{tmpdir}/view"
+    _mk_source(spark, src)
+    create_agg_view(spark, src, view, ["g"], AGGS, src_tombstone_col="dead")
+    _upsert(spark, src, [(1, 1, 11.0, 1, False)])
+
+    real = ivm_mod.mor_changes
+    fired = []
+
+    def racing(spark_, path, since=None, until=None):
+        if not fired:
+            fired.append(True)
+            # the concurrent refresher's commit lands on the VIEW while
+            # ours is mid-flight (content-neutral: re-upsert an existing
+            # row at its own seq — LWW keeps the value, the pointer moves)
+            mor_upsert(
+                spark_, view, read_table(spark_, view).limit(1),
+                [IVM_KEY], version_cols=[IVM_SEQ], tombstone_col=IVM_DEL,
+            )
+        return real(spark_, path, since=since, until=until)
+
+    monkeypatch.setattr(ivm_mod, "mor_changes", racing)
+    s = refresh_agg_view(spark, view)
+    assert s["mode"] == "full" and s["reason"] == "concurrent-refresher", s
+    monkeypatch.setattr(ivm_mod, "mor_changes", real)
+    assert _got(spark, view) == _expected(spark, src)
+    # the full lane re-armed the cursor: the incremental lane resumes
+    _upsert(spark, src, [(2, 2, 22.0, 2, False)])
+    assert refresh_agg_view(spark, view)["mode"] == "incremental"
+    assert _got(spark, view) == _expected(spark, src)
+
+
+def test_companion_negative_count_is_corruption(spark, tmpdir, monkeypatch):
+    """r11 ADVICE item 1: a count_distinct companion fold that drives a
+    (group, value) live count NEGATIVE (the signed feed retracted more
+    than the companion recorded) must raise — never be committed as a
+    live row — and the refresh must route it to the full-rebuild lane."""
+    import async_pipes_spark.sources.ivm as ivm_mod
+    from async_pipes_spark.sources.ivm import (
+        DV_VAL,
+        CompanionCorruption,
+        _dv_fold,
+    )
+
+    src, view = f"{tmpdir}/src", f"{tmpdir}/view"
+    rows = [(1, 1, 5.0, 0, False)]
+    write_manifest_table(spark, spark.createDataFrame(rows, SCHEMA), src)
+    create_agg_view(spark, src, view, ["g"], CD_AGGS,
+                    src_tombstone_col="dead")
+    # companion records ONE live row for (g=1, x=5.0); a signed feed
+    # retracting it twice folds the count to -1
+    signed = spark.createDataFrame(
+        [(1, 5.0, -1), (1, 5.0, -1)], f"g int, {DV_VAL} double, _ivm_s int"
+    )
+    with pytest.raises(CompanionCorruption):
+        _dv_fold(spark, view, "dx", signed, ["g"], seq=1,
+                 hint=lambda df: df)
+
+    # and through the refresher: the corruption routes to a FULL
+    # rebuild of both levels instead of propagating (or committing)
+    def corrupt_fold(*a, **kw):
+        raise CompanionCorruption("injected")
+
+    monkeypatch.setattr(ivm_mod, "_dv_fold", corrupt_fold)
+    _upsert(spark, src, [(2, 1, 6.0, 0, False)])
+    s = refresh_agg_view(spark, view)
+    assert s["mode"] == "full" and s["reason"] == "companion-negative-count", s
+    monkeypatch.undo()
+    assert _got_cd(spark, view) == _expected_cd(spark, src)
+    # the rebuilt lane keeps maintaining incrementally
+    _upsert(spark, src, [(3, 2, 7.0, 0, False)])
+    assert refresh_agg_view(spark, view)["mode"] == "incremental"
+    assert _got_cd(spark, view) == _expected_cd(spark, src)
