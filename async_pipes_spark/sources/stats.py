@@ -88,6 +88,28 @@ _NUMERIC_TYPES = (
 Bounds = Mapping[str, tuple[float | None, float | None]]
 
 
+#: file listings of IMMUTABLE manifest version dirs (``_data/v_*`` —
+#: uuid-named, written by exactly one commit, only ever deleted whole
+#: by retention GC), memoized like their schemas: the pruning planners
+#: re-list the same live version dir on every plan, ~2 py4j round
+#: trips per file each time. PLAIN dirs are mutable and never cache —
+#: the sidecar staleness check depends on a fresh listing there.
+_DIR_FILES_CACHE: dict[str, list[str]] = {}
+
+
+def _listed_files(spark, data_dir: str, table_path: str) -> list[str]:
+    """`_list_parquet_files`, memoized iff ``data_dir`` is a manifest
+    version dir (immutable by the commit protocol); a plain parquet
+    dir (``data_dir == table_path``) always lists fresh."""
+    if data_dir == table_path:
+        return _list_parquet_files(spark, data_dir)
+    hit = _DIR_FILES_CACHE.get(data_dir)
+    if hit is None:
+        hit = _list_parquet_files(spark, data_dir)
+        _DIR_FILES_CACHE[data_dir] = hit
+    return hit
+
+
 def _list_parquet_files(spark, dir_path: str) -> list[str]:
     """Recursive data-file listing (``part-*.parquet``) under
     ``dir_path`` via the Hadoop FS — one metadata listing, the same
@@ -239,13 +261,13 @@ def _driver_footer_stats(files: Sequence[str], cols: Sequence[str]):
     )
 
 
-def _sidecar_meta_driver(sidecar_dir: str) -> dict | None:
-    """Driver-side read of a TINY sidecar dir: its distinct ``col``
-    set and first row (bloom parameters ride every row). Local paths
-    only — anything else (or any failure) returns None and the caller
-    falls back to the Spark read. Kills the two small Spark jobs the
-    per-commit sidecar refresh used to pay just to learn which columns
-    to rebuild."""
+def _sidecar_table_driver(sidecar_dir: str):
+    """Driver-side pyarrow read of a TINY sidecar dir → ``pa.Table``,
+    or None on any failure / non-local scheme (callers fall back to
+    the Spark read). Sidecars are O(files × cols) rows by construction
+    — a driver read is ~5 ms where the Spark read + collect pair costs
+    two ~0.3 s jobs at the local job floor (guide §1.2: the planning
+    path is driver work; don't launch cluster jobs for it)."""
     try:
         import os
 
@@ -267,11 +289,25 @@ def _sidecar_meta_driver(sidecar_dir: str) -> dict | None:
         if not parts:
             return None
         tables = [pq.read_table(p) for p in parts]
-        t = (
+        return (
             pa.concat_tables(tables, promote_options="default")
             if len(tables) > 1
             else tables[0]
         )
+    except Exception:  # noqa: BLE001 — optimization only
+        return None
+
+
+def _sidecar_meta_driver(sidecar_dir: str) -> dict | None:
+    """Driver-side read of a TINY sidecar dir: its distinct ``col``
+    set and first row (bloom parameters ride every row). Any failure
+    returns None and the caller falls back to the Spark read. Kills
+    the two small Spark jobs the per-commit sidecar refresh used to
+    pay just to learn which columns to rebuild."""
+    try:
+        t = _sidecar_table_driver(sidecar_dir)
+        if t is None:
+            return None
         cols = sorted({v for v in t.column("col").to_pylist() if v is not None})
         first = (
             {name: t.column(name)[0].as_py() for name in t.column_names}
@@ -517,6 +553,24 @@ def _load_sidecar(spark, path: str, version: str | None):
     return spark.read.parquet(sd)
 
 
+def _plan_sidecar_rows(spark, sdir: str) -> tuple[bool, list[dict] | None]:
+    """The pruning planners' sidecar as driver-side rows:
+    ``(exists, rows)`` — ``(False, None)`` when the dir is missing (no
+    sidecar: the planner returns None), ``(True, rows)`` on a driver
+    read, ``(True, None)`` when the dir exists but pyarrow can't read
+    it (non-local scheme: the caller falls back to the Spark read).
+    The planners are pure driver arithmetic over O(files × cols) rows;
+    launching 2-3 cluster jobs per plan just to aggregate them was the
+    dominant fixed cost of every pruned scan at the local job floor
+    (guide §1.2, §5: the driver should do no DATA work — this is
+    metadata, exactly what it should do)."""
+    fs, p, _ = _hadoop_fs(spark, sdir)
+    if not fs.exists(p):
+        return False, None
+    t = _sidecar_table_driver(sdir)
+    return True, (t.to_pylist() if t is not None else None)
+
+
 def prune_files(
     spark, path: str, bounds: Bounds, base_only: bool = False
 ) -> tuple[list[str], int] | None:
@@ -535,11 +589,31 @@ def prune_files(
     if not base_only and mor_deltas(spark, path):
         return None
     version = manifest_version(spark, path)
+    exists, rows = _plan_sidecar_rows(spark, _stats_dir(path, version))
+    if not exists:
+        return None
+    data_dir = _resolve_table_path(spark, path)
+    listed = _listed_files(spark, data_dir, path)
+    if rows is not None:
+        # driver fast path — identical semantics to the Spark
+        # aggregation below (has_stats=True implies non-NULL vmin/vmax
+        # by kernel construction, so no three-valued-logic divergence)
+        if {r["file"] for r in rows} != set(listed):
+            return None  # stale sidecar (plain dir rewritten in place)
+        bad = set()
+        for r in rows:
+            b = bounds.get(r["col"])
+            if b is None or not r["has_stats"]:
+                continue
+            lo, hi = b
+            if (lo is not None and r["vmax"] < lo) or (
+                hi is not None and r["vmin"] > hi
+            ):
+                bad.add(r["file"])
+        return sorted({r["file"] for r in rows} - bad), len(listed)
     sidecar = _load_sidecar(spark, path, version)
     if sidecar is None:
         return None
-    data_dir = _resolve_table_path(spark, path)
-    listed = _list_parquet_files(spark, data_dir)
     indexed = [r["file"] for r in sidecar.select("file").distinct().collect()]
     if set(indexed) != set(listed):
         return None  # stale sidecar (plain dir rewritten in place)
@@ -577,11 +651,27 @@ def prune_files_in(
     if not base_only and mor_deltas(spark, path):
         return None  # sidecar covers base files only (see prune_files)
     version = manifest_version(spark, path)
+    exists, rows = _plan_sidecar_rows(spark, _stats_dir(path, version))
+    if not exists:
+        return None
+    data_dir = _resolve_table_path(spark, path)
+    listed = _listed_files(spark, data_dir, path)
+    if rows is not None:
+        # driver fast path — same semantics as the Spark aggregation
+        if {r["file"] for r in rows} != set(listed):
+            return None
+        pvals = [float(v) for v in values]
+        bad = set()
+        for r in rows:
+            if r["col"] != col or not r["has_stats"]:
+                continue
+            vmin, vmax = r["vmin"], r["vmax"]
+            if not any(vmin <= v <= vmax for v in pvals):
+                bad.add(r["file"])
+        return sorted({r["file"] for r in rows} - bad), len(listed)
     sidecar = _load_sidecar(spark, path, version)
     if sidecar is None:
         return None
-    data_dir = _resolve_table_path(spark, path)
-    listed = _list_parquet_files(spark, data_dir)
     indexed = [r["file"] for r in sidecar.select("file").distinct().collect()]
     if set(indexed) != set(listed):
         return None
@@ -650,6 +740,61 @@ def _residual(df: DataFrame, bounds: Bounds) -> DataFrame:
     return df
 
 
+def _bloom_sidecar_rows(spark, bd: str, col: str):
+    """The bloom sidecar's rows for ``col`` — driver-side pyarrow read
+    when reachable (no Spark job), else the Spark read; ``None`` when
+    the sidecar dir is missing. Rows index like mappings either way
+    (``r["file"]``, ``r["bits"]``, ...)."""
+    fs, p, _ = _hadoop_fs(spark, bd)
+    if not fs.exists(p):
+        return None
+    t = _sidecar_table_driver(bd)
+    if t is not None:
+        return [r for r in t.to_pylist() if r["col"] == col]
+    return spark.read.parquet(bd).where(F.col("col") == F.lit(col)).collect()
+
+
+def _render_probe_strings(spark, dt, values) -> list[str] | None:
+    """Driver-side twin of ``CAST(value AS <dt> AS STRING)`` for the
+    type/value shapes where the two are PROVABLY identical: integral
+    columns probed with Python ints (Spark renders decimal digits =
+    ``str(int)``) and string columns probed with strs (identity cast).
+    Anything else — doubles (Spark's formatting), booleans, decimals,
+    dates, out-of-range ints (Spark CAST overflows to NULL) — returns
+    None and the caller pays the one Spark render job. Keeps the bloom
+    probe's build/probe string parity exact while removing the per-plan
+    job for the overwhelmingly common key shapes."""
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+    )
+
+    _INT_RANGES = {
+        ByteType: (-(1 << 7), (1 << 7) - 1),
+        ShortType: (-(1 << 15), (1 << 15) - 1),
+        IntegerType: (-(1 << 31), (1 << 31) - 1),
+        LongType: (-(1 << 63), (1 << 63) - 1),
+    }
+    rng = _INT_RANGES.get(type(dt))
+    if rng is not None:
+        out = []
+        for v in values:
+            if not isinstance(v, int) or isinstance(v, bool):
+                return None
+            if not (rng[0] <= v <= rng[1]):
+                return None  # Spark CAST would overflow → NULL/raise
+            out.append(str(v))
+        return out
+    if isinstance(dt, StringType):
+        if all(isinstance(v, str) for v in values):
+            return list(values)
+        return None
+    return None
+
+
 def prune_files_bloom_any(
     spark, path: str, col: str, values: Sequence, base_only: bool = False
 ) -> tuple[list[str], int] | None:
@@ -673,13 +818,8 @@ def prune_files_bloom_any(
         return None  # sidecar covers base files only (see prune_files)
     version = manifest_version(spark, path)
     bd = _bloom_dir(path, version)
-    fs, p, _ = _hadoop_fs(spark, bd)
-    if not fs.exists(p):
-        return None
-    sidecar = (
-        spark.read.parquet(bd).where(F.col("col") == F.lit(col)).collect()
-    )
-    if not sidecar:
+    sidecar = _bloom_sidecar_rows(spark, bd, col)
+    if not sidecar:  # missing dir (None) or no rows for col ([])
         return None
     if len(sidecar) * len(values) > 2_000_000:
         # driver-probe budget: the worst case (no file admits any value)
@@ -690,24 +830,32 @@ def prune_files_bloom_any(
         # correct without it.
         return None
     data_dir = _resolve_table_path(spark, path)
-    listed = _list_parquet_files(spark, data_dir)
+    listed = _listed_files(spark, data_dir, path)
     if {r["file"] for r in sidecar} != set(listed):
         return None  # stale sidecar (plain dir rewritten in place)
-    base = spark.read.parquet(data_dir)
-    if col not in base.columns:
+    sch = (
+        _dir_schema(spark, data_dir)
+        if data_dir != path  # manifest version dirs are immutable
+        else spark.read.parquet(data_dir).schema
+    )
+    if col not in sch.names:
         return None
-    # render ALL probe values through Spark's CAST(... AS STRING) in
-    # ONE job — the exact strings the build side hashed (str(value)
-    # would diverge on doubles/booleans/decimals)
-    dt = base.schema[col].dataType
-    rendered = [
-        r["k"]
-        for r in spark.createDataFrame(
-            [(v,) for v in values], StructType([StructField("v", dt)])
-        )
-        .select(F.col("v").cast("string").alias("k"))
-        .collect()
-    ]
+    # render ALL probe values exactly as Spark's CAST(... AS STRING)
+    # would — the strings the build side hashed (str(value) would
+    # diverge on doubles/booleans/decimals). Integral/string probes
+    # render driver-side (provably identical); anything else pays the
+    # one Spark render job.
+    dt = sch[col].dataType
+    rendered = _render_probe_strings(spark, dt, values)
+    if rendered is None:
+        rendered = [
+            r["k"]
+            for r in spark.createDataFrame(
+                [(v,) for v in values], StructType([StructField("v", dt)])
+            )
+            .select(F.col("v").cast("string").alias("k"))
+            .collect()
+        ]
     if any(k is None for k in rendered):
         raise ValueError(
             f"some probe values do not cast to column {col}'s type "
@@ -1018,35 +1166,39 @@ def prune_files_bloom(
         return None  # sidecar covers base files only (see prune_files)
     version = manifest_version(spark, path)
     bd = _bloom_dir(path, version)
-    fs, p, _ = _hadoop_fs(spark, bd)
-    if not fs.exists(p):
-        return None
-    sidecar = (
-        spark.read.parquet(bd).where(F.col("col") == F.lit(col)).collect()
-    )
-    if not sidecar:
+    sidecar = _bloom_sidecar_rows(spark, bd, col)
+    if not sidecar:  # missing dir (None) or no rows for col ([])
         return None
     data_dir = _resolve_table_path(spark, path)
-    listed = _list_parquet_files(spark, data_dir)
+    listed = _listed_files(spark, data_dir, path)
     if {r["file"] for r in sidecar} != set(listed):
         return None  # stale sidecar (plain dir rewritten in place)
-    base = spark.read.parquet(data_dir)
-    if col not in base.columns:
+    sch = (
+        _dir_schema(spark, data_dir)
+        if data_dir != path  # manifest version dirs are immutable
+        else spark.read.parquet(data_dir).schema
+    )
+    if col not in sch.names:
         return None
+    fast = _render_probe_strings(spark, sch[col].dataType, [value])
     rendered = (
-        spark.range(1)
-        .select(
-            F.lit(value)
-            .cast(base.schema[col].dataType)
-            .cast("string")
-            .alias("k")
+        fast[0]
+        if fast is not None
+        else (
+            spark.range(1)
+            .select(
+                F.lit(value)
+                .cast(sch[col].dataType)
+                .cast("string")
+                .alias("k")
+            )
+            .first()["k"]
         )
-        .first()["k"]
     )
     if rendered is None:
         raise ValueError(
             f"probe value {value!r} does not cast to column {col}'s type "
-            f"{base.schema[col].dataType.simpleString()}"
+            f"{sch[col].dataType.simpleString()}"
         )
     kept = []
     for r in sidecar:
