@@ -195,12 +195,23 @@ def mor_changes(
     }
 
     def align(df: DataFrame) -> DataFrame:
+        # one select instead of a per-column withColumn chain (a plan
+        # node + py4j round-trips per column per branch); a branch
+        # missing the tombstone flag normalizes to live=False exactly
+        # like the old add-NULL-then-coalesce pair
+        have = set(df.columns)
+        cols = []
         for c in out_cols:
-            if c not in df.columns:
-                df = df.withColumn(c, F.lit(None).cast(out_types[c]))
-        if tomb:
-            df = df.withColumn(tomb, F.coalesce(F.col(tomb), F.lit(False)))
-        return df.select(*out_cols)
+            if tomb and c == tomb:
+                cols.append(
+                    (F.coalesce(F.col(c), F.lit(False)) if c in have
+                     else F.lit(False)).alias(c)
+                )
+            elif c in have:
+                cols.append(F.col(c))
+            else:
+                cols.append(F.lit(None).cast(out_types[c]).alias(c))
+        return df.select(*cols)
 
     def live(df: DataFrame) -> DataFrame:
         return df.where(~F.col(tomb)) if tomb else df

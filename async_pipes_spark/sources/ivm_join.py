@@ -288,7 +288,8 @@ def _signed_feed(
 
 
 def _keys_probe(
-    spark, signed: DataFrame, join_keys: list[str], small: bool
+    spark, signed: DataFrame, join_keys: list[str], small: bool,
+    feed_pinned: bool = False,
 ) -> tuple[DataFrame, list | None]:
     """(distinct-key frame for the semi-join, optional inlined key rows
     for an ``isin`` pushdown). The inline peek runs ONLY when the feed
@@ -296,17 +297,28 @@ def _keys_probe(
     exceeds the cap — collecting it just to discard it is a wasted
     driver round-trip on the hot path) and is CAPPED at
     ``_ISIN_KEY_CAP`` rows — past the cap only the (gated-broadcast)
-    semi-join prunes, which stays correct at any size."""
+    semi-join prunes, which stays correct at any size.
+
+    Job accounting (r12, guide §1.2/§5): when the caller already pinned
+    the feed (``feed_pinned`` — every small-window refresh side does),
+    the key frame is one distinct over checkpointed blocks, so its own
+    pin was a pure extra Spark job and is skipped — the peek and the
+    (possible) semi-join build each re-derive it cheaply. An UNPINNED
+    feed keeps the old accounting: pin only on the peek lane (small
+    window, single key), where the frame is otherwise executed twice;
+    on every other lane the semi-join is the frame's only execution, so
+    the old unconditional ``_pin`` was a wasted job there too."""
     kdf = signed.select(*join_keys).where(
         reduce(Column.__and__, [F.col(k).isNotNull() for k in join_keys])
     ).distinct()
-    kdf = _pin(kdf)  # probed twice (isin peek + semi); lineage = feed
-    inline = None
     if small and len(join_keys) == 1:
+        if not feed_pinned:
+            kdf = _pin(kdf)  # executed twice: peek now, maybe semi later
         head = kdf.limit(_ISIN_KEY_CAP + 1).collect()
         if len(head) <= _ISIN_KEY_CAP:
-            inline = [r[0] for r in head]
-    return (F.broadcast(kdf) if small else kdf), inline
+            return kdf, [r[0] for r in head]  # kdf is never re-executed
+        return F.broadcast(kdf), None
+    return (F.broadcast(kdf) if small else kdf), None
 
 
 def _half_term(
@@ -419,6 +431,16 @@ def refresh_join_view(
     ) + _mor_backlog_bytes(spark, st["right"], new_r)
     small = window_bytes <= _MOR_BROADCAST_MAX_BYTES
 
+    # a small (byte-gated) window's signed feed is materialized ONCE
+    # per side: the key probe and the delta-join term both consume it,
+    # and without the pin each consumer re-executed the whole feed
+    # lineage (delta scan + contested base slice + resolve windows) —
+    # guide §1.2 step 1, one pass instead of two. Past the gate the
+    # feed stays lazy (O(window) rows must not be checkpointed blind).
+    if small:
+        sgn_l = _pin(sgn_l) if sgn_l is not None else None
+        sgn_r = _pin(sgn_r) if sgn_r is not None else None
+
     def _hint(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if small else df
 
@@ -431,14 +453,16 @@ def refresh_join_view(
             _snap_upto(spark, st["right"], fr, br, dr, until_r),
             st["right_tombstone_col"],
         )
-        keys_l, inline_l = _keys_probe(spark, sgn_l, join_keys, small)
+        keys_l, inline_l = _keys_probe(spark, sgn_l, join_keys, small,
+                                       feed_pinned=small)
         terms.append(_half_term(b_new, sgn_l, join_keys, keys_l, inline_l))
     if sgn_r is not None:
         a_old = _live(
             _snap_upto(spark, st["left"], fl, bl, dl, cur_l),
             st["left_tombstone_col"],
         )
-        keys_r, inline_r = _keys_probe(spark, sgn_r, join_keys, small)
+        keys_r, inline_r = _keys_probe(spark, sgn_r, join_keys, small,
+                                       feed_pinned=small)
         terms.append(_half_term(a_old, sgn_r, join_keys, keys_r, inline_r))
     delta = terms[0] if len(terms) == 1 else terms[0].unionByName(terms[1])
     if filt:
@@ -612,7 +636,10 @@ def refresh_join_view(
         # O(changed groups) decision frame — one cheap materialization
         # tells us whether ANY group actually lost an extreme
         merged = _pin(merged)
-        needy = _pin(merged.where(
+        # needy is a filter over the PINNED merged frame — every later
+        # reference re-reads checkpointed blocks, so its own pin was a
+        # pure extra job (the single-table lane in ivm.py never had one)
+        needy = merged.where(
             reduce(
                 Column.__or__,
                 [
@@ -621,7 +648,7 @@ def refresh_join_view(
                     if fn in _RECOMPUTED
                 ],
             )
-        ).select(*group_cols, IVM_KEY))
+        ).select(*group_cols, IVM_KEY)
         ran_recompute = needy.limit(1).count() > 0
     if ran_recompute:
         # the key-probe gates inside the needy lane use each SLICE's

@@ -899,15 +899,26 @@ def _mor_resolve(
         # columns NULL where a source predates them — exactly what the
         # COW merge's existing.withColumn(NULL-cast) materializes) and
         # apply the soft-tombstone normalization: stored NULL ≡ live
-        # (pre-tombstone base files lack the column)
+        # (pre-tombstone base files lack the column). ONE select — the
+        # per-column withColumn chain built a plan node (and 2-3 py4j
+        # round-trips) per column on every resolve branch
+        have = set(df.columns)
+        cols = []
         for c in out_cols:
-            if c not in df.columns:
-                df = df.withColumn(c, F.lit(None).cast(out_types[c]))
-        if tomb:
-            df = df.withColumn(tomb, F.coalesce(F.col(tomb), F.lit(False)))
-        return df.select(*out_cols, *(
-            ["_src"] if "_src" in df.columns else []
-        ))
+            if tomb and c == tomb:
+                # a branch missing the flag normalizes to live=False
+                # exactly like the old add-NULL-then-coalesce pair
+                cols.append(
+                    (F.coalesce(F.col(c), F.lit(False)) if c in have
+                     else F.lit(False)).alias(c)
+                )
+            elif c in have:
+                cols.append(F.col(c))
+            else:
+                cols.append(F.lit(None).cast(out_types[c]).alias(c))
+        if "_src" in have:
+            cols.append(F.col("_src"))
+        return df.select(*cols)
 
     has_null_key = reduce(
         Column.__or__, [F.col(k).isNull() for k in keys]

@@ -407,8 +407,9 @@ def test_minmax_recompute_key_prune_plan(spark, tmpdir, monkeypatch):
     probes = []
     real = ivj._keys_probe
 
-    def spy(spark_, signed, join_keys, small):
-        keys, inline = real(spark_, signed, join_keys, small)
+    def spy(spark_, signed, join_keys, small, feed_pinned=False):
+        keys, inline = real(spark_, signed, join_keys, small,
+                            feed_pinned=feed_pinned)
         probes.append(inline)
         return keys, inline
 
@@ -607,9 +608,10 @@ def test_join_catchup_past_broadcast_gate(spark, tmpdir, monkeypatch):
     probes = []
     real_probe = ivj._keys_probe
 
-    def spy(spark_, signed, join_keys, small):
+    def spy(spark_, signed, join_keys, small, feed_pinned=False):
         assert not small, "window must read as big past the gate"
-        keys, inline = real_probe(spark_, signed, join_keys, small)
+        keys, inline = real_probe(spark_, signed, join_keys, small,
+                                  feed_pinned=feed_pinned)
         probes.append(inline)
         return keys, inline
 
