@@ -112,6 +112,41 @@ from async_pipes_spark.sources.sinks import (
 #: file-planning cap in sources/stats.py
 _ISIN_KEY_CAP = 4096
 
+
+def _in_expr(col_name: str, values: list) -> Column:
+    """``col IN (values)`` as ONE parsed SQL expression.
+
+    ``Column.isin(values)`` creates a py4j literal per element — one
+    driver round-trip each, and inline windows legitimately run to
+    ``_ISIN_KEY_CAP`` (4096) keys, so the old path cost up to ~4096
+    round-trips per slice (guide §1.2: cut the per-call work).
+    ``F.expr`` ships one string; the parser produces the same
+    ``In(attr, [literals])`` predicate, folded and pushed to the
+    parquet scan identically (pinned by test_plans). Only int and str
+    keys take the fast path — every surrogate/string join key in the
+    engine — anything else falls back to ``isin`` unchanged, as does
+    an identifier that needs quoting."""
+    if not values:
+        return F.lit(False)  # isin([]): false for every non-null row
+    ok_ident = col_name.isidentifier()
+    rendered = []
+    for v in values:
+        if isinstance(v, bool) or not ok_ident:
+            rendered = None
+            break
+        if isinstance(v, int):
+            rendered.append(str(v))
+        elif isinstance(v, str):
+            rendered.append(
+                "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+            )
+        else:
+            rendered = None
+            break
+    if rendered is None:
+        return F.col(col_name).isin(values)
+    return F.expr(f"{col_name} IN ({', '.join(rendered)})")
+
 def _side_state(spark, path: str) -> tuple[str, str, list[str], str]:
     """(flavor, base_name, deltas, token) of a source's pinned state."""
     pinned = _pinned_state(spark, path)
@@ -337,7 +372,7 @@ def _half_term(
     semi-join is skipped; past the cap the (gated-broadcast) semi-join
     alone slices, correct at any key count."""
     if inline is not None:
-        sliced = snapshot.where(F.col(join_keys[0]).isin(inline))
+        sliced = snapshot.where(_in_expr(join_keys[0], inline))
     else:
         sliced = snapshot.join(keys, join_keys, "left_semi")
     return signed.join(sliced, join_keys)
@@ -772,14 +807,14 @@ def _recompute_join_extremes(
         # item 2
         keys_b, inline_b = _keys_probe(spark, b_sl, join_keys, small_b)
         a_sl = (
-            a_sl.where(F.col(join_keys[0]).isin(inline_b))
+            a_sl.where(_in_expr(join_keys[0], inline_b))
             if inline_b is not None
             else a_sl.join(keys_b, join_keys, "left_semi")
         )
     if not gb:
         keys_a, inline_a = _keys_probe(spark, a_sl, join_keys, small_a)
         b_sl = (
-            b_sl.where(F.col(join_keys[0]).isin(inline_a))
+            b_sl.where(_in_expr(join_keys[0], inline_a))
             if inline_a is not None
             else b_sl.join(keys_a, join_keys, "left_semi")
         )

@@ -424,9 +424,11 @@ def test_minmax_recompute_key_prune_plan(spark, tmpdir, monkeypatch):
     # the lane ran at least one key probe and EVERY probe this small
     # window produced inlined (<= cap) keys — the isin path
     assert probes and all(p is not None for p in probes), probes
-    # and an isin over the engine's read path is a PUSHED filter: the
-    # B-side scan's row groups prune by footer stats on jk
-    sliced = read_table(spark, b).where(F.col("jk").isin(probes[-1]))
+    # and the engine's single-parse IN list over its read path is a
+    # PUSHED filter: the B-side scan's row groups prune by footer
+    # stats on jk (r12: _in_expr replaced Column.isin on this lane —
+    # same In() predicate, one py4j round-trip instead of one per key)
+    sliced = read_table(spark, b).where(ivj._in_expr("jk", probes[-1]))
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         sliced.explain("formatted")
@@ -637,3 +639,37 @@ def test_join_catchup_past_broadcast_gate(spark, tmpdir, monkeypatch):
     assert s["minmax_recompute"], s
     assert probes and all(p is None for p in probes), probes
     assert _got_mm(spark, view) == _expected_mm(spark, a, b)
+
+
+def test_in_expr_matches_isin(spark):
+    """r12: ``_in_expr`` (one parsed SQL string, one py4j round-trip)
+    must filter exactly like ``Column.isin`` (one round-trip per key)
+    for every key type the engine inlines — ints and strings
+    including quotes/backslashes — and must FALL BACK to ``isin``
+    for anything else (dates here), never mis-render a literal."""
+    import datetime
+
+    from async_pipes_spark.sources.ivm_join import _in_expr
+
+    rows = [(1, "a"), (2, "it's"), (3, "back\\slash"), (4, None), (None, "z")]
+    df = spark.createDataFrame(rows, "k bigint, s string")
+    for col, vals, n_want in [
+        ("k", [1, 3], 2),
+        ("k", [2], 1),
+        ("s", ["it's", "back\\slash"], 2),
+        ("s", ["nope"], 0),
+    ]:
+        got = sorted(map(tuple, df.where(_in_expr(col, vals)).collect()))
+        want = sorted(map(tuple, df.where(F.col(col).isin(vals)).collect()))
+        assert got == want and len(got) == n_want, (col, vals, got, want)
+    # empty key set: no row survives (isin([])'s filter semantics)
+    assert df.where(_in_expr("k", [])).count() == 0
+    # fallback lane (non-int/str values): same rows as isin
+    ddf = spark.createDataFrame(
+        [(datetime.date(2024, 1, 1),), (datetime.date(2024, 1, 2),)], "d date"
+    )
+    vals = [datetime.date(2024, 1, 1)]
+    assert (
+        ddf.where(_in_expr("d", vals)).collect()
+        == ddf.where(F.col("d").isin(vals)).collect()
+    )

@@ -1211,3 +1211,22 @@ def test_mor_evil_ancestor_dir(spark, tmp_path):
     shutil.move(path, str(evil / "t"))
     out = read_manifest_table(spark, str(evil / "t")).collect()
     assert [(r["k"], r["v"]) for r in out] == [(1, "second")]
+
+
+def test_read_small_file_local_native(spark, tmp_path):
+    """r12: control files on the local filesystem read natively in
+    the driver (no py4j) — same bytes, same None-when-absent, and
+    non-local schemes still route to the Hadoop stream."""
+    from async_pipes_spark.sources.sinks import _local_fs_path, _read_small_file
+
+    p = f"{tmp_path}/_ptr"
+    body = "v_0001\n#seq=3\n"
+    with open(p, "w", encoding="utf-8") as f:
+        f.write(body)
+    assert _read_small_file(spark, p) == body
+    assert _read_small_file(spark, f"file://{p}") == body
+    assert _read_small_file(spark, f"file:{p}") == body
+    assert _read_small_file(spark, f"{tmp_path}/_absent") is None
+    assert _local_fs_path("s3a://bucket/x") is None  # object store: Hadoop lane
+    assert _local_fs_path("file://host/p") is None  # remote authority: Hadoop lane
+    assert _local_fs_path("/plain/path") == "/plain/path"
